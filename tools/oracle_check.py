@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's DuckDB oracle compare.
+
+NOT part of the shipped library (the Scala engine has no Python
+dependency) — this reproduces the driver's t2 gate locally so oracle
+mismatches are caught before a round ends.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple("NULL" if v is None else
+                         (repr(float(v)) if isinstance(v, float) else str(v))
+                         for v in r))
+    return sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}")
+            fail += 1
+            continue
+        g = norm([[r[i] for i in gi] for r in got])
+        w = norm([[r[i] for i in wi] for r in want])
+        if g == w:
+            print(f"OK   {name}: {len(g)} rows")
+            ok += 1
+        else:
+            print(f"FAIL {name}: {len(g)} vs {len(w)} rows")
+            only_g = [r for r in g if r not in set(w)][:3]
+            only_w = [r for r in w if r not in set(g)][:3]
+            print(f"     spark-only: {only_g}")
+            print(f"     duck-only:  {only_w}")
+            fail += 1
+    print(f"== {ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
