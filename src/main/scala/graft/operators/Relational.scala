@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Deterministic.{davg, dsum}
+
+/** Relational query surface over the harness star schema (SURVEY §7
+  * Phase 1.3). The reference has no SQL layer (SURVEY §0); this is the
+  * fill-out that exercises every relational operator class a user of a
+  * Spark-native engine needs: scan/filter/project, all join kinds,
+  * hash aggregation, grouping sets, window functions, top-k, set ops,
+  * scalar function families.
+  *
+  * All plans are declarative DataFrame chains — Catalyst does predicate
+  * pushdown into the parquet scan, column pruning, and join-strategy
+  * selection (broadcast for the dims below the autoBroadcast threshold,
+  * shuffle hash/sort-merge for fact-fact). At 100 TB the same plans
+  * hold: the only shuffles are on group/join keys, partial aggregation
+  * runs map-side, and dimension joins never shuffle the fact table.
+  *
+  * Floating-point aggregates use decimal-exact sums (see
+  * graft.functions.Deterministic) so results are order-independent —
+  * identical across partitionings, retries, and engines.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the canonical scan -> filter ->
+    * partial/final hash agg. One shuffle of ~|flags x status| rows. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6-style forecast revenue: pure pushed-down filter + single
+    * scalar agg — the whole query is one scan, no shuffle of note. */
+  def q6Revenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q3-style top unshipped orders: dim-filtered fact-fact join +
+    * agg + top-k. customer (filtered) broadcasts; orders-lineitem is
+    * the one real shuffle; top-k is a partial TakeOrdered, not a full
+    * sort. */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional revenue: 6-table join. region/nation/
+    * supplier broadcast (tiny); customer-orders and orders-lineitem
+    * shuffle on their keys. */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).filter(
+      col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+      col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Semi join (EXISTS): orders having any high-quantity line, counted
+    * per priority. left_semi never materializes the right side's
+    * columns and de-dups for free. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no urgent orders, per
+    * segment (every customer has some order in this data, so the
+    * predicate keeps the result non-trivial). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Ranking window function: top-3 parts by retail price per brand.
+    * Fully deterministic tie-break on p_partkey. */
+  def qWindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Window frame: per-customer running order total. Decimal-exact
+    * windowed sum — order-independent internally, so it matches the
+    * oracle regardless of either engine's accumulation scheme. */
+  def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w)
+          .cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Grouping sets via ROLLUP: region -> nation customer counts with
+    * subtotals and a grand total. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("cnt"), col("sum_bal"))
+      .orderBy(col("region"), col("nation"))
+
+  /** Grouping sets via CUBE over order status x priority. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Set operators: INTERSECT / EXCEPT / UNION (distinct forms), tagged
+    * and unioned into one result. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    val clickNotError = users("click").except(users("error"))
+      .select(lit("click_not_error").as("tag"), col("user_id"))
+    val clickAndPurchase = users("click").intersect(users("purchase"))
+      .select(lit("click_and_purchase").as("tag"), col("user_id"))
+    val signupOrError = users("signup").union(users("error")).distinct()
+      .select(lit("signup_or_error").as("tag"), col("user_id"))
+    clickNotError.unionAll(clickAndPurchase).unionAll(signupOrError)
+      .orderBy(col("tag"), col("user_id"))
+  }
+
+  /** Exact + distinct aggregation: distinct part/supplier counts per
+    * return flag. */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** approx_count_distinct (HLL++) — the sketch path that replaces
+    * exact distinct at 100 TB. No DuckDB oracle (different sketch);
+    * rows-only check + unit-tested error bound vs exact. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar function families: string / date / math, engine-portable
+    * subset (P1-P10 analogs live in Clean/Report jobs; these are the
+    * general-purpose ones). */
+  def qScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+        (col("p_size") % 7).cast(LongType).as("size_mod"),
+        abs(col("p_retailprice") - 950.0).as("price_dev"),
+        floor(col("p_retailprice")).cast(LongType).as("price_floor"),
+        ceil(col("p_retailprice")).cast(LongType).as("price_ceil"),
+        round(col("p_retailprice") / 7, 2).as("price_div_round"),
+        sqrt(col("p_retailprice")).as("price_sqrt"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time scalar functions over orders. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        datediff(lit("2002-01-01").cast(TimestampType), col("o_orderdate"))
+          .cast(LongType).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON access on a string column (get_json_object / P1 analog over
+    * the events.props payload). */
+  def qJsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Higher-order array functions over the embedding vectors:
+    * size / filter / aggregate (decimal-exact dot-with-self -> L2
+    * norm). These are the same primitives the similarity operators
+    * build on. */
+  def qHigherOrder(s: SparkSession, d: String): DataFrame = {
+    val x = col("x")
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        size(filter(col("embedding"), x => x > 0)).cast(LongType).as("n_pos"),
+        // Precision 30 (not 38): decimal(30,12)+decimal(30,12) widens to
+        // decimal(31,12), keeping all 12 fractional digits; at precision
+        // 38 the sum would saturate and Spark would DROP a fractional
+        // digit per add (decimal(38,11)), silently rounding partials.
+        sqrt(aggregate(col("embedding"),
+          lit(0).cast(DecimalType(30, 12)),
+          (acc, v) => (acc + (v.cast(DoubleType) * v.cast(DoubleType)).cast(DecimalType(30, 12)))
+            .cast(DecimalType(30, 12)))
+          .cast(DoubleType)).as("l2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Conditional aggregation: CASE WHEN inside aggregates. */
+  def qCaseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+}
