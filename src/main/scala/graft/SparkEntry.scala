@@ -44,7 +44,69 @@ object SparkEntry {
     "q_json_props" -> (Relational.qJsonProps _),
     "q_higher_order" -> (Relational.qHigherOrder _),
     "q_case_agg" -> (Relational.qCaseAgg _),
+    // --- text analysis (north-star extensions) ---
+    "q_token_stats" -> (TextAnalysis.qTokenStats _),
+    "q_word_count" -> (TextAnalysis.qWordCount _),
+    "q_text_quality" -> (TextAnalysis.qTextQuality _),
+    "q_lang_id" -> (TextAnalysis.qLangId _),
+    "q_lang_id_eval" -> (TextAnalysis.qLangIdEval _),
+    "q_fingerprint" -> (TextAnalysis.qFingerprint _),
+    "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
+    // --- dedup ---
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_content" -> (Dedup.qDedupContent _),
+    "q_ngram_jaccard" -> (Dedup.qNgramJaccard _),
+    "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    "q_simhash" -> (Dedup.qSimhash _),
+    "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
+    // --- similarity search ---
+    "q_knn_brute" -> (Similarity.qKnnBrute _),
+    "q_knn_ivf" -> (Similarity.qKnnIvf _),
+    // --- multimodal ---
+    "q_media_meta" -> (Multimodal.qMediaMeta _),
+    "q_frame_sample" -> (Multimodal.qFrameSample _),
+    "q_media_decode" -> (Multimodal.qMediaDecode _),
   )
+
+  /** Shared DuckDB SQL fragments for the oracle side. */
+  private val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+       |    FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+       |    WHERE len(toks) >= 3))""".stripMargin
+  /** Exact decimal squared-norm subquery over an embedding list. */
+  private def n2Sql(e: String) =
+    s"CAST((SELECT sum(CAST(CAST(u.x AS DOUBLE)*CAST(u.x AS DOUBLE) AS DECIMAL(30,12))) FROM unnest($e) u(x)) AS DOUBLE)"
+  private val jaccardSql =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |sp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       |FROM sp JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  private val langScoreSql = {
+    val profiles = graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1)
+    val scores = profiles.map { case (lg, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($set))) AS DOUBLE)/len(toks) AS score_$lg"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val guess = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, lang, CASE $guess END AS lang_guess,
+       |  score_en, score_de, score_es, score_fr, score_zh
+       |FROM (SELECT doc_id, lang,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, $tokSql AS toks FROM documents))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_report_agg" ->
@@ -229,5 +291,129 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         |  count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,
+         |  CAST(max(length(tok)) AS BIGINT) AS max_tok_len
+         |FROM (SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_word_count" ->
+      s"""SELECT tok, count(*) AS cnt
+         |FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, tok""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM (SELECT doc_id, lang, n_chars, text, $tokSql AS toks FROM documents))
+         |SELECT doc_id, lang, n_chars, n_tokens,
+         |  CAST(n_chars AS DOUBLE)/n_tokens AS chars_per_tok,
+         |  CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+         |  CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio,
+         |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE)/n_tokens) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> (langScoreSql + "\nORDER BY doc_id"),
+    "q_lang_id_eval" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM ($langScoreSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_subtoken_count" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_sub,
+         |    CAST(len($tokSql) AS BIGINT) AS n_ws
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_sub) AS BIGINT) AS total_subtokens,
+         |  CAST(sum(n_ws) AS BIGINT) AS total_wstokens,
+         |  CAST(sum(CAST(CAST(n_sub AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)/count(n_sub) AS avg_subtokens
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang, source, n_chars ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_content" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ngram_jaccard" -> jaccardSql,
+    // LSH path verified against the same exact ground truth: murmur3
+    // signatures are deterministic, and at these band parameters every
+    // >=0.5 pair in the corpus is recalled (empirically exact here;
+    // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
+    "q_minhash_lsh" -> jaccardSql,
+    "q_embed_neardup" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
+         |             a.embedding AS ea, b.embedding AS eb
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
+         |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM z GROUP BY va, vb)
+         |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+         |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
+    "q_knn_brute" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
+         |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
+         |      FROM q JOIN n ON qid <> vec_id),
+         |dots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
+         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM p GROUP BY qid, cid),
+         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
+         |  FROM dots)
+         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_knn_ivf" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_e, n2 AS cent_n2 FROM n WHERE vec_id % 100 = 0),
+         |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
+         |       FROM n a CROSS JOIN cent c),
+         |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
+         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM az GROUP BY vec_id, cent_id),
+         |assign AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots) t WHERE rn = 1),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT vec_id AS qid, cent_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
+         |         WHERE a.vec_id <> p.qid),
+         |cz AS (SELECT c.qid, c.cid, qn.n2 AS qn2, cn.n2 AS cn2,
+         |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
+         |  FROM cand c JOIN n qn ON c.qid = qn.vec_id JOIN n cn ON c.cid = cn.vec_id),
+         |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
+         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cz GROUP BY qid, cid),
+         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
+         |  FROM cdots)
+         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id, 'fake/raw' AS format,
+        |  CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+        |  CAST(n_chars % 480 + 1 AS BIGINT) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """WITH f AS (SELECT doc_id, CAST(length(text) // 50 + 1 AS BIGINT) AS n_frames FROM documents)
+        |SELECT doc_id, n_frames, frame_idx, frame_idx * 50 AS frame_off
+        |FROM (SELECT doc_id, n_frames,
+        |        unnest(generate_series(0, least(n_frames - 1, 18), 2)) AS frame_idx
+        |      FROM f) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis and dedup operators.
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * / Catalyst SQL expressions — no UDFs, so whole-stage codegen spans
+  * the tokenize -> shingle -> hash chain.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the corpus is already lowercase; `lower` is
+    * applied anyway so the operator is corpus-agnostic). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish sub-token counter: alpha runs, digit runs, or single
+    * non-space symbols — a cheap stand-in for a real BPE vocab that
+    * still distinguishes "words" from punctuation/number pieces. */
+  def subTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles (distinct per doc) from a `text` column —
+    * returns a DataFrame of (idCol, shingle). The transform stays
+    * columnar: sequence + transform + explode, no UDTF.
+    * At scale this is the fan-out stage of MinHash/Jaccard dedup; it
+    * pipelines inside the scan stage (no shuffle until the consumer
+    * groups by shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ' ', ")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(0, size(toks)-$n), i -> concat($parts))")).as("shingle"))
+      .distinct()
+  }
+
+  /** Canonical-form document fingerprint: md5 of the
+    * whitespace-normalized lowercased text. Exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "he"))
+}

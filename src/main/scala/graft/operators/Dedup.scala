@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` and `embeddings` tables: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - Exact dedup is a window/group on a digest key — one shuffle on
+  *    md5(text), never on the text itself.
+  *  - The exact all-pairs Jaccard is the small-scale ground truth; its
+  *    join explodes quadratically in shingle document-frequency, so at
+  *    scale the MinHash+LSH path replaces it: signature size is
+  *    constant per doc (32 ints), band-bucket join only compares
+  *    plausible pairs, and the final exact-Jaccard verification runs on
+  *    the candidate set only.
+  *  - SimHash keeps one 64-bit signature per doc; banding on 16-bit
+  *    quarters guarantees (pigeonhole) recall for hamming <= 3.
+  *  - Embedding near-dup: cheap double-cosine prefilter at
+  *    (threshold - eps), decimal-exact cosine only on survivors.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via row_number over the composite natural key —
+    * keeps the lowest doc_id per (lang, source, n_chars) group. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-exact dedup stats on the md5 fingerprint (dropDuplicates
+    * semantics expressed as an aggregation so the result is a compact,
+    * oracle-checkable summary). */
+  def qDedupContent(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col("text"))).as("n_unique"))
+      .orderBy(col("lang"))
+
+  // ------------------------------------------------- n-gram Jaccard exact
+
+  /** Shingle-set sizes per doc. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Exact all-pairs 3-gram Jaccard >= 0.5 — ground truth for the LSH
+    * path. The self-join key is the shingle string; document-frequency
+    * skew is the scale hazard (hence LSH below). */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d), "doc_id", "text")
+    jaccardOnPairs(
+      sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared")),
+      shingleSizes(sh))
+  }
+
+  /** shared-counts + per-doc set sizes -> Jaccard >= 0.5, deterministic
+    * output shape shared by the exact and LSH paths. */
+  private def jaccardOnPairs(shared: DataFrame, sizes: DataFrame): DataFrame =
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ----------------------------------------------------------- MinHash+LSH
+
+  val MinhashK = 32
+  val LshBands = 16 // 16 bands x 2 rows: P(candidate | j=0.5) ~ 0.99
+
+  /** MinHash signatures: per doc, min of murmur3(seed, shingle) for
+    * each of K seeded hash family members. One groupBy over the shingle
+    * fan-out; signature is K ints per doc regardless of doc length. */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+  {
+    val sigCols = (0 until MinhashK).map(i =>
+      min(hash(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band table: (doc_id, band_id, band_hash). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashK / LshBands
+    val bands = array((0 until LshBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), hash(cols: _*).as("band_hash"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
+  }
+
+  /** MinHash+LSH near-dup: candidates from band-bucket self-join,
+    * verified with exact Jaccard on the candidate set only. Output
+    * shape matches qNgramJaccard; at the harness SF the deterministic
+    * murmur3 signatures give full recall on every planted pair, which
+    * is asserted by the oracle (and the recall/precision trade is
+    * documented at the band parameters above). */
+  def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d), "doc_id", "text")
+    val bands = lshBands(minhashSignatures(sh))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification restricted to candidates: join the shingle
+    // sets of both sides and count the intersection
+    val shared = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    jaccardOnPairs(shared, shingleSizes(sh))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: token-frequency-weighted majority
+    * vote per bit position over xxhash64(token). Wide (64-expression)
+    * but single-pass aggregation. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map(j =>
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1))
+        .as(s"b$j"))
+    val bitSums = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(j =>
+        shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup: band the 64-bit signature into 4 x 16-bit
+    * quarters (pigeonhole: hamming <= 3 pairs share a quarter), bucket-
+    * join, verify hamming via bit_count(xor). No DuckDB oracle (no
+    * xxhash64 there) — rows-only check + unit tests. */
+  def qSimhash(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(Tables.documents(s, d))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_id"),
+          shiftright(col("simhash"), 16 * k).bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------ embedding near-dup
+
+  val CosineThreshold = 0.4
+
+  /** Embedding-cosine near-dup pairs: double-precision prefilter at
+    * threshold - 1e-6 (fast, codegen-friendly), decimal-exact cosine on
+    * the survivors for the final threshold and output values — bit-
+    * identical to the oracle. The all-pairs join is the small-scale
+    * path; Similarity.qKnnIvf holds the bucketed scale path. */
+  def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos_fast",
+        cosineFromParts(dot(col("ea"), col("eb")), col("n2a"), col("n2b")))
+      .filter(col("cos_fast") >= CosineThreshold - 1e-6)
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("ea"), col("eb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("va"), col("vb"), col("cosine"))
+      .orderBy(col("va"), col("vb"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Deterministic.{davg, dsum}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token statistics, quality scoring, language ID,
+  * document fingerprinting. All single-pass scan -> (optional explode)
+  * -> hash agg shapes; the only shuffles are on small group keys, so
+  * every query here runs at 100 TB with map-side partial aggregation
+  * doing the heavy lifting.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics via the explode path (exercises the
+    * tokenize -> flatten -> re-aggregate shape; the array-only variant
+    * would skip the shuffle, but this one doubles as the word-count
+    * canonical example). */
+  def qTokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok"))).as("sum_tok_len"),
+        max(length(col("tok"))).cast(LongType).as("max_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level word frequencies: the canonical word-count. */
+  def qWordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+
+  /** Per-document quality signals + a composite score: length band,
+    * mean token length, stopword ratio, punctuation ratio. The score
+    * formula is deliberately closed-form arithmetic (no libm beyond
+    * what both engines compute identically). */
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val en = stopwords("en")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isin(en: _*))).cast(LongType)
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType)
+    docs.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        nTok.as("n_tokens"), nStop.as("n_stop"), nPunct.as("n_punct"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast(DoubleType) / col("n_tokens")).as("chars_per_tok"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
+        (least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))).as("quality"))
+      .orderBy(col("doc_id"))
+
+  }
+
+  /** Language-ID heuristic: score each document against per-language
+    * stopword profiles, pick the argmax (ties broken by language code —
+    * deterministic). Corpus note: the harness corpus is synthetic
+    * English-ish word soup for every lang label, so this verifies the
+    * OPERATOR's computation; accuracy-vs-label is reported by
+    * qLangIdEval below. */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +:
+        stopwords.toSeq.sortBy(_._1).map { case (lg, words) =>
+          (size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
+            size(toks)).as(s"score_$lg")
+        }): _*)
+    val langs = stopwords.keys.toSeq.sorted
+    // argmax with deterministic lexicographic tie-break: fold over
+    // (score, lang) pairs via greatest on a struct-compare
+    val best = langs.map(lg => struct(col(s"score_$lg").as("s"),
+      lit(lg).as("lg"))).reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(col("doc_id"), col("lang"),
+        (best.getField("lg")).as("lang_guess"),
+        col("score_en"), col("score_de"), col("score_es"),
+        col("score_fr"), col("score_zh"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Aggregate lang-ID agreement with the label column. */
+  def qLangIdEval(s: SparkSession, d: String): DataFrame =
+    qLangId(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang_guess") === col("lang"), 1L).otherwise(0L)).as("n_match"))
+      .orderBy(col("lang"))
+
+  /** Document fingerprints (md5 of normalized text) + duplicate groups:
+    * the exact-dedup key at corpus scale — grouping by a 128-bit digest
+    * instead of the raw text keeps the shuffle narrow. */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp"))
+
+  /** Sub-token (BPE-ish) counting per language — the token-budget
+    * estimator a training pipeline runs over every shard. */
+  def qSubTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(subTokens(col("text"))).cast(LongType).as("n_sub"),
+        size(tokens(col("text"))).cast(LongType).as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sub")).as("total_subtokens"),
+        sum(col("n_ws")).as("total_wstokens"),
+        davg(col("n_sub").cast(DoubleType)).as("avg_subtokens"))
+      .orderBy(col("lang"))
+}
