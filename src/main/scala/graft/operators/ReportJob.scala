@@ -55,7 +55,11 @@ object ReportJob {
     lines
       .select(from_json(col("line"), auditSchema).as("j"))
       .select(
-        to_timestamp(col("j.dt"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        // try_to_timestamp, not to_timestamp: under Spark 4's default
+        // ANSI mode a malformed dt would throw; the reference instead
+        // tags it (time=0) and filters it (DataReport.java:100-108,
+        // 120-129) — null + filter is the same observable semantics.
+        try_to_timestamp(col("j.dt"), lit("yyyy-MM-dd HH:mm:ss")).as("ts"),
         col("j.type").as("type"),
         col("j.area").as("area"))
       .filter(col("ts").isNotNull)

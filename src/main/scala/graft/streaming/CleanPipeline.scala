@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.CleanJob
+
+/** Streaming form of the reference DataClean job
+  * (DataClean.java:37-114): Kafka-shaped JSON line stream -> parse ->
+  * explode -> broadcast-dim enrich -> sink.
+  *
+  * Reference topology mapping (SURVEY §3.1):
+  *  - Kafka consumer source (S1) -> any streaming DataFrame with a
+  *    `line` string column (`readStream.format("kafka")` + CAST(value)
+  *    in production; MemoryStream in tests — the transform is source-
+  *    agnostic).
+  *  - Redis polling dim source (S2, 60 s refresh) -> stream-static
+  *    join: Structured Streaming re-plans the static side every
+  *    micro-batch, so a dim DataFrame built from a re-readable source
+  *    refreshes at batch cadence — same last-write-wins semantics as
+  *    the reference's CoFlatMap dim swap (DataClean.java:94-96), and
+  *    like the reference there is no fact buffering: facts seen before
+  *    a dim row default to area "other".
+  *  - The enrich itself (J1/P10) is the SAME code as the batch path:
+  *    CleanJob.enrich — DataFrame transforms are batch/stream agnostic.
+  *  - Kafka EXACTLY_ONCE sink (K1) -> foreachBatch + idempotent write;
+  *    Spark's sink contract is at-least-once with deterministic batch
+  *    ids, so an idempotent/keyed sink yields the same observable
+  *    exactly-once (the reference's own ES-id trick, SURVEY §2.5 K2).
+  *
+  * Checkpointing (R2): `checkpointLocation` gives the micro-batch
+  * commit log; trigger interval plays the reference's 60 s checkpoint
+  * cadence.
+  */
+object CleanPipeline {
+
+  /** Source-agnostic transform: streaming `line` column -> enriched
+    * rows. Identical semantics to the batch CleanJob. */
+  def transform(lines: DataFrame, dim: DataFrame): DataFrame =
+    CleanJob.enrich(lines, dim)
+
+  /** Start the pipeline with a foreachBatch sink (tests pass a memory
+    * sink; production would write Kafka/parquet). */
+  def start(
+      lines: DataFrame,
+      dim: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    transform(lines, dim).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(sink)
+      .start()
+}
