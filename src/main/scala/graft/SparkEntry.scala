@@ -79,7 +79,7 @@ object SparkEntry {
        |    WHERE len(toks) >= 3))""".stripMargin
   /** Exact decimal squared-norm subquery over an embedding list. */
   private def n2Sql(e: String) =
-    s"CAST((SELECT sum(CAST(CAST(u.x AS DOUBLE)*CAST(u.x AS DOUBLE) AS DECIMAL(30,12))) FROM unnest($e) u(x)) AS DOUBLE)"
+    s"(CAST((SELECT sum(CAST(floor(CAST(u.x AS DOUBLE)*CAST(u.x AS DOUBLE)*1e12 + 0.5) AS BIGINT)) FROM unnest($e) u(x)) AS DOUBLE)/1e12)"
   private val jaccardSql =
     s"""WITH $shingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -357,7 +357,7 @@ object SparkEntry {
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
          |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
          |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
-         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM z GROUP BY va, vb)
          |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
          |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
@@ -367,7 +367,7 @@ object SparkEntry {
          |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
          |      FROM q JOIN n ON qid <> vec_id),
          |dots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
-         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM p GROUP BY qid, cid),
          |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
          |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
@@ -379,7 +379,7 @@ object SparkEntry {
          |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
          |       FROM n a CROSS JOIN cent c),
          |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
-         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM az GROUP BY vec_id, cent_id),
          |assign AS (SELECT vec_id, cent_id AS cell FROM (
          |    SELECT vec_id, cent_id,
@@ -395,7 +395,7 @@ object SparkEntry {
          |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
          |  FROM cand c JOIN n qn ON c.qid = qn.vec_id JOIN n cn ON c.cid = cn.vec_id),
          |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
-         |    CAST(sum(CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM cz GROUP BY qid, cid),
          |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
          |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn

@@ -20,25 +20,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * scale-up.
   */
 object VectorFunctions {
-  /** decimal(30,12): 30 not 38, so decimal+decimal keeps scale 12
-    * (at precision 38 Spark's widening drops a fractional digit). */
-  private val Dec = DecimalType(30, 12)
+  import graft.functions.expressions.FloatVectorExpressions._
 
-  private def toD(c: Column): Column = c.cast(DoubleType)
+  /** Fast double dot product — native codegen loop (FloatDot). */
+  def dot(a: Column, b: Column): Column = float_dot(a, b)
 
-  /** Fast double dot product (sequential fold, engine-local). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => toD(x) * toD(y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Exact, order-independent dot product (cross-engine stable). */
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (toD(x) * toD(y)).cast(Dec)),
-      lit(0).cast(Dec), (acc, v) => (acc + v).cast(Dec))
-      .cast(DoubleType)
+  /** Exact, order-independent, engine-portable dot product — native
+    * codegen fixed-point loop (FloatDotFixed): each product rounded to
+    * 1e-12 (floor(p*1e12+0.5)) and summed in a long. The identical
+    * closed formula runs on the DuckDB side, so values are
+    * bit-identical across engines by construction. */
+  def dotExact(a: Column, b: Column): Column = float_dot_fixed(a, b)
 
   /** Exact squared L2 norm. */
-  def norm2Exact(a: Column): Column = dotExact(a, a)
+  def norm2Exact(a: Column): Column = float_dot_fixed(a, a)
 
   /** Fast cosine from precomputed squared norms. */
   def cosineFromParts(dotCol: Column, n2a: Column, n2b: Column): Column =

@@ -1,0 +1,115 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for float-vector math.
+  *
+  * The higher-order-function formulation (zip_with + aggregate) is
+  * evaluated with interpreted lambdas — ~10x slower than codegen on
+  * the all-pairs similarity hot path. These expressions generate a
+  * tight primitive loop inside whole-stage codegen instead: no boxing,
+  * no per-element virtual calls, vectorizable by C2.
+  *
+  * Two variants:
+  *  - [[FloatDot]]: plain double accumulation, for candidate
+  *    generation / ranking where last-ulp engine portability is not
+  *    required.
+  *  - [[FloatDotFixed]]: fixed-point accumulation — each product is
+  *    rounded to 1e-12 via floor(p*1e12 + 0.5) and summed in a long,
+  *    making the sum EXACT and order-independent; the same closed
+  *    formula is expressible in any SQL engine (DuckDB oracle:
+  *    sum(CAST(floor(x*y*1e12 + 0.5) AS BIGINT)) / 1e12), so results
+  *    are bit-identical across engines BY CONSTRUCTION. |addend| <=
+  *    1e11 for unit-scale embeddings, so 64-dim sums are far below
+  *    long overflow; magnitudes up to ~3e5 per component stay safe.
+  */
+abstract class FloatVectorBinary extends BinaryExpression {
+  // (ExpectsInputTypes is private[sql] in Spark 4; call sites in this
+  // library only ever pass ARRAY<FLOAT> columns)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+}
+
+/** Double-precision dot product of two float arrays (fast path). */
+case class FloatDot(left: Expression, right: Expression) extends FloatVectorBinary {
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fixed-point-exact dot product: order-independent, engine-portable. */
+case class FloatDotFixed(left: Expression, right: Expression) extends FloatVectorBinary {
+  override def prettyName: String = "float_dot_fixed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += java.lang.Math.floor(p * 1.0e12 + 0.5).toLong
+      i += 1
+    }
+    s / 1.0e12
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += (long) java.lang.Math.floor($p * 1.0e12 + 0.5);
+         |}
+         |${ev.value} = $s / 1.0e12;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object FloatVectorExpressions {
+  def float_dot(a: Column, b: Column): Column =
+    Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+  def float_dot_fixed(a: Column, b: Column): Column =
+    Bridge.column(FloatDotFixed(Bridge.expression(a), Bridge.expression(b)))
+}
