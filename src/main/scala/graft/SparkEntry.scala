@@ -44,6 +44,11 @@ object SparkEntry {
     "q_json_props" -> (Relational.qJsonProps _),
     "q_higher_order" -> (Relational.qHigherOrder _),
     "q_case_agg" -> (Relational.qCaseAgg _),
+    "q_lead_lag" -> (Relational.qLeadLag _),
+    "q_sessionize" -> (Relational.qSessionize _),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_percentiles" -> (Relational.qPercentiles _),
+    "q_sql_interface" -> (Relational.qSqlInterface _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -291,6 +296,55 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         |  count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+        |  o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN us - lag(us, 1) OVER w > 1800000000
+        |         OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  (max(us) - min(us)) // 1000000 AS duration_sec,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_unspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_interface" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_rev,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,

@@ -280,6 +280,89 @@ object Relational {
       .orderBy(col("vec_id"))
   }
 
+  /** Offset window functions: per-customer order-to-order price delta
+    * via lag(). */
+  def qLeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Gap-based sessionization of the event stream: a session breaks
+    * after >30 min of user inactivity. lag() flags session starts, a
+    * running sum numbers sessions, then one hash agg per session.
+    * Integer epoch-micro arithmetic end to end — fully deterministic.
+    * Scale: both windows and the final agg partition on user_id, so
+    * the whole query is ONE shuffle of the events table. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(byUser) > gapUs ||
+          lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast(LongType).as("duration_sec"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Pivot: order counts per status x priority, priorities as columns. */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = Map("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+      "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_unspec", "5-LOW" -> "p_low")
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    renames.foldLeft(pivoted) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Exact interpolated percentiles per group (the exact counterpart
+    * of the approx sketch path; rounded to 1e-6 because the two
+    * engines' interpolation differs in the last ulp). */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** The SQL front door: the same engine consumed through
+    * `spark.sql(...)` over registered views — proving DataFrame and
+    * SQL surfaces are interchangeable (both compile to the same
+    * Catalyst plans). */
+  def qSqlInterface(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_rev,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
