@@ -141,22 +141,21 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: token-frequency-weighted majority
-    * vote per bit position over xxhash64(token). Wide (64-expression)
-    * but single-pass aggregation. */
+    * vote per bit position over xxhash64(token), computed by the
+    * custom SimHashAgg TypedImperativeAggregate — one imperative pass,
+    * one 64-long buffer per doc (see its scaladoc for why this beats
+    * the 64-sum-expressions formulation). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs
+    import graft.functions.expressions.SimHashAgg.simhash_agg
+    // each occurrence contributes weight 1 — identical signature to
+    // the (doc, token, count) formulation but with ONE shuffle instead
+    // of two (the agg does the weighting); map-side partials keep the
+    // shuffled volume at one 64-long buffer per doc
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map(j =>
-      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1))
-        .as(s"b$j"))
-    val bitSums = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    bitSums.select(col("doc_id"),
-      (0 until 64).map(j =>
-        shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhash_agg(col("h"), lit(1L)).as("simhash"))
   }
 
   /** SimHash near-dup: band the 64-bit signature into 4 x 16-bit

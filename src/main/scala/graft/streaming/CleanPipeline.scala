@@ -39,6 +39,30 @@ object CleanPipeline {
   def transform(lines: DataFrame, dim: DataFrame): DataFrame =
     CleanJob.enrich(lines, dim)
 
+  /** File-based line source (S1 stand-in runnable in this harness:
+    * the container ships no Kafka broker/connector; in production the
+    * source swaps for `format("kafka").option("subscribe", topic)` +
+    * CAST(value AS STRING) with zero changes downstream). */
+  def fromTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "line")
+
+  /** File sink variant (K1 stand-in): exactly-once via Spark's
+    * transactional file-sink commit log, the strongest guarantee
+    * available without a transactional broker. */
+  def startToParquet(
+      lines: DataFrame,
+      dim: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    transform(lines, dim).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
   /** Start the pipeline with a foreachBatch sink (tests pass a memory
     * sink; production would write Kafka/parquet). */
   def start(
