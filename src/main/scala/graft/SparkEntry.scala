@@ -49,6 +49,11 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_sql_interface" -> (Relational.qSqlInterface _),
+    "q_setops_all" -> (Relational.qSetOpsAll _),
+    "q_array_funcs" -> (Relational.qArrayFuncs _),
+    "q_map_funcs" -> (Relational.qMapFuncs _),
+    "q_string_funcs2" -> (Relational.qStringFuncs2 _),
+    "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -345,6 +350,45 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_setops_all" ->
+      """SELECT tag, event_type, count(*) AS cnt FROM (
+        |  SELECT 'intersect_all' AS tag, event_type FROM (
+        |    SELECT event_type FROM events WHERE user_id % 2 = 0
+        |    INTERSECT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)
+        |  UNION ALL
+        |  SELECT 'except_all' AS tag, event_type FROM (
+        |    SELECT event_type FROM events WHERE user_id % 2 = 0
+        |    EXCEPT ALL SELECT event_type FROM events WHERE user_id % 2 = 1)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_sorted,
+        |  array_to_string(list_reverse(toks)[1:3], ',') AS last3_reversed,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  CAST(coalesce(list_position(toks, 'query'), 0) AS BIGINT) AS query_pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT user_id, event_type, count(*) AS cnt FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '.') AS brand_rpad,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_lowvowel,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(substr(p_brand, 1, 2), 3) AS brand_rep,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+        |  CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS palindromicity
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (SELECT max(o2.o_totalprice) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS cust_max,
+        |  o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                  WHERE o2.o_custkey = o.o_custkey) AS is_biggest
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,

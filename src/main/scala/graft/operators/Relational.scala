@@ -363,6 +363,80 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Multiset set operators (ALL variants keep duplicates). */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def types(parity: Int) =
+      ev.filter(col("user_id") % 2 === parity).select(col("event_type"))
+    val inter = types(0).intersectAll(types(1))
+      .select(lit("intersect_all").as("tag"), col("event_type"))
+    val exc = types(0).exceptAll(types(1))
+      .select(lit("except_all").as("tag"), col("event_type"))
+    inter.unionAll(exc)
+      .groupBy(col("tag"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("tag"), col("event_type"))
+  }
+
+  /** Array function family: sort / distinct / slice / reverse /
+    * contains / position, flattened to strings for portability. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",").as("first5_sorted"),
+        array_join(slice(reverse(toks), 1, 3), ",").as("last3_reversed"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_position(toks, "query").cast(LongType).as("query_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MapType roundtrip: per-user event-type counts packed into a map
+    * column (sorted entries — deterministic), then exploded back out.
+    * Exercises map_from_entries / explode-of-map; the oracle computes
+    * the same rows relationally. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Second string-function family: pad / translate / reverse /
+    * repeat / edit distance. */
+  def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_lowvowel"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("brand_rep"),
+        levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("brand_type_dist"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).cast(LongType).as("palindromicity"))
+      .orderBy(col("p_partkey"))
+
+  /** Correlated scalar subquery: each order against its customer's
+    * max order value (expressed as window-free join+agg — the plan a
+    * decorrelator produces). */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val maxPerCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("mk"))
+      .agg(max(col("o_totalprice")).as("cust_max"))
+    Tables.orders(s, d)
+      .join(maxPerCust, col("o_custkey") === col("mk"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("cust_max"),
+        (col("o_totalprice") === col("cust_max")).as("is_biggest"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -1,0 +1,47 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join with watermarks on both sides — the
+  * remaining Structured Streaming operator class (state on both sides,
+  * bounded by the interval condition + watermarks). */
+class StreamStreamJoinSpec extends SparkSpec {
+
+  test("impressions join clicks within a 60s attribution window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      df.select(col("_1").as(s"${prefix}_id"),
+          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 seconds")
+    val joined = parse(impressions.toDF(), "imp").join(
+      parse(clicks.toDF(), "clk"),
+      expr("""imp_id = clk_id AND
+              clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 60 seconds"""))
+    val got = ArrayBuffer[(Long, String, String)]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (r.getAs[Long]("imp_id"),
+            r.getAs[java.sql.Timestamp]("imp_ts").toString,
+            r.getAs[java.sql.Timestamp]("clk_ts").toString))
+        }
+        ()
+      }.start()
+
+    impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
+    clicks.addData((1L, "2018-01-01 10:00:30"))          // within window
+    q.processAllAvailable()
+    clicks.addData((2L, "2018-01-01 10:02:00"))          // outside 60s window
+    clicks.addData((3L, "2018-01-01 10:00:10"))          // no impression
+    q.processAllAvailable()
+    q.stop()
+
+    assert(got.toSeq == Seq((1L, "2018-01-01 10:00:00.0", "2018-01-01 10:00:30.0")))
+  }
+}
