@@ -503,11 +503,11 @@ object SparkEntry {
       """SELECT doc_id, 'fake/raw' AS format,
         |  CAST(n_chars % 640 + 1 AS BIGINT) AS width,
         |  CAST(n_chars % 480 + 1 AS BIGINT) AS height,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
-      """WITH f AS (SELECT doc_id, CAST(length(text) // 50 + 1 AS BIGINT) AS n_frames FROM documents)
+      """WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) // 50 + 1 AS BIGINT) AS n_frames FROM documents)
         |SELECT doc_id, n_frames, frame_idx, frame_idx * 50 AS frame_off
         |FROM (SELECT doc_id, n_frames,
         |        unnest(generate_series(0, least(n_frames - 1, 18), 2)) AS frame_idx

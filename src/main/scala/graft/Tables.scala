@@ -32,7 +32,14 @@ object Tables {
     * (legacy flag) and floor-convert to a microsecond timestamp —
     * integer `div`, not `/`, because epoch-nanos (~1.7e18) exceed
     * double's 2^53 exact-integer range. DuckDB truncates ns->us the
-    * same way, so oracle timestamps agree. */
+    * same way, so oracle timestamps agree.
+    *
+    * Known trade-off: the legacy flag is session-global and set here
+    * as a side effect (it only changes how TIMESTAMP(NANOS) columns
+    * are read — no other harness table has one). It must live in the
+    * accessor because the driver's smoke test calls entry() with a
+    * session this library does not construct; restoring it after the
+    * (lazy) read would be unsound. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -88,12 +88,12 @@ object ReportJob {
     * here we compute it with a scalar subquery-style cross join of the
     * global max — one extra tiny agg, no extra shuffle of the fact
     * table (the max is broadcast). */
-  def lateSplit(parsedIn: DataFrame): DataFrame = {
-    // the parsed subtree feeds both the watermark agg and the split;
-    // persist it so the (JSON-parse-heavy) subtree runs once — at
-    // cluster scale this persist is MEMORY_AND_DISK per executor and
-    // still beats re-parsing the fact stream twice
-    val parsed = parsedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def lateSplit(parsed: DataFrame): DataFrame = {
+    // the parsed subtree is evaluated twice (watermark agg + split) —
+    // deliberately NOT persisted: a persist inside a lazily-returned
+    // DataFrame has no sound unpersist point and leaks cache entries
+    // per invocation; the watermark branch is cheap anyway because
+    // Catalyst prunes it down to the ts column
     val wm = parsed.agg((max(col("ts").cast(LongType)) - 40).cast(TimestampType).as("wm"))
     parsed.crossJoin(broadcast(wm))
       .select(col("type"), col("area"),

@@ -84,7 +84,7 @@ object ExactLateness {
       }
     } else {
       val wm = state.getCurrentWatermarkMs()
-      if (!state.exists && endMs < wm + 30000L) {
+      if (!state.exists && endMs < wm + LatenessMs) {
         // beyond watermark + allowedLateness in Flink's clock: the
         // side-output path (reference: lateLog topic)
         values.map(v => WinOut(fmt(key._3), key._1, key._2, 1L,
@@ -105,9 +105,20 @@ object ExactLateness {
           state.update(s)
           state.setTimeoutTimestamp(math.max(fireMs, wm + 1))
           Iterator.empty // buffer silently until the watermark fires
+        } else if (endMs < wm + LatenessMs) {
+          // the lateness horizon passed while state was still live
+          // (records can race the cleanup timer within a batch):
+          // Flink would side-output these, not refire
+          state.remove()
+          batch.iterator.map(v => WinOut(fmt(key._3), key._1, key._2, 1L,
+            fmt(v.ts.getTime), "late"))
         } else {
-          // allowed-lateness re-fire: one updated emission per batch
+          // allowed-lateness re-fire: one updated emission per batch.
+          // CRITICAL: re-arm the cleanup timer — Spark drops a group's
+          // timeout unless it is re-set on every invocation, and a
+          // dropped timer means the state never evicts.
           state.update(s)
+          state.setTimeoutTimestamp(math.max(cleanupMs, wm + 1))
           Iterator(out(key, s, "refire"))
         }
       }

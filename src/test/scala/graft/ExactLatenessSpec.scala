@@ -78,4 +78,44 @@ class ExactLatenessSpec extends SparkSpec {
     assert(w0.toSeq.map(o => (o.tag, o.cnt)) == Seq(("fire", 2L), ("refire", 3L)))
     assert(!got.exists(_.time == "2018-01-01 10:00:28"))
   }
+
+  test("refired window still evicts: post-horizon record is late, not a refire") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val got = ArrayBuffer[ExactLateness.WinOut]()
+    val q = ExactLateness.windows(
+        ReportJob.parse(input.toDF().withColumnRenamed("value", "line")))
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[ExactLateness.WinOut], _: Long) =>
+        got.synchronized { got ++= ds.collect() }
+        ()
+      }
+      .start()
+    def l(dt: String, tp: String = "shelf") =
+      s"""{"dt":"$dt","type":"$tp","username":"u","area":"AREA_US"}"""
+    def w0 = got.filter(o => o.wstart == "2018-01-01 10:00:00")
+
+    input.addData(l("2018-01-01 10:00:01"))                   // W0 open
+    q.processAllAvailable()
+    input.addData(l("2018-01-01 10:00:45"))                   // advance
+    q.processAllAvailable()
+    input.addData(l("2018-01-01 10:00:50"))                   // fire W0
+    q.processAllAvailable()
+    input.addData(l("2018-01-01 10:00:25"))                   // refire (timer must re-arm!)
+    q.processAllAvailable()
+    // push the watermark far past W0's lateness horizon
+    input.addData(l("2018-01-01 10:03:00"))
+    q.processAllAvailable()
+    input.addData(l("2018-01-01 10:03:01"))
+    q.processAllAvailable()
+    // a record for W0 now: must be late/silent, NEVER another refire
+    // (before the timer-re-arm fix, W0's state lived forever and this
+    // produced refire cnt=3)
+    input.addData(l("2018-01-01 10:00:27", "black"))
+    q.processAllAvailable()
+    q.stop()
+    assert(w0.map(o => (o.tag, o.cnt)).toSeq == Seq(("fire", 1L), ("refire", 2L)))
+    assert(!got.exists(o => o.tag == "refire" && o.etype == "black"))
+  }
 }
