@@ -64,7 +64,14 @@ object Dedup {
     * path. The self-join key is the shingle string; document-frequency
     * skew is the scale hazard (hence LSH below). */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // the shingle set feeds three subtrees (self-join both sides +
+    // sizes); Catalyst does not reuse the exchange across them
+    // (verified: 0 ReusedExchange), so materialize it once.
+    // localCheckpoint (lazy) rather than persist: blocks are freed by
+    // the ContextCleaner when the plan is GC'd — no manual unpersist
+    // point is needed in a lazily-returned DataFrame.
     val sh = shingles(Tables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(false)
     jaccardOnPairs(
       sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") &&
@@ -120,7 +127,10 @@ object Dedup {
     * is asserted by the oracle (and the recall/precision trade is
     * documented at the band parameters above). */
   def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // four uses of the shingle set (signatures, shared x2, sizes) —
+    // materialized once; see qNgramJaccard for the reuse rationale
     val sh = shingles(Tables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(false)
     val bands = lshBands(minhashSignatures(sh))
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
