@@ -54,6 +54,7 @@ object SparkEntry {
     "q_map_funcs" -> (Relational.qMapFuncs _),
     "q_string_funcs2" -> (Relational.qStringFuncs2 _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
+    "q_asof_last_error" -> (Relational.qAsofLastError _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -389,6 +390,16 @@ object SparkEntry {
         |  o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                  WHERE o2.o_custkey = o.o_custkey) AS is_biggest
         |FROM orders o ORDER BY o_orderkey""".stripMargin,
+    "q_asof_last_error" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT event_id, user_id, event_type, us,
+        |  last_value(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_us,
+        |  CAST((us - last_value(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) // 1000000 AS BIGINT) AS sec_since_error
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,

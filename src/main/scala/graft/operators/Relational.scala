@@ -437,6 +437,30 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** As-of join (temporal "most recent matching earlier row"),
+    * composed per the custom-operator preference ladder's rule (a):
+    * when key equality holds and "as-of" means latest-prior-in-time,
+    * the join collapses to ONE window pass over the union of both
+    * relations — here a self as-of ("most recent prior error event per
+    * user") is a single shuffle on user_id, no join at all. A custom
+    * LogicalPlan/Strategy would only be warranted for tolerance-
+    * bounded or cross-key as-of, which Spark cannot express this
+    * cheaply. */
+  def qAsofLastError(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_error_us",
+        last(when(col("event_type") === "error", col("us")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("us"), col("last_error_us"),
+        expr("(us - last_error_us) div 1000000").as("sec_since_error"))
+      .orderBy(col("event_id"))
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
