@@ -55,6 +55,7 @@ object SparkEntry {
     "q_string_funcs2" -> (Relational.qStringFuncs2 _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_asof_last_error" -> (Relational.qAsofLastError _),
+    "q_price_band_join" -> (RangeJoin.qPriceBandJoin _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -400,6 +401,18 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) // 1000000 AS BIGINT) AS sec_since_error
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_price_band_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, 900 + 10*i AS lo_d, 909 + 10*i AS hi_d
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS i)
+        |), parts AS (
+        |  SELECT p_partkey, p_retailprice,
+        |         CAST(floor(p_retailprice) AS BIGINT) AS price_d
+        |  FROM part)
+        |SELECT band_id, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM parts JOIN bands ON price_d BETWEEN lo_d AND hi_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,
