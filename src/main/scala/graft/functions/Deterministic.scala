@@ -28,13 +28,10 @@ object Deterministic {
   /** Order-independent sum of a double expression, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
-  /** Order-independent mean: exact decimal sum divided by count. */
+  /** Order-independent mean: exact decimal sum divided by count.
+    * The DuckDB mirror of these is the literal formula
+    * `CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` (optionally
+    * `/ count(x)`), written inline in SparkEntry.oracleSql. */
   def davg(c: Column): Column =
     sum(c.cast(Dec)).cast(DoubleType) / count(c)
-
-  /** SQL fragments for the DuckDB side of the same computation. */
-  def sqlSum(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
-  def sqlAvg(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / count($expr)"
 }

@@ -24,11 +24,16 @@ object RangeJoin {
       points: DataFrame, px: Column,
       intervals: DataFrame, lo: Column, hi: Column,
       bucketWidth: Long): DataFrame = {
-    val p = points.withColumn("__bucket", (px / bucketWidth).cast(LongType))
+    // exact integral division (Catalyst IntegralDivide) — `/` is
+    // double division and loses exactness beyond 2^53, which would
+    // silently misplace buckets and drop matching pairs
+    def ldiv(c: Column): Column = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast(LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(bucketWidth)))
+    val p = points.withColumn("__bucket", ldiv(px))
     val iv = intervals
-      .withColumn("__bucket",
-        explode(sequence((lo / bucketWidth).cast(LongType),
-          (hi / bucketWidth).cast(LongType))))
+      .withColumn("__bucket", explode(sequence(ldiv(lo), ldiv(hi))))
     p.join(iv, Seq("__bucket")).filter(px.between(lo, hi)).drop("__bucket")
   }
 

@@ -351,13 +351,15 @@ object Relational {
     * SQL surfaces are interchangeable (both compile to the same
     * Catalyst plans). */
   def qSqlInterface(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    // namespaced view name: registering plain "lineitem" would shadow
+    // any catalog table of that name for the rest of the session
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_rev,
         |  count(*) AS cnt
-        |FROM lineitem
+        |FROM graft_sql_lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)

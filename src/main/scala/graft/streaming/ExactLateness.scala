@@ -48,15 +48,19 @@ object ExactLateness {
   case class WinOut(wstart: String, etype: String, area: String,
     cnt: Long, time: String, tag: String)
 
-  private def fmt(ms: Long): String =
-    java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+  /** Formats in the SESSION time zone (captured at plan time), so the
+    * operator's output strings agree with ReportJob's date_format
+    * surfaces on non-UTC sessions. */
+  private def fmt(ms: Long, zone: java.time.ZoneId): String =
+    java.time.Instant.ofEpochMilli(ms).atZone(zone)
       .toLocalDateTime.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
-  private def out(key: (String, String, Long), s: WinState, tag: String): WinOut =
-    WinOut(fmt(key._3), key._1, key._2, s.cnt, fmt(s.maxTsMs), tag)
+  private def out(key: (String, String, Long), s: WinState, tag: String,
+      zone: java.time.ZoneId): WinOut =
+    WinOut(fmt(key._3, zone), key._1, key._2, s.cnt, fmt(s.maxTsMs, zone), tag)
 
-  private def process(
+  private def process(zone: java.time.ZoneId)(
       key: (String, String, Long),
       values: Iterator[Ev],
       state: GroupState[WinState]): Iterator[WinOut] = {
@@ -72,9 +76,9 @@ object ExactLateness {
         state.update(s.copy(fired = true))
         if (cleanupMs > state.getCurrentWatermarkMs()) {
           state.setTimeoutTimestamp(cleanupMs)
-          Iterator(out(key, s, "fire"))
+          Iterator(out(key, s, "fire", zone))
         } else { // watermark leapt past both timers in one batch
-          val o = out(key, s, "fire")
+          val o = out(key, s, "fire", zone)
           state.remove()
           Iterator(o)
         }
@@ -84,11 +88,11 @@ object ExactLateness {
       }
     } else {
       val wm = state.getCurrentWatermarkMs()
-      if (!state.exists && endMs < wm + LatenessMs) {
+      if (!state.exists && endMs <= wm + LatenessMs) {
         // beyond watermark + allowedLateness in Flink's clock: the
         // side-output path (reference: lateLog topic)
-        values.map(v => WinOut(fmt(key._3), key._1, key._2, 1L,
-          fmt(v.ts.getTime), "late"))
+        values.map(v => WinOut(fmt(key._3, zone), key._1, key._2, 1L,
+          fmt(v.ts.getTime, zone), "late"))
       } else {
         val batch = values.toSeq
         val prev = state.getOption.getOrElse(WinState(0L, Long.MinValue, fired = false))
@@ -100,18 +104,18 @@ object ExactLateness {
           val fired = s.copy(fired = true)
           state.update(fired)
           if (cleanupMs > wm) state.setTimeoutTimestamp(cleanupMs) else state.remove()
-          Iterator(out(key, fired, "fire"))
+          Iterator(out(key, fired, "fire", zone))
         } else if (!s.fired) {
           state.update(s)
           state.setTimeoutTimestamp(math.max(fireMs, wm + 1))
           Iterator.empty // buffer silently until the watermark fires
-        } else if (endMs < wm + LatenessMs) {
+        } else if (endMs <= wm + LatenessMs) {
           // the lateness horizon passed while state was still live
           // (records can race the cleanup timer within a batch):
           // Flink would side-output these, not refire
           state.remove()
-          batch.iterator.map(v => WinOut(fmt(key._3), key._1, key._2, 1L,
-            fmt(v.ts.getTime), "late"))
+          batch.iterator.map(v => WinOut(fmt(key._3, zone), key._1, key._2, 1L,
+            fmt(v.ts.getTime, zone), "late"))
         } else {
           // allowed-lateness re-fire: one updated emission per batch.
           // CRITICAL: re-arm the cleanup timer — Spark drops a group's
@@ -119,7 +123,7 @@ object ExactLateness {
           // dropped timer means the state never evicts.
           state.update(s)
           state.setTimeoutTimestamp(math.max(cleanupMs, wm + 1))
-          Iterator(out(key, s, "refire"))
+          Iterator(out(key, s, "refire", zone))
         }
       }
     }
@@ -131,12 +135,13 @@ object ExactLateness {
   def windows(parsed: DataFrame): Dataset[WinOut] = {
     val spark = parsed.sparkSession
     import spark.implicits._
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     parsed
       .withWatermark("ts", s"${SparkDelayMs / 1000} seconds")
       .select(col("ts"), col("type").as("etype"), col("area"),
         (expr("unix_millis(ts) div 30000") * WindowMs).as("wstart_ms"))
       .as[Ev]
       .groupByKey(e => (e.etype, e.area, e.wstart_ms))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(process(zone))
   }
 }

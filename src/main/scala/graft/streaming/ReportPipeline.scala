@@ -59,30 +59,40 @@ object ReportPipeline {
   }
 
   /** Side-output router (A6): stateless pass that tracks the observed
-    * high watermark and diverts records older than watermark - 40 s,
-    * exactly the records the windowed agg will never count. The
-    * reference sends these to a `lateLog` Kafka topic as TSV
-    * (DataReport.java:156-161); `lateSink` receives the same
-    * formatted lines. */
+    * high watermark and diverts exactly the records the windowed agg
+    * will never count. The agg drops PER WINDOW (a row is lost iff its
+    * window's end <= watermark), so the router classifies on the
+    * window end too — a per-row `ts < watermark` test would
+    * double-report rows in the final ~30 s of a still-open window
+    * (counted by the agg AND flagged late). The reference sends these
+    * to a `lateLog` Kafka topic as TSV (DataReport.java:156-161);
+    * `lateSink` receives the same formatted lines. */
   final class LateRouter(lateSink: Row => Unit) {
     private val maxTsMicros = new AtomicLong(Long.MinValue)
+    private val windowUs = 30L * 1000000
     def route(batch: DataFrame, batchId: Long): Unit = {
       val wm = maxTsMicros.get()
-      // no watermark yet (first batch): nothing can be late — and
-      // wm - 40s would underflow Long.MinValue into "everything late"
-      if (wm != Long.MinValue) {
-        val lateRows = batch
-          .withColumn("us", unix_micros(col("ts")))
-          .filter(col("us") < wm - 40L * 1000000)
-          .select(concat_ws("\t",
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
-            col("type"), col("area")).as("line"))
-          .collect()
-        lateRows.foreach(lateSink)
-      }
-      val batchMax = batch.agg(max(unix_micros(col("ts")))).collect()
-        .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      batchMax.foreach(m => maxTsMicros.getAndUpdate(cur => math.max(cur, m)))
+      // one persist, two actions (late filter + max), one computation
+      // of the parse subtree per micro-batch
+      val cached = batch.persist()
+      try {
+        // no watermark yet (first batch): nothing can be late — and
+        // wm - 40s would underflow Long.MinValue into "everything late"
+        if (wm != Long.MinValue) {
+          val lateRows = cached
+            .withColumn("wend",
+              (expr(s"unix_micros(ts) div $windowUs") + 1) * windowUs)
+            .filter(col("wend") <= wm - 40L * 1000000)
+            .select(concat_ws("\t",
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+              col("type"), col("area")).as("line"))
+            .collect()
+          lateRows.foreach(lateSink)
+        }
+        val batchMax = cached.agg(max(unix_micros(col("ts")))).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        batchMax.foreach(m => maxTsMicros.getAndUpdate(cur => math.max(cur, m)))
+      } finally cached.unpersist()
     }
   }
 

@@ -22,13 +22,23 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter(col("doc_id") === 0).count() == 11)
   }
 
-  test("exact-jaccard finds the planted near-dup and the exact dup, not the distinct doc") {
+  test("minhash signatures and bands have the configured shape") {
     val sh = TextFunctions.shingles(corpus, "doc_id", "text")
     val sig = Dedup.minhashSignatures(sh)
     assert(sig.columns.count(_.startsWith("m")) == Dedup.MinhashK)
-    val pairs = Dedup.qMinhashLsh _ // signature check only; full run below
     val bands = Dedup.lshBands(sig)
     assert(bands.count() == sig.count() * Dedup.LshBands)
+  }
+
+  test("full LSH query equals the exact jaccard query on the harness corpus") {
+    val d = "/root/testdata/sf0.001"
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val exact = norm(Dedup.qNgramJaccard(spark, d))
+    val lsh = norm(Dedup.qMinhashLsh(spark, d))
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // full recall on the planted near-dups
   }
 
   test("minhash LSH pipeline recalls planted near-dups with exact verification") {

@@ -58,8 +58,9 @@ def main(sf_dir, out_dir):
             ok += 1
         else:
             print(f"FAIL {name}: {len(g)} vs {len(w)} rows")
-            only_g = [r for r in g if r not in set(w)][:3]
-            only_w = [r for r in w if r not in set(g)][:3]
+            ws, gs = set(w), set(g)
+            only_g = [r for r in g if r not in ws][:3]
+            only_w = [r for r in w if r not in gs][:3]
             print(f"     spark-only: {only_g}")
             print(f"     duck-only:  {only_w}")
             fail += 1
