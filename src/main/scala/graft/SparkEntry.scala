@@ -56,6 +56,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_asof_last_error" -> (Relational.qAsofLastError _),
     "q_price_band_join" -> (RangeJoin.qPriceBandJoin _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -413,6 +415,32 @@ object SparkEntry {
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM parts JOIN bands ON price_d BETWEEN lo_d AND hi_d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** User-facing typed aggregation surface: a bounded top-k accumulator
+  * as an `Aggregator[IN, BUF, OUT]` — the Dataset-API counterpart of
+  * the window-function top-k (Relational.qWindowTopN). Keeps at most k
+  * (score, id) pairs per group; merge is associative/commutative, so
+  * partial aggregation applies and the shuffled state is O(k) per
+  * group regardless of group size — the property that matters at
+  * 100 TB (a sort-based top-k shuffles the whole group).
+  */
+class TopKAggregator(k: Int)
+  extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+  override def zero: List[(Double, Long)] = Nil
+
+  private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
+    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+    trim(in :: buf)
+
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    trim(a ++ b)
+
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

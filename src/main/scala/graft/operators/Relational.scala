@@ -463,6 +463,44 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between two nations by
+    * year — multi-join with a disjunctive nation pair predicate. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+      col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10-style returned items: customers ranked by revenue lost
+    * to returns in a quarter. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).filter(
+      col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+      col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
