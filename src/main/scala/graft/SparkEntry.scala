@@ -58,6 +58,11 @@ object SparkEntry {
     "q_price_band_join" -> (RangeJoin.qPriceBandJoin _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q_range_frame" -> (Relational.qRangeFrame _),
+    "q_rank_stats" -> (Relational.qRankStats _),
+    "q_first_nth" -> (Relational.qFirstNth _),
+    "q_null_funcs" -> (Relational.qNullFuncs _),
+    "q_date_arith" -> (Relational.qDateArith _),
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
@@ -441,6 +446,50 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER w AS n_within_10k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_within_10k
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+        |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q_first_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS latest_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_line,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_defaulted,
+        |  greatest(l_quantity, l_discount * 100, l_tax * 100) AS g,
+        |  least(l_quantity, l_discount * 100, l_tax * 100) AS l
+        |FROM lineitem ORDER BY l_orderkey, l_line""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
          |  CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,

@@ -501,6 +501,78 @@ object Relational {
       .limit(20)
   }
 
+  /** RANGE window frame (value-based, vs the ROWS frames elsewhere):
+    * for each order, count of the customer's orders within $10k below
+    * its price. Peers aggregate identically regardless of row order —
+    * no tie-break needed by construction. */
+  def qRangeFrame(s: SparkSession, d: String): DataFrame = {
+    // integer-cents ordering key: RANGE offsets must be integral, and
+    // cents are exact where raw double prices are not
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents"))
+      .rangeBetween(-1000000L, 0L) // $10k in cents
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_10k"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w)
+          .cast(DoubleType).as("sum_within_10k"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Distribution window functions: percent_rank / cume_dist / ntile.
+    * All are exact integer-ratio formulas, deterministic under the
+    * total ordering. */
+  def qRankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        rank().over(w).cast(LongType).as("rk"),
+        dense_rank().over(w).cast(LongType).as("drk"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  /** Positional window functions: first / last-so-far / nth value per
+    * customer order history. */
+  def qFirstNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("latest_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Null-handling scalar functions: nullif / coalesce / greatest /
+    * least over genuine nulls manufactured by nullif. */
+  def qNullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_line"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_defaulted"),
+        greatest(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100).as("g"),
+        least(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100).as("l"))
+      .orderBy(col("l_orderkey"), col("l_line"))
+
+  /** Date arithmetic family: offsets, month math, boundaries. */
+  def qDateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30d"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"))
+      .orderBy(col("o_orderkey"))
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
