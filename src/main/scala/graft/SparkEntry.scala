@@ -81,6 +81,8 @@ object SparkEntry {
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
+    "q_ivf_recall" -> (Similarity.qIvfRecall _),
+    "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
     "q_media_meta" -> (Multimodal.qMediaMeta _),
     "q_frame_sample" -> (Multimodal.qFrameSample _),
@@ -126,6 +128,47 @@ object SparkEntry {
        |    $scores
        |  FROM (SELECT doc_id, lang, $tokSql AS toks FROM documents))""".stripMargin
   }
+
+  private val knnBruteSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
+         |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
+         |      FROM q JOIN n ON qid <> vec_id),
+         |dots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM p GROUP BY qid, cid),
+         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
+         |  FROM dots)
+         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  private val knnIvfSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_e, n2 AS cent_n2 FROM n WHERE vec_id % 100 = 0),
+         |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
+         |       FROM n a CROSS JOIN cent c),
+         |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM az GROUP BY vec_id, cent_id),
+         |assign AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots) t WHERE rn = 1),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT vec_id AS qid, cent_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
+         |         WHERE a.vec_id <> p.qid),
+         |cz AS (SELECT c.qid, c.cid, qn.n2 AS qn2, cn.n2 AS cn2,
+         |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
+         |  FROM cand c JOIN n qn ON c.qid = qn.vec_id JOIN n cn ON c.cid = cn.vec_id),
+         |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM cz GROUP BY qid, cid),
+         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
+         |  FROM cdots)
+         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_report_agg" ->
@@ -560,46 +603,30 @@ object SparkEntry {
          |  FROM z GROUP BY va, vb)
          |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
          |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
-    "q_knn_brute" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
-         |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
-         |      FROM q JOIN n ON qid <> vec_id),
-         |dots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
-         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-         |  FROM p GROUP BY qid, cid),
-         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
-         |  FROM dots)
-         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
-    "q_knn_ivf" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_e, n2 AS cent_n2 FROM n WHERE vec_id % 100 = 0),
-         |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
-         |       FROM n a CROSS JOIN cent c),
-         |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
-         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-         |  FROM az GROUP BY vec_id, cent_id),
-         |assign AS (SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots) t WHERE rn = 1),
-         |probes AS (SELECT qid, cell FROM (
-         |    SELECT vec_id AS qid, cent_id AS cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
-         |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
-         |         WHERE a.vec_id <> p.qid),
-         |cz AS (SELECT c.qid, c.cid, qn.n2 AS qn2, cn.n2 AS cn2,
-         |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
-         |  FROM cand c JOIN n qn ON c.qid = qn.vec_id JOIN n cn ON c.cid = cn.vec_id),
-         |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
-         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-         |  FROM cz GROUP BY qid, cid),
-         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
-         |  FROM cdots)
-         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_knn_brute" -> knnBruteSql,
+    "q_ivf_recall" ->
+      s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
+         |  SELECT b.qid, count(*) AS k,
+         |    CAST(sum(CASE WHEN i.icid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM ($knnBruteSql) b
+         |  LEFT JOIN (SELECT qid AS iqid, cid AS icid FROM ($knnIvfSql)) i
+         |    ON b.qid = i.iqid AND b.cid = i.icid
+         |  GROUP BY 1) t ORDER BY qid""".stripMargin,
+    "q_clean_corpus" ->
+      s"""WITH survivors AS (
+         |  SELECT doc_id, lang, source, text FROM (
+         |    SELECT doc_id, lang, source, text,
+         |      row_number() OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |                         ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn = 1),
+         |losers AS (SELECT DISTINCT doc_b AS loser FROM ($jaccardSql))
+         |SELECT doc_id, lang, source,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |FROM survivors
+         |WHERE doc_id NOT IN (SELECT loser FROM losers)
+         |  AND len($tokSql) >= 20
+         |ORDER BY doc_id""".stripMargin,
+    "q_knn_ivf" -> knnIvfSql,
     "q_media_meta" ->
       """SELECT doc_id, 'fake/raw' AS format,
         |  CAST(n_chars % 640 + 1 AS BIGINT) AS width,

@@ -191,6 +191,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The composite corpus-cleaning pipeline a training-data run
+    * actually executes: exact-dup removal (fingerprint), near-dup
+    * removal (drop the higher doc_id of every >=0.5-Jaccard pair),
+    * then a minimum-quality gate — emitting the surviving corpus with
+    * its stats. Each stage is one of the operators above; the value
+    * here is the composition (filters push into one pass over the
+    * pair set; no stage materializes the corpus twice). */
+  def qCleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val fpw = Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+    val exactSurvivors = docs
+      .withColumn("rn", row_number().over(fpw))
+      .filter(col("rn") === 1).drop("rn")
+    val nearDupLosers = qNgramJaccard(s, d).select(col("doc_b").as("loser")).distinct()
+    val toks = tokens(col("text"))
+    exactSurvivors
+      .join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 20)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ embedding near-dup
 
   val CosineThreshold = 0.4

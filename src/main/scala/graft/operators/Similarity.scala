@@ -48,6 +48,22 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** ANN quality evaluation: per-query recall of the IVF result
+    * against the exact brute-force ground truth — the metric that
+    * decides nprobe/cell-count trade-offs at scale. */
+  def qIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = qKnnBrute(s, d).select(col("qid"), col("cid"))
+    val ivf = qKnnIvf(s, d).select(col("qid").as("iqid"), col("cid").as("icid"))
+    brute
+      .join(ivf, col("qid") === col("iqid") && col("cid") === col("icid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("icid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** IVF(-flat) search: centroids sampled deterministically (every
     * 100th vec_id), nearest-centroid assignment, probe NProbe cells. */
   def qKnnIvf(s: SparkSession, d: String): DataFrame = {
