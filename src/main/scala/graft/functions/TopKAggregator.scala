@@ -16,11 +16,20 @@ class TopKAggregator(k: Int)
 
   override def zero: List[(Double, Long)] = Nil
 
+  // buffer invariant: sorted by (-score, id), length <= k
   private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
     xs.sortBy { case (score, id) => (-score, id) }.take(k)
 
-  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
+    // short-circuit the common case: buffer full and the incoming
+    // element can't displace the current minimum — O(1) per row
+    // instead of a full re-sort (the hot path for large groups)
+    if (buf.lengthCompare(k) >= 0) {
+      val last = buf.last
+      if (in._1 < last._1 || (in._1 == last._1 && in._2 >= last._2)) return buf
+    }
     trim(in :: buf)
+  }
 
   override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
     trim(a ++ b)

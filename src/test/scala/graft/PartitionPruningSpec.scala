@@ -15,7 +15,10 @@ class PartitionPruningSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-part").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    // coalesce(1): pin one file per partition dir, so numFiles == 1
+    // below tests PRUNING, not the incidental input split count
+    ev.coalesce(1).write.partitionBy("day").mode("overwrite").parquet(dir)
+    try {
     val days = ev.select("day").distinct().count()
     assert(days > 1, "fixture spans multiple days")
 
@@ -40,5 +43,9 @@ class PartitionPruningSpec extends SparkSpec {
     }.get
     assert(scan.metrics("numFiles").value == 1,
       s"expected 1 file read, got ${scan.metrics("numFiles").value}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 }
