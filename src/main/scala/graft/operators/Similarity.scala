@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.TopKAggregator
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -16,9 +17,19 @@ import graft.functions.VectorFunctions._
   *  - qKnnIvf: IVF-style two-stage search — assign every vector to its
   *    nearest centroid (coarse quantizer), probe only the closest
   *    `nprobe` cells per query. This is the 100 TB path: the assign
-  *    step is a broadcast join against the (tiny) centroid set, and
-  *    probing turns the all-pairs join into an equi-join on cell id,
-  *    cutting candidates by ~|cells|/nprobe.
+  *    step is a map-side argmax against a broadcast centroid array
+  *    (ZERO shuffle of the vector table — no join explosion, no
+  *    window), and probing turns the all-pairs join into a broadcast
+  *    equi-join on cell id, cutting candidates by ~|cells|/nprobe.
+  *
+  * Every per-query top-k in this file goes through [[TopKAggregator]]
+  * (partial aggregation, O(k) state per query) rather than a
+  * `row_number` window: a window puts ALL candidates for one query in
+  * one task, which at 100x scale concentrates the whole candidate set
+  * into |queries| tasks. The aggregator form shuffles only
+  * |partitions| x |queries| x k rows. Equivalence to the window form
+  * (same deterministic tie-break: score desc, id asc) is proven in
+  * TopKAggregatorSpec; plan shape is pinned by SimilarityPlanSpec.
   *
   * All final scores use decimal-exact cosine (see VectorFunctions) and
   * ranks break ties deterministically, so results are engine-portable.
@@ -32,20 +43,31 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
 
+  /** Per-query top-k over a (qid, cid, cosine) frame via the bounded
+    * partial-aggregating accumulator. Output ranks 1..k ordered by
+    * (cosine desc, cid asc) — identical to the window formulation. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col("cosine"), col("cid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col._2").as("cid"), col("col._1").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Exact brute-force cosine top-K for the first NumQueries vectors. */
   def qKnnBrute(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    broadcast(q).join(c, col("qid") =!= col("cid"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
       .withColumn("cosine",
         cosineFromParts(dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
       .select(col("qid"), col("cid"), col("cosine"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= K)
-      .orderBy(col("qid"), col("rn"))
+    topK(scored, K)
   }
 
   /** ANN quality evaluation: per-query recall of the IVF result
@@ -64,49 +86,63 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** One-row frame holding the full centroid set as a sorted array of
+    * (cent_id, cent_e, cent_n2) structs — broadcast to every task so
+    * assignment is a pure map-side pass. */
+  private[graft] def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("cent_e"), col("cent_n2")))).as("cents"))
+
+  /** Nearest-centroid assignment with ZERO shuffle of the vector
+    * table: broadcast the (tiny, 1-row) centroid array, compute the
+    * argmax inside a higher-order `transform`, never materializing the
+    * |vectors| x |centroids| cross product as rows. Ties break toward
+    * the lowest cent_id (max of (ccos, -cent_id)). Carries the vector
+    * payload through so the rerank never re-joins the base table. */
+  private[graft] def assignCells(e: DataFrame, centArr: DataFrame): DataFrame = {
+    val best = array_max(transform(col("cents"), cen =>
+      struct(
+        cosineFromParts(dotExact(col("embedding"), cen.getField("cent_e")),
+          col("n2"), cen.getField("cent_n2")).as("ccos"),
+        (-cen.getField("cent_id")).as("neg_id"))))
+    // coalesce makes `cell` provably non-nullable, so the downstream
+    // join's inferred isnotnull(cell) constraint folds to true instead
+    // of duplicating the argmax expression into the join condition
+    // (cents is never empty, so the fallback never fires)
+    e.crossJoin(broadcast(centArr))
+      .withColumn("cell", coalesce(-best.getField("neg_id"), lit(-1L)))
+      .select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+  }
+
   /** IVF(-flat) search: centroids sampled deterministically (every
-    * 100th vec_id), nearest-centroid assignment, probe NProbe cells. */
+    * 100th vec_id), map-side nearest-centroid assignment, probe NProbe
+    * cells, aggregator-based exact rerank. */
   def qKnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cent = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         col("n2").as("cent_n2"))
 
-    // coarse assignment: nearest centroid per vector (broadcast join —
-    // no shuffle of the vector table; ties broken by centroid id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = e.join(broadcast(cent), lit(true))
-      .withColumn("ccos",
-        cosineFromParts(dotExact(col("embedding"), col("cent_e")),
-          col("n2"), col("cent_n2")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val assign = assignCells(e, centroidArray(cent))
 
-    // probe list: NProbe nearest centroids per query
+    // probe list: NProbe nearest centroids per query (all tiny frames)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("pcos").desc, col("cent_id"))
-    val probes = broadcast(q).join(broadcast(cent), lit(true))
-      .withColumn("pcos",
+    val probeScored = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("cosine",
         cosineFromParts(dotExact(col("qe"), col("cent_e")), col("qn2"), col("cent_n2")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NProbe)
-      .select(col("qid"), col("qe"), col("qn2"), col("cent_id").as("cell"))
+      .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
+    val probes = topK(probeScored, NProbe)
+      .select(col("qid"), col("cid").as("cell"))
+      .join(broadcast(q), "qid")
 
-    // candidates = vectors living in probed cells; exact rerank
-    val cands = probes.join(assign, "cell")
+    // candidates = vectors living in probed cells (broadcast hash join
+    // on cell — the vector side never shuffles); exact rerank
+    val scored = assign.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .join(e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2")), "vec_id")
-    val wRank = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    cands
       .withColumn("cosine",
         cosineFromParts(dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
       .select(col("qid"), col("vec_id").as("cid"), col("cosine"))
-      .withColumn("rn", row_number().over(wRank).cast(LongType))
-      .filter(col("rn") <= K)
-      .orderBy(col("qid"), col("rn"))
+    topK(scored, K)
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Pins the scale-critical plan shapes of the ANN path (the round-1
+  * weak spots): centroid assignment must be a map-side pass with zero
+  * shuffle of the vector table, and every per-query top-k must be a
+  * partial aggregation, never a single-task row_number window. */
+class SimilarityPlanSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def parts(s: org.apache.spark.sql.SparkSession) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
+    val cent = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
+        col("n2").as("cent_n2"))
+    (e, cent)
+  }
+
+  test("IVF assignment shuffles nothing and evaluates the argmax once") {
+    val (e, cent) = parts(spark)
+    val assign = Similarity.assignCells(e, Similarity.centroidArray(cent))
+    val plan = assign.queryExecution.executedPlan.toString
+
+    // the ONLY exchanges allowed are the broadcast of the centroid
+    // array and the SinglePartition collapse of the (tiny) centroid
+    // set feeding it — never a hash repartition of the vector table
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the vector table:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment should be a broadcast of the 1-row centroid array:\n$plan")
+    // the argmax HOF must appear exactly once — a nullable `cell`
+    // would get its isnotnull constraint pushed into the join
+    // condition, silently doubling the dominant compute
+    val occurrences = "array_max".r.findAllIn(plan).size
+    assert(occurrences == 1,
+      s"argmax expression duplicated ($occurrences sites) in:\n$plan")
+  }
+
+  test("map-side argmax assignment equals the window-function assignment") {
+    val (e, cent) = parts(spark)
+    val got = Similarity.assignCells(e, Similarity.centroidArray(cent))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val expected = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        cosineFromParts(dotExact(col("embedding"), col("cent_e")), col("n2"), col("cent_n2")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(got == expected)
+  }
+
+  test("ANN rerank is partial-aggregated top-k with no Window operator") {
+    for (df <- Seq(Similarity.qKnnBrute(spark, d), Similarity.qKnnIvf(spark, d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"row_number window survives in ANN path:\n$plan")
+      assert(plan.contains("partial_topkaggregator"),
+        s"top-k must partial-aggregate (O(k) map-side state):\n$plan")
+    }
+  }
+}
