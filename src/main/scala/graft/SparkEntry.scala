@@ -56,6 +56,9 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_asof_last_error" -> (Relational.qAsofLastError _),
     "q_price_band_join" -> (RangeJoin.qPriceBandJoin _),
+    "q_skew_join" -> (SkewJoin.qSkewJoin _),
+    "q_interval_join" -> (IntervalJoin.qIntervalJoin _),
+    "q_approx_quantile" -> (Relational.qApproxQuantile _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q_range_frame" -> (Relational.qRangeFrame _),
@@ -463,6 +466,24 @@ object SparkEntry {
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM parts JOIN bands ON price_d BETWEEN lo_d AND hi_d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle runs the PLAIN join — salting must be invisible in
+    // the result, which is exactly the property under test
+    "q_skew_join" ->
+      """SELECT n_name, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN event_type = 'click' THEN 0
+        |             ELSE user_id % 25 END AS sk, value FROM events) e
+        |JOIN nation ON e.sk = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interval (event-time attribution) join: for each left row, the
+  * right rows with the same key whose timestamp lands inside
+  * [left.ts, left.ts + maxDelay].
+  *
+  * One shape, two execution modes:
+  *  - batch: a plain equi-join on the key with the interval as a range
+  *    predicate — Spark plans a shuffled hash/sort-merge join on the
+  *    key, so the range check is a post-join filter per key group (no
+  *    cross product);
+  *  - streaming: the identical call on two watermarked streams is
+  *    Spark's stream-stream interval join — state on both sides,
+  *    evicted once the watermark passes the interval bound
+  *    (StreamStreamJoinSpec drives this form through this method).
+  *
+  * The batch analog `qIntervalJoin` is the oracle-checked surface:
+  * click → purchase attribution within 10 minutes per user.
+  */
+object IntervalJoin {
+
+  /** Generic interval join; works unchanged on batch frames and on
+    * watermarked streaming frames. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelaySeconds: Int): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"interval $maxDelaySeconds seconds"))
+
+  /** Batch attribution: purchases within 600 s of a click by the same
+    * user. Gap reported in exact epoch microseconds so the value is
+    * engine-portable (no double arithmetic). */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    intervalJoin(clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts", 600)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+}

@@ -346,6 +346,23 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Quantile SKETCH path — the percentile you'd actually run at
+    * 100 TB: `approx_percentile` keeps a bounded KLL-style buffer per
+    * group with associative merge (one shuffle of sketch state, never
+    * of values), vs the exact `percentile`'s collect-all-values
+    * buffer in qPercentiles. accuracy=10000 bounds the rank error at
+    * 1/10000; the bound is asserted against the exact path in
+    * ApproxQuantileSpec. Sketch internals are engine-specific, so this
+    * is a rows-only entry (like q_approx_distinct). */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99_price"))
+      .orderBy(col("l_returnflag"))
+
   /** The SQL front door: the same engine consumed through
     * `spark.sql(...)` over registered views — proving DataFrame and
     * SQL surfaces are interchangeable (both compile to the same

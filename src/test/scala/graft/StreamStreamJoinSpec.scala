@@ -19,10 +19,12 @@ class StreamStreamJoinSpec extends SparkSpec {
       df.select(col("_1").as(s"${prefix}_id"),
           to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "30 seconds")
-    val joined = parse(impressions.toDF(), "imp").join(
-      parse(clicks.toDF(), "clk"),
-      expr("""imp_id = clk_id AND
-              clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 60 seconds"""))
+    // the SAME operator method as the batch q_interval_join — on
+    // watermarked streams it becomes Spark's stream-stream interval
+    // join with two-sided bounded state
+    val joined = graft.operators.IntervalJoin.intervalJoin(
+      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
+      "imp_id", "clk_id", "imp_ts", "clk_ts", 60)
     val got = ArrayBuffer[(Long, String, String)]()
     val q = joined.writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
