@@ -58,6 +58,65 @@ object ReportPipeline {
     }
   }
 
+  /** Durable keyed upsert (K2 production shape): MERGE each micro-batch
+    * into a parquet table hash-partitioned by a stable bucket of the
+    * key (wstart, type, area) — the on-disk counterpart of the
+    * reference ES sink's deterministic doc id (DataReport.java:181).
+    *
+    * Per batch: bucket every incoming row, read back ONLY the affected
+    * bucket partitions (static partition pruning on the collected
+    * bucket ids — a bounded, <= nBuckets-int driver value, never rows),
+    * drop existing rows whose key is being updated (last-write-wins),
+    * union the new rows, and dynamically overwrite just those
+    * partitions. Replaying a batch rewrites the same partitions with
+    * identical content, so restart/replay is idempotent end-to-end on
+    * disk (proven by DurableUpsertSpec).
+    *
+    * At scale each batch touches at most nBuckets partitions and the
+    * rewrite volume is bounded by the affected buckets' size, not the
+    * table's; a transactional table format would replace the
+    * localCheckpoint lineage cut with a real MERGE, with the same key
+    * semantics. */
+  final class DurableKeyedUpsertSink(tablePath: String, nBuckets: Int = 16) {
+    private def hasTable: Boolean = {
+      val fs = new java.io.File(tablePath).listFiles()
+      fs != null && fs.exists(_.getName.startsWith("bucket="))
+    }
+
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val s = batch.sparkSession
+      val withBucket = batch.withColumn("bucket",
+        pmod(hash(col("wstart"), col("type"), col("area")), lit(nBuckets)))
+      val merged =
+        if (!hasTable) withBucket
+        else {
+          val affected = withBucket.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          if (affected.isEmpty) return
+          s.read.parquet(tablePath)
+            .filter(col("bucket").isin(affected: _*))
+            .join(withBucket.select(col("wstart"), col("type"), col("area")),
+              Seq("wstart", "type", "area"), "left_anti")
+            .unionByName(withBucket)
+        }
+      // cut lineage before the overwrite — Spark refuses to overwrite
+      // a path that still feeds the write's own plan
+      val materialized = merged.localCheckpoint(true)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try materialized.write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+
+    /** Current table state keyed like KeyedUpsertSink.snapshot. */
+    def snapshot(s: SparkSession): Map[(String, String, String), (Long, String)] =
+      if (!hasTable) Map.empty
+      else s.read.parquet(tablePath).collect().map { r =>
+        (r.getAs[String]("wstart"), r.getAs[String]("type"),
+          r.getAs[String]("area")) -> (r.getAs[Long]("cnt"), r.getAs[String]("time"))
+      }.toMap
+  }
+
   /** Side-output router (A6): stateless pass that tracks the observed
     * high watermark and diverts exactly the records the windowed agg
     * will never count. The agg drops PER WINDOW (a row is lost iff its
@@ -67,7 +126,7 @@ object ReportPipeline {
     * (counted by the agg AND flagged late). The reference sends these
     * to a `lateLog` Kafka topic as TSV (DataReport.java:156-161);
     * `lateSink` receives the same formatted lines. */
-  final class LateRouter(lateSink: Row => Unit) {
+  final class LateRouter(lateSink: Row => Unit, latePath: Option[String] = None) {
     private val maxTsMicros = new AtomicLong(Long.MinValue)
     private val windowUs = 30L * 1000000
     def route(batch: DataFrame, batchId: Long): Unit = {
@@ -79,15 +138,23 @@ object ReportPipeline {
         // no watermark yet (first batch): nothing can be late — and
         // wm - 40s would underflow Long.MinValue into "everything late"
         if (wm != Long.MinValue) {
-          val lateRows = cached
+          val lateDf = cached
             .withColumn("wend",
               (expr(s"unix_micros(ts) div $windowUs") + 1) * windowUs)
             .filter(col("wend") <= wm - 40L * 1000000)
             .select(concat_ws("\t",
               date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
               col("type"), col("area")).as("line"))
-            .collect()
-          lateRows.foreach(lateSink)
+          latePath match {
+            // production form: the late branch is written DISTRIBUTED
+            // (never collected — a replay storm of late records must
+            // not land on the driver); one overwritten subdir per
+            // batch id keeps replays idempotent
+            case Some(p) =>
+              lateDf.write.mode("overwrite").parquet(s"$p/batch_id=$batchId")
+            case None =>
+              lateDf.collect().foreach(lateSink)
+          }
         }
         val batchMax = cached.agg(max(unix_micros(col("ts")))).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -101,6 +168,21 @@ object ReportPipeline {
       lines: DataFrame,
       checkpointDir: String,
       sink: KeyedUpsertSink,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    aggregate(ReportJob.parse(lines)).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+      .start()
+
+  /** Start the windowed-agg query against the DURABLE keyed upsert
+    * sink — the production K2 shape (partition-overwrite parquet
+    * MERGE, replay-idempotent on disk). */
+  def startAggDurable(
+      lines: DataFrame,
+      checkpointDir: String,
+      sink: DurableKeyedUpsertSink,
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     aggregate(ReportJob.parse(lines)).writeStream
       .outputMode("update")
