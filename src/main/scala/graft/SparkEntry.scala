@@ -83,6 +83,7 @@ object SparkEntry {
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
+    "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_ivf_recall" -> (Similarity.qIvfRecall _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
@@ -144,9 +145,53 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
          |  FROM dots)
          |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  /** K-means CTE chain mirroring Similarity.trainCentroids: fixed
+    * Lloyd rounds in fixed-point arithmetic — bit-identical to the
+    * Spark side by construction. Expects CTEs `n` (vec_id, embedding,
+    * n2) and `ve` (vec_id, pos, x DOUBLE) upstream; emits long-form
+    * trained centroids as c{iters+1}. */
+  private val KmIters = 3
+  private def kmeansChainSql: String = {
+    val sb = new StringBuilder(
+      "c1 AS (SELECT vec_id AS cent_id, pos, x FROM ve WHERE vec_id % 100 = 0)")
+    for (i <- 1 to KmIters) sb ++= s""",
+         |cn$i AS (SELECT cent_id,
+         |    CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS n2
+         |  FROM c$i GROUP BY 1),
+         |d$i AS (SELECT ve.vec_id, c.cent_id,
+         |    CAST(sum(CAST(floor(ve.x*c.x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM ve JOIN c$i c ON ve.pos = c.pos GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT d.vec_id, d.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY d.dot/(sqrt(vn.n2)*sqrt(cn.n2)) DESC, d.cent_id) AS rn
+         |    FROM d$i d JOIN n vn ON d.vec_id = vn.vec_id
+         |    JOIN cn$i cn ON d.cent_id = cn.cent_id) t
+         |  WHERE rn = 1),
+         |c${i + 1} AS (SELECT a.cell AS cent_id, ve.pos,
+         |    CAST(CAST(CAST(sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1e6) AS REAL) AS DOUBLE) AS x
+         |  FROM a$i a JOIN ve ON a.vec_id = ve.vec_id GROUP BY 1, 2)"""
+    sb.toString
+  }
+  private val veSql =
+    """ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, embedding,
+      |      unnest(generate_series(0, len(embedding)-1)) AS pos
+      |    FROM embeddings))""".stripMargin
+  private val kmeansSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql
+         |SELECT cent_id, CAST(pos AS BIGINT) AS pos, x AS val
+         |FROM c${KmIters + 1} ORDER BY cent_id, pos""".stripMargin
   private val knnIvfSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_e, n2 AS cent_n2 FROM n WHERE vec_id % 100 = 0),
+         |$veSql,
+         |$kmeansChainSql,
+         |centl AS (SELECT cent_id, list(x ORDER BY pos) AS cent_e
+         |          FROM c${KmIters + 1} GROUP BY 1),
+         |cent AS (SELECT cent_id, cent_e, ${n2Sql("cent_e")} AS cent_n2 FROM centl),
          |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
          |       FROM n a CROSS JOIN cent c),
          |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
@@ -625,6 +670,7 @@ object SparkEntry {
          |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
          |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
     "q_knn_brute" -> knnBruteSql,
+    "q_kmeans_centroids" -> kmeansSql,
     "q_ivf_recall" ->
       s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
          |  SELECT b.qid, count(*) AS k,

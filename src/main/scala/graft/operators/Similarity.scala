@@ -114,15 +114,80 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
   }
 
-  /** IVF(-flat) search: centroids sampled deterministically (every
-    * 100th vec_id), map-side nearest-centroid assignment, probe NProbe
-    * cells, aggregator-based exact rerank. */
-  def qKnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val cent = e.filter(col("vec_id") % 100 === 0)
+  val KMeansIters = 3
+
+  /** Deterministic seed centroids: every 100th vec_id. */
+  private[graft] def seedCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         col("n2").as("cent_n2"))
 
+  /** K-means-trained IVF centroids: KMeansIters fixed Lloyd rounds from
+    * the deterministic modulo seed, entirely as DataFrame ops.
+    *
+    * Each round: (1) nearest-centroid assignment — the SAME map-side
+    * HOF argmax as the search path (zero vector-table shuffle);
+    * (2) new centroid = element-wise mean of the assigned vectors,
+    * accumulated in FIXED POINT (floor(x*1e6+0.5) summed in longs, one
+    * double division at the end, result cast to float) so the values —
+    * and therefore every subsequent assignment — are bit-identical in
+    * any engine, which is what makes q_kmeans_centroids (and the
+    * trained q_knn_ivf) DuckDB-oracle-checkable. Cosine is
+    * scale-invariant, so the unnormalized mean is a valid spherical
+    * k-means update. Cells that lose every member die (k shrinks) —
+    * the deterministic variant both engines implement.
+    *
+    * Scale: per round, assignment is a map pass over the vectors; the
+    * update shuffles (cell, pos) partial sums — map-side combine makes
+    * that |cells| x dim rows, independent of |vectors|. Centroid
+    * frames are tiny and localCheckpointed so the lineage doesn't
+    * re-run prior rounds. */
+  private[graft] def trainCentroids(e: DataFrame, iters: Int = KMeansIters): DataFrame = {
+    var cent = seedCentroids(e)
+    for (_ <- 1 to iters) {
+      val assign = assignCells(e, centroidArray(cent))
+      val comp = assign
+        .select(col("cell"), posexplode(col("ce")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          sum(floor(col("col").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("fx"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"),
+          (col("fx").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6))
+            .cast(FloatType).as("val"))
+      cent = comp
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("val")))),
+          s => s.getField("val")).as("cent_e"))
+        .select(col("cell").as("cent_id"), col("cent_e"),
+          norm2Exact(col("cent_e")).as("cent_n2"))
+        .localCheckpoint(false)
+    }
+    cent
+  }
+
+  /** Final trained centroids in long form — the oracle-checkable
+    * k-means surface: (cent_id, pos, val). */
+  def qKmeansCentroids(s: SparkSession, d: String): DataFrame =
+    trainCentroids(withNorm(Tables.embeddings(s, d)))
+      .select(col("cent_id"), posexplode(col("cent_e")))
+      .select(col("cent_id"), col("pos").cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("val"))
+      .orderBy(col("cent_id"), col("pos"))
+
+  /** IVF(-flat) search: k-means-trained centroids (deterministic seed,
+    * fixed Lloyd rounds), map-side nearest-centroid assignment, probe
+    * NProbe cells, aggregator-based exact rerank. */
+  def qKnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    knnIvfWith(e, trainCentroids(e))
+  }
+
+  /** IVF search against an explicit centroid set (trained in the
+    * production path; the seed set is kept callable for recall
+    * comparisons — KMeansSpec). */
+  private[graft] def knnIvfWith(e: DataFrame, cent: DataFrame): DataFrame = {
     val assign = assignCells(e, centroidArray(cent))
 
     // probe list: NProbe nearest centroids per query (all tiny frames)
