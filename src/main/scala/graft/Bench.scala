@@ -1,9 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: ONE JSON line on stdout with the
+  * per-query seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Round-2 hygiene additions:
+  *  - Spark logging is forced OFF for the timed region AND shutdown:
+  *    round-1's BENCH tail carried an sbt-prefixed `[error]` stack
+  *    fragment that was just log4j stderr noise (benign local-mode
+  *    DAGScheduler accumulator/EventLoop chatter sbt labels [error]).
+  *    Real failures don't hide: every query runs in a try/catch that
+  *    records the name in `errors` and prints a `[bench] ... failed`
+  *    line itself.
+  *  - `delta_vs_baseline`: per-query fractional change vs the queries
+  *    map embedded in SPARK_GRAFT_BASELINE (default BENCH_r01.json), so
+  *    regressions are visible per query, not just in the total.
+  *  - `scaling`: headline queries additionally timed at the smaller
+  *    scale factors — a quadratic operator shows up as curve shape
+  *    (sec ratio >> row ratio) even when the absolute total looks fine.
+  */
 object Bench {
+  private val Headline = Seq(
+    "q7_volume_shipping", "q_late_split", "q_clean_corpus", "q_knn_ivf",
+    "q_report_agg", "q_minhash_lsh", "q_embed_neardup", "q10_returned_items")
+
+  private def jnum(v: Double): String = f"$v%.6f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // silence log4j BEFORE SparkContext init — session-startup INFO
+    // otherwise lands on stderr where sbt labels it [error]
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.OFF)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,27 +40,72 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("OFF")
     // untimed warmup: JVM/codegen/parquet-reader init otherwise lands
     // entirely on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // a failed query must NOT masquerade as a fast success — track it
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, dir).count() } catch {
         case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> time(name, fn, sfDir)
+    }
+
+    // scaling curve: headline queries at every available smaller SF
+    val scaling: Seq[(String, Seq[(String, Double)])] =
+      if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) Seq.empty
+      else {
+        val parent = new java.io.File(sfDir).getParentFile
+        val probeDirs = Seq("sf0.001", "sf0.01")
+          .map(n => new java.io.File(parent, n))
+          .filter(f => f.isDirectory && f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+        probeDirs.map { dir =>
+          dir.getName -> Headline.flatMap(n =>
+            SparkEntry.queries.get(n).map(fn => n -> time(s"${dir.getName}/$n", fn, dir.getAbsolutePath)))
+        } :+ (new java.io.File(sfDir).getName -> Headline.flatMap(n =>
+          results.get(n).map(n -> _)))
+      }
+
+    // per-query delta vs the captured baseline round (fractional)
+    val deltas: Seq[(String, Double)] = try {
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new java.io.File(basePath))
+      val tail = root.path("tail").asText("")
+      val start = tail.indexOf("{\"metric\"")
+      if (start < 0) Seq.empty
+      else {
+        val lineEnd = tail.indexOf('\n', start)
+        val line = if (lineEnd < 0) tail.substring(start) else tail.substring(start, lineEnd)
+        val qs = mapper.readTree(line).path("queries")
+        results.toSeq.collect {
+          case (name, sec) if qs.has(name) && qs.get(name).asDouble() > 0 =>
+            name -> (sec - qs.get(name).asDouble()) / qs.get(name).asDouble()
+        }
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val deltaJson = deltas.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val scalingJson = scaling.map { case (sf, m) =>
+      "\"" + sf + "\":" + m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
