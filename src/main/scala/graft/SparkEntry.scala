@@ -74,6 +74,9 @@ object SparkEntry {
     "q_lang_id_eval" -> (TextAnalysis.qLangIdEval _),
     "q_fingerprint" -> (TextAnalysis.qFingerprint _),
     "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
+    "q_doc_chunks" -> (TextAnalysis.qDocChunks _),
+    "q_data_split" -> (TextAnalysis.qDataSplit _),
+    "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_content" -> (Dedup.qDedupContent _),
@@ -671,6 +674,36 @@ object SparkEntry {
          |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
+    "q_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, CAST(floor((len(toks)-1)/40.0) AS INT))) AS chunk_id
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
+         |  array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_data_split" ->
+      """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT CASE WHEN bucket < 13 THEN 'train'
+        |              WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split, n_chars
+        |  FROM (SELECT n_chars,
+        |      strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+        |    FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |    CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END AS scale FROM m),
+        |x AS (SELECT vec_id, scale, embedding,
+        |    unnest(generate_series(0, len(embedding)-1)) AS pos FROM e)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(floor(CAST(embedding[pos+1] AS DOUBLE)*scale + 0.5) AS BIGINT) AS qv,
+        |  scale
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
     "q_ivf_recall" ->
       s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
          |  SELECT b.qid, count(*) AS k,

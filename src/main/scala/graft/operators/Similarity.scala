@@ -184,6 +184,26 @@ object Similarity {
     knnIvfWith(e, trainCentroids(e))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4x
+    * memory compression an ANN index at 100 TB actually stores.
+    * Per vector: scale = 127/max|x|, q = floor(x*scale + 0.5) (the
+    * explicit half-up rounding both engines compute identically —
+    * built-in round() differs in half-even vs half-up across
+    * engines). Map-only pass, no shuffle; ORDER BY is
+    * presentation-only. */
+  def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("mx",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        floor(col("col").cast(DoubleType) * col("scale") + 0.5)
+          .cast(LongType).as("qv"),
+        col("scale"))
+      .orderBy(col("vec_id"), col("pos"))
+
   /** IVF search against an explicit centroid set (trained in the
     * production path; the seed set is kept callable for recall
     * comparisons — KMeansSpec). */

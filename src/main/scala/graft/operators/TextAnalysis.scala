@@ -125,4 +125,50 @@ object TextAnalysis {
         sum(col("n_ws")).as("total_wstokens"),
         davg(col("n_sub").cast(DoubleType)).as("avg_subtokens"))
       .orderBy(col("lang"))
+
+  val ChunkTokens = 50
+  val ChunkStride = 40 // 10-token overlap between consecutive chunks
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * shaper every LLM training pipeline runs before tokenize/pack.
+    * One scan -> explode of chunk starts -> slice; no shuffle at all
+    * (the ORDER BY is presentation-only). Chunk starts step by
+    * ChunkStride while inside the document, so every token lands in
+    * at least one chunk and consecutive chunks share
+    * ChunkTokens - ChunkStride tokens. */
+  def qDocChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast((size(toks)-1)/$ChunkStride as int))"))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        least(lit(ChunkTokens),
+          size(col("toks")) - col("chunk_id") * ChunkStride)
+          .cast(LongType).as("n_tok"),
+        array_join(slice(col("toks"),
+          col("chunk_id") * ChunkStride + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic train/val/test assignment: bucket 0-15 from the
+    * first hex digit of md5(doc_id) — stable across engines, runs,
+    * and cluster sizes (the property that makes a 100 TB split
+    * reproducible and joinable from any system). 13/2/1 sixteenths
+    * ~ 81/12.5/6.25%. */
+  def qDataSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      .withColumn("split",
+        when(col("bucket") < 13, "train")
+          .when(col("bucket") < 15, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("sum_chars"))
+      .orderBy(col("split"))
 }
