@@ -46,6 +46,7 @@ object SparkEntry {
     "q_case_agg" -> (Relational.qCaseAgg _),
     "q_lead_lag" -> (Relational.qLeadLag _),
     "q_sessionize" -> (Relational.qSessionize _),
+    "q_session_window" -> (Relational.qSessionWindow _),
     "q_pivot" -> (Relational.qPivot _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_sql_interface" -> (Relational.qSqlInterface _),
@@ -430,6 +431,25 @@ object SparkEntry {
         |  (max(us) - min(us)) // 1000000 AS duration_sec,
         |  count(DISTINCT event_type) AS n_types
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // boundary mirrors session_window: gap >= 30 min starts a session
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN us - lag(us, 1) OVER w >= 1800000000
+        |         OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,

