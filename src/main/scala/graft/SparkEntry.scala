@@ -85,6 +85,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
+    "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
@@ -694,6 +695,24 @@ object SparkEntry {
          |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
+    // same CcRounds of min-label propagation as Dedup.qDedupClusters,
+    // over the exact-Jaccard pair set (≡ LSH pairs at these params)
+    "q_dedup_clusters" -> {
+      val rounds = (1 to graft.operators.Dedup.CcRounds).map { i =>
+        s"""l$i AS (SELECT v, min(lbl) AS lbl FROM (
+           |    SELECT v, lbl FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT e.a AS v, l.lbl FROM ed e JOIN l${i - 1} l ON e.b = l.v)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |       UNION ALL SELECT doc_b, doc_a FROM pr),
+         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ed),
+         |$rounds
+         |SELECT v AS doc_id, lbl AS cluster_id
+         |FROM l${graft.operators.Dedup.CcRounds} ORDER BY doc_id""".stripMargin
+    },
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -148,6 +148,43 @@ object Dedup {
     jaccardOnPairs(shared, shingleSizes(sh))
   }
 
+  val CcRounds = 4
+
+  /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard
+    * pair graph via CcRounds of min-label propagation — the step that
+    * makes near-dedup transitively correct (A~B, B~C must collapse to
+    * ONE representative even when A~C was never compared; pairwise
+    * loser-dropping can't see that). Pure DataFrame ops: per round one
+    * join (neighbor labels) + one min-aggregation; labels after K
+    * rounds are exact for components of diameter <= K (near-dup
+    * clusters are shallow; at scale either raise K or switch the
+    * propagation to the doubling variant — same two primitives).
+    * Pairs come from the LSH path (the 100 TB candidate generator);
+    * the oracle runs the identical K rounds over the exact-Jaccard
+    * pair set (LSH ≡ exact at these parameters). */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      qMinhashLsh(s, d).select(col("doc_a"), col("doc_b")), CcRounds)
+      .orderBy(col("doc_id"))
+
+  /** Min-label propagation over an undirected (doc_a, doc_b) pair set;
+    * exact for components of diameter <= rounds. */
+  private[graft] def connectedComponents(pairDf: DataFrame, rounds: Int): DataFrame = {
+    val pairs = pairDf.localCheckpoint(false) // feeds edges twice + the label loop
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges.join(labels, edges("doc_b") === labels("v"))
+        .select(edges("doc_a").as("v"), col("lbl"))
+      labels = labels.union(nbr)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: token-frequency-weighted majority

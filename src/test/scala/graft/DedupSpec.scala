@@ -56,6 +56,17 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) + island 5-6; pairwise loser-dropping
+    // would never relate 1 and 4 — the component must
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, Dedup.CcRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash of identical docs is identical; near-dup within small hamming") {
     val sig = Dedup.simhashSignatures(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
