@@ -47,6 +47,7 @@ object SparkEntry {
     "q_lead_lag" -> (Relational.qLeadLag _),
     "q_sessionize" -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
+    "q_full_outer" -> (Relational.qFullOuter _),
     "q_pivot" -> (Relational.qPivot _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_sql_interface" -> (Relational.qSqlInterface _),
@@ -432,6 +433,16 @@ object SparkEntry {
         |  (max(us) - min(us)) // 1000000 AS duration_sec,
         |  count(DISTINCT event_type) AS n_types
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS click_day, count(*) AS n_click
+        |           FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT strftime(ts, '%Y-%m-%d') AS purchase_day, count(*) AS n_purchase
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(click_day, purchase_day) AS day,
+        |  coalesce(n_click, 0) AS n_clicks,
+        |  coalesce(n_purchase, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON click_day = purchase_day
+        |ORDER BY day""".stripMargin,
     // boundary mirrors session_window: gap >= 30 min starts a session
     "q_session_window" ->
       """WITH e AS (

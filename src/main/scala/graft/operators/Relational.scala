@@ -320,6 +320,22 @@ object Relational {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Full outer join: daily click vs purchase activity aligned on
+    * day, either side nullable — the one outer-join class the surface
+    * didn't cover (semi/anti/left live in their own queries). */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def byDay(t: String, name: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as(s"${name}_day"))
+      .agg(count(lit(1)).as(s"n_$name"))
+    byDay("click", "click").join(byDay("purchase", "purchase"),
+        col("click_day") === col("purchase_day"), "full_outer")
+      .select(coalesce(col("click_day"), col("purchase_day")).as("day"),
+        coalesce(col("n_click"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
   /** Native session windows: the same 30-minute-gap sessions as
     * qSessionize but through Spark's `session_window` operator
     * (SessionWindowing + merging session aggregate) instead of
