@@ -20,11 +20,19 @@ import org.apache.spark.sql.SparkSession
   *    (sec ratio >> row ratio) even when the absolute total looks fine.
   */
 object Bench {
+  // q_kmeans_centroids precedes q_knn_ivf here AND alphabetically in
+  // the (sorted) main loop, so the memoized centroid training is
+  // always paid by the kmeans entry and IVF timings measure search
+  // only — at every scale factor, keeping the curve comparable
   private val Headline = Seq(
-    "q7_volume_shipping", "q_late_split", "q_clean_corpus", "q_knn_ivf",
+    "q7_volume_shipping", "q_late_split", "q_clean_corpus",
+    "q_kmeans_centroids", "q_knn_ivf",
     "q_report_agg", "q_minhash_lsh", "q_embed_neardup", "q10_returned_items")
 
-  private def jnum(v: Double): String = f"$v%.6f"
+  // Locale.ROOT: a comma-decimal default locale must not corrupt the
+  // single-JSON-line driver contract
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,9 +65,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> time(name, fn, sfDir)
-    }
+    // deterministic (sorted) execution order: Map iteration order must
+    // not decide which query absorbs shared memoized work
+    val results = scala.collection.immutable.ListMap(
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> time(name, fn, sfDir)
+      }: _*)
 
     // scaling curve: headline queries at every available smaller SF
     val scaling: Seq[(String, Seq[(String, Double)])] =

@@ -443,13 +443,15 @@ object SparkEntry {
         |  coalesce(n_purchase, 0) AS n_purchases
         |FROM c FULL OUTER JOIN p ON click_day = purchase_day
         |ORDER BY day""".stripMargin,
-    // boundary mirrors session_window: gap >= 30 min starts a session
+    // boundary mirrors session_window: events exactly gap apart MERGE
+    // (empirically: [ts, ts+gap) windows touching at the edge merge),
+    // so only a gap STRICTLY > 30 min starts a new session
     "q_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
         |), flagged AS (
         |  SELECT user_id, event_id, ts, us,
-        |    CASE WHEN us - lag(us, 1) OVER w >= 1800000000
+        |    CASE WHEN us - lag(us, 1) OVER w > 1800000000
         |         OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |), numbered AS (

@@ -33,11 +33,20 @@ object IntervalJoin {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      maxDelaySeconds: Int): DataFrame =
-    left.join(right,
-      col(leftKey) === col(rightKey) &&
-      col(rightTs) >= col(leftTs) &&
-      col(rightTs) <= col(leftTs) + expr(s"interval $maxDelaySeconds seconds"))
+      maxDelaySeconds: Int): DataFrame = {
+    // internal aliases: the natural call passes the same key/ts names
+    // on both frames — often carved from the SAME source, where even
+    // dataset-apply disambiguation collapses to a trivially-true
+    // predicate (the classic self-join trap). Alias-qualified columns
+    // resolve correctly in every call shape, batch or streaming.
+    val (l, r) = (left.alias("__ij_l"), right.alias("__ij_r"))
+    val (lk, rk) = (col(s"__ij_l.$leftKey"), col(s"__ij_r.$rightKey"))
+    val (lt, rt) = (col(s"__ij_l.$leftTs"), col(s"__ij_r.$rightTs"))
+    l.join(r,
+      lk === rk &&
+      rt >= lt &&
+      rt <= lt + expr(s"interval $maxDelaySeconds seconds"))
+  }
 
   /** Batch attribution: purchases within 600 s of a click by the same
     * user. Gap reported in exact epoch microseconds so the value is

@@ -343,8 +343,10 @@ object Relational {
     * the native form needs ONE aggregation (no per-user sort window
     * over the whole history) and runs unchanged on a watermarked
     * stream (streaming session aggregation). Boundary semantics:
-    * a gap >= 30 min starts a new session (windows [ts, ts+gap)
-    * merge on overlap), which the oracle mirrors. */
+    * only a gap STRICTLY greater than 30 min starts a new session —
+    * [ts, ts+gap) windows that merely touch at the edge still merge
+    * (verified empirically on Spark 4.1.2) — which the oracle
+    * mirrors. */
   def qSessionWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))

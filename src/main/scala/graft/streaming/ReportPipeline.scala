@@ -102,10 +102,12 @@ object ReportPipeline {
       // cut lineage before the overwrite — Spark refuses to overwrite
       // a path that still feeds the write's own plan
       val materialized = merged.localCheckpoint(true)
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try materialized.write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // per-writer option, NOT the session conf: two sinks sharing one
+      // SparkSession must not race each other into a static overwrite
+      // (which would delete every untouched bucket)
+      materialized.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(tablePath)
     }
 
     /** Current table state keyed like KeyedUpsertSink.snapshot. */
@@ -151,7 +153,10 @@ object ReportPipeline {
             // not land on the driver); one overwritten subdir per
             // batch id keeps replays idempotent
             case Some(p) =>
-              lateDf.write.mode("overwrite").parquet(s"$p/batch_id=$batchId")
+              // skip empty batches: a long-running stream with rare
+              // late data must not accumulate one tiny dir per batch
+              if (!lateDf.isEmpty)
+                lateDf.write.mode("overwrite").parquet(s"$p/batch_id=$batchId")
             case None =>
               lateDf.collect().foreach(lateSink)
           }

@@ -36,6 +36,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("interval join resolves same-named key/ts columns on both sides") {
+    import graft.operators.IntervalJoin
+    val ev = Tables.events(spark, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val n = IntervalJoin.intervalJoin(c, p, "user_id", "user_id", "ts", "ts", 600).count()
+    assert(n == IntervalJoin.qIntervalJoin(spark, d).count())
+  }
+
   test("data split is total, disjoint by construction, and roughly proportioned") {
     val rows = TextAnalysis.qDataSplit(spark, d).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -46,8 +57,6 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("quantization inverts to the original within one quantization step") {
     val err = Similarity.qEmbedQuantize(spark, d)
-      .withColumn("orig", lit(null)) // placeholder keeps select order obvious
-      .drop("orig")
       .join(Tables.embeddings(spark, d), "vec_id")
       .select(col("qv"), col("scale"),
         expr("cast(element_at(embedding, cast(pos + 1 as int)) as double)").as("x"))
