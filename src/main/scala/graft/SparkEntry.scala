@@ -63,6 +63,10 @@ object SparkEntry {
     "q_approx_quantile" -> (Relational.qApproxQuantile _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q4_late_orders" -> (Relational.q4LateOrders _),
+    "q12_priority_ship" -> (Relational.q12PriorityShip _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q_range_frame" -> (Relational.qRangeFrame _),
     "q_rank_stats" -> (Relational.qRankStats _),
     "q_first_nth" -> (Relational.qFirstNth _),
@@ -433,6 +437,37 @@ object SparkEntry {
         |  (max(us) - min(us)) // 1000000 AS duration_sec,
         |  count(DISTINCT event_type) AS n_types
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_priority_ship" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_full_outer" ->
       """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS click_day, count(*) AS n_click
         |           FROM events WHERE event_type = 'click' GROUP BY 1),

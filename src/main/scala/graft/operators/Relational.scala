@@ -517,6 +517,76 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** TPC-H Q4-style: orders per priority that had at least one late
+    * shipment (ship > order date + 30 days) — EXISTS expressed as a
+    * left-semi hash join with an extra non-equi condition (the dedup
+    * of matching lineitems is free in the semi join). */
+  def q4LateOrders(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), 30), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q12-style: per return flag, high- vs low-priority order
+    * counts for a ship-date year — CASE aggregation over a fact-fact
+    * join. */
+  def q12PriorityShip(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  val LargeOrderQty = 150.0
+
+  /** TPC-H Q18-style large-volume orders: customers whose order's
+    * total quantity exceeds the threshold — group-HAVING feeding a
+    * join back to the fact (the aggregate is the small side and
+    * broadcasts). */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 6))).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("sum_qty").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-style disjunctive revenue: three OR-ed (brand, size,
+    * quantity-band) triples — the pushdown stress test: the disjunction
+    * must still prune at the scans (each disjunct's common l/p
+    * conditions reach the parquet filters). */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(38, 6))).cast(DoubleType).as("revenue"))
+  }
+
   /** TPC-H Q7-style volume shipping: revenue between two nations by
     * year — multi-join with a disjunctive nation pair predicate. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
