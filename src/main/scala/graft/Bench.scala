@@ -49,10 +49,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("OFF")
-    // untimed warmup: JVM/codegen/parquet-reader init otherwise lands
-    // entirely on whichever query happens to run first
+    // untimed warmup: JVM/codegen/parquet-reader init and the first
+    // cold read of every table otherwise land entirely on whichever
+    // query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    Tables.events(spark, sfDir).count()
     // a failed query must NOT masquerade as a fast success — track it
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -65,12 +69,16 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // deterministic (sorted) execution order: Map iteration order must
-    // not decide which query absorbs shared memoized work
+    // deterministic execution order: index BUILDERS first (so the
+    // memoized centroid training is always charged to
+    // q_kmeans_centroids, never to whichever consumer happens to sort
+    // first), then the rest alphabetically. The LSH pair index is
+    // charged to q_clean_corpus, its first consumer (q_minhash_lsh
+    // always measures a fresh build — it IS the builder benchmark).
     val results = scala.collection.immutable.ListMap(
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> time(name, fn, sfDir)
-      }: _*)
+      SparkEntry.queries.toSeq
+        .sortBy { case (n, _) => (n != "q_kmeans_centroids", n) }
+        .map { case (name, fn) => name -> time(name, fn, sfDir) }: _*)
 
     // scaling curve: headline queries at every available smaller SF
     val scaling: Seq[(String, Seq[(String, Double)])] =
