@@ -48,6 +48,7 @@ object SparkEntry {
     "q_sessionize" -> (Relational.qSessionize _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_full_outer" -> (Relational.qFullOuter _),
+    "q_profile" -> (Relational.qProfile _),
     "q_pivot" -> (Relational.qPivot _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_sql_interface" -> (Relational.qSqlInterface _),
@@ -437,6 +438,20 @@ object SparkEntry {
         |  (max(us) - min(us)) // 1000000 AS duration_sec,
         |  count(DISTINCT event_type) AS n_types
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_profile" -> {
+      def p(name: String, minV: String, maxV: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $name) AS n_distinct, $minV AS min_v, $maxV AS max_v
+           |FROM lineitem""".stripMargin
+      Seq(
+        p("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)", "CAST(max(l_orderkey) AS VARCHAR)"),
+        p("l_quantity", "CAST(min(l_quantity) AS VARCHAR)", "CAST(max(l_quantity) AS VARCHAR)"),
+        p("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"),
+        p("l_shipdate", "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

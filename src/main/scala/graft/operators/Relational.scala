@@ -320,6 +320,33 @@ object Relational {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Column profiling (ANALYZE-style data quality pass): per column,
+    * row/null/distinct counts and min/max — the first query any
+    * pipeline runs against a new 100 TB table. Four single-column
+    * aggregates over pruned scans (each reads exactly one parquet
+    * column), unioned into a long-form report. */
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def prof(name: String, minMaxStr: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)) =
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(name)).as("n_distinct"),
+        minMaxStr._1.as("min_v"), minMaxStr._2.as("max_v"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    prof("l_orderkey",
+        (min(col("l_orderkey")).cast(StringType), max(col("l_orderkey")).cast(StringType)))
+      .unionByName(prof("l_quantity",
+        (min(col("l_quantity")).cast(StringType), max(col("l_quantity")).cast(StringType))))
+      .unionByName(prof("l_returnflag",
+        (min(col("l_returnflag")), max(col("l_returnflag")))))
+      .unionByName(prof("l_shipdate",
+        (date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss"))))
+      .orderBy(col("col_name"))
+  }
+
   /** Full outer join: daily click vs purchase activity aligned on
     * day, either side nullable — the one outer-join class the surface
     * didn't cover (semi/anti/left live in their own queries). */

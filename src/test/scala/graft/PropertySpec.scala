@@ -52,4 +52,23 @@ class PropertySpec extends SparkSpec {
       assert(split.agg(sum(col("cnt"))).collect().head.getLong(0) == n, s"n=$n")
     }
   }
+
+  test("TopKAggregator equals sort-take for any input and any merge split") {
+    val agg = new graft.functions.TopKAggregator(5)
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 20L)))
+    for (xs <- samples(gen, 10)) {
+      val expected = xs.sortBy { case (score, id) => (-score, id) }.take(5)
+      // single-buffer reduce
+      val reduced = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(reduced) == expected, s"reduce path, input=$xs")
+      // arbitrary split + merge (the partial-aggregation path); also
+      // exercises merge with the empty buffer and commuted order
+      for (cut <- Seq(0, 1, xs.size / 2, xs.size)) {
+        val (a, b) = xs.splitAt(cut)
+        val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        val mSwap = agg.merge(b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(m) == expected && agg.finish(mSwap) == expected, s"cut=$cut")
+      }
+    }
+  }
 }
