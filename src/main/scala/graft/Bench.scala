@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, xxhash64}
 
 /** Benchmark main — driver contract: ONE JSON line on stdout with the
   * per-query seconds at SPARK_GRAFT_SF_DIR.
@@ -51,12 +52,17 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     // untimed warmup: JVM/codegen/parquet-reader init and the first
     // cold read of every table otherwise land entirely on whichever
-    // query happens to run first
+    // query happens to run first. xxhash64 over ALL columns defeats
+    // column pruning (a bare count() reads only footers and warms
+    // nothing) and drives every table through the Tables catalog, so
+    // a newly added table is warmed automatically.
     spark.range(1000).selectExpr("sum(id)").collect()
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    Tables.events(spark, sfDir).count()
+    def warm(dir: String): Unit = for (t <- Tables.all) {
+      val df = if (t == "events") Tables.events(spark, dir) else Tables.load(spark, dir, t)
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max(col("h"))).collect()
+      ()
+    }
+    warm(sfDir)
     // a failed query must NOT masquerade as a fast success — track it
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -89,6 +95,7 @@ object Bench {
           .map(n => new java.io.File(parent, n))
           .filter(f => f.isDirectory && f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
         probeDirs.map { dir =>
+          warm(dir.getAbsolutePath) // same untimed warmup as the main SF
           dir.getName -> Headline.flatMap(n =>
             SparkEntry.queries.get(n).map(fn => n -> time(s"${dir.getName}/$n", fn, dir.getAbsolutePath)))
         } :+ (new java.io.File(sfDir).getName -> Headline.flatMap(n =>

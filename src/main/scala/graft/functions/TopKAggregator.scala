@@ -26,7 +26,12 @@ class TopKAggregator(k: Int)
     // instead of a full re-sort (the hot path for large groups)
     if (buf.lengthCompare(k) >= 0) {
       val last = buf.last
-      if (in._1 < last._1 || (in._1 == last._1 && in._2 >= last._2)) return buf
+      // total ordering via Double.compare, NOT primitive </== — the
+      // primitives treat -0.0 == 0.0 while trim()'s sortBy orders
+      // -0.0 < 0.0, and any disagreement between the two paths makes
+      // the aggregator's result depend on the partition split
+      val c = java.lang.Double.compare(in._1, last._1)
+      if (c < 0 || (c == 0 && in._2 >= last._2)) return buf
     }
     trim(in :: buf)
   }

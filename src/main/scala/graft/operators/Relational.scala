@@ -552,9 +552,12 @@ object Relational {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    // interval addition, NOT date_add: date_add truncates the
+    // timestamp to a date (midnight), silently diverging from the
+    // oracle's `+ INTERVAL 30 DAY` on any non-midnight order date
     ord.join(li,
         col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > date_add(col("o_orderdate"), 30), "left_semi")
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))

@@ -55,7 +55,12 @@ class PropertySpec extends SparkSpec {
 
   test("TopKAggregator equals sort-take for any input and any merge split") {
     val agg = new graft.functions.TopKAggregator(5)
-    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 20L)))
+    // -0.0 and 0.0 included explicitly: primitive == treats them equal
+    // but the buffer's total ordering does not — the short-circuit and
+    // trim paths must agree (caught by review; regression-pinned here)
+    val score = Gen.frequency(
+      (8, Gen.chooseNum(-10.0, 10.0)), (1, Gen.const(-0.0)), (1, Gen.const(0.0)))
+    val gen = Gen.listOfN(60, Gen.zip(score, Gen.chooseNum(0L, 20L)))
     for (xs <- samples(gen, 10)) {
       val expected = xs.sortBy { case (score, id) => (-score, id) }.take(5)
       // single-buffer reduce
