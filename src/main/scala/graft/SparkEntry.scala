@@ -92,6 +92,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
+    "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
@@ -142,6 +143,38 @@ object SparkEntry {
        |FROM (SELECT doc_id, lang,
        |    $scores
        |  FROM (SELECT doc_id, lang, $tokSql AS toks FROM documents))""".stripMargin
+  }
+
+  private val embedNearDupSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
+       |             a.embedding AS ea, b.embedding AS eb
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+       |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
+       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+       |  FROM z GROUP BY va, vb)
+       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
+
+  /** CcRounds of min-label propagation (mirrors
+    * Dedup.connectedComponents) over any (doc_a, doc_b) pair query. */
+  private def ccSql(pairsSql: String, outId: String): String = {
+    val k = graft.operators.Dedup.CcRounds
+    val rounds = (1 to k).map { i =>
+      s"""l$i AS (SELECT v, min(lbl) AS lbl FROM (
+         |    SELECT v, lbl FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.a AS v, l.lbl FROM ed e JOIN l${i - 1} l ON e.b = l.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS ($pairsSql),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+       |       UNION ALL SELECT doc_b, doc_a FROM pr),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ed),
+       |$rounds
+       |SELECT v AS $outId, lbl AS cluster_id
+       |FROM l$k ORDER BY $outId""".stripMargin
   }
 
   private val knnBruteSql =
@@ -745,37 +778,14 @@ object SparkEntry {
     // >=0.5 pair in the corpus is recalled (empirically exact here;
     // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
     "q_minhash_lsh" -> jaccardSql,
-    "q_embed_neardup" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
-         |             a.embedding AS ea, b.embedding AS eb
-         |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
-         |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
-         |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
-         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-         |  FROM z GROUP BY va, vb)
-         |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
-         |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_clusters" -> ccSql(
+      s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
     // same CcRounds of min-label propagation as Dedup.qDedupClusters,
     // over the exact-Jaccard pair set (≡ LSH pairs at these params)
-    "q_dedup_clusters" -> {
-      val rounds = (1 to graft.operators.Dedup.CcRounds).map { i =>
-        s"""l$i AS (SELECT v, min(lbl) AS lbl FROM (
-           |    SELECT v, lbl FROM l${i - 1}
-           |    UNION ALL
-           |    SELECT e.a AS v, l.lbl FROM ed e JOIN l${i - 1} l ON e.b = l.v)
-           |  GROUP BY v)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pr AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
-         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
-         |       UNION ALL SELECT doc_b, doc_a FROM pr),
-         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ed),
-         |$rounds
-         |SELECT v AS doc_id, lbl AS cluster_id
-         |FROM l${graft.operators.Dedup.CcRounds} ORDER BY doc_id""".stripMargin
-    },
+    "q_dedup_clusters" -> ccSql(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id"),
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

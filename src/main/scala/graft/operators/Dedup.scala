@@ -183,6 +183,17 @@ object Dedup {
     connectedComponents(lshPairs(s, d), CcRounds)
       .orderBy(col("doc_id"))
 
+  /** SEMANTIC dedup clusters: the same component construction over the
+    * embedding-cosine near-dup graph — text-dissimilar but
+    * meaning-similar documents collapse together (the companion of the
+    * lexical qDedupClusters; a training pipeline typically runs both). */
+  def qEmbedClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      qEmbedNearDup(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")),
+      CcRounds)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** Min-label propagation over an undirected (doc_a, doc_b) pair set;
     * exact for components of diameter <= rounds. */
   private[graft] def connectedComponents(pairDf: DataFrame, rounds: Int): DataFrame = {

@@ -24,14 +24,13 @@ class BucketedIvfSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
     val assign = Similarity.assignCells(e,
       Similarity.centroidArray(Similarity.trainCentroids(e)))
-    assign.write.bucketBy(4, "cell").sortBy("cell")
-      .mode("overwrite").saveAsTable("b_cells")
+    graft.sources.Writers.writeBucketed(assign, "cell", 4, "b_cells")
     // a query batch assigned to its probe cells, bucketed identically
-    assign.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"), col("ce").as("qe"),
-        col("cn2").as("qn2"), col("cell"))
-      .write.bucketBy(4, "cell").sortBy("cell")
-      .mode("overwrite").saveAsTable("b_queries")
+    graft.sources.Writers.writeBucketed(
+      assign.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("ce").as("qe"),
+          col("cn2").as("qn2"), col("cell")),
+      "cell", 4, "b_queries")
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -22,10 +22,8 @@ class BucketingSpec extends SparkSpec {
     new Directory(new java.io.File("spark-warehouse/b_orders")).deleteRecursively()
     new Directory(new java.io.File("spark-warehouse/b_lineitem")).deleteRecursively()
     val d = "/root/testdata/sf0.001"
-    Tables.orders(spark, d).write.bucketBy(4, "o_orderkey")
-      .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
-    Tables.lineitem(spark, d).write.bucketBy(4, "l_orderkey")
-      .sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    graft.sources.Writers.writeBucketed(Tables.orders(spark, d), "o_orderkey", 4, "b_orders")
+    graft.sources.Writers.writeBucketed(Tables.lineitem(spark, d), "l_orderkey", 4, "b_lineitem")
 
     // disable auto-broadcast: at real scale neither side of a
     // fact-fact join broadcasts; this test demonstrates the bucketed

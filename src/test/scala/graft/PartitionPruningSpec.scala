@@ -15,9 +15,10 @@ class PartitionPruningSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-part").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    // coalesce(1): pin one file per partition dir, so numFiles == 1
+    // filesPerDay=1: pin one file per partition dir, so numFiles == 1
     // below tests PRUNING, not the incidental input split count
-    ev.coalesce(1).write.partitionBy("day").mode("overwrite").parquet(dir)
+    graft.sources.Writers.writeDayPartitioned(
+      Tables.events(spark, "/root/testdata/sf0.001"), "ts", dir)
     try {
     val days = ev.select("day").distinct().count()
     assert(days > 1, "fixture spans multiple days")
