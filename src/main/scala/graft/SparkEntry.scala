@@ -98,6 +98,7 @@ object SparkEntry {
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_ivf_recall" -> (Similarity.qIvfRecall _),
+    "q_embed_classify" -> (Similarity.qEmbedClassify _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
     "q_media_meta" -> (Multimodal.qMediaMeta _),
@@ -783,6 +784,33 @@ object SparkEntry {
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
+    // same fixed-point class-mean + argmax chain as Similarity.qEmbedClassify
+    "q_embed_classify" ->
+      s"""WITH ve AS (SELECT vec_id, label, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, label, embedding,
+         |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
+         |vn AS (SELECT vec_id, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |lc AS (SELECT label AS cent_id, pos,
+         |    CAST(CAST(CAST(sum(CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1e6) AS REAL) AS DOUBLE) AS x
+         |  FROM ve GROUP BY 1, 2),
+         |cn AS (SELECT cent_id,
+         |    CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS n2
+         |  FROM lc GROUP BY 1),
+         |dd AS (SELECT ve.vec_id, c.cent_id,
+         |    CAST(sum(CAST(floor(ve.x*c.x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM ve JOIN lc c ON ve.pos = c.pos GROUP BY 1, 2),
+         |pred AS (SELECT vec_id, cent_id AS pred FROM (
+         |    SELECT dd.vec_id, dd.cent_id,
+         |      row_number() OVER (PARTITION BY dd.vec_id
+         |        ORDER BY dd.dot/(sqrt(vn.n2)*sqrt(cn.n2)) DESC, dd.cent_id) AS rn
+         |    FROM dd JOIN vn ON dd.vec_id = vn.vec_id
+         |    JOIN cn ON dd.cent_id = cn.cent_id) t WHERE rn = 1)
+         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+         |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc
+         |FROM embeddings e JOIN pred p ON e.vec_id = p.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same CcRounds of min-label propagation as Dedup.qDedupClusters,
     // over the exact-Jaccard pair set (≡ LSH pairs at these params)
     "q_dedup_clusters" -> ccSql(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id"),

@@ -99,20 +99,25 @@ object Similarity {
     * |vectors| x |centroids| cross product as rows. Ties break toward
     * the lowest cent_id (max of (ccos, -cent_id)). Carries the vector
     * payload through so the rerank never re-joins the base table. */
-  private[graft] def assignCells(e: DataFrame, centArr: DataFrame): DataFrame = {
+  /** The map-side argmax itself: nearest cent_id from the broadcast
+    * `cents` struct array for the row's (embedding, n2). coalesce
+    * makes the result provably non-nullable, so a downstream join's
+    * inferred isnotnull constraint folds to true instead of
+    * duplicating this (expensive) expression into the join condition
+    * (cents is never empty, so the fallback never fires). */
+  private[graft] def nearestCell: Column = {
     val best = array_max(transform(col("cents"), cen =>
       struct(
         cosineFromParts(dotExact(col("embedding"), cen.getField("cent_e")),
           col("n2"), cen.getField("cent_n2")).as("ccos"),
         (-cen.getField("cent_id")).as("neg_id"))))
-    // coalesce makes `cell` provably non-nullable, so the downstream
-    // join's inferred isnotnull(cell) constraint folds to true instead
-    // of duplicating the argmax expression into the join condition
-    // (cents is never empty, so the fallback never fires)
-    e.crossJoin(broadcast(centArr))
-      .withColumn("cell", coalesce(-best.getField("neg_id"), lit(-1L)))
-      .select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+    coalesce(-best.getField("neg_id"), lit(-1L))
   }
+
+  private[graft] def assignCells(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr))
+      .withColumn("cell", nearestCell)
+      .select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
 
   val KMeansIters = 3
 
@@ -222,6 +227,42 @@ object Similarity {
           .cast(LongType).as("qv"),
         col("scale"))
       .orderBy(col("vec_id"), col("pos"))
+
+  /** Nearest-class-mean classification over the labeled embedding
+    * table — the label-coherence check a training pipeline runs before
+    * trusting a labeled corpus (labels whose members don't cluster
+    * around their own centroid surface as low per-class accuracy).
+    * Class centroids use the same fixed-point mean as k-means (engine-
+    * exact), prediction is the same zero-shuffle broadcast argmax as
+    * IVF assignment; output is per-label (n, n_correct, accuracy). */
+  def qEmbedClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("label").cast(LongType).as("label"), col("embedding"),
+      norm2Exact(col("embedding")).as("n2"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("col").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("fx"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        (col("fx").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6))
+          .cast(FloatType).as("val"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("val")))),
+        s => s.getField("val")).as("cent_e"))
+      .select(col("label").as("cent_id"), col("cent_e"),
+        norm2Exact(col("cent_e")).as("cent_n2"))
+    e.crossJoin(broadcast(centroidArray(cent)))
+      .withColumn("pred", nearestCell)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        (col("n_correct").cast(DoubleType) / col("n")).as("acc"))
+      .orderBy(col("label"))
+  }
 
   /** IVF search against an explicit centroid set (trained in the
     * production path; the seed set is kept callable for recall
