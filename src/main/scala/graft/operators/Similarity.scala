@@ -149,28 +149,33 @@ object Similarity {
     * re-run prior rounds. */
   private[graft] def trainCentroids(e: DataFrame, iters: Int = KMeansIters): DataFrame = {
     var cent = seedCentroids(e)
-    for (_ <- 1 to iters) {
-      val assign = assignCells(e, centroidArray(cent))
-      val comp = assign
-        .select(col("cell"), posexplode(col("ce")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(
-          sum(floor(col("col").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("fx"),
-          count(lit(1)).as("cnt"))
-        .select(col("cell"), col("pos"),
-          (col("fx").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6))
-            .cast(FloatType).as("val"))
-      cent = comp
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("val")))),
-          s => s.getField("val")).as("cent_e"))
-        .select(col("cell").as("cent_id"), col("cent_e"),
-          norm2Exact(col("cent_e")).as("cent_n2"))
+    for (_ <- 1 to iters)
+      cent = fixedPointMeans(assignCells(e, centroidArray(cent)), "cell", "ce")
         .localCheckpoint(false)
-    }
     cent
   }
+
+  /** Element-wise FIXED-POINT mean of `vec` grouped by `key`, as a
+    * centroid frame (cent_id, cent_e, cent_n2): floor(x*1e6+0.5)
+    * summed in longs, one double division, cast to float — identical
+    * in any engine, which is what keeps the k-means rounds AND the
+    * class-mean classifier DuckDB-oracle-checkable. Shuffles only
+    * (key, pos) partial sums after map-side combine. */
+  private def fixedPointMeans(df: DataFrame, key: String, vec: String): DataFrame =
+    df.select(col(key).as("cent_id"), posexplode(col(vec)))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(
+        sum(floor(col("col").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("fx"),
+        count(lit(1)).as("cnt"))
+      .select(col("cent_id"), col("pos"),
+        (col("fx").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6))
+          .cast(FloatType).as("val"))
+      .groupBy(col("cent_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("val")))),
+        s => s.getField("val")).as("cent_e"))
+      .select(col("cent_id"), col("cent_e"),
+        norm2Exact(col("cent_e")).as("cent_n2"))
 
   /** Index-build-once, search-many: the trained centroid set for a
     * given table is deterministic (fixed seed, fixed rounds, fixed-
@@ -239,21 +244,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("label").cast(LongType).as("label"), col("embedding"),
       norm2Exact(col("embedding")).as("n2"))
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(
-        sum(floor(col("col").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("fx"),
-        count(lit(1)).as("cnt"))
-      .select(col("label"), col("pos"),
-        (col("fx").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6))
-          .cast(FloatType).as("val"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("val")))),
-        s => s.getField("val")).as("cent_e"))
-      .select(col("label").as("cent_id"), col("cent_e"),
-        norm2Exact(col("cent_e")).as("cent_n2"))
+    val cent = fixedPointMeans(e, "label", "embedding")
     e.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("pred", nearestCell)
       .groupBy(col("label"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.operators.Similarity
 
+import graft.sources.Writers
+
 /** Executes SCALE.md's "cells can additionally be bucketed on disk"
   * claim: with the cell index AND a large query batch both stored
   * bucketed by cell, the candidate-generation join (the scale
@@ -24,9 +26,9 @@ class BucketedIvfSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
     val assign = Similarity.assignCells(e,
       Similarity.centroidArray(Similarity.trainCentroids(e)))
-    graft.sources.Writers.writeBucketed(assign, "cell", 4, "b_cells")
+    Writers.writeBucketed(assign, "cell", 4, "b_cells")
     // a query batch assigned to its probe cells, bucketed identically
-    graft.sources.Writers.writeBucketed(
+    Writers.writeBucketed(
       assign.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("ce").as("qe"),
           col("cn2").as("qn2"), col("cell")),

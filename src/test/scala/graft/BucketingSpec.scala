@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
+import graft.sources.Writers
+
 /** Co-located (bucketed) joins: the 100 TB answer to repeated
   * fact-fact joins on the same key. Writing both sides bucketed by the
   * join key lets Spark plan a SortMergeJoin with NO shuffle exchange on
@@ -22,8 +24,8 @@ class BucketingSpec extends SparkSpec {
     new Directory(new java.io.File("spark-warehouse/b_orders")).deleteRecursively()
     new Directory(new java.io.File("spark-warehouse/b_lineitem")).deleteRecursively()
     val d = "/root/testdata/sf0.001"
-    graft.sources.Writers.writeBucketed(Tables.orders(spark, d), "o_orderkey", 4, "b_orders")
-    graft.sources.Writers.writeBucketed(Tables.lineitem(spark, d), "l_orderkey", 4, "b_lineitem")
+    Writers.writeBucketed(Tables.orders(spark, d), "o_orderkey", 4, "b_orders")
+    Writers.writeBucketed(Tables.lineitem(spark, d), "l_orderkey", 4, "b_lineitem")
 
     // disable auto-broadcast: at real scale neither side of a
     // fact-fact join broadcasts; this test demonstrates the bucketed

@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
+import graft.sources.Writers
+
 /** Partition layout + pruning: the other half of the scan-reduction
   * story (predicate pushdown prunes row groups; partitioning prunes
   * whole directories before any I/O). The harness fixtures are single
@@ -17,7 +19,7 @@ class PartitionPruningSpec extends SparkSpec {
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     // filesPerDay=1: pin one file per partition dir, so numFiles == 1
     // below tests PRUNING, not the incidental input split count
-    graft.sources.Writers.writeDayPartitioned(
+    Writers.writeDayPartitioned(
       Tables.events(spark, "/root/testdata/sf0.001"), "ts", dir)
     try {
     val days = ev.select("day").distinct().count()
