@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.expressions.{FloatDot, FloatDotFixed}
+import graft.functions.expressions.{FloatDot, FloatDotFixed, SimHashAgg}
 
 /** SparkSessionExtensions entry point: registers this engine's custom
   * Catalyst expressions as SQL functions, so the SQL surface has the
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(FunctionRegistryHelper.floatDotDescriptor)
     ext.injectFunction(FunctionRegistryHelper.floatDotFixedDescriptor)
+    ext.injectFunction(FunctionRegistryHelper.simhashAggDescriptor)
   }
 }
 
@@ -38,6 +39,11 @@ private[graft] object FunctionRegistryHelper {
     FunctionIdentifier("float_dot_fixed"),
     new ExpressionInfo(classOf[FloatDotFixed].getName, "float_dot_fixed"),
     (exprs: Seq[Expression]) => FloatDotFixed(exprs(0), exprs(1)))
+
+  val simhashAggDescriptor: Desc = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    (exprs: Seq[Expression]) => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression())
 }
 
 object GraftExtensions {
@@ -47,5 +53,7 @@ object GraftExtensions {
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot_fixed", exprs => FloatDotFixed(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg", exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
   }
 }

@@ -17,6 +17,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dx") - 32.0) < 1e-9)
   }
 
+  test("simhash_agg callable from SQL and equals the DataFrame-side signature") {
+    GraftExtensions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    Tables.documents(spark, d).createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, simhash_agg(xxhash64(tok), 1L) AS sh FROM (
+        |  SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS tok
+        |  FROM ext_docs)
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = graft.operators.Dedup.simhashSignatures(Tables.documents(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == df && sql.nonEmpty)
+  }
+
   test("streaming dropDuplicates with watermark dedups replayed keys") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
