@@ -68,6 +68,7 @@ object SparkEntry {
     "q12_priority_ship" -> (Relational.q12PriorityShip _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
     "q_range_frame" -> (Relational.qRangeFrame _),
     "q_rank_stats" -> (Relational.qRankStats _),
     "q_first_nth" -> (Relational.qFirstNth _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.qFingerprint _),
     "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
     "q_doc_chunks" -> (TextAnalysis.qDocChunks _),
+    "q_seq_pack" -> (TextAnalysis.qSeqPack _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
@@ -511,6 +513,20 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -823,6 +839,24 @@ object SparkEntry {
          |  CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
          |  array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, CAST(floor((len(toks)-1)/40.0) AS INT))) AS chunk_id
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
+         |    CAST(strpos('0123456789abcdef',
+         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
+         |  FROM c),
+         |p AS (SELECT bucket, doc_id, n_tok,
+         |    COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM ch)
+         |SELECT bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin,
     "q_data_split" ->
       """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM (

@@ -27,21 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read it as raw nanos
-    * (legacy flag) and floor-convert to a microsecond timestamp —
-    * integer `div`, not `/`, because epoch-nanos (~1.7e18) exceed
-    * double's 2^53 exact-integer range. DuckDB truncates ns->us the
-    * same way, so oracle timestamps agree.
-    *
-    * Known trade-off: the legacy flag is session-global and set here
-    * as a side effect (it only changes how TIMESTAMP(NANOS) columns
-    * are read — no other harness table has one). It must live in the
-    * accessor because the driver's smoke test calls entry() with a
-    * session this library does not construct; restoring it after the
-    * (lazy) read would be unsound. */
+  /** ONE-TIME session initializer for reading parquet TIMESTAMP(NANOS)
+    * columns (only `events.ts` in this harness). Spark's vectorized
+    * reader rejects nanos timestamps outright; the legacy flag makes
+    * them readable as raw `long` nanos, which [[events]] then
+    * floor-converts to microseconds. The flag is session-scoped conf —
+    * calling this is an explicit, documented contract (it only changes
+    * how TIMESTAMP(NANOS) parquet columns decode; no other read is
+    * affected), idempotent per session, so a co-hosted library sharing
+    * the session sees one deliberate init rather than a repeated
+    * hidden side effect. It cannot be scoped tighter: the driver's
+    * smoke test calls entry() with a session this library does not
+    * construct, and un-setting after a *lazy* read would be unsound. */
+  def initTimestampNanosRead(s: SparkSession): Unit =
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS); see
+    * [[initTimestampNanosRead]]. Floor-convert raw nanos to a
+    * microsecond timestamp — integer `div`, not `/`, because
+    * epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
+    * DuckDB truncates ns->us the same way, so oracle timestamps agree. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    initTimestampNanosRead(s)
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -60,9 +60,13 @@ object Dedup {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
-  /** Exact all-pairs 3-gram Jaccard >= 0.5 — ground truth for the LSH
-    * path. The self-join key is the shingle string; document-frequency
-    * skew is the scale hazard (hence LSH below). */
+  /** Exact all-pairs 3-gram Jaccard >= 0.5 — GROUND-TRUTH-ONLY: the
+    * self-join key is the shingle string and document-frequency skew
+    * explodes it quadratically at scale. It exists solely as the small-
+    * scale oracle for the LSH path and MUST NOT become a dependency of
+    * any production query (PlanAuditSpec pins this: the only permitted
+    * callers are its own queries()/oracleSql registration; every
+    * pipeline consumer goes through [[lshPairs]]). */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     // the shingle set feeds three subtrees (self-join both sides +
     // sizes); Catalyst does not reuse the exchange across them

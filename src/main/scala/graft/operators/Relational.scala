@@ -727,6 +727,48 @@ object Relational {
         dayofweek(col("o_orderdate")).cast(LongType).as("dow"))
       .orderBy(col("o_orderkey"))
 
+  /** TPC-H Q21-style "suppliers who kept orders waiting": for finished
+    * orders, the lineitems of the ONLY late supplier in a multi-supplier
+    * order — a semi-join AND an anti-join against the SAME fact table
+    * with a correlated inequality (late = ship > order date + 60 days;
+    * the harness lineitem has no commit/receipt dates, reference
+    * semantics preserved via the order-date offset).
+    *
+    * Plan shape (the point of the exercise): both EXISTS and NOT EXISTS
+    * become hash joins — lineitem⨝orders once to tag lateness, then
+    * left-semi (some other supplier in the order) and left-anti (no
+    * OTHER late supplier in the order) on l_orderkey with the
+    * suppkey-inequality as the join residual. No per-row subquery, no
+    * cartesian; the supplier dim broadcasts. PlanAuditSpec pins the
+    * no-cartesian property; the semi/anti pair shuffles the fact on
+    * l_orderkey once each — at 100 TB both reuse the same hash
+    * partitioning and the late set is already a tiny fraction. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val allLines = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOther = late.select(
+      col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(allLines, // EXISTS: another supplier contributed to the order
+        col("o2_orderkey") === col("l_orderkey") &&
+        col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOther, // NOT EXISTS: no OTHER supplier was also late
+        col("o3_orderkey") === col("l_orderkey") &&
+        col("o3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

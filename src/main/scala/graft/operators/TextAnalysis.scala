@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -153,6 +154,36 @@ object TextAnalysis {
           col("chunk_id") * ChunkStride + 1, lit(ChunkTokens)), " ")
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  val PackBudget = 512 // tokens per packed training row
+
+  /** Sequence packing: assemble the chunk stream ([[qDocChunks]]) into
+    * fixed token-budget training rows. A chunk joins the pack its
+    * cumulative starting offset falls in (`floor(cumsum_before /
+    * budget)`) — deterministic, order-based, every chunk in exactly
+    * one pack (PropertySpec pins conservation + the budget bound).
+    *
+    * Scale shape: greedy packing is order-dependent, and ONE global
+    * ORDER BY window would serialize on a single partition. Instead
+    * the cumsum window is PARTITIONED by the same deterministic md5
+    * bucket [[qDataSplit]] uses (16 independent streams; packs never
+    * cross buckets), so packing parallelizes and stays reproducible
+    * at any cluster size — at 100 TB, raise the bucket count, nothing
+    * else changes. */
+  def qSeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
+    qDocChunks(s, d)
+      .withColumn("bucket",
+        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", (col("cum_before") / PackBudget).cast(LongType))
+      .groupBy(col("bucket").cast(LongType).as("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"), col("pack_id"))
+  }
 
   /** Deterministic train/val/test assignment: bucket 0-15 from the
     * first hex digit of md5(doc_id) — stable across engines, runs,

@@ -21,4 +21,28 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(violations.isEmpty, violations.mkString("\n"))
   }
+
+  test("qNgramJaccard stays ground-truth-only (no production caller)") {
+    // The exact all-pairs Jaccard is the oracle's ground truth for the
+    // LSH path; its join is quadratic in shingle document-frequency, so
+    // a production query must never depend on it. Source-level guard:
+    // the symbol may appear only at its definition (Dedup.scala) and
+    // its own queries-map registration (SparkEntry.scala).
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.getFileName.toString == "Dedup.scala" ||
+        p.getFileName.toString == "SparkEntry.scala")
+      .filter(p => new String(Files.readAllBytes(p)).contains("qNgramJaccard"))
+      .toList
+    assert(offenders.isEmpty,
+      s"qNgramJaccard referenced outside its definition/registration: $offenders")
+    // and within SparkEntry, only the single registration line
+    val entry = new String(Files.readAllBytes(
+      Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    assert(entry.linesIterator.count(_.contains("qNgramJaccard")) == 1,
+      "qNgramJaccard must appear exactly once in SparkEntry (its registration)")
+  }
 }

@@ -76,4 +76,20 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sequence packing conserves chunks and tokens, packs stay bounded") {
+    import graft.operators.TextAnalysis
+    val d = "/root/testdata/sf0.001"
+    val chunks = TextAnalysis.qDocChunks(spark, d)
+      .agg(count(lit(1)), sum(col("n_tok"))).collect().head
+    val packs = TextAnalysis.qSeqPack(spark, d)
+    val totals = packs.agg(sum(col("n_chunks")), sum(col("n_tokens"))).collect().head
+    // every chunk lands in exactly one pack; no token created or lost
+    assert(totals.getLong(0) == chunks.getLong(0))
+    assert(totals.getLong(1) == chunks.getLong(1))
+    // a pack can only overflow by the chunk that straddles its boundary
+    val maxTok = packs.agg(max(col("n_tokens"))).collect().head.getLong(0)
+    assert(maxTok < TextAnalysis.PackBudget + TextAnalysis.ChunkTokens,
+      s"pack exceeded budget+chunk bound: $maxTok")
+  }
 }
