@@ -160,25 +160,21 @@ object SparkEntry {
        |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
        |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
 
-  /** CcRounds of min-label propagation (mirrors
-    * Dedup.connectedComponents) over any (doc_a, doc_b) pair query. */
-  private def ccSql(pairsSql: String, outId: String): String = {
-    val k = graft.operators.Dedup.CcRounds
-    val rounds = (1 to k).map { i =>
-      s"""l$i AS (SELECT v, min(lbl) AS lbl FROM (
-         |    SELECT v, lbl FROM l${i - 1}
-         |    UNION ALL
-         |    SELECT e.a AS v, l.lbl FROM ed e JOIN l${i - 1} l ON e.b = l.v)
-         |  GROUP BY v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pr AS ($pairsSql),
+  /** Exact connected components (mirrors Dedup.connectedComponents'
+    * fixpoint) over any (doc_a, doc_b) pair query: recursive
+    * reachability closure, cluster id = min reachable vertex (incl.
+    * self). Diameter-independent, like the Spark side's convergent
+    * propagation — the UNION dedup bounds the recursion. */
+  private def ccSql(pairsSql: String, outId: String): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
        |       UNION ALL SELECT doc_b, doc_a FROM pr),
-       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ed),
-       |$rounds
-       |SELECT v AS $outId, lbl AS cluster_id
-       |FROM l$k ORDER BY $outId""".stripMargin
-  }
+       |reach(v, u) AS (
+       |  SELECT a, a FROM ed
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a)
+       |SELECT v AS $outId, min(u) AS cluster_id
+       |FROM reach GROUP BY v ORDER BY $outId""".stripMargin
 
   private val knnBruteSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
@@ -827,8 +823,9 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc
          |FROM embeddings e JOIN pred p ON e.vec_id = p.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // same CcRounds of min-label propagation as Dedup.qDedupClusters,
-    // over the exact-Jaccard pair set (≡ LSH pairs at these params)
+    // same exact components as Dedup.qDedupClusters (recursive
+    // closure), over the exact-Jaccard pair set (≡ LSH pairs at these
+    // params)
     "q_dedup_clusters" -> ccSql(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id"),
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),

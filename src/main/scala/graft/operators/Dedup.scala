@@ -169,22 +169,16 @@ object Dedup {
       StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
   }
 
-  val CcRounds = 4
-
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard
-    * pair graph via CcRounds of min-label propagation — the step that
-    * makes near-dedup transitively correct (A~B, B~C must collapse to
-    * ONE representative even when A~C was never compared; pairwise
-    * loser-dropping can't see that). Pure DataFrame ops: per round one
-    * join (neighbor labels) + one min-aggregation; labels after K
-    * rounds are exact for components of diameter <= K (near-dup
-    * clusters are shallow; at scale either raise K or switch the
-    * propagation to the doubling variant — same two primitives).
+    * pair graph — the step that makes near-dedup transitively correct
+    * (A~B, B~C must collapse to ONE representative even when A~C was
+    * never compared; pairwise loser-dropping can't see that).
     * Pairs come from the LSH path (the 100 TB candidate generator);
-    * the oracle runs the identical K rounds over the exact-Jaccard
-    * pair set (LSH ≡ exact at these parameters). */
+    * the oracle computes the same exact components via a recursive
+    * reachability closure over the exact-Jaccard pair set (LSH ≡ exact
+    * at these parameters). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(lshPairs(s, d), CcRounds)
+    connectedComponents(lshPairs(s, d))
       .orderBy(col("doc_id"))
 
   /** SEMANTIC dedup clusters: the same component construction over the
@@ -193,26 +187,60 @@ object Dedup {
     * lexical qDedupClusters; a training pipeline typically runs both). */
   def qEmbedClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(
-      qEmbedNearDup(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")),
-      CcRounds)
+      qEmbedNearDup(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
-  /** Min-label propagation over an undirected (doc_a, doc_b) pair set;
-    * exact for components of diameter <= rounds. */
-  private[graft] def connectedComponents(pairDf: DataFrame, rounds: Int): DataFrame = {
+  /** Exact connected components over an undirected (doc_a, doc_b) pair
+    * set: alternating min-label edge-propagation and pointer-jumping
+    * (label doubling — l(v) := min(l(v), l(l(v)))) until a detected
+    * fixpoint. The jump step doubles the distance a label travels per
+    * round, so convergence takes O(log diameter) rounds instead of
+    * O(diameter) — a 64-hop dup chain collapses in ~7 rounds
+    * (DedupSpec pins this). Labels only ever decrease, so the label
+    * sum is strictly monotone until the fixpoint — an unchanged sum IS
+    * pointwise convergence, which makes the stopping test one tiny
+    * aggregate per round (a bounded driver scalar, not a collect of
+    * rows). At the fixpoint every edge joins equal labels, so the
+    * label is exactly min(vertex id) per component — no diameter
+    * assumption anywhere, unlike a fixed-K unroll. */
+  private[graft] def connectedComponents(
+      pairDf: DataFrame, maxRounds: Int = 16): DataFrame = {
     val pairs = pairDf.localCheckpoint(false) // feeds edges twice + the label loop
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(false)
     var labels = edges.select(col("doc_a").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 1 to rounds) {
-      val nbr = edges.join(labels, edges("doc_b") === labels("v"))
-        .select(edges("doc_a").as("v"), col("lbl"))
-      labels = labels.union(nbr)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint(false)
+    var prevSum = Option.empty[Long]
+    var round = 0
+    while (round < maxRounds) {
+      // min over neighbors' labels, folded into the own label with a
+      // join + least rather than union + groupBy: Spark 4.1's Union
+      // constraint rewrite trips over join-derived constraints in a
+      // self-referential union (key-not-found during optimization);
+      // the join formulation is equivalent and one fewer exchange
+      val nbrMin = edges.as("e").join(labels.as("l"), col("e.doc_b") === col("l.v"))
+        .groupBy(col("e.doc_a").as("v")).agg(min(col("l.lbl")).as("nlbl"))
+      val prop = labels.as("a")
+        .join(nbrMin.as("b"), col("a.v") === col("b.v"), "left")
+        .select(col("a.v").as("v"),
+          least(col("a.lbl"), coalesce(col("b.nlbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(false)
+      val jumped = prop.as("p1")
+        .join(prop.as("p2"), col("p1.lbl") === col("p2.v"), "left")
+        .select(col("p1.v").as("v"),
+          least(col("p1.lbl"), coalesce(col("p2.lbl"), col("p1.lbl"))).as("lbl"))
+        .localCheckpoint(false)
+      labels = jumped
+      round += 1
+      val s = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      if (prevSum.contains(s)) round = maxRounds + 1 // converged
+      prevSum = Some(s)
     }
+    require(round > maxRounds,
+      s"connected components did not converge in $maxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

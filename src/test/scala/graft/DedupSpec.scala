@@ -62,9 +62,23 @@ class DedupSpec extends SparkSpec {
     // would never relate 1 and 4 — the component must
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, Dedup.CcRounds)
+    val got = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components converge on a 64-hop dup chain") {
+    import spark.implicits._
+    // a pathological long chain (diameter 64) that a fixed-K unroll
+    // under-merges; pointer-jumping must collapse it to ONE cluster
+    // within the O(log diameter) round budget. Reversed edge order and
+    // a high-id island guard against order luck.
+    val chain = (1 to 64).map(i => (i + 1L, i.toLong)).reverse
+    val pairs = (chain :+ (900L, 901L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 65).forall(i => got(i.toLong) == 1L))
+    assert(got(900L) == 900L && got(901L) == 900L)
   }
 
   test("simhash of identical docs is identical; near-dup within small hamming") {
