@@ -61,6 +61,7 @@ object SparkEntry {
     "q_price_band_join" -> (RangeJoin.qPriceBandJoin _),
     "q_skew_join" -> (SkewJoin.qSkewJoin _),
     "q_interval_join" -> (IntervalJoin.qIntervalJoin _),
+    "q_interval_join_outer" -> (IntervalJoin.qIntervalJoinOuter _),
     "q_approx_quantile" -> (Relational.qApproxQuantile _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -660,6 +661,15 @@ object SparkEntry {
         |FROM events c JOIN events p
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_interval_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
         |ORDER BY click_id, purchase_id""".stripMargin,
     "q7_volume_shipping" ->

@@ -25,7 +25,18 @@ import graft.Tables
 object IntervalJoin {
 
   /** Generic interval join; works unchanged on batch frames and on
-    * watermarked streaming frames. */
+    * watermarked streaming frames.
+    *
+    * `joinType` extends the same shape to LEFT OUTER semantics: a left
+    * row with no right match within the interval emits once with null
+    * right columns. On streams that emission is watermark-driven —
+    * Spark holds the left row in state until the watermark passes
+    * `leftTs + maxDelay` (no match can still arrive), then emits the
+    * null-padded row exactly once and evicts the state
+    * (StreamStreamJoinSpec pins the exactly-once emission). This is
+    * the real-pipeline default path: a click with no purchase must
+    * still be attributed, just as the reference's enrichment emits
+    * unmatched facts with a default (DataClean.java:81). */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -33,7 +44,8 @@ object IntervalJoin {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      maxDelaySeconds: Int): DataFrame = {
+      maxDelaySeconds: Int,
+      joinType: String = "inner"): DataFrame = {
     // internal aliases: the natural call passes the same key/ts names
     // on both frames — often carved from the SAME source, where even
     // dataset-apply disambiguation collapses to a trivially-true
@@ -45,7 +57,8 @@ object IntervalJoin {
     l.join(r,
       lk === rk &&
       rt >= lt &&
-      rt <= lt + expr(s"interval $maxDelaySeconds seconds"))
+      rt <= lt + expr(s"interval $maxDelaySeconds seconds"),
+      joinType)
   }
 
   /** Batch attribution: purchases within 600 s of a click by the same
@@ -59,6 +72,24 @@ object IntervalJoin {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
     intervalJoin(clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts", 600)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** Batch analog of the LEFT OUTER variant: every click appears —
+    * attributed within 600 s where a purchase exists, null-padded
+    * otherwise. Same plan as the inner form (hash join on user, range
+    * residual); the outer side only changes null handling. */
+  def qIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    intervalJoin(clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts", 600,
+        "left_outer")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
       .orderBy(col("click_id"), col("purchase_id"))

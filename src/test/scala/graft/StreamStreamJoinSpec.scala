@@ -46,4 +46,49 @@ class StreamStreamJoinSpec extends SparkSpec {
 
     assert(got.toSeq == Seq((1L, "2018-01-01 10:00:00.0", "2018-01-01 10:00:30.0")))
   }
+
+  test("left-outer interval join emits unmatched rows once on watermark passage") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      df.select(col("_1").as(s"${prefix}_id"),
+          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 seconds")
+    val joined = graft.operators.IntervalJoin.intervalJoin(
+      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
+      "imp_id", "clk_id", "imp_ts", "clk_ts", 60, "left_outer")
+    val got = ArrayBuffer[(Long, Option[Long])]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (r.getAs[Long]("imp_id"),
+            Option(r.getAs[Any]("clk_id")).map(_.asInstanceOf[Long])))
+        }
+        ()
+      }.start()
+
+    // imp 1 gets a click inside the 60s window; imp 2 never matches
+    impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
+    clicks.addData((1L, "2018-01-01 10:00:30"))
+    q.processAllAvailable()
+    // the unmatched row must NOT emit while a match could still arrive
+    assert(!got.synchronized(got.exists(_._1 == 2L)), "emitted before watermark")
+    // advance BOTH watermarks past imp_ts + 60s + 30s delay; the
+    // null-padded row for imp 2 then emits exactly once (extra batches
+    // must not re-emit it — state was evicted)
+    impressions.addData((90L, "2018-01-01 10:30:00"))
+    clicks.addData((91L, "2018-01-01 10:30:00"))
+    q.processAllAvailable()
+    impressions.addData((92L, "2018-01-01 10:31:00"))
+    clicks.addData((93L, "2018-01-01 10:31:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val unmatched = got.synchronized(got.filter(_._1 == 2L).toList)
+    assert(unmatched == List((2L, None)),
+      s"expected exactly one null-padded emission, got $unmatched; all=$got")
+    assert(got.synchronized(got.toList).contains((1L, Some(1L))))
+  }
 }
