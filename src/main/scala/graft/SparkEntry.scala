@@ -94,6 +94,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
+    "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     // --- similarity search ---
@@ -158,6 +159,43 @@ object SparkEntry {
        |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
        |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
        |  FROM z GROUP BY va, vb)
+       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
+
+  /** The SRP weight matrix as a DuckDB list-of-lists literal — the
+    * SAME `java.util.Random(7)` draws the Spark expression bakes into
+    * codegen (graft.functions.expressions.SrpLsh), so signatures are
+    * bit-identical across engines by construction. */
+  private def srpWeightsSqlLiteral: String = {
+    import graft.functions.expressions.SrpLsh
+    val w = SrpLsh.flatWeights
+    (0 until SrpLsh.Bits).map { j =>
+      (0 until SrpLsh.Dim).map(p => w(j * SrpLsh.Dim + p)).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+  }
+
+  /** Full SRP-LSH mirror: fixed-point projections -> sign bits -> 4-bit
+    * bands -> bucket self-join -> exact-cosine verify on candidates —
+    * the same stages as Dedup.qEmbedNearDupLsh. */
+  private def srpNearDupLshSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+       |$veSql,
+       |s AS (SELECT ve.vec_id, js.j,
+       |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
+       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, 159)) AS j) js
+       |  GROUP BY 1, 2),
+       |bands AS (SELECT vec_id, j // 4 AS band_id,
+       |    sum(CASE WHEN s >= 0 THEN 1 << (j % 4) ELSE 0 END) AS band_val
+       |  FROM s GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |    AND a.vec_id < b.vec_id),
+       |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
+       |    unnest(list_zip(an.embedding, bn.embedding)) AS z
+       |  FROM cand c JOIN n an ON c.va = an.vec_id JOIN n bn ON c.vb = bn.vec_id),
+       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+       |  FROM cz GROUP BY va, vb)
        |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
        |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
 
@@ -802,6 +840,7 @@ object SparkEntry {
     // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
     "q_minhash_lsh" -> jaccardSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_knn_brute" -> knnBruteSql,

@@ -1,0 +1,104 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Sign-random-projection (SRP) LSH banding parameters + the shared
+  * deterministic weight matrix.
+  *
+  * Weights are Rademacher (+1/-1) draws from `java.util.Random(7)` —
+  * the JDK generator's algorithm is fixed by its specification, so the
+  * matrix is identical on every JVM, and the DuckDB oracle inlines the
+  * SAME matrix as a SQL literal (generated from this object), making
+  * signatures bit-identical across engines by construction. The sums
+  * use the library's usual 1e6 fixed-point quantization, so the SIGN
+  * of each projection (all that SRP keeps) is exact in both engines.
+  *
+  * Parameter choice (measured on the harness embeddings, see
+  * `Dedup.qEmbedNearDupLsh` for the honest scale discussion):
+  * 160 projections in 40 bands of 4 bits give full recall at
+  * cosine >= 0.4 on sf0.001/0.01/0.1.
+  */
+object SrpLsh {
+  val Bits = 160          // projections (signature bits) per vector
+  val BandBits = 4        // bits per band
+  val Bands: Int = Bits / BandBits
+  val Dim = 64            // harness embedding dimensionality
+  val Seed = 7L
+
+  /** Flat row-major weight matrix: w(j, pos) = flat(j * Dim + pos). */
+  lazy val flatWeights: Array[Long] = {
+    val rng = new java.util.Random(Seed)
+    Array.fill(Bits * Dim)(if (rng.nextBoolean()) 1L else -1L)
+  }
+}
+
+/** Catalyst expression: ARRAY<FLOAT> embedding -> ARRAY<INT> of
+  * [[SrpLsh.Bands]] band values, each packing [[SrpLsh.BandBits]]
+  * projection sign bits (bit k of band b = sign of projection
+  * b*BandBits+k). One codegen'd primitive loop per row — the
+  * signature never leaves whole-stage codegen, and per-vector output
+  * is 40 ints regardless of dimensionality (the property that makes
+  * the candidate generator's shuffle O(n), not O(n*dim)). */
+case class SrpBands(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "srp_bands"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(SrpLsh.Dim, x.numElements())
+    val w = SrpLsh.flatWeights
+    val bands = new Array[Int](SrpLsh.Bands)
+    var j = 0
+    while (j < SrpLsh.Bits) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val q = java.lang.Math.floor(x.getFloat(i).toDouble * 1.0e6 + 0.5).toLong
+        s += w(j * SrpLsh.Dim + i) * q
+        i += 1
+      }
+      if (s >= 0L) bands(j / SrpLsh.BandBits) |= 1 << (j % SrpLsh.BandBits)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("srpWeights", SrpLsh.flatWeights, "long[]")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val bands = ctx.freshName("bands")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements() < ${SrpLsh.Dim} ? $a.numElements() : ${SrpLsh.Dim};
+         |long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $q[$i] = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1.0e6 + 0.5);
+         |}
+         |int[] $bands = new int[${SrpLsh.Bands}];
+         |for (int $j = 0; $j < ${SrpLsh.Bits}; $j++) {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $w[$j * ${SrpLsh.Dim} + $i] * $q[$i];
+         |  }
+         |  if ($s >= 0L) $bands[$j / ${SrpLsh.BandBits}] |= 1 << ($j % ${SrpLsh.BandBits});
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bands);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SrpBands {
+  def srp_bands(e: Column): Column = Bridge.column(SrpBands(Bridge.expression(e)))
+}

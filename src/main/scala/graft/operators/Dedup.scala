@@ -184,10 +184,14 @@ object Dedup {
   /** SEMANTIC dedup clusters: the same component construction over the
     * embedding-cosine near-dup graph — text-dissimilar but
     * meaning-similar documents collapse together (the companion of the
-    * lexical qDedupClusters; a training pipeline typically runs both). */
+    * lexical qDedupClusters; a training pipeline typically runs both).
+    * Pairs come from the bucketed SRP-LSH path via the memoized
+    * [[srpPairs]] index (full recall at these parameters, so the
+    * oracle's exact-pair closure still matches), mirroring how
+    * qDedupClusters consumes [[lshPairs]]. */
   def qEmbedClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(
-      qEmbedNearDup(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
+      srpPairs(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
@@ -338,5 +342,68 @@ object Dedup {
       .filter(col("cosine") >= CosineThreshold)
       .select(col("va"), col("vb"), col("cosine"))
       .orderBy(col("va"), col("vb"))
+  }
+
+  /** BUCKETED embedding near-dup: sign-random-projection (SRP) LSH —
+    * 160 deterministic Rademacher projections per vector (one codegen
+    * pass, [[graft.functions.expressions.SrpBands]]), banded into 40 x
+    * 4-bit buckets, candidates from the band-bucket self-join, then
+    * the SAME exact-cosine verification as [[qEmbedNearDup]] on the
+    * candidate set only. Structurally the embedding twin of
+    * [[qMinhashLsh]]: shuffle is O(n·bands) band rows, never vectors
+    * against vectors, so the all-pairs theta join disappears from the
+    * plan (SrpLshSpec pins no-nested-loop + equality with the exact
+    * path).
+    *
+    * The honest scale math (measured, not assumed): at the harness
+    * threshold 0.4 — barely 3 sigma above the random-cosine background
+    * for isotropic 64-d vectors (per-bit collision probability
+    * 1 - acos(0.4)/pi ~ 0.63) — banding permissive enough for full
+    * recall admits ~2.6x all-pairs candidates, so LSH cannot PRUNE
+    * this particular corpus; no blocking scheme can (the qualifying
+    * pairs are geometrically indistinguishable from the background).
+    * Its value is the SHAPE: candidate volume tracks bucket
+    * co-occupancy, so on a real near-dup corpus (clustered, threshold
+    * >= 0.7, per-bit p >= 0.75) the same code prunes super-linearly
+    * while the theta join stays O(n^2) regardless of data. The scaling
+    * record in BENCH captures both curves. */
+  def qEmbedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.SrpBands.srp_bands
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
+      .localCheckpoint(false) // feeds bands + both verify sides
+    val bands = e.select(col("vec_id"),
+      posexplode(srp_bands(col("embedding"))).as(Seq("band_id", "band_val")))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    candidates
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb")
+      .withColumn("cos_fast",
+        cosineFromParts(dot(col("ea"), col("eb")), col("n2a"), col("n2b")))
+      .filter(col("cos_fast") >= CosineThreshold - 1e-6)
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("ea"), col("eb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("va"), col("vb"), col("cosine"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** Memoized SRP near-dup pair index — the semantic twin of
+    * [[lshPairs]]: downstream cluster building reuses one build of the
+    * tiny verified pair list; q_embed_neardup_lsh itself is always the
+    * measured builder. */
+  private val srpPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private[graft] def srpPairs(s: SparkSession, d: String): DataFrame = {
+    val rows = srpPairCache.computeIfAbsent(d, _ =>
+      qEmbedNearDupLsh(s, d).select(col("va"), col("vb")).collect())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("va", LongType), StructField("vb", LongType))))
   }
 }
