@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.expressions.{FloatDot, FloatDotFixed, SimHashAgg}
+import graft.functions.expressions.{FloatDot, FloatDotFixed, SimHashAgg, SrpBands}
 
 /** SparkSessionExtensions entry point: registers this engine's custom
   * Catalyst expressions as SQL functions, so the SQL surface has the
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(FunctionRegistryHelper.floatDotDescriptor)
     ext.injectFunction(FunctionRegistryHelper.floatDotFixedDescriptor)
     ext.injectFunction(FunctionRegistryHelper.simhashAggDescriptor)
+    ext.injectFunction(FunctionRegistryHelper.srpBandsDescriptor)
   }
 }
 
@@ -44,6 +45,11 @@ private[graft] object FunctionRegistryHelper {
     FunctionIdentifier("simhash_agg"),
     new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
     (exprs: Seq[Expression]) => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression())
+
+  val srpBandsDescriptor: Desc = (
+    FunctionIdentifier("srp_bands"),
+    new ExpressionInfo(classOf[SrpBands].getName, "srp_bands"),
+    (exprs: Seq[Expression]) => SrpBands(exprs(0)))
 }
 
 object GraftExtensions {
@@ -55,5 +61,7 @@ object GraftExtensions {
       "float_dot_fixed", exprs => FloatDotFixed(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", exprs => SimHashAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_bands", exprs => SrpBands(exprs(0)), "built-in")
   }
 }

@@ -85,6 +85,8 @@ object SparkEntry {
     "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
     "q_doc_chunks" -> (TextAnalysis.qDocChunks _),
     "q_seq_pack" -> (TextAnalysis.qSeqPack _),
+    "q_repetition" -> (TextAnalysis.qRepetition _),
+    "q_contamination" -> (TextAnalysis.qContamination _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
@@ -885,6 +887,39 @@ object SparkEntry {
          |  CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
          |  array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_repetition" ->
+      s"""SELECT doc_id, n_shingles, n_distinct,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_shingles AS rep_ratio
+         |FROM (
+         |  SELECT doc_id, CAST(len(toks)-2 AS BIGINT) AS n_shingles,
+         |    CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+         |  WHERE len(toks) >= 3)
+         |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH ds AS (SELECT doc_id, text,
+         |    CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |      strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+         |    FROM documents)),
+         |sh AS (SELECT DISTINCT doc_id, split, shingle FROM (
+         |  SELECT doc_id, split, unnest(list_transform(generate_series(1, len(toks)-4),
+         |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS shingle
+         |  FROM (SELECT doc_id, split, $tokSql AS toks FROM ds)
+         |  WHERE len(toks) >= 5)),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+         |ev AS (SELECT doc_id, split, count(*) AS n_shingles
+         |       FROM sh WHERE split <> 'train' GROUP BY 1, 2),
+         |ht AS (SELECT s.doc_id, count(*) AS n_hit
+         |       FROM sh s JOIN tr ON s.shingle = tr.shingle
+         |       WHERE s.split <> 'train' GROUP BY 1)
+         |SELECT ev.doc_id, ev.split, ev.n_shingles,
+         |  COALESCE(ht.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ev.n_shingles AS contam_ratio
+         |FROM ev LEFT JOIN ht ON ev.doc_id = ht.doc_id
+         |ORDER BY ev.doc_id""".stripMargin,
     "q_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

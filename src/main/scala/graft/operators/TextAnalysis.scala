@@ -155,6 +155,58 @@ object TextAnalysis {
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Intra-document repetition score — the Gopher/C4-style quality
+    * signal that catches boilerplate and degenerate generations:
+    * 1 - distinct/total word-3-grams per doc. Entirely map-side
+    * (array_distinct over the in-row shingle array, no explode, no
+    * shuffle except the presentation sort) — the cheapest possible
+    * shape, it pipelines inside the scan at any scale. */
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        (size(col("toks")) - 2).cast(LongType).as("n_shingles"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+          .cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val ContamNgram = 5
+
+  /** Train/eval contamination check — the decontamination step every
+    * serious pipeline runs before evaluating: for each val/test
+    * document (per the [[qDataSplit]] buckets), the fraction of its
+    * distinct word-5-grams that appear in ANY train document. The
+    * match is a left-semi join on the shingle — shuffle keys are
+    * n-gram strings exactly as in the MinHash pipeline, so the shape
+    * holds at 100 TB (and the train side can be pre-bucketed by
+    * shingle hash to make repeat scans co-located). Zero-hit docs stay
+    * in the output (left join + coalesce), since "no contamination" is
+    * the result that matters. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val withSplit = Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      .withColumn("split",
+        when(col("bucket") < 13, "train").when(col("bucket") < 15, "val").otherwise("test"))
+    val sh = shingles(withSplit, "doc_id", "text", ContamNgram)
+      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
+    val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
+    val evalSh = sh.filter(col("split") =!= "train")
+    val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    evalSh.groupBy(col("doc_id"), col("split")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_ratio",
+        col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   val PackBudget = 512 // tokens per packed training row
 
   /** Sequence packing: assemble the chunk stream ([[qDocChunks]]) into

@@ -32,6 +32,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql == df && sql.nonEmpty)
   }
 
+  test("srp_bands callable from SQL and equals the DataFrame-side signature") {
+    GraftExtensions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    Tables.embeddings(spark, d).createOrReplaceTempView("ext_embs")
+    val sql = spark.sql(
+      "SELECT vec_id, srp_bands(embedding) AS bands FROM ext_embs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    import graft.functions.expressions.SrpBands.srp_bands
+    val df = Tables.embeddings(spark, d)
+      .select(col("vec_id"), srp_bands(col("embedding")).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sql == df && sql.nonEmpty)
+  }
+
   test("streaming dropDuplicates with watermark dedups replayed keys") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
