@@ -184,10 +184,10 @@ object SparkEntry {
        |$veSql,
        |s AS (SELECT ve.vec_id, js.j,
        |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
-       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, 159)) AS j) js
+       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${graft.functions.expressions.SrpLsh.Bits - 1})) AS j) js
        |  GROUP BY 1, 2),
-       |bands AS (SELECT vec_id, j // 4 AS band_id,
-       |    sum(CASE WHEN s >= 0 THEN 1 << (j % 4) ELSE 0 END) AS band_val
+       |bands AS (SELECT vec_id, j // ${graft.functions.expressions.SrpLsh.BandBits} AS band_id,
+       |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${graft.functions.expressions.SrpLsh.BandBits}) ELSE 0 END) AS band_val
        |  FROM s GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val

@@ -53,16 +53,18 @@ case class SrpBands(child: Expression) extends UnaryExpression {
     val x = input.asInstanceOf[ArrayData]
     val n = math.min(SrpLsh.Dim, x.numElements())
     val w = SrpLsh.flatWeights
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = java.lang.Math.floor(x.getFloat(i).toDouble * 1.0e6 + 0.5).toLong
+      i += 1
+    }
     val bands = new Array[Int](SrpLsh.Bands)
     var j = 0
     while (j < SrpLsh.Bits) {
       var s = 0L
-      var i = 0
-      while (i < n) {
-        val q = java.lang.Math.floor(x.getFloat(i).toDouble * 1.0e6 + 0.5).toLong
-        s += w(j * SrpLsh.Dim + i) * q
-        i += 1
-      }
+      i = 0
+      while (i < n) { s += w(j * SrpLsh.Dim + i) * q(i); i += 1 }
       if (s >= 0L) bands(j / SrpLsh.BandBits) |= 1 << (j % SrpLsh.BandBits)
       j += 1
     }

@@ -207,7 +207,11 @@ object Dedup {
     * aggregate per round (a bounded driver scalar, not a collect of
     * rows). At the fixpoint every edge joins equal labels, so the
     * label is exactly min(vertex id) per component — no diameter
-    * assumption anywhere, unlike a fixed-K unroll. */
+    * assumption anywhere, unlike a fixed-K unroll. The sum accumulates
+    * as DECIMAL(38,0), not long: with billions of vertices carrying
+    * 64-bit ids a long sum can wrap, and a wrapped-equal sum would
+    * read as a false fixpoint — exactness of the stopping test must
+    * not depend on corpus size. */
   private[graft] def connectedComponents(
       pairDf: DataFrame, maxRounds: Int = 16): DataFrame = {
     val pairs = pairDf.localCheckpoint(false) // feeds edges twice + the label loop
@@ -217,7 +221,7 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(false)
-    var prevSum = Option.empty[Long]
+    var prevSum = Option.empty[java.math.BigDecimal]
     var round = 0
     while (round < maxRounds) {
       // min over neighbors' labels, folded into the own label with a
@@ -239,8 +243,11 @@ object Dedup {
         .localCheckpoint(false)
       labels = jumped
       round += 1
-      val s = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-      if (prevSum.contains(s)) round = maxRounds + 1 // converged
+      val s = labels
+        .agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      if (prevSum.exists(_.compareTo(s) == 0)) round = maxRounds + 1 // converged
       prevSum = Some(s)
     }
     require(round > maxRounds,
@@ -328,12 +335,13 @@ object Dedup {
     * the survivors for the final threshold and output values — bit-
     * identical to the oracle. The all-pairs join is the small-scale
     * path; Similarity.qKnnIvf holds the bucketed scale path. */
-  def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b"))
-    a.join(b, col("va") < col("vb"))
+  /** Shared verify tail for both embedding near-dup paths: cheap
+    * double-cosine prefilter at threshold - 1e-6, decimal-exact cosine
+    * at the threshold for output values — on (va, vb, ea, eb, n2a,
+    * n2b) pair rows, whatever generated them. One definition so the
+    * exact and LSH paths cannot drift (SrpLshSpec pins equality). */
+  private def cosineVerify(pairRows: DataFrame): DataFrame =
+    pairRows
       .withColumn("cos_fast",
         cosineFromParts(dot(col("ea"), col("eb")), col("n2a"), col("n2b")))
       .filter(col("cos_fast") >= CosineThreshold - 1e-6)
@@ -342,6 +350,13 @@ object Dedup {
       .filter(col("cosine") >= CosineThreshold)
       .select(col("va"), col("vb"), col("cosine"))
       .orderBy(col("va"), col("vb"))
+
+  def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b"))
+    cosineVerify(a.join(b, col("va") < col("vb")))
   }
 
   /** BUCKETED embedding near-dup: sign-random-projection (SRP) LSH —
@@ -380,17 +395,9 @@ object Dedup {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    candidates
+    cosineVerify(candidates
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb")
-      .withColumn("cos_fast",
-        cosineFromParts(dot(col("ea"), col("eb")), col("n2a"), col("n2b")))
-      .filter(col("cos_fast") >= CosineThreshold - 1e-6)
-      .withColumn("cosine",
-        cosineFromParts(dotExact(col("ea"), col("eb")), col("n2a"), col("n2b")))
-      .filter(col("cosine") >= CosineThreshold)
-      .select(col("va"), col("vb"), col("cosine"))
-      .orderBy(col("va"), col("vb"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"))
   }
 
   /** Memoized SRP near-dup pair index — the semantic twin of

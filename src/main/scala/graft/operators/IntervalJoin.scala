@@ -61,27 +61,11 @@ object IntervalJoin {
       joinType)
   }
 
-  /** Batch attribution: purchases within 600 s of a click by the same
-    * user. Gap reported in exact epoch microseconds so the value is
+  /** Shared click→purchase attribution shape for the batch analogs;
+    * only the join type differs between the two query surfaces. Gap
+    * reported in exact epoch microseconds so the value is
     * engine-portable (no double arithmetic). */
-  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"))
-    intervalJoin(clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts", 600)
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
-      .orderBy(col("click_id"), col("purchase_id"))
-  }
-
-  /** Batch analog of the LEFT OUTER variant: every click appears —
-    * attributed within 600 s where a purchase exists, null-padded
-    * otherwise. Same plan as the inner form (hash join on user, range
-    * residual); the outer side only changes null handling. */
-  def qIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+  private def attribution(s: SparkSession, d: String, joinType: String): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -89,9 +73,21 @@ object IntervalJoin {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
     intervalJoin(clicks, purchases, "user_id", "p_user", "click_ts", "purchase_ts", 600,
-        "left_outer")
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
       .orderBy(col("click_id"), col("purchase_id"))
   }
+
+  /** Batch attribution: purchases within 600 s of a click by the same
+    * user. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame =
+    attribution(s, d, "inner")
+
+  /** Batch analog of the LEFT OUTER variant: every click appears —
+    * attributed within 600 s where a purchase exists, null-padded
+    * otherwise. Same plan as the inner form (hash join on user, range
+    * residual); the outer side only changes null handling. */
+  def qIntervalJoinOuter(s: SparkSession, d: String): DataFrame =
+    attribution(s, d, "left_outer")
 }

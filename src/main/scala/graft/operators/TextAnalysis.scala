@@ -187,13 +187,13 @@ object TextAnalysis {
     * in the output (left join + coalesce), since "no contamination" is
     * the result that matters. */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    val withSplit = Tables.documents(s, d)
+    // split derives from doc_id alone, so it recomputes on the shingle
+    // fan-out directly — no second pass over documents, no join back
+    val sh = shingles(Tables.documents(s, d), "doc_id", "text", ContamNgram)
       .withColumn("bucket",
         expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
       .withColumn("split",
         when(col("bucket") < 13, "train").when(col("bucket") < 15, "val").otherwise("test"))
-    val sh = shingles(withSplit, "doc_id", "text", ContamNgram)
-      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
     val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
     val evalSh = sh.filter(col("split") =!= "train")
     val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")

@@ -31,12 +31,15 @@ class PlanAuditSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get("src/main/scala")
-    val offenders = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .filterNot(p => p.getFileName.toString == "Dedup.scala" ||
-        p.getFileName.toString == "SparkEntry.scala")
-      .filter(p => new String(Files.readAllBytes(p)).contains("qNgramJaccard"))
-      .toList
+    val walk = Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filterNot(p => p.getFileName.toString == "Dedup.scala" ||
+          p.getFileName.toString == "SparkEntry.scala")
+        .filter(p => new String(Files.readAllBytes(p)).contains("qNgramJaccard"))
+        .toList
+      finally walk.close()
     assert(offenders.isEmpty,
       s"qNgramJaccard referenced outside its definition/registration: $offenders")
     // and within SparkEntry, only the single registration line
