@@ -87,6 +87,7 @@ object SparkEntry {
     "q_seq_pack" -> (TextAnalysis.qSeqPack _),
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_contamination" -> (TextAnalysis.qContamination _),
+    "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
@@ -887,6 +888,21 @@ object SparkEntry {
          |  CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
          |  array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_mixture_sample" -> {
+      val rateCase = graft.operators.TextAnalysis.MixtureRates256
+        .map { case (lg, r) => s"WHEN lang = '$lg' THEN $r" }.mkString(" ")
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(sampled) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+         |FROM (
+         |  SELECT lang, source, n_chars,
+         |    CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |            + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+         |         < CASE $rateCase ELSE 0 END
+         |    THEN 1 ELSE 0 END AS sampled
+         |  FROM documents)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    },
     "q_repetition" ->
       s"""SELECT doc_id, n_shingles, n_distinct,
          |  1.0 - CAST(n_distinct AS DOUBLE) / n_shingles AS rep_ratio

@@ -237,6 +237,37 @@ object TextAnalysis {
       .orderBy(col("bucket"), col("pack_id"))
   }
 
+  /** Target mixture rates per language, in 256ths — the domain
+    * reweighting a pretraining mix applies (e.g. upsample English,
+    * downsample the long tail). 256 buckets give 1/256 granularity
+    * with a two-hex-digit hash, which both engines compute exactly. */
+  val MixtureRates256: Seq[(String, Int)] =
+    Seq("en" -> 128, "de" -> 64, "es" -> 32, "fr" -> 32, "zh" -> 16)
+
+  /** Deterministic domain-mixture sampling: keep a document iff its
+    * md5 bucket (0-255, from the first two hex digits) falls under its
+    * language's target rate. Like [[qDataSplit]], membership depends
+    * only on doc_id — reproducible at any cluster size, joinable from
+    * any system, and a re-run samples the SAME documents (the property
+    * random() sampling loses). Map-side filter + hash agg; the only
+    * shuffle is on the tiny (lang, source) group key. */
+  def qMixtureSample(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16" +
+        " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1")
+    val rate = MixtureRates256.foldLeft(lit(0)) { case (acc, (lg, r)) =>
+      when(col("lang") === lg, r).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("sampled", (bucket < rate).cast(LongType))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled")).as("n_sampled"),
+        sum(when(col("sampled") === 1L, col("n_chars")).otherwise(0L))
+          .cast(LongType).as("chars_sampled"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-15 from the
     * first hex digit of md5(doc_id) — stable across engines, runs,
     * and cluster sizes (the property that makes a 100 TB split
