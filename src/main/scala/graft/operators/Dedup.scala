@@ -165,8 +165,12 @@ object Dedup {
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val rows = pairCache.computeIfAbsent(d, _ =>
       qMinhashLsh(s, d).select(col("doc_a"), col("doc_b")).collect())
+    // one partition: the verified pair list is a bounded driver-local
+    // value; spraying it across defaultParallelism makes every
+    // downstream CC-loop join pay 32x32 empty-task overhead
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+      .coalesce(1)
   }
 
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard
@@ -410,7 +414,9 @@ object Dedup {
   private[graft] def srpPairs(s: SparkSession, d: String): DataFrame = {
     val rows = srpPairCache.computeIfAbsent(d, _ =>
       qEmbedNearDupLsh(s, d).select(col("va"), col("vb")).collect())
+    // one partition, same rationale as lshPairs
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("va", LongType), StructField("vb", LongType))))
+      .coalesce(1)
   }
 }
