@@ -70,6 +70,8 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q22_idle_customers" -> (Relational.q22IdleCustomers _),
     "q_range_frame" -> (Relational.qRangeFrame _),
     "q_rank_stats" -> (Relational.qRankStats _),
     "q_first_nth" -> (Relational.qFirstNth _),
@@ -565,6 +567,29 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev = (SELECT max(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_fp
+        |  FROM customer),
+        |pos AS (SELECT sum(bal_fp) AS sum_fp, count(*) AS n_pos
+        |        FROM c WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |FROM c, pos
+        |WHERE bal_fp * n_pos > sum_fp
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -769,6 +769,49 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    * whoever hit the maximum — the max is a 1-row aggregate joined back
+    * (broadcast scalar-subquery shape, same as qScalarSubquery), and
+    * the equality compares DECIMAL revenue values so ties and the
+    * max-match are exact on both engines before the final double cast. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(38, 6))).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.crossJoin(mx).filter(col("rev") === col("mx"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast(DoubleType).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22-style idle wealthy customers: above-average balance and
+    * no orders since 2000 (every harness customer has SOME order, so
+    * the reference's no-orders-ever predicate adapts to a recency
+    * window), counted per nation. The average threshold is compared in
+    * fixed-point integer space (bal_fp * n > sum_fp — multiplying out
+    * the division) so the cut is bit-exact on both engines; the
+    * no-recent-orders predicate is a left-anti hash join whose date
+    * filter pushes into the orders scan, and the 1-row aggregate
+    * broadcasts. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .withColumn("bal_fp", expr("cast(floor(c_acctbal * 1e6 + 0.5) as bigint)"))
+    val positive = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("bal_fp")).as("sum_fp"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(positive)
+      .filter(col("bal_fp") * col("n_pos") > col("sum_fp"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "2000-01-01").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Conditional aggregation: CASE WHEN inside aggregates. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
