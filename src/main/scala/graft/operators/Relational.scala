@@ -775,11 +775,14 @@ object Relational {
     * the equality compares DECIMAL revenue values so ties and the
     * max-match are exact on both engines before the final double cast. */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // the revenue aggregate feeds both the max and the equality probe;
+    // without materialization Catalyst plans TWO lineitem scans
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(DecimalType(38, 6))).as("rev"))
+      .localCheckpoint(false)
     val mx = rev.agg(max(col("rev")).as("mx"))
     rev.crossJoin(mx).filter(col("rev") === col("mx"))
       .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
