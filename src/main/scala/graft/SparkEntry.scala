@@ -581,12 +581,12 @@ object SparkEntry {
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
         |    CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_fp
         |  FROM customer),
-        |pos AS (SELECT sum(bal_fp) AS sum_fp, count(*) AS n_pos
+        |pos AS (SELECT sum(CAST(bal_fp AS HUGEINT)) AS sum_fp, count(*) AS n_pos
         |        FROM c WHERE c_acctbal > 0)
         |SELECT c_nationkey, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
         |FROM c, pos
-        |WHERE bal_fp * n_pos > sum_fp
+        |WHERE CAST(bal_fp AS HUGEINT) * n_pos > sum_fp
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

@@ -41,6 +41,26 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  private def md5HexDigit(id: Column, pos: Int): Column =
+    instr(lit("0123456789abcdef"),
+      substring(md5(id.cast("string")), pos, 1)) - 1
+
+  /** Deterministic 16-way bucket (0-15) from the first md5 hex digit
+    * of an id — the ONE definition every split/pack/contamination
+    * consumer shares, so their bucket assignments can never drift. */
+  def md5Bucket16(id: Column): Column = md5HexDigit(id, 1)
+
+  /** Deterministic 256-way bucket (0-255) from the first two md5 hex
+    * digits — finer-grained rates (mixture sampling). */
+  def md5Bucket256(id: Column): Column =
+    md5HexDigit(id, 1) * 16 + md5HexDigit(id, 2)
+
+  /** The train/val/test assignment over [[md5Bucket16]]: 13/2/1
+    * sixteenths. Single definition — qDataSplit and qContamination
+    * must describe the SAME split. */
+  def splitFromBucket(bucket: Column): Column =
+    when(bucket < 13, "train").when(bucket < 15, "val").otherwise("test")
+
   /** Per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),

@@ -795,18 +795,22 @@ object Relational {
     * no orders since 2000 (every harness customer has SOME order, so
     * the reference's no-orders-ever predicate adapts to a recency
     * window), counted per nation. The average threshold is compared in
-    * fixed-point integer space (bal_fp * n > sum_fp — multiplying out
-    * the division) so the cut is bit-exact on both engines; the
-    * no-recent-orders predicate is a left-anti hash join whose date
-    * filter pushes into the orders scan, and the 1-row aggregate
-    * broadcasts. */
+    * fixed-point space (bal_fp * n > sum_fp — multiplying out the
+    * division) with the sum and product carried as DECIMAL(38,0): a
+    * long sum of 1e9-scale fixed-point balances over billions of
+    * customers overflows (ANSI throw or silent wrap), while the DuckDB
+    * oracle's HUGEINT would not — the cut must stay bit-exact on both
+    * engines at any corpus size. The no-recent-orders predicate is a
+    * left-anti hash join whose date filter pushes into the orders
+    * scan, and the 1-row aggregate broadcasts. */
   def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
       .withColumn("bal_fp", expr("cast(floor(c_acctbal * 1e6 + 0.5) as bigint)"))
     val positive = cust.filter(col("c_acctbal") > 0)
-      .agg(sum(col("bal_fp")).as("sum_fp"), count(lit(1)).as("n_pos"))
+      .agg(sum(col("bal_fp").cast(DecimalType(38, 0))).as("sum_fp"),
+        count(lit(1)).as("n_pos"))
     cust.crossJoin(positive)
-      .filter(col("bal_fp") * col("n_pos") > col("sum_fp"))
+      .filter(col("bal_fp").cast(DecimalType(38, 0)) * col("n_pos") > col("sum_fp"))
       .join(Tables.orders(s, d)
           .filter(col("o_orderdate") >= "2000-01-01").select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")

@@ -188,12 +188,13 @@ object TextAnalysis {
     * the result that matters. */
   def qContamination(s: SparkSession, d: String): DataFrame = {
     // split derives from doc_id alone, so it recomputes on the shingle
-    // fan-out directly — no second pass over documents, no join back
+    // fan-out directly — no second pass over documents, no join back.
+    // Materialized once: sh feeds three subtrees (train side + two
+    // eval uses) and Catalyst does not reuse the explode+distinct
+    // exchange across them (same rationale as qNgramJaccard's).
     val sh = shingles(Tables.documents(s, d), "doc_id", "text", ContamNgram)
-      .withColumn("bucket",
-        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
-      .withColumn("split",
-        when(col("bucket") < 13, "train").when(col("bucket") < 15, "val").otherwise("test"))
+      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
+      .localCheckpoint(false)
     val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
     val evalSh = sh.filter(col("split") =!= "train")
     val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
@@ -225,8 +226,7 @@ object TextAnalysis {
   def qSeqPack(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
     qDocChunks(s, d)
-      .withColumn("bucket",
-        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      .withColumn("bucket", md5Bucket16(col("doc_id")))
       .withColumn("cum_before",
         coalesce(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("pack_id", (col("cum_before") / PackBudget).cast(LongType))
@@ -252,14 +252,11 @@ object TextAnalysis {
     * random() sampling loses). Map-side filter + hash agg; the only
     * shuffle is on the tiny (lang, source) group key. */
   def qMixtureSample(s: SparkSession, d: String): DataFrame = {
-    val bucket =
-      expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16" +
-        " + instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1")
     val rate = MixtureRates256.foldLeft(lit(0)) { case (acc, (lg, r)) =>
       when(col("lang") === lg, r).otherwise(acc)
     }
     Tables.documents(s, d)
-      .withColumn("sampled", (bucket < rate).cast(LongType))
+      .withColumn("sampled", (md5Bucket256(col("doc_id")) < rate).cast(LongType))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("sampled")).as("n_sampled"),
@@ -275,12 +272,7 @@ object TextAnalysis {
     * ~ 81/12.5/6.25%. */
   def qDataSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket",
-        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
-      .withColumn("split",
-        when(col("bucket") < 13, "train")
-          .when(col("bucket") < 15, "val")
-          .otherwise("test"))
+      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast(LongType)).as("sum_chars"))
