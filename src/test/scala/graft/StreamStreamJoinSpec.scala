@@ -91,4 +91,46 @@ class StreamStreamJoinSpec extends SparkSpec {
       s"expected exactly one null-padded emission, got $unmatched; all=$got")
     assert(got.synchronized(got.toList).contains((1L, Some(1L))))
   }
+
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      df.select(col("_1").as(s"${prefix}_id"),
+          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "30 seconds")
+    val joined = graft.operators.IntervalJoin.intervalJoin(
+      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
+      "imp_id", "clk_id", "imp_ts", "clk_ts", 60, "full_outer")
+    val got = ArrayBuffer[(Option[Long], Option[Long])]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (
+            Option(r.getAs[Any]("imp_id")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("clk_id")).map(_.asInstanceOf[Long])))
+        }
+        ()
+      }.start()
+
+    // imp 1 matches; imp 2 has no click; click 3 has no impression
+    impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
+    clicks.addData((1L, "2018-01-01 10:00:30"), (3L, "2018-01-01 10:00:10"))
+    q.processAllAvailable()
+    impressions.addData((90L, "2018-01-01 10:30:00"))
+    clicks.addData((91L, "2018-01-01 10:30:00"))
+    q.processAllAvailable()
+    impressions.addData((92L, "2018-01-01 10:31:00"))
+    clicks.addData((93L, "2018-01-01 10:31:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = got.synchronized(got.toList)
+    assert(snap.contains((Some(1L), Some(1L))))
+    assert(snap.count(_ == (Some(2L), None)) == 1, s"left-unmatched: $snap")
+    // click 3 has no impression with its id: right-unmatched, once
+    assert(snap.count(_ == (None, Some(3L))) == 1, s"right-unmatched: $snap")
+  }
 }
