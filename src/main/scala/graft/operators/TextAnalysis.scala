@@ -191,7 +191,8 @@ object TextAnalysis {
     // fan-out directly — no second pass over documents, no join back.
     // Materialized once: sh feeds three subtrees (train side + two
     // eval uses) and Catalyst does not reuse the explode+distinct
-    // exchange across them (same rationale as qNgramJaccard's).
+    // exchange across them (same rationale as the exact-Jaccard
+    // ground-truth query's shingle checkpoint in Dedup).
     val sh = shingles(Tables.documents(s, d), "doc_id", "text", ContamNgram)
       .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
       .localCheckpoint(false)
