@@ -404,6 +404,25 @@ object Dedup {
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"))
   }
 
+  /** Re-pack the 40 x 4-bit SRP bands into wider bands of `group`
+    * quarters each — the selectivity dial of the SRP index. Band count
+    * and width trade recall for pruning: 4-bit bands (group=1) are
+    * permissive enough for full recall at the harness's weak 0.4
+    * threshold but admit most random pairs; 8-bit bands (group=2) cut
+    * the random collision rate per band from 1/16 to 1/256, which on a
+    * corpus with real near-dup structure (tight clusters, cosine >=
+    * 0.7) prunes the candidate set several-fold while keeping
+    * every true pair (SrpLshSpec proves both properties on planted
+    * clusters). Pure array arithmetic over the signature — no
+    * recomputation of projections. */
+  def srpWideBands(bands: Column, group: Int): Column = {
+    import graft.functions.expressions.SrpLsh
+    transform(sequence(lit(0), lit(SrpLsh.Bands / group - 1)), b =>
+      aggregate(sequence(lit(0), lit(group - 1)), lit(0), (acc, k) =>
+        acc + element_at(bands, b * group + k + 1) *
+          pow(lit(2), k * SrpLsh.BandBits).cast("int")))
+  }
+
   /** Memoized SRP near-dup pair index — the semantic twin of
     * [[lshPairs]]: downstream cluster building reuses one build of the
     * tiny verified pair list; q_embed_neardup_lsh itself is always the

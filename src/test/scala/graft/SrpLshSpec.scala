@@ -34,6 +34,47 @@ class SrpLshSpec extends SparkSpec {
     assert(vals == again)
   }
 
+  test("wide SRP bands prune clustered corpora with full recall") {
+    // The harness embeddings are isotropic noise at threshold 0.4 —
+    // unprunable by construction (documented in qEmbedNearDupLsh).
+    // This test plants the structure a REAL near-dup corpus has (tight
+    // clusters, cosine >= 0.9 within, ~0 across) and proves the claim
+    // the scaladoc makes: 8-bit re-banded buckets keep every
+    // same-cluster pair as a candidate while admitting only a fraction
+    // of the all-pairs space.
+    import spark.implicits._
+    import graft.functions.expressions.SrpBands.srp_bands
+    val rng = new java.util.Random(13)
+    val dim = 64
+    val base = Array.fill(10)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = for {
+      c <- 0 until 10
+      i <- 0 until 20
+    } yield (c.toLong * 100 + i,
+      base(c).map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val bands = df.select(col("vec_id"),
+      posexplode(Dedup.srpWideBands(srp_bands(col("embedding")), 2))
+        .as(Seq("band_id", "band_val")))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = rows.size
+    val allPairs = n * (n - 1) / 2
+    val sameCluster = for {
+      c <- 0 until 10; i <- 0 until 20; j <- (i + 1) until 20
+    } yield (c.toLong * 100 + i, c.toLong * 100 + j)
+    // full recall on every true near-dup pair
+    assert(sameCluster.forall(cands.contains), "missed a same-cluster pair")
+    // and genuine pruning: most of the cross-cluster space is gone
+    assert(cands.size < allPairs / 2,
+      s"expected <50% of $allPairs candidates, got ${cands.size}")
+  }
+
   test("LSH candidate generation plans as an equi join, not a nested loop") {
     val plan = Dedup.qEmbedNearDupLsh(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
