@@ -417,6 +417,13 @@ object Dedup {
     * recomputation of projections. */
   def srpWideBands(bands: Column, group: Int): Column = {
     import graft.functions.expressions.SrpLsh
+    // group must tile the band array exactly (a non-divisor would
+    // silently drop trailing projections = lost recall) and the packed
+    // value must fit an int under ANSI (group*BandBits bits; cap at 28
+    // keeps 15 * 2^24 well inside Int range and the double pow exact)
+    require(group >= 1 && SrpLsh.Bands % group == 0 &&
+      group * SrpLsh.BandBits <= 28,
+      s"group must divide ${SrpLsh.Bands} and pack <= 28 bits, got $group")
     transform(sequence(lit(0), lit(SrpLsh.Bands / group - 1)), b =>
       aggregate(sequence(lit(0), lit(group - 1)), lit(0), (acc, k) =>
         acc + element_at(bands, b * group + k + 1) *

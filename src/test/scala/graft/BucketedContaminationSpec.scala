@@ -52,6 +52,10 @@ class BucketedContaminationSpec extends SparkSpec {
       val got = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected)
       assert(got.nonEmpty)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_train_sh")
+      spark.sql("DROP TABLE IF EXISTS b_eval_sh")
+    }
   }
 }

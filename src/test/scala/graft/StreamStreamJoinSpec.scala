@@ -2,39 +2,68 @@ package graft
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Stream-stream interval join with watermarks on both sides — the
   * remaining Structured Streaming operator class (state on both sides,
-  * bounded by the interval condition + watermarks). */
+  * bounded by the interval condition + watermarks), across the full
+  * join-type matrix: inner, left-outer, full-outer. */
 class StreamStreamJoinSpec extends SparkSpec {
+
+  private def parse(df: DataFrame, prefix: String): DataFrame =
+    df.select(col("_1").as(s"${prefix}_id"),
+        to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "30 seconds")
+
+  /** Wire two MemoryStreams through the SAME operator method as the
+    * batch q_interval_join — on watermarked streams it becomes Spark's
+    * stream-stream interval join — and collect each appended row via
+    * `collect` into the caller's buffer. */
+  private def startJoin[T](
+      impressions: MemoryStream[(Long, String)],
+      clicks: MemoryStream[(Long, String)],
+      joinType: String,
+      sink: ArrayBuffer[T])(collect: org.apache.spark.sql.Row => T): StreamingQuery = {
+    val joined = graft.operators.IntervalJoin.intervalJoin(
+      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
+      "imp_id", "clk_id", "imp_ts", "clk_ts", 60, joinType)
+    joined.writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        sink.synchronized { sink ++= df.collect().toSeq.map(collect) }
+        ()
+      }.start()
+  }
+
+  private def optLong(r: org.apache.spark.sql.Row, name: String): Option[Long] =
+    Option(r.getAs[Any](name)).map(_.asInstanceOf[Long])
+
+  /** Push both watermarks far past every earlier event, twice — the
+    * second advance proves evicted state cannot re-emit. */
+  private def drainWatermark(
+      impressions: MemoryStream[(Long, String)],
+      clicks: MemoryStream[(Long, String)],
+      q: StreamingQuery): Unit = {
+    impressions.addData((90L, "2018-01-01 10:30:00"))
+    clicks.addData((91L, "2018-01-01 10:30:00"))
+    q.processAllAvailable()
+    impressions.addData((92L, "2018-01-01 10:31:00"))
+    clicks.addData((93L, "2018-01-01 10:31:00"))
+    q.processAllAvailable()
+  }
 
   test("impressions join clicks within a 60s attribution window") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val impressions = MemoryStream[(Long, String)]
     val clicks = MemoryStream[(Long, String)]
-    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
-      df.select(col("_1").as(s"${prefix}_id"),
-          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "30 seconds")
-    // the SAME operator method as the batch q_interval_join — on
-    // watermarked streams it becomes Spark's stream-stream interval
-    // join with two-sided bounded state
-    val joined = graft.operators.IntervalJoin.intervalJoin(
-      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
-      "imp_id", "clk_id", "imp_ts", "clk_ts", 60)
     val got = ArrayBuffer[(Long, String, String)]()
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        got.synchronized {
-          got ++= df.collect().map(r => (r.getAs[Long]("imp_id"),
-            r.getAs[java.sql.Timestamp]("imp_ts").toString,
-            r.getAs[java.sql.Timestamp]("clk_ts").toString))
-        }
-        ()
-      }.start()
+    val q = startJoin(impressions, clicks, "inner", got)(r =>
+      (r.getAs[Long]("imp_id"),
+        r.getAs[java.sql.Timestamp]("imp_ts").toString,
+        r.getAs[java.sql.Timestamp]("clk_ts").toString))
 
     impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
     clicks.addData((1L, "2018-01-01 10:00:30"))          // within window
@@ -52,22 +81,9 @@ class StreamStreamJoinSpec extends SparkSpec {
     import spark.implicits._
     val impressions = MemoryStream[(Long, String)]
     val clicks = MemoryStream[(Long, String)]
-    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
-      df.select(col("_1").as(s"${prefix}_id"),
-          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "30 seconds")
-    val joined = graft.operators.IntervalJoin.intervalJoin(
-      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
-      "imp_id", "clk_id", "imp_ts", "clk_ts", 60, "left_outer")
     val got = ArrayBuffer[(Long, Option[Long])]()
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        got.synchronized {
-          got ++= df.collect().map(r => (r.getAs[Long]("imp_id"),
-            Option(r.getAs[Any]("clk_id")).map(_.asInstanceOf[Long])))
-        }
-        ()
-      }.start()
+    val q = startJoin(impressions, clicks, "left_outer", got)(r =>
+      (r.getAs[Long]("imp_id"), optLong(r, "clk_id")))
 
     // imp 1 gets a click inside the 60s window; imp 2 never matches
     impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
@@ -78,12 +94,7 @@ class StreamStreamJoinSpec extends SparkSpec {
     // advance BOTH watermarks past imp_ts + 60s + 30s delay; the
     // null-padded row for imp 2 then emits exactly once (extra batches
     // must not re-emit it — state was evicted)
-    impressions.addData((90L, "2018-01-01 10:30:00"))
-    clicks.addData((91L, "2018-01-01 10:30:00"))
-    q.processAllAvailable()
-    impressions.addData((92L, "2018-01-01 10:31:00"))
-    clicks.addData((93L, "2018-01-01 10:31:00"))
-    q.processAllAvailable()
+    drainWatermark(impressions, clicks, q)
     q.stop()
 
     val unmatched = got.synchronized(got.filter(_._1 == 2L).toList)
@@ -97,34 +108,15 @@ class StreamStreamJoinSpec extends SparkSpec {
     import spark.implicits._
     val impressions = MemoryStream[(Long, String)]
     val clicks = MemoryStream[(Long, String)]
-    def parse(df: org.apache.spark.sql.DataFrame, prefix: String) =
-      df.select(col("_1").as(s"${prefix}_id"),
-          to_timestamp(col("_2"), "yyyy-MM-dd HH:mm:ss").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "30 seconds")
-    val joined = graft.operators.IntervalJoin.intervalJoin(
-      parse(impressions.toDF(), "imp"), parse(clicks.toDF(), "clk"),
-      "imp_id", "clk_id", "imp_ts", "clk_ts", 60, "full_outer")
     val got = ArrayBuffer[(Option[Long], Option[Long])]()
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        got.synchronized {
-          got ++= df.collect().map(r => (
-            Option(r.getAs[Any]("imp_id")).map(_.asInstanceOf[Long]),
-            Option(r.getAs[Any]("clk_id")).map(_.asInstanceOf[Long])))
-        }
-        ()
-      }.start()
+    val q = startJoin(impressions, clicks, "full_outer", got)(r =>
+      (optLong(r, "imp_id"), optLong(r, "clk_id")))
 
     // imp 1 matches; imp 2 has no click; click 3 has no impression
     impressions.addData((1L, "2018-01-01 10:00:00"), (2L, "2018-01-01 10:00:05"))
     clicks.addData((1L, "2018-01-01 10:00:30"), (3L, "2018-01-01 10:00:10"))
     q.processAllAvailable()
-    impressions.addData((90L, "2018-01-01 10:30:00"))
-    clicks.addData((91L, "2018-01-01 10:30:00"))
-    q.processAllAvailable()
-    impressions.addData((92L, "2018-01-01 10:31:00"))
-    clicks.addData((93L, "2018-01-01 10:31:00"))
-    q.processAllAvailable()
+    drainWatermark(impressions, clicks, q)
     q.stop()
 
     val snap = got.synchronized(got.toList)
