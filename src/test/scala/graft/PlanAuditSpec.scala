@@ -22,30 +22,105 @@ class PlanAuditSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  /** Queries whose executed plan may contain a BroadcastNestedLoopJoin,
+    * each with the reason the join's broadcast side is BOUNDED (does
+    * not grow with the corpus) or the query is documented ground
+    * truth. Anything else planning an NLJ is an accidental quadratic
+    * plan and fails the audit. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q_knn_brute" -> "documented brute-force ANN baseline (all-pairs by design)",
+    "q_embed_neardup" -> "documented exact near-dup ground truth (all-pairs by design)",
+    "q_ivf_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
+    "q_knn_ivf" -> "broadcast side is the fixed k-means centroid set (|cells| rows)",
+    "q_embed_classify" -> "broadcast side is the fixed per-label centroid set",
+    "q22_idle_customers" -> "scalar subquery: single-row avg-balance broadcast",
+    "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast")
+
+  test("BroadcastNestedLoopJoin only in the documented allowlist") {
+    val d = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => bnljAllowed.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        Option.when(plan.contains("BroadcastNestedLoopJoin"))(name)
+      }
+    assert(offenders.isEmpty,
+      s"undocumented BroadcastNestedLoopJoin (accidental quadratic plan?): $offenders")
+  }
+
+  /** Source root resolved from a stable anchor, not the bare relative
+    * CWD: walk whatever `user.dir` sbt pinned, and fail loudly if the
+    * layout moved — a silently-empty walk would make every source-level
+    * guard below vacuous. */
+  private def mainSources: List[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(sys.props("user.dir"), "src", "main", "scala")
+    assert(Files.isDirectory(root), s"source root not found at $root")
+    val walk = Files.walk(root)
+    val sources =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+      finally walk.close()
+    assert(sources.nonEmpty, s"no .scala sources under $root — guard would be vacuous")
+    sources
+  }
+
+  private def slurp(p: java.nio.file.Path): String =
+    new String(java.nio.file.Files.readAllBytes(p))
+
   test("qNgramJaccard stays ground-truth-only (no production caller)") {
     // The exact all-pairs Jaccard is the oracle's ground truth for the
     // LSH path; its join is quadratic in shingle document-frequency, so
     // a production query must never depend on it. Source-level guard:
     // the symbol may appear only at its definition (Dedup.scala) and
     // its own queries-map registration (SparkEntry.scala).
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala")
-    val walk = Files.walk(root)
-    val offenders =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".scala"))
-        .filterNot(p => p.getFileName.toString == "Dedup.scala" ||
-          p.getFileName.toString == "SparkEntry.scala")
-        .filter(p => new String(Files.readAllBytes(p)).contains("qNgramJaccard"))
-        .toList
-      finally walk.close()
+    val offenders = mainSources
+      .filterNot(p => p.getFileName.toString == "Dedup.scala" ||
+        p.getFileName.toString == "SparkEntry.scala")
+      .filter(p => slurp(p).contains("qNgramJaccard"))
     assert(offenders.isEmpty,
       s"qNgramJaccard referenced outside its definition/registration: $offenders")
     // and within SparkEntry, only the single registration line
-    val entry = new String(Files.readAllBytes(
-      Paths.get("src/main/scala/graft/SparkEntry.scala")))
-    assert(entry.linesIterator.count(_.contains("qNgramJaccard")) == 1,
+    val entry = mainSources.find(_.getFileName.toString == "SparkEntry.scala").get
+    assert(slurp(entry).linesIterator.count(_.contains("qNgramJaccard")) == 1,
       "qNgramJaccard must appear exactly once in SparkEntry (its registration)")
+  }
+
+  test("pair index: no driver collect, consumers scan a bucketed parquet table") {
+    // The near-dup pair set is unbounded in the corpus (billions of
+    // rows on a near-dup-heavy 100 TB run), so it must never pass
+    // through the driver. Two-level pin:
+    // 1) source level — Dedup.scala contains no collect()/
+    //    createDataFrame (the round-3 driver-local Array[Row] cache
+    //    must not come back);
+    val dedupSrc = slurp(mainSources.find(_.getFileName.toString == "Dedup.scala").get)
+    for (bad <- Seq(".collect(", "createDataFrame", "collectAsList"))
+      assert(!dedupSrc.contains(bad),
+        s"Dedup.scala contains '$bad' — pair sets must never be driver-local")
+    // 2) plan level — the memoized pair frames are a FileScan of the
+    //    bucketed graft_pairs table, not a LocalTableScan of driver
+    //    rows. (Consumers localCheckpoint downstream, so the scan is
+    //    pinned here at the index frame the consumers call.)
+    val d = "/root/testdata/sf0.001"
+    for ((label, frame) <- Seq(
+        "lshPairs" -> graft.operators.Dedup.lshPairs(spark, d),
+        "srpPairs" -> graft.operators.Dedup.srpPairs(spark, d))) {
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") && plan.contains("graft_pairs"),
+        s"$label must scan the bucketed graft_pairs parquet index, got:\n$plan")
+      assert(!plan.contains("LocalTableScan"),
+        s"$label plans a LocalTableScan — driver rows leaked back in:\n$plan")
+      // the bucketing engages on consumption: the corpus-clean loser
+      // extraction (distinct on the bucket key) must read bucketed and
+      // plan ZERO shuffle exchanges — the layout, not a re-shuffle,
+      // provides the clustering on every repeat run
+      val keyCol = frame.columns.last // doc_b / vb — bucket key
+      val distinctPlan = frame.select(frame(keyCol)).distinct()
+        .queryExecution.executedPlan.toString
+      assert(distinctPlan.contains("Bucketed: true"),
+        s"$label distinct($keyCol) does not engage the bucketed layout:\n$distinctPlan")
+      assert(!distinctPlan.contains("Exchange"),
+        s"$label distinct($keyCol) still shuffles despite bucketing:\n$distinctPlan")
+    }
   }
 }
