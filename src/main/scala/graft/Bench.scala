@@ -35,7 +35,7 @@ object Bench {
     "q7_volume_shipping", "q_late_split", "q_clean_corpus",
     "q_kmeans_centroids", "q_knn_ivf",
     "q_report_agg", "q_minhash_lsh", "q_embed_neardup",
-    "q_embed_neardup_lsh", "q10_returned_items")
+    "q_embed_neardup_lsh", "q_embed_neardup_strict", "q10_returned_items")
 
   // Locale.ROOT: a comma-decimal default locale must not corrupt the
   // single-JSON-line driver contract
@@ -138,7 +138,20 @@ object Bench {
       "\"" + sf + "\":" + m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"sf":"$sfDir"}""")
+    // the standing record of the strict-threshold SRP pruning claim:
+    // wide-band candidate count vs the all-pairs space on the
+    // planted-cluster corpus (untimed instrumentation — the query's
+    // wall time is already in `queries`)
+    val srpStrict = try {
+      val n = graft.operators.Dedup.augmentedEmbeddings(spark, sfDir).count()
+      val cand = graft.operators.Dedup.strictCandidates(spark, sfDir).count()
+      val all = n * (n - 1) / 2
+      s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(all.toDouble / cand)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] srp_strict probe failed: ${e.getMessage}")
+      """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
+    }
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
+    "q_embed_neardup_strict" -> (Dedup.qEmbedNearDupStrict _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     // --- similarity search ---
@@ -203,6 +204,56 @@ object SparkEntry {
        |  FROM cz GROUP BY va, vb)
        |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
        |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
+
+  /** Strict-threshold SRP mirror (Dedup.qEmbedNearDupStrict): plant
+    * deterministic near-dup copies (zeroed coordinates — no float
+    * arithmetic, so the augmented corpus is bit-identical across
+    * engines), re-band the 4-bit SRP signature into 8-bit wide bands
+    * (even quarter x1 + odd quarter x16, exactly srpWideBands group=2),
+    * bucket self-join, exact-cosine verify at 0.7. */
+  private def srpStrictSql: String = {
+    import graft.functions.expressions.SrpLsh
+    import graft.operators.Dedup
+    s"""WITH pl AS (
+       |  SELECT vec_id, pos,
+       |    CASE WHEN (pos + vec_id) % ${Dedup.PlantZeroMod} = 0
+       |         THEN CAST(0 AS REAL) ELSE embedding[pos+1] END AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(0, len(embedding)-1)) AS pos
+       |        FROM embeddings WHERE vec_id % ${Dedup.PlantStride} = 0)),
+       |aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + ${Dedup.PlantIdOffset} AS vec_id,
+       |         list(x ORDER BY pos) AS embedding
+       |  FROM pl GROUP BY vec_id),
+       |n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
+       |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+       |    SELECT vec_id, embedding,
+       |      unnest(generate_series(0, len(embedding)-1)) AS pos
+       |    FROM aug)),
+       |s AS (SELECT ve.vec_id, js.j,
+       |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
+       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
+       |  GROUP BY 1, 2),
+       |bands AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
+       |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
+       |  FROM s GROUP BY 1, 2),
+       |wide AS (SELECT vec_id, band_id // ${Dedup.StrictBandGroup} AS band_id,
+       |    sum(band_val * (1 << (${SrpLsh.BandBits} * (band_id % ${Dedup.StrictBandGroup})))) AS band_val
+       |  FROM bands GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM wide a JOIN wide b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |    AND a.vec_id < b.vec_id),
+       |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
+       |    unnest(list_zip(an.embedding, bn.embedding)) AS z
+       |  FROM cand c JOIN n an ON c.va = an.vec_id JOIN n bn ON c.vb = bn.vec_id),
+       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+       |  FROM cz GROUP BY va, vb)
+       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.StrictThreshold} ORDER BY va, vb""".stripMargin
+  }
 
   /** Exact connected components (mirrors Dedup.connectedComponents'
     * fixpoint) over any (doc_a, doc_b) pair query: recursive
@@ -869,6 +920,7 @@ object SparkEntry {
     "q_minhash_lsh" -> jaccardSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
+    "q_embed_neardup_strict" -> srpStrictSql,
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_knn_brute" -> knnBruteSql,
