@@ -404,6 +404,38 @@ object SparkEntry {
         |            WHEN countryCode = 'IN' THEN 'AREA_IN'
         |            ELSE 'other' END AS area
         |FROM exploded ORDER BY dt, countryCode, type, score""".stripMargin,
+    // same pipeline, JSON sink payload — score canonicalized to %.6f
+    // fixed-point so the JSON string is bit-identical across engines
+    "q_clean_json" ->
+      """WITH src AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+        |         ['US','TW','HK','PK','KW','SA','IN','JP'][CAST(user_id % 8 + 1 AS INT)] AS countryCode,
+        |         event_id, value
+        |  FROM events
+        |), exploded AS (
+        |  SELECT dt, countryCode,
+        |         's' || CAST(event_id % 5 + 1 AS VARCHAR) AS type,
+        |         value AS score,
+        |         ['A','A+','B','C','D'][CAST(event_id % 5 + 1 AS INT)] AS level
+        |  FROM src
+        |  UNION ALL
+        |  SELECT dt, countryCode,
+        |         's' || CAST((event_id + 1) % 5 + 1 AS VARCHAR) AS type,
+        |         value * 0.5 AS score,
+        |         ['A','A+','B','C','D'][CAST((event_id + 1) % 5 + 1 AS INT)] AS level
+        |  FROM src
+        |)
+        |SELECT to_json(struct_pack(
+        |    type := type,
+        |    score := printf('%.6f', floor(score*1e6 + 0.5)/1e6),
+        |    level := level,
+        |    area := CASE WHEN countryCode = 'US' THEN 'AREA_US'
+        |                 WHEN countryCode IN ('TW','HK') THEN 'AREA_CT'
+        |                 WHEN countryCode IN ('PK','KW','SA') THEN 'AREA_AR'
+        |                 WHEN countryCode = 'IN' THEN 'AREA_IN'
+        |                 ELSE 'other' END,
+        |    dt := dt)) AS value
+        |FROM exploded ORDER BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
@@ -500,6 +532,17 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
         |  count(DISTINCT l_suppkey) AS nd_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bounded-error verdicts: the sketch values are engine-specific,
+    // so the Spark side emits exact anchors + boolean bound checks and
+    // the oracle expects TRUE — a hash match IS the error-bound proof
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS cnt, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,

@@ -101,12 +101,19 @@ object CleanJob {
     enrich(eventsAsCleanInput(events), dimTable(spark))
       .orderBy(col("dt"), col("countryCode"), col("type"), col("score"))
 
-  /** JSON-string output form, exactly the reference's sink payload
-    * {type,score,level,area,dt} (DataClean.java:87-89). Not
-    * oracle-checked (JSON double rendering is engine-specific); covered
-    * by unit tests instead. */
+  /** JSON-string output form, the reference's sink payload key set
+    * {type,score,level,area,dt} (DataClean.java:87-89). The score is
+    * canonicalized to a fixed 6-decimal rendering (floor(x*1e6+0.5)
+    * then %.6f — the library's standard cross-engine fixed-point
+    * formula) so the payload is bit-identical across engines and the
+    * DuckDB oracle hash-checks it; raw double-to-shortest-string
+    * rendering is engine-specific and was the one reason this query
+    * sat outside the oracle gate. */
   def runJson(spark: SparkSession, events: DataFrame): DataFrame =
     enrich(eventsAsCleanInput(events), dimTable(spark))
       .select(to_json(struct(
-        col("type"), col("score"), col("level"), col("area"), col("dt"))).as("value"))
+        col("type"),
+        format_string("%.6f", floor(col("score") * 1e6 + lit(0.5)) / 1e6).as("score"),
+        col("level"), col("area"), col("dt"))).as("value"))
+      .orderBy(col("value"))
 }

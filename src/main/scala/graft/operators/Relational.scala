@@ -201,14 +201,30 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** Relative-error budget the HLL verdict asserts: default
+    * approx_count_distinct rsd is 0.05 (one standard deviation), so
+    * 2 rsd = 0.10 is the documented bound the sketch must stay
+    * inside. */
+  val HllRelErrBound = 0.10
+
   /** approx_count_distinct (HLL++) — the sketch path that replaces
-    * exact distinct at 100 TB. No DuckDB oracle (different sketch);
-    * rows-only check + unit-tested error bound vs exact. */
+    * exact distinct at 100 TB. The sketch VALUE is engine-specific
+    * (DuckDB's HLL differs), so the query emits what IS engine-
+    * independent: the exact count and a boolean verdict that the
+    * sketch landed within the documented [[HllRelErrBound]]. The
+    * oracle computes the same exact count and expects `true` — a
+    * hash match is a deterministic pass/fail on the error bound, not
+    * a rows-only shrug. (Production runs the sketch alone; the exact
+    * countDistinct here exists to make the bound checkable.) */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+        (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
+          col("exact_parts") <= HllRelErrBound).as("within_bound"))
       .orderBy(col("l_returnflag"))
 
   /** Scalar function families: string / date / math, engine-portable
@@ -410,22 +426,58 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
       .orderBy(col("l_returnflag"))
 
+  val QuantileAccuracy = 10000
+
+  /** Raw sketch values — engine-specific, so never oracle-hashed;
+    * ApproxQuantileSpec checks them against exact order statistics. */
+  private[graft] def approxQuantileRaw(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $QuantileAccuracy)").as("ap50_qty"),
+        expr(s"approx_percentile(l_quantity, 0.9, $QuantileAccuracy)").as("ap90_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.99, $QuantileAccuracy)").as("ap99_price"))
+
   /** Quantile SKETCH path — the percentile you'd actually run at
     * 100 TB: `approx_percentile` keeps a bounded KLL-style buffer per
     * group with associative merge (one shuffle of sketch state, never
     * of values), vs the exact `percentile`'s collect-all-values
-    * buffer in qPercentiles. accuracy=10000 bounds the rank error at
-    * 1/10000; the bound is asserted against the exact path in
-    * ApproxQuantileSpec. Sketch internals are engine-specific, so this
-    * is a rows-only entry (like q_approx_distinct). */
-  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    * buffer in qPercentiles. The sketch VALUES are engine-specific,
+    * so the query emits the engine-independent verdict instead: the
+    * returned value's rank interval in the actual data must overlap
+    * the target rank ± n/accuracy (±1 rank of convention slack) — the
+    * sketch's documented guarantee. The oracle recomputes group sizes
+    * exactly and expects every verdict `true`, making the driver's
+    * hash compare a deterministic pass/fail on the rank bound.
+    * Plan shape: one aggregate for the sketches, then one broadcast
+    * of the 3-row sketch frame back over the fact for the rank
+    * counts — the fact table is scanned, never shuffled on values. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val ap = approxQuantileRaw(s, d)
+    val ranks = li.join(broadcast(ap), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90_qty"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99_price"))
+        count(lit(1)).as("cnt"),
+        sum(when(col("l_quantity") < col("ap50_qty"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("ap50_qty"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("ap90_qty"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_quantity") <= col("ap90_qty"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_extendedprice") < col("ap99_price"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("l_extendedprice") <= col("ap99_price"), 1L).otherwise(0L)).as("le99"))
+    def ok(lt: String, le: String, p: Double) = {
+      val tol = col("cnt").cast(DoubleType) / QuantileAccuracy + 1.0
+      val target = col("cnt").cast(DoubleType) * p
+      (col(lt).cast(DoubleType) <= target + tol) &&
+        (col(le).cast(DoubleType) >= target - tol)
+    }
+    ranks.select(col("l_returnflag"), col("cnt"),
+        ok("lt50", "le50", 0.5).as("ok50"),
+        ok("lt90", "le90", 0.9).as("ok90"),
+        ok("lt99", "le99", 0.99).as("ok99"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** The SQL front door: the same engine consumed through
     * `spark.sql(...)` over registered views — proving DataFrame and

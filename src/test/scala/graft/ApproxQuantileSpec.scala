@@ -10,7 +10,7 @@ import graft.operators.Relational
   * directly — they fall between elements). */
 class ApproxQuantileSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
-  private val acc = 10000 // must match Relational.qApproxQuantile
+  private val acc = Relational.QuantileAccuracy
 
   test("sketch quantiles are data values within the rank-error bound") {
     def sortedVals(colName: String): Map[String, Array[Double]] =
@@ -34,7 +34,7 @@ class ApproxQuantileSpec extends SparkSpec {
         s"$label: value $v occupies ranks [$lo,$hi] of $n, target $target tol $tol")
     }
 
-    val approx = Relational.qApproxQuantile(spark, d).collect()
+    val approx = Relational.approxQuantileRaw(spark, d).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.nonEmpty)
     val qty = sortedVals("l_quantity")
