@@ -89,17 +89,24 @@ object ReportJob {
     * global max — one extra tiny agg, no extra shuffle of the fact
     * table (the max is broadcast). */
   def lateSplit(parsed: DataFrame): DataFrame = {
-    // the parsed subtree is evaluated twice (watermark agg + split) —
-    // deliberately NOT persisted: a persist inside a lazily-returned
-    // DataFrame has no sound unpersist point and leaks cache entries
-    // per invocation; the watermark branch is cheap anyway because
-    // Catalyst prunes it down to the ts column
-    val wm = parsed.agg((max(col("ts").cast(LongType)) - 40).cast(TimestampType).as("wm"))
-    parsed.crossJoin(broadcast(wm))
-      .select(col("type"), col("area"),
+    // ONE scan of the fact: the late/ontime threshold only needs ts
+    // granularity, so pre-aggregate to (type, area, ts) partial counts
+    // first — |keys x distinct seconds| rows, tiny next to the fact —
+    // and derive BOTH the watermark and the tagged re-aggregation from
+    // that. Without the pre-agg the parse subtree is evaluated twice
+    // (watermark agg + split); Catalyst does not reuse the exchange.
+    // localCheckpoint (lazy) rather than persist: blocks are freed by
+    // the ContextCleaner when the plan is GC'd — no manual unpersist
+    // point is needed in a lazily-returned DataFrame.
+    val perTs = parsed.groupBy(col("type"), col("area"), col("ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val wm = perTs.agg((max(col("ts").cast(LongType)) - 40).cast(TimestampType).as("wm"))
+    perTs.crossJoin(broadcast(wm))
+      .select(col("type"), col("area"), col("cnt"),
         when(col("ts") < col("wm"), lit("late")).otherwise(lit("ontime")).as("tag"))
       .groupBy(col("tag"), col("type"), col("area"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("tag"), col("type"), col("area"))
   }
 }
