@@ -49,9 +49,31 @@ case class SrpBands(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  /** Fail fast at analysis time on a non-ARRAY<FLOAT> child: the eval
+    * reads elements with getFloat, so an ARRAY<DOUBLE> argument (the
+    * default SQL array literal type) would otherwise be silently
+    * misread into garbage signatures that feed dedup decisions. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_bands requires ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+
+  /** The weight matrix is sized for exactly [[SrpLsh.Dim]] dims; a
+    * shorter/longer vector means the caller's embedding space doesn't
+    * match the index — truncating silently would produce signatures
+    * that diverge from the oracle with no error. */
+  @inline private def requireDim(n: Int): Unit =
+    if (n != SrpLsh.Dim) throw new IllegalArgumentException(
+      s"srp_bands: expected ${SrpLsh.Dim}-dim embedding, got $n elements")
+
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
-    val n = math.min(SrpLsh.Dim, x.numElements())
+    requireDim(x.numElements())
+    val n = SrpLsh.Dim
     val w = SrpLsh.flatWeights
     val q = new Array[Long](n)
     var i = 0
@@ -81,7 +103,11 @@ case class SrpBands(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = $a.numElements() < ${SrpLsh.Dim} ? $a.numElements() : ${SrpLsh.Dim};
+         |if ($a.numElements() != ${SrpLsh.Dim}) {
+         |  throw new IllegalArgumentException(
+         |    "srp_bands: expected ${SrpLsh.Dim}-dim embedding, got " + $a.numElements() + " elements");
+         |}
+         |int $n = ${SrpLsh.Dim};
          |long[] $q = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $q[$i] = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1.0e6 + 0.5);

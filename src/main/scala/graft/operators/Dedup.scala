@@ -255,9 +255,20 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(false)
-    var prevSum = Option.empty[java.math.BigDecimal]
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
+    // seed with the INITIAL label sum so convergence is detected on
+    // the first round whose sum matches its pre-round sum — the
+    // budget is maxRounds improving rounds plus one observation
+    // round, matching the documented O(log diameter) bound (a graph
+    // whose last improvement lands exactly on round maxRounds must
+    // not throw)
+    var prevSum = labelSum(labels)
+    var converged = false
     var round = 0
-    while (round < maxRounds) {
+    while (!converged && round <= maxRounds) {
       // min over neighbors' labels, folded into the own label with a
       // join + least rather than union + groupBy: Spark 4.1's Union
       // constraint rewrite trips over join-derived constraints in a
@@ -277,14 +288,11 @@ object Dedup {
         .localCheckpoint(false)
       labels = jumped
       round += 1
-      val s = labels
-        .agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
-      if (prevSum.exists(_.compareTo(s) == 0)) round = maxRounds + 1 // converged
-      prevSum = Some(s)
+      val s = labelSum(labels)
+      converged = prevSum.compareTo(s) == 0
+      prevSum = s
     }
-    require(round > maxRounds,
+    require(converged,
       s"connected components did not converge in $maxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }

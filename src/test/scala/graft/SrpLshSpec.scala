@@ -98,6 +98,29 @@ class SrpLshSpec extends SparkSpec {
     }
   }
 
+  test("srp_bands fails fast on wrong dimensionality and wrong element type") {
+    import spark.implicits._
+    import graft.functions.expressions.SrpBands.srp_bands
+    // wrong length: a 3-dim ARRAY<FLOAT> must throw at eval, not be
+    // silently truncated into a signature that diverges from the oracle
+    val short = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(srp_bands(col("embedding"))).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("srp_bands") ||
+      Option(e.getCause).exists(_.getMessage.contains("srp_bands")),
+      s"expected a srp_bands dimensionality error, got $e")
+    // wrong element type: ARRAY<DOUBLE> (the default SQL array literal
+    // type) must be rejected at analysis, not misread via getFloat
+    val dbl = Seq((1L, Array.fill(64)(0.5))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      dbl.select(srp_bands(col("embedding"))).collect()
+    }
+    assert(e2.toString.toLowerCase.contains("srp_bands") ||
+      e2.toString.contains("DATATYPE_MISMATCH"),
+      s"expected an analysis-time type error, got $e2")
+  }
+
   test("LSH candidate generation plans as an equi join, not a nested loop") {
     val plan = Dedup.qEmbedNearDupLsh(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
