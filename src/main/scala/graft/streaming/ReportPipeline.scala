@@ -188,12 +188,17 @@ object ReportPipeline {
       lines: DataFrame,
       checkpointDir: String,
       sink: DurableKeyedUpsertSink,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      // failure-injection seam (CrashConsistencySpec): runs AFTER the
+      // durable write but BEFORE Spark commits the batch to the
+      // checkpoint — throwing here is exactly the crash window the
+      // exactly-once claim must survive
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
     aggregate(ReportJob.parse(lines)).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+      .foreachBatch((df: DataFrame, id: Long) => { sink.write(df, id); afterBatch(id) })
       .start()
 
   /** Start the late-record side-output query. */
