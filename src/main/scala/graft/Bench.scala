@@ -146,7 +146,10 @@ object Bench {
       val n = graft.operators.Dedup.augmentedEmbeddings(spark, sfDir).count()
       val cand = graft.operators.Dedup.strictCandidates(spark, sfDir).count()
       val all = n * (n - 1) / 2
-      s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(all.toDouble / cand)}}"""
+      // cand == 0 would render NaN/Infinity — bare tokens that corrupt
+      // the single-JSON-line driver contract
+      val reduction = if (cand == 0) 0.0 else all.toDouble / cand
+      s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(reduction)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] srp_strict probe failed: ${e.getMessage}")
       """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed

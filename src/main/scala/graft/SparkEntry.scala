@@ -180,70 +180,71 @@ object SparkEntry {
     }.mkString("[", ",", "]")
   }
 
-  /** Full SRP-LSH mirror: fixed-point projections -> sign bits -> 4-bit
-    * bands -> bucket self-join -> exact-cosine verify on candidates —
-    * the same stages as Dedup.qEmbedNearDupLsh. */
-  private def srpNearDupLshSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-       |$veSql,
-       |s AS (SELECT ve.vec_id, js.j,
-       |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
-       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${graft.functions.expressions.SrpLsh.Bits - 1})) AS j) js
-       |  GROUP BY 1, 2),
-       |bands AS (SELECT vec_id, j // ${graft.functions.expressions.SrpLsh.BandBits} AS band_id,
-       |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${graft.functions.expressions.SrpLsh.BandBits}) ELSE 0 END) AS band_val
-       |  FROM s GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |    AND a.vec_id < b.vec_id),
-       |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
-       |    unnest(list_zip(an.embedding, bn.embedding)) AS z
-       |  FROM cand c JOIN n an ON c.va = an.vec_id JOIN n bn ON c.vb = bn.vec_id),
-       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
-       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-       |  FROM cz GROUP BY va, vb)
-       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
-       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= 0.4 ORDER BY va, vb""".stripMargin
+  /** Clean-pipeline source CTEs shared by q_clean_enrich and
+    * q_clean_json (one definition so the event→payload mapping cannot
+    * drift between the column and JSON oracle forms). Mirrors
+    * CleanJob.eventsAsCleanInput + the explode. */
+  private val cleanExplodedCte =
+    """src AS (
+      |  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+      |         ['US','TW','HK','PK','KW','SA','IN','JP'][CAST(user_id % 8 + 1 AS INT)] AS countryCode,
+      |         event_id, value
+      |  FROM events
+      |), exploded AS (
+      |  SELECT dt, countryCode,
+      |         's' || CAST(event_id % 5 + 1 AS VARCHAR) AS type,
+      |         value AS score,
+      |         ['A','A+','B','C','D'][CAST(event_id % 5 + 1 AS INT)] AS level
+      |  FROM src
+      |  UNION ALL
+      |  SELECT dt, countryCode,
+      |         's' || CAST((event_id + 1) % 5 + 1 AS VARCHAR) AS type,
+      |         value * 0.5 AS score,
+      |         ['A','A+','B','C','D'][CAST((event_id + 1) % 5 + 1 AS INT)] AS level
+      |  FROM src
+      |)""".stripMargin
 
-  /** Strict-threshold SRP mirror (Dedup.qEmbedNearDupStrict): plant
-    * deterministic near-dup copies (zeroed coordinates — no float
-    * arithmetic, so the augmented corpus is bit-identical across
-    * engines), re-band the 4-bit SRP signature into 8-bit wide bands
-    * (even quarter x1 + odd quarter x16, exactly srpWideBands group=2),
-    * bucket self-join, exact-cosine verify at 0.7. */
-  private def srpStrictSql: String = {
+  /** The CleanJob.areasFixture lookup with the Scala-side "other"
+    * default, as oracle SQL. */
+  private val areaCaseSql =
+    """CASE WHEN countryCode = 'US' THEN 'AREA_US'
+      |            WHEN countryCode IN ('TW','HK') THEN 'AREA_CT'
+      |            WHEN countryCode IN ('PK','KW','SA') THEN 'AREA_AR'
+      |            WHEN countryCode = 'IN' THEN 'AREA_IN'
+      |            ELSE 'other' END""".stripMargin
+
+  /** Shared SRP-LSH mirror chain over a (vec_id, embedding) relation:
+    * fixed-point projections -> sign bits -> 4-bit bands [-> optional
+    * wide re-banding, exactly Dedup.srpWideBands] -> bucket self-join
+    * -> exact-cosine verify at `threshold` — the same stages as
+    * Dedup.qEmbedNearDupLsh / qEmbedNearDupStrict. ONE definition so
+    * the bit-identical cross-engine contract (1e6/1e12 quantization,
+    * weight literal, verify formula) cannot drift between the two
+    * oracle paths. `prefix` holds any source-building CTEs (must end
+    * with a comma when non-empty); `source` is the relation the chain
+    * reads. */
+  private def srpChainSql(
+      prefix: String, source: String, group: Int, threshold: Double): String = {
     import graft.functions.expressions.SrpLsh
-    import graft.operators.Dedup
-    s"""WITH pl AS (
-       |  SELECT vec_id, pos,
-       |    CASE WHEN (pos + vec_id) % ${Dedup.PlantZeroMod} = 0
-       |         THEN CAST(0 AS REAL) ELSE embedding[pos+1] END AS x
-       |  FROM (SELECT vec_id, embedding,
-       |          unnest(generate_series(0, len(embedding)-1)) AS pos
-       |        FROM embeddings WHERE vec_id % ${Dedup.PlantStride} = 0)),
-       |aug AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + ${Dedup.PlantIdOffset} AS vec_id,
-       |         list(x ORDER BY pos) AS embedding
-       |  FROM pl GROUP BY vec_id),
-       |n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
+    val wideCte = if (group == 1) "" else s""",
+       |wide AS (SELECT vec_id, band_id // $group AS band_id,
+       |    sum(band_val * (1 << (${SrpLsh.BandBits} * (band_id % $group)))) AS band_val
+       |  FROM bands GROUP BY 1, 2)""".stripMargin
+    val bandRel = if (group == 1) "bands" else "wide"
+    s"""WITH ${prefix}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM $source),
        |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
        |    SELECT vec_id, embedding,
        |      unnest(generate_series(0, len(embedding)-1)) AS pos
-       |    FROM aug)),
+       |    FROM $source)),
        |s AS (SELECT ve.vec_id, js.j,
        |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
        |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
        |  GROUP BY 1, 2),
        |bands AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
        |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
-       |  FROM s GROUP BY 1, 2),
-       |wide AS (SELECT vec_id, band_id // ${Dedup.StrictBandGroup} AS band_id,
-       |    sum(band_val * (1 << (${SrpLsh.BandBits} * (band_id % ${Dedup.StrictBandGroup})))) AS band_val
-       |  FROM bands GROUP BY 1, 2),
+       |  FROM s GROUP BY 1, 2)$wideCte,
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM wide a JOIN wide b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  FROM $bandRel a JOIN $bandRel b ON a.band_id = b.band_id AND a.band_val = b.band_val
        |    AND a.vec_id < b.vec_id),
        |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
        |    unnest(list_zip(an.embedding, bn.embedding)) AS z
@@ -252,7 +253,35 @@ object SparkEntry {
        |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
        |  FROM cz GROUP BY va, vb)
        |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
-       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.StrictThreshold} ORDER BY va, vb""".stripMargin
+       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= $threshold ORDER BY va, vb""".stripMargin
+  }
+
+  private def srpNearDupLshSql: String =
+    srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)
+
+  /** Strict-threshold mirror (Dedup.qEmbedNearDupStrict): plant
+    * deterministic near-dup copies (zeroed coordinates — no float
+    * arithmetic, so the augmented corpus is bit-identical across
+    * engines), then run the shared chain with 8-bit wide bands at the
+    * realistic 0.7 threshold. */
+  private def srpStrictSql: String = {
+    import graft.operators.Dedup
+    val aug =
+      s"""pl AS (
+         |  SELECT vec_id, pos,
+         |    CASE WHEN (pos + vec_id) % ${Dedup.PlantZeroMod} = 0
+         |         THEN CAST(0 AS REAL) ELSE embedding[pos+1] END AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(0, len(embedding)-1)) AS pos
+         |        FROM embeddings WHERE vec_id % ${Dedup.PlantStride} = 0)),
+         |aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${Dedup.PlantIdOffset} AS vec_id,
+         |         list(x ORDER BY pos) AS embedding
+         |  FROM pl GROUP BY vec_id),
+         |""".stripMargin
+    srpChainSql(aug, "aug", Dedup.StrictBandGroup, Dedup.StrictThreshold)
   }
 
   /** Exact connected components (mirrors Dedup.connectedComponents'
@@ -379,61 +408,19 @@ object SparkEntry {
         |       type, area, count(*) AS cnt
         |FROM parsed, wm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_clean_enrich" ->
-      """WITH src AS (
-        |  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
-        |         ['US','TW','HK','PK','KW','SA','IN','JP'][CAST(user_id % 8 + 1 AS INT)] AS countryCode,
-        |         event_id, value
-        |  FROM events
-        |), exploded AS (
-        |  SELECT dt, countryCode,
-        |         's' || CAST(event_id % 5 + 1 AS VARCHAR) AS type,
-        |         value AS score,
-        |         ['A','A+','B','C','D'][CAST(event_id % 5 + 1 AS INT)] AS level
-        |  FROM src
-        |  UNION ALL
-        |  SELECT dt, countryCode,
-        |         's' || CAST((event_id + 1) % 5 + 1 AS VARCHAR) AS type,
-        |         value * 0.5 AS score,
-        |         ['A','A+','B','C','D'][CAST((event_id + 1) % 5 + 1 AS INT)] AS level
-        |  FROM src
-        |)
+      s"""WITH $cleanExplodedCte
         |SELECT dt, countryCode, type, score, level,
-        |       CASE WHEN countryCode = 'US' THEN 'AREA_US'
-        |            WHEN countryCode IN ('TW','HK') THEN 'AREA_CT'
-        |            WHEN countryCode IN ('PK','KW','SA') THEN 'AREA_AR'
-        |            WHEN countryCode = 'IN' THEN 'AREA_IN'
-        |            ELSE 'other' END AS area
+        |       $areaCaseSql AS area
         |FROM exploded ORDER BY dt, countryCode, type, score""".stripMargin,
     // same pipeline, JSON sink payload — score canonicalized to %.6f
     // fixed-point so the JSON string is bit-identical across engines
     "q_clean_json" ->
-      """WITH src AS (
-        |  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
-        |         ['US','TW','HK','PK','KW','SA','IN','JP'][CAST(user_id % 8 + 1 AS INT)] AS countryCode,
-        |         event_id, value
-        |  FROM events
-        |), exploded AS (
-        |  SELECT dt, countryCode,
-        |         's' || CAST(event_id % 5 + 1 AS VARCHAR) AS type,
-        |         value AS score,
-        |         ['A','A+','B','C','D'][CAST(event_id % 5 + 1 AS INT)] AS level
-        |  FROM src
-        |  UNION ALL
-        |  SELECT dt, countryCode,
-        |         's' || CAST((event_id + 1) % 5 + 1 AS VARCHAR) AS type,
-        |         value * 0.5 AS score,
-        |         ['A','A+','B','C','D'][CAST((event_id + 1) % 5 + 1 AS INT)] AS level
-        |  FROM src
-        |)
+      s"""WITH $cleanExplodedCte
         |SELECT to_json(struct_pack(
         |    type := type,
         |    score := printf('%.6f', floor(score*1e6 + 0.5)/1e6),
         |    level := level,
-        |    area := CASE WHEN countryCode = 'US' THEN 'AREA_US'
-        |                 WHEN countryCode IN ('TW','HK') THEN 'AREA_CT'
-        |                 WHEN countryCode IN ('PK','KW','SA') THEN 'AREA_AR'
-        |                 WHEN countryCode = 'IN' THEN 'AREA_IN'
-        |                 ELSE 'other' END,
+        |    area := $areaCaseSql,
         |    dt := dt)) AS value
         |FROM exploded ORDER BY 1""".stripMargin,
     "q1_pricing" ->

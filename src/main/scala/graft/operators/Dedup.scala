@@ -197,7 +197,13 @@ object Dedup {
       graft.sources.Writers.writeBucketed(build, "doc_b", PairIndexBuckets, name)
       name
     })
-    s.table(table)
+    // the memo is JVM-wide but catalogs are per-session: a fresh
+    // SparkSession (new in-memory catalog) must rebuild, not trust a
+    // table name registered by a stopped session
+    if (!s.catalog.tableExists(table)) {
+      pairIndexCache.remove(s"$kind|$d")
+      pairIndex(s, d, kind)(build)
+    } else s.table(table)
   }
 
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
@@ -224,8 +230,7 @@ object Dedup {
     * oracle's exact-pair closure still matches), mirroring how
     * qDedupClusters consumes [[lshPairs]]. */
   def qEmbedClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      srpPairs(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
+    connectedComponents(srpPairs(s, d))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
@@ -506,7 +511,17 @@ object Dedup {
     * the oracle SQL rebuilds the identical corpus from the same
     * parquet. */
   private[graft] def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // distributed fail-fast: a real vec_id at or above PlantIdOffset
+    // would collide with a planted id and silently corrupt the pair
+    // attribution IN BOTH ENGINES (the oracle mirrors the arithmetic,
+    // so the parity gate could never catch it) — the guard is fused
+    // into the id projection so column pruning cannot drop it
+    val base = Tables.embeddings(s, d).select(
+      when(col("vec_id") < PlantIdOffset, col("vec_id"))
+        .otherwise(raise_error(concat(
+          lit(s"augmentedEmbeddings: vec_id >= $PlantIdOffset collides with planted ids: "),
+          col("vec_id")))).as("vec_id"),
+      col("embedding"))
     val planted = base.filter(col("vec_id") % PlantStride === 0)
       .select((col("vec_id") + PlantIdOffset).as("vec_id"),
         transform(col("embedding"), (x, i) =>
@@ -567,5 +582,4 @@ object Dedup {
   private[graft] def srpPairs(s: SparkSession, d: String): DataFrame =
     pairIndex(s, d, "srp")(
       qEmbedNearDupLsh(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
-      .select(col("doc_a").as("va"), col("doc_b").as("vb"))
 }

@@ -192,13 +192,15 @@ object ReportPipeline {
       // failure-injection seam (CrashConsistencySpec): runs AFTER the
       // durable write but BEFORE Spark commits the batch to the
       // checkpoint — throwing here is exactly the crash window the
-      // exactly-once claim must survive
-      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+      // exactly-once claim must survive. Receives the batch frame so
+      // the injector can target data-carrying batches (watermark
+      // advancement schedules empty batches too).
+      afterBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
     aggregate(ReportJob.parse(lines)).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((df: DataFrame, id: Long) => { sink.write(df, id); afterBatch(id) })
+      .foreachBatch((df: DataFrame, id: Long) => { sink.write(df, id); afterBatch(df, id) })
       .start()
 
   /** Start the late-record side-output query. */
