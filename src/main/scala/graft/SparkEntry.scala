@@ -224,13 +224,22 @@ object SparkEntry {
     * with a comma when non-empty); `source` is the relation the chain
     * reads. */
   private def srpChainSql(
-      prefix: String, source: String, group: Int, threshold: Double): String = {
+      prefix: String, source: String, group: Int, threshold: Double,
+      offsets: Seq[Int] = Seq(0)): String = {
     import graft.functions.expressions.SrpLsh
+    // wide re-banding over every offset layout: original quarter j
+    // lands in rotated position rid = (j - off) mod Bands, wide band
+    // rid // group, weight 16^(rid % group) — exactly
+    // Dedup.srpWideBands(sig, group, off) per layout, with the layout
+    // id folded into the bucket join key (union of layouts = one join)
+    val rid = s"((band_id + ${SrpLsh.Bands} - off) % ${SrpLsh.Bands})"
     val wideCte = if (group == 1) "" else s""",
-       |wide AS (SELECT vec_id, band_id // $group AS band_id,
-       |    sum(band_val * (1 << (${SrpLsh.BandBits} * (band_id % $group)))) AS band_val
-       |  FROM bands GROUP BY 1, 2)""".stripMargin
+       |wide AS (SELECT vec_id, off AS layout, $rid // $group AS band_id,
+       |    sum(band_val * (1 << (${SrpLsh.BandBits} * ($rid % $group)))) AS band_val
+       |  FROM bands CROSS JOIN (SELECT unnest([${offsets.mkString(",")}]) AS off)
+       |  GROUP BY 1, 2, 3)""".stripMargin
     val bandRel = if (group == 1) "bands" else "wide"
+    val layoutEq = if (group == 1) "" else "a.layout = b.layout AND "
     s"""WITH ${prefix}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM $source),
        |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
        |    SELECT vec_id, embedding,
@@ -244,7 +253,7 @@ object SparkEntry {
        |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
        |  FROM s GROUP BY 1, 2)$wideCte,
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM $bandRel a JOIN $bandRel b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  FROM $bandRel a JOIN $bandRel b ON ${layoutEq}a.band_id = b.band_id AND a.band_val = b.band_val
        |    AND a.vec_id < b.vec_id),
        |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
        |    unnest(list_zip(an.embedding, bn.embedding)) AS z
@@ -281,7 +290,8 @@ object SparkEntry {
          |         list(x ORDER BY pos) AS embedding
          |  FROM pl GROUP BY vec_id),
          |""".stripMargin
-    srpChainSql(aug, "aug", Dedup.StrictBandGroup, Dedup.StrictThreshold)
+    srpChainSql(aug, "aug", Dedup.StrictBandGroup, Dedup.StrictThreshold,
+      Dedup.StrictBandOffsets)
   }
 
   /** Exact connected components (mirrors Dedup.connectedComponents'

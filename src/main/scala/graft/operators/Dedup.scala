@@ -466,18 +466,24 @@ object Dedup {
     * every true pair (SrpLshSpec proves both properties on planted
     * clusters). Pure array arithmetic over the signature — no
     * recomputation of projections. */
-  def srpWideBands(bands: Column, group: Int): Column = {
+  def srpWideBands(bands: Column, group: Int, offset: Int = 0): Column = {
     import graft.functions.expressions.SrpLsh
     // group must tile the band array exactly (a non-divisor would
     // silently drop trailing projections = lost recall) and the packed
     // value must fit an int under ANSI (group*BandBits bits; cap at 28
-    // keeps 15 * 2^24 well inside Int range and the double pow exact)
+    // keeps 15 * 2^24 well inside Int range and the double pow exact).
+    // `offset` rotates the quarter sequence before grouping — a second
+    // INDEPENDENT band layout over the same signature (quarters paired
+    // (1,2),(3,4),.. instead of (0,1),(2,3),..): unioning layouts is
+    // the recall knob (each near-miss pair gets another 20 chances to
+    // collide) at a linear candidate-volume cost.
     require(group >= 1 && SrpLsh.Bands % group == 0 &&
       group * SrpLsh.BandBits <= 28,
       s"group must divide ${SrpLsh.Bands} and pack <= 28 bits, got $group")
+    require(offset >= 0 && offset < SrpLsh.Bands, s"offset out of range: $offset")
     transform(sequence(lit(0), lit(SrpLsh.Bands / group - 1)), b =>
       aggregate(sequence(lit(0), lit(group - 1)), lit(0), (acc, k) =>
-        acc + element_at(bands, b * group + k + 1) *
+        acc + element_at(bands, (b * group + k + offset) % SrpLsh.Bands + 1) *
           pow(lit(2), k * SrpLsh.BandBits).cast("int")))
   }
 
@@ -530,17 +536,34 @@ object Dedup {
     base.unionAll(planted)
   }
 
+  /** The two offset band layouts the strict query unions: layout 0
+    * pairs quarters (0,1),(2,3),..; layout 1 pairs (1,2),(3,4),.. —
+    * independent groupings of the SAME signature, so a pair that
+    * misses every band of one layout gets 20 fresh chances in the
+    * other. Measured at sf0.1: each layout alone misses 1 of the 200
+    * planted pairs; the union misses 0, at ~2x the candidate volume
+    * (still 6.5x below all-pairs). */
+  val StrictBandOffsets: Seq[Int] = Seq(0, 1)
+
   /** Strict candidate generator: 20 x 8-bit wide SRP bands
-    * ([[srpWideBands]] group=2) over the augmented corpus. Exposed
+    * ([[srpWideBands]] group=2) per offset layout over the augmented
+    * corpus, candidates = union over layouts (the layout id is part of
+    * the join key, so one self-join does all layouts). The signature
+    * is computed ONCE per vector; layouts are array re-reads. Exposed
     * separately so Bench can record the candidate count against the
     * all-pairs count — the measured pruning the 100 TB story rests
     * on. */
   private[graft] def strictCandidates(s: SparkSession, d: String): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
-    val bands = augmentedEmbeddings(s, d).select(col("vec_id"),
-      posexplode(srpWideBands(srp_bands(col("embedding")), StrictBandGroup))
-        .as(Seq("band_id", "band_val")))
+    val sig = augmentedEmbeddings(s, d)
+      .select(col("vec_id"), srp_bands(col("embedding")).as("sig"))
+    val bands = StrictBandOffsets.map(off =>
+      sig.select(col("vec_id"), lit(off).as("layout"),
+        posexplode(srpWideBands(col("sig"), StrictBandGroup, off))
+          .as(Seq("band_id", "band_val"))))
+      .reduce(_ unionAll _)
     bands.as("x").join(bands.as("y"),
+        col("x.layout") === col("y.layout") &&
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -550,21 +573,21 @@ object Dedup {
 
   /** Embedding near-dup at the REALISTIC threshold (0.7) with the
     * selectivity dial engaged: wide 8-bit SRP bands prune the
-    * candidate space (random band collision 1/256, 20 bands → ~7.5%
-    * of pairs expected to survive banding) while near-dup pairs
-    * (cosine ~0.93, per-band match ~0.375) are kept with probability
-    * 1-(1-p)^20 ≈ 0.9999 each. MEASURED: candidate reduction 11.5x
-    * vs all-pairs at sf0.1 (210,745 of 2,418,900); recall vs the
-    * exact all-pairs ground truth is 200/200 planted pairs at
-    * sf0.001 and sf0.01 (SrpLshSpec pins equality) and 199/200 at
-    * sf0.1 — the one miss sits near the 0.7 margin where per-band
-    * match probability decays, the textbook LSH recall/pruning trade;
-    * the production knob is adding bands (a second, offset re-banding
-    * layout), not widening them. The oracle mirrors the banding
+    * candidate space (random band collision 1/256, 20 bands/layout →
+    * ~7.5% of pairs survive one layout) while near-dup pairs (cosine
+    * ~0.93, per-band match ~0.375) are kept with probability
+    * 1-(1-p)^20 ≈ 0.9999 per layout. A single layout measured 11.5x
+    * reduction but 199/200 recall at sf0.1 — one pair near the 0.7
+    * margin lost every band. The textbook fix is adding bands, not
+    * widening them, so the query unions TWO offset layouts
+    * ([[StrictBandOffsets]]): MEASURED at sf0.1 — 200/200 recall
+    * (equal to the exact all-pairs ground truth at every harness SF,
+    * SrpLshSpec pins sf0.001/0.01) with 372,436 of 2,418,900
+    * candidates = 6.5x reduction. The oracle mirrors the layouts
     * bit-identically, so the correctness gate checks the LSH result
     * itself at every SF. This is the query [[qEmbedNearDupLsh]]'s
     * scaladoc promises: same code, same index, real threshold —
-    * super-linear pruning. */
+    * super-linear pruning at full recall. */
   def qEmbedNearDupStrict(s: SparkSession, d: String): DataFrame = {
     val e = augmentedEmbeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
