@@ -84,6 +84,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_lang_id_eval" -> (TextAnalysis.qLangIdEval _),
     "q_fingerprint" -> (TextAnalysis.qFingerprint _),
+    "q_pii_scrub" -> (TextAnalysis.qPiiScrub _),
     "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
     "q_doc_chunks" -> (TextAnalysis.qDocChunks _),
     "q_seq_pack" -> (TextAnalysis.qSeqPack _),
@@ -932,6 +933,24 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pii_scrub" -> {
+      import graft.operators.TextAnalysis
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.0.1 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+         |FROM inj ORDER BY doc_id""".stripMargin
+    },
     "q_subtoken_count" ->
       s"""WITH t AS (SELECT lang,
          |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_sub,

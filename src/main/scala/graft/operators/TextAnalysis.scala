@@ -113,6 +113,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("fp"))
 
+  /** PII patterns the scrub stage redacts — email, IPv4, and a
+    * NANP-style phone tail. Plain character-class regexes only: the
+    * same pattern text must compile identically under Java regex
+    * (Spark) and RE2 (DuckDB oracle). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass a training pipeline runs
+    * before text ever reaches a tokenizer: global regex replacement of
+    * emails / IPv4s / phone numbers with typed placeholder tags, plus
+    * per-document detection counts (the audit trail). The harness
+    * documents carry no organic PII, so the query plants a
+    * deterministic PII suffix per doc (mirrored exactly in the oracle)
+    * and proves the scrub removes it: counts are exact and the
+    * scrubbed text is hash-anchored via md5. Map-only — no shuffle at
+    * any scale; regexes stay inside whole-stage codegen. */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
+      col("doc_id") % 256, lit(".0.1 call 555-01"),
+      lpad((col("doc_id") % 100).cast(StringType), 2, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("t"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+        regexp_count(col("t"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sub-token (BPE-ish) counting per language — the token-budget
     * estimator a training pipeline runs over every shard. */
   def qSubTokenCount(s: SparkSession, d: String): DataFrame =

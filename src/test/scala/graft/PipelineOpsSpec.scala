@@ -10,6 +10,34 @@ import graft.operators.{Similarity, TextAnalysis}
 class PipelineOpsSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
+  test("PII scrub detects every planted pattern and removes them all") {
+    import spark.implicits._
+    val rows = TextAnalysis.qPiiScrub(spark, d).collect()
+    assert(rows.nonEmpty)
+    // each doc carries exactly one planted email/IP/phone (organic
+    // text could add more, never fewer)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_emails") >= 1, s"email not detected: $r")
+      assert(r.getAs[Long]("n_ips") >= 1, s"IP not detected: $r")
+      assert(r.getAs[Long]("n_phones") >= 1, s"phone not detected: $r")
+    }
+    // and the scrub is total: re-scanning the scrubbed text finds none
+    val residual = Tables.documents(spark, d)
+      .select(concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
+        col("doc_id") % 256, lit(".0.1 call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("t"))
+      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(TextAnalysis.EmailRe), lit("<EMAIL>")),
+          lit(TextAnalysis.Ipv4Re), lit("<IP>")),
+          lit(TextAnalysis.PhoneRe), lit("<PHONE>")).as("clean"))
+      .filter(regexp_count(col("clean"), lit(TextAnalysis.EmailRe)) > 0 ||
+        regexp_count(col("clean"), lit(TextAnalysis.Ipv4Re)) > 0 ||
+        regexp_count(col("clean"), lit(TextAnalysis.PhoneRe)) > 0)
+      .count()
+    assert(residual == 0, s"$residual docs still carry PII after scrubbing")
+  }
+
   test("chunking covers every token exactly once per stride window") {
     val chunks = TextAnalysis.qDocChunks(spark, d).collect()
       .groupBy(_.getAs[Long]("doc_id"))
