@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_content" -> (Dedup.qDedupContent _),
     "q_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    "q_dedup_gate" -> (graft.streaming.DedupGate.qDedupGate _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
@@ -977,6 +978,16 @@ object SparkEntry {
     // >=0.5 pair in the corpus is recalled (empirically exact here;
     // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
     "q_minhash_lsh" -> jaccardSql,
+    // gate ground truth: exact-Jaccard pairs crossing the new/corpus
+    // split, oriented as (new_doc, dup_of) — LSH ≡ exact at these band
+    // parameters (same argument as q_minhash_lsh)
+    "q_dedup_gate" ->
+      s"""SELECT CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+         |  CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+         |  jaccard
+         |FROM ($jaccardSql)
+         |WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)
+         |ORDER BY new_doc, dup_of""".stripMargin,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.streaming.DedupGate
+
+/** The streaming dedup gate must (a) compute signatures value-identical
+  * to the batch MinHash path, (b) catch near-dups arriving on a live
+  * stream against a static corpus, and (c) let clean documents through. */
+class DedupGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("per-row HOF signature path equals the batch grouped path") {
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, d).limit(50)
+    // batch: groupBy-built signatures -> band table
+    val batch = Dedup.lshBands(Dedup.minhashSignatures(
+      shingles(docs, "doc_id", "text")))
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // gate: one per-row projection
+    val perRow = DedupGate.rowBands(docs)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(perRow == batch, "per-row band table diverged from the batch build")
+  }
+
+  test("streaming gate flags near-dups against the corpus and passes clean docs") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark structured streaming state")
+    ).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = DedupGate.start(
+      input.toDF().toDF("doc_id", "text"), corpus,
+      Files.createTempDirectory("graft-gate").toString,
+      (df, _) => hits ++= df.select(col("new_doc"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+
+    // a near-dup of doc 1 (one word changed) and a clean document
+    input.addData(
+      (100L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (101L, "totally unrelated text with no overlap whatsoever in any shingle"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(hits.toSet == Set((100L, 1L)),
+      s"expected exactly the planted near-dup hit, got $hits")
+  }
+}
