@@ -99,6 +99,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_dedup_gate" -> (graft.streaming.DedupGate.qDedupGate _),
+    "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
@@ -991,6 +992,15 @@ object SparkEntry {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
+    // embedding gate ground truth: the full SRP chain restricted to
+    // crossing pairs, oriented as (new_vec, dup_of)
+    "q_embed_gate" ->
+      s"""SELECT CASE WHEN va % 4 = 0 THEN va ELSE vb END AS new_vec,
+         |  CASE WHEN va % 4 = 0 THEN vb ELSE va END AS dup_of,
+         |  cosine
+         |FROM (${srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)})
+         |WHERE (va % 4 = 0) <> (vb % 4 = 0)
+         |ORDER BY new_vec, dup_of""".stripMargin,
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_knn_brute" -> knnBruteSql,

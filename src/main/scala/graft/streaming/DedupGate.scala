@@ -122,4 +122,69 @@ object DedupGate {
       .dropDuplicates("new_doc", "dup_of")
       .orderBy(col("new_doc"), col("dup_of"))
   }
+
+  // ------------------------------------------- embedding-side gate
+
+  /** Per-row SRP band rows for a (vec_id, embedding) frame — the
+    * embedding twin of [[rowBands]]. `srp_bands` is already a scalar
+    * codegen expression, so the streaming side needs no new machinery:
+    * one projection, zero shuffles, no state. */
+  private def embedBands(vecs: DataFrame): DataFrame = {
+    import graft.functions.expressions.SrpBands.srp_bands
+    vecs.select(col("vec_id"), col("embedding"),
+        posexplode(srp_bands(col("embedding"))).as(Seq("band_id", "band_val")))
+  }
+
+  /** New embeddings vs a corpus snapshot: semantic near-dup hits at
+    * [[Dedup.CosineThreshold]] — SRP band-bucket candidates, exact
+    * decimal cosine verify on candidate rows only (the same two-stage
+    * verify as the batch path). */
+  def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val nb = embedBands(newVecs)
+    val index = embedBands(corpusVecs)
+      .select(col("vec_id").as("dup_of"), col("band_id"), col("band_val"))
+    val corpusVec = corpusVecs
+      .select(col("vec_id").as("dup_of"), col("embedding").as("ce"),
+        norm2Exact(col("embedding")).as("cn2"))
+    nb.join(index, Seq("band_id", "band_val"))
+      .filter(col("vec_id") =!= col("dup_of"))
+      .join(corpusVec, "dup_of")
+      .withColumn("n2", norm2Exact(col("embedding")))
+      .withColumn("cos_fast",
+        cosineFromParts(dot(col("embedding"), col("ce")), col("n2"), col("cn2")))
+      .filter(col("cos_fast") >= Dedup.CosineThreshold - 1e-6)
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("embedding"), col("ce")), col("n2"), col("cn2")))
+      .filter(col("cosine") >= Dedup.CosineThreshold)
+      .select(col("vec_id").as("new_vec"), col("dup_of"), col("cosine"))
+  }
+
+  /** Start the embedding gate — same stateless append shape as
+    * [[start]]. */
+  def startEmbed(
+      newVecs: DataFrame,
+      corpusVecs: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    embedDuplicates(newVecs, corpusVecs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) =>
+        sink(df.dropDuplicates("new_vec", "dup_of"), id))
+      .start()
+
+  /** Batch analog for the oracle: vec_id % 4 == 0 as "new" against
+    * the rest — the full SRP chain restricted to crossing pairs is
+    * the ground truth. */
+  def qEmbedGate(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    embedDuplicates(
+      vecs.filter(col("vec_id") % 4 === 0),
+      vecs.filter(col("vec_id") % 4 =!= 0))
+      .dropDuplicates("new_vec", "dup_of")
+      .orderBy(col("new_vec"), col("dup_of"))
+  }
 }

@@ -56,4 +56,31 @@ class DedupGateSpec extends SparkSpec {
     assert(hits.toSet == Set((100L, 1L)),
       s"expected exactly the planted near-dup hit, got $hits")
   }
+
+  test("streaming embed gate flags semantic near-dups against the corpus") {
+    implicit val sq = spark.sqlContext
+    val rng = new java.util.Random(11)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val corpus = Seq((1L, base), (2L, vec())).toDF("vec_id", "embedding")
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = DedupGate.startEmbed(
+      input.toDF().toDF("vec_id", "embedding"), corpus,
+      Files.createTempDirectory("graft-egate").toString,
+      (df, _) => hits ++= df.select(col("new_vec"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+
+    // a lightly perturbed copy of corpus vector 1 (cosine ~0.995) and
+    // an independent random vector (cosine ~0 against everything)
+    input.addData(
+      (100L, base.map(x => x + 0.05f * rng.nextGaussian().toFloat)),
+      (101L, vec()))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(hits.contains((100L, 1L)), s"planted semantic near-dup missed: $hits")
+    assert(!hits.exists(_._1 == 101L), s"clean vector falsely flagged: $hits")
+  }
 }
