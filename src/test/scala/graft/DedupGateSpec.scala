@@ -16,19 +16,19 @@ class DedupGateSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  test("per-row HOF signature path equals the batch grouped path") {
-    import graft.functions.TextFunctions.shingles
-    val docs = Tables.documents(spark, d).limit(50)
-    // batch: groupBy-built signatures -> band table
-    val batch = Dedup.lshBands(Dedup.minhashSignatures(
-      shingles(docs, "doc_id", "text")))
-      .select(col("doc_id"), col("band_id"), col("band_hash"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    // gate: one per-row projection
-    val perRow = DedupGate.rowBands(docs)
-      .select(col("doc_id"), col("band_id"), col("band_hash"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(perRow == batch, "per-row band table diverged from the batch build")
+  test("gate pairs are exactly the batch LSH pairs that cross the split") {
+    // the gate reuses the batch signature/band operators, so its hits
+    // must be q_minhash_lsh's verified pairs restricted to (new,
+    // corpus) crossings — no more (no phantom candidates), no fewer
+    // (no lost bands)
+    val gate = DedupGate.qDedupGate(spark, d).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val crossing = Dedup.qMinhashLsh(spark, d)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 4 == 0) != (b % 4 == 0) }.toSet
+    assert(gate == crossing, s"gate pairs diverged from batch LSH crossings")
   }
 
   test("streaming gate flags near-dups against the corpus and passes clean docs") {
