@@ -57,7 +57,7 @@ object Dedup {
   // ------------------------------------------------- n-gram Jaccard exact
 
   /** Shingle-set sizes per doc. */
-  private def shingleSizes(sh: DataFrame): DataFrame =
+  private[graft] def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
   /** Exact all-pairs 3-gram Jaccard >= 0.5 — GROUND-TRUTH-ONLY: the
@@ -85,17 +85,24 @@ object Dedup {
       shingleSizes(sh))
   }
 
-  /** shared-counts + per-doc set sizes -> Jaccard >= 0.5, deterministic
-    * output shape shared by the exact and LSH paths. */
-  private def jaccardOnPairs(shared: DataFrame, sizes: DataFrame): DataFrame =
+  /** shared-counts + per-doc set sizes -> Jaccard >= 0.5, the ONE
+    * definition of the verify formula and threshold shared by the
+    * exact path, the LSH path, and the streaming gate (sizesA/sizesB
+    * separate so asymmetric callers — gate new-vs-corpus — reuse it;
+    * symmetric callers pass the same frame twice). */
+  private[graft] def jaccardOnPairs(
+      shared: DataFrame, sizesA: DataFrame, sizesB: DataFrame): DataFrame =
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sizesA.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizesB.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast(DoubleType) /
           (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private def jaccardOnPairs(shared: DataFrame, sizes: DataFrame): DataFrame =
+    jaccardOnPairs(shared, sizes, sizes)
 
   // ----------------------------------------------------------- MinHash+LSH
 
@@ -387,7 +394,7 @@ object Dedup {
     * at the threshold for output values — on (va, vb, ea, eb, n2a,
     * n2b) pair rows, whatever generated them. One definition so the
     * exact and LSH paths cannot drift (SrpLshSpec pins equality). */
-  private def cosineVerify(
+  private[graft] def cosineVerify(
       pairRows: DataFrame, threshold: Double = CosineThreshold): DataFrame =
     pairRows
       .withColumn("cos_fast",
@@ -555,8 +562,12 @@ object Dedup {
     * on. */
   private[graft] def strictCandidates(s: SparkSession, d: String): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
+    // materialized: the union over offset layouts would otherwise
+    // re-scan and re-project 160 dots per vector once per layout
+    // (exchange reuse collapses the self-join sides, not union branches)
     val sig = augmentedEmbeddings(s, d)
       .select(col("vec_id"), srp_bands(col("embedding")).as("sig"))
+      .localCheckpoint(false)
     val bands = StrictBandOffsets.map(off =>
       sig.select(col("vec_id"), lit(off).as("layout"),
         posexplode(srpWideBands(col("sig"), StrictBandGroup, off))

@@ -130,25 +130,33 @@ object TextAnalysis {
     * and proves the scrub removes it: counts are exact and the
     * scrubbed text is hash-anchored via md5. Map-only — no shuffle at
     * any scale; regexes stay inside whole-stage codegen. */
-  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
-    val injected = concat(col("text"),
+  /** The deterministic PII suffix planted per document (mirrored in
+    * the oracle SQL) — one definition so the spec's residual check
+    * exercises exactly what the query plants. */
+  private[graft] def piiInjected: org.apache.spark.sql.Column =
+    concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
       col("doc_id") % 256, lit(".0.1 call 555-01"),
       lpad((col("doc_id") % 100).cast(StringType), 2, "0"))
-    val scrubbed = regexp_replace(
+
+  /** The full redaction chain over a text column — replacement order
+    * is part of the contract (email before IP before phone). */
+  private[graft] def piiScrubbed(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>")),
+        regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
         lit(Ipv4Re), lit("<IP>")),
       lit(PhoneRe), lit("<PHONE>"))
+
+  def qPiiScrub(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"), piiInjected.as("t"))
       .select(col("doc_id"),
         regexp_count(col("t"), lit(EmailRe)).cast(LongType).as("n_emails"),
         regexp_count(col("t"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
         regexp_count(col("t"), lit(PhoneRe)).cast(LongType).as("n_phones"),
-        md5(scrubbed).as("scrub_md5"))
+        md5(piiScrubbed(col("t"))).as("scrub_md5"))
       .orderBy(col("doc_id"))
-  }
 
   /** Sub-token (BPE-ish) counting per language — the token-budget
     * estimator a training pipeline runs over every shard. */

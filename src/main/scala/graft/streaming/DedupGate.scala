@@ -1,94 +1,101 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.Dedup
 
-/** STREAMING dedup gate — the online-ingestion form of the MinHash+LSH
-  * near-dup path: new documents arrive as a stream and are checked
-  * against a corpus snapshot before admission, the gate a production
-  * training pipeline runs at ingestion time (batch dedup cleans the
-  * corpus; this keeps it clean).
+/** STREAMING dedup gates — the online-ingestion form of the near-dup
+  * paths for BOTH modalities: new documents/embeddings arrive as a
+  * stream and are checked against a corpus snapshot before admission,
+  * the gate a production training pipeline runs at ingestion time
+  * (batch dedup cleans the corpus; this keeps it clean).
   *
   * Shape: the stream feeds foreachBatch, and each micro-batch runs the
-  * SAME codegen'd operators as the batch LSH path
+  * SAME codegen'd operators as the batch LSH paths
   * ([[Dedup.minhashSignatures]] / [[Dedup.lshBands]] over exploded
-  * shingles) against the static corpus — so the gate finds exactly the
-  * candidates batch LSH finds, and the q_dedup_gate batch analog
-  * hash-matches the exact-Jaccard oracle. foreachBatch (not an
-  * append-mode streaming DAG) is load-bearing twice over: the
-  * signature build and candidate dedup are aggregations a stateless
-  * append stream cannot host, and a per-row array-HOF signature
-  * (transform/array_min lambdas) is CodegenFallback-interpreted —
-  * measured 14x slower than the exploded+grouped build on the same
-  * data. The gate holds no streaming state, so it runs forever
-  * without growth.
+  * shingles; [[graft.functions.expressions.SrpBands]]) against a
+  * corpus index that is built ONCE at gate start and localCheckpointed
+  * — the per-batch work touches only the new-docs side plus candidate
+  * verification. foreachBatch (not an append-mode streaming DAG) is
+  * load-bearing twice over: the signature build and candidate dedup
+  * are aggregations a stateless append stream cannot host, and a
+  * per-row array-HOF signature (transform/array_min lambdas) is
+  * CodegenFallback-interpreted — measured 14x slower than the
+  * exploded+grouped build on the same data. The gates hold no
+  * streaming state, so they run forever without growth.
   *
-  * Scale shape: candidates come from an equi join on (band_id,
-  * band_hash) against a SLIM index (3 ints per corpus band; at 100 TB
-  * a bucketed on-disk table of [[Dedup.pairIndex]]'s kind, re-read
-  * per micro-batch like the reference's Redis dim), and the
-  * exact-Jaccard verify touches shingle rows only for candidate doc
-  * ids. */
+  * Scale shape: candidates come from an equi join on the band key
+  * against a SLIM index (3 ints per corpus band; at 100 TB a bucketed
+  * on-disk table of [[Dedup.pairIndex]]'s kind), and the exact
+  * verification (shared-shingle Jaccard / two-stage cosine, both THE
+  * shared helpers [[Dedup.jaccardOnPairs]] / [[Dedup.cosineVerify]] so
+  * gate and batch semantics cannot drift) touches only candidate doc
+  * ids. Same-id pairs are NOT excluded: a re-ingested document whose
+  * id already exists in the corpus is still content-checked — "already
+  * admitted" is exactly what a gate must report. */
 object DedupGate {
 
-  /** New docs vs a corpus snapshot: DISTINCT candidate pairs from the
-    * slim band-bucket join, then exact Jaccard >= 0.5 verified ONCE
-    * per pair via shared-shingle counts (the same verify-on-candidates
-    * discipline as [[Dedup.qMinhashLsh]], restricted to crossing
-    * pairs). Output (new_doc, dup_of, jaccard), pair-unique. */
-  def duplicates(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
+  /** Corpus snapshot pre-processed for the text gate: shingle rows,
+    * slim band index, and set sizes — built once, localCheckpointed,
+    * shared across every micro-batch. */
+  final case class TextIndex(sh: DataFrame, bands: DataFrame, sizes: DataFrame)
+
+  def indexCorpus(corpusDocs: DataFrame): TextIndex = {
     import graft.functions.TextFunctions.shingles
-    // each shingle set feeds bands + shared-count + sizes — same
-    // materialize-once rationale as qMinhashLsh
-    val shNew = shingles(newDocs, "doc_id", "text").localCheckpoint(false)
-    val shCor = shingles(corpusDocs, "doc_id", "text").localCheckpoint(false)
-    val nb = Dedup.lshBands(Dedup.minhashSignatures(shNew))
-    val index = Dedup.lshBands(Dedup.minhashSignatures(shCor))
-      .select(col("doc_id").as("dup_of"), col("band_id"), col("band_hash"))
-    val cand = nb.join(index, Seq("band_id", "band_hash"))
-      .select(col("doc_id").as("new_doc"), col("dup_of"))
-      .distinct()
-    val shared = cand
-      .join(shNew.select(col("doc_id").as("new_doc"), col("shingle")), "new_doc")
-      .join(shCor.select(col("doc_id").as("dup_of"), col("shingle")),
-        Seq("dup_of", "shingle"))
-      .groupBy(col("new_doc"), col("dup_of"))
-      .agg(count(lit(1)).as("shared"))
-    val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-      .select(col("doc_id").as("new_doc"), col("na"))
-    val sizesCor = shCor.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-      .select(col("doc_id").as("dup_of"), col("nb"))
-    shared.join(sizesNew, "new_doc").join(sizesCor, "dup_of")
-      .select(col("new_doc"), col("dup_of"),
-        (col("shared").cast(DoubleType) /
-          (col("na") + col("nb") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    val sh = shingles(corpusDocs, "doc_id", "text").localCheckpoint(false)
+    TextIndex(sh,
+      Dedup.lshBands(Dedup.minhashSignatures(sh)).localCheckpoint(false),
+      Dedup.shingleSizes(sh).localCheckpoint(false))
   }
 
-  /** Start the gate: raw new docs stream into foreachBatch, where the
-    * batch runs the full candidate+verify pipeline against the static
-    * corpus (the candidate `distinct` is an aggregation, which an
-    * append-mode streaming DAG cannot host without state — foreachBatch
-    * is the standard production shape for exactly this, and keeps the
-    * gate stateless so it runs forever without growth). */
+  /** New docs vs a prebuilt corpus index: DISTINCT candidate pairs
+    * from the slim band-bucket join, then exact Jaccard >= 0.5
+    * verified ONCE per pair via [[Dedup.jaccardOnPairs]] (the one
+    * definition of formula and threshold). Output (new_doc, dup_of,
+    * jaccard), pair-unique. */
+  def duplicates(newDocs: DataFrame, corpus: TextIndex): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    // the new-docs shingle set feeds bands + shared-count + sizes —
+    // same materialize-once rationale as qMinhashLsh
+    val shNew = shingles(newDocs, "doc_id", "text").localCheckpoint(false)
+    val cand = Dedup.lshBands(Dedup.minhashSignatures(shNew))
+      .join(corpus.bands.select(col("doc_id").as("dup_of"),
+        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+      .distinct()
+    val shared = cand
+      .join(shNew.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(corpus.sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    Dedup.jaccardOnPairs(shared, Dedup.shingleSizes(shNew), corpus.sizes)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
+  }
+
+  def duplicates(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame =
+    duplicates(newDocs, indexCorpus(corpusDocs))
+
+  /** Start the gate: raw new docs stream into foreachBatch against the
+    * once-built corpus index. */
   def start(
       newDocs: DataFrame,
       corpusDocs: DataFrame,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val corpus = indexCorpus(corpusDocs)
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch((df: DataFrame, id: Long) =>
-        sink(duplicates(df, corpusDocs), id))
+        sink(duplicates(df, corpus), id))
       .start()
+  }
 
   /** Batch analog for the oracle gate: every doc_id % 4 == 0 document
     * replayed as "new" against the rest as corpus — the exact-Jaccard
@@ -104,45 +111,47 @@ object DedupGate {
 
   // ------------------------------------------- embedding-side gate
 
-  /** Per-row SLIM SRP band rows for a (vec_id, embedding) frame — the
-    * embedding twin of [[rowBands]]. `srp_bands` is already a scalar
-    * codegen expression, so this is one projection, zero shuffles, no
-    * state; the vector payload joins back per candidate pair. */
+  /** Corpus snapshot pre-processed for the embedding gate: slim SRP
+    * band index + vectors with precomputed norms. */
+  final case class EmbedIndex(bands: DataFrame, vecs: DataFrame)
+
   private def embedBands(vecs: DataFrame): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
     vecs.select(col("vec_id"),
       posexplode(srp_bands(col("embedding"))).as(Seq("band_id", "band_val")))
   }
 
-  /** New embeddings vs a corpus snapshot: semantic near-dup hits at
-    * [[Dedup.CosineThreshold]] — DISTINCT candidate pairs from the
-    * slim SRP band-bucket join, two-stage exact-cosine verify once
-    * per pair (vectors joined back for candidates only). */
-  def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val index = embedBands(corpusVecs)
-      .select(col("vec_id").as("dup_of"), col("band_id"), col("band_val"))
-    val cand = embedBands(newVecs)
-      .join(index, Seq("band_id", "band_val"))
-      .filter(col("vec_id") =!= col("dup_of"))
-      .select(col("vec_id").as("new_vec"), col("dup_of"))
-      .distinct()
-    val newVec = newVecs
-      .select(col("vec_id").as("new_vec"), col("embedding").as("ne"),
-        norm2Exact(col("embedding")).as("nn2"))
-    val corpusVec = corpusVecs
-      .select(col("vec_id").as("dup_of"), col("embedding").as("ce"),
-        norm2Exact(col("embedding")).as("cn2"))
-    cand.join(newVec, "new_vec")
-      .join(corpusVec, "dup_of")
-      .withColumn("cos_fast",
-        cosineFromParts(dot(col("ne"), col("ce")), col("nn2"), col("cn2")))
-      .filter(col("cos_fast") >= Dedup.CosineThreshold - 1e-6)
-      .withColumn("cosine",
-        cosineFromParts(dotExact(col("ne"), col("ce")), col("nn2"), col("cn2")))
-      .filter(col("cosine") >= Dedup.CosineThreshold)
-      .select(col("new_vec"), col("dup_of"), col("cosine"))
+  def indexEmbedCorpus(corpusVecs: DataFrame): EmbedIndex = {
+    import graft.functions.VectorFunctions.norm2Exact
+    EmbedIndex(
+      embedBands(corpusVecs).localCheckpoint(false),
+      corpusVecs.select(col("vec_id"), col("embedding"),
+        norm2Exact(col("embedding")).as("n2")).localCheckpoint(false))
   }
+
+  /** New embeddings vs a prebuilt corpus index: semantic near-dup hits
+    * at [[Dedup.CosineThreshold]] — DISTINCT candidate pairs from the
+    * slim SRP band-bucket join, then [[Dedup.cosineVerify]]'s
+    * two-stage verify once per pair (vectors joined back for
+    * candidates only). */
+  def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame = {
+    import graft.functions.VectorFunctions.norm2Exact
+    val cand = embedBands(newVecs)
+      .join(corpus.bands.select(col("vec_id").as("dup_of"),
+        col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+      .select(col("vec_id").as("va"), col("dup_of").as("vb"))
+      .distinct()
+    val pairRows = cand
+      .join(newVecs.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        norm2Exact(col("embedding")).as("n2a")), "va")
+      .join(corpus.vecs.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("n2").as("n2b")), "vb")
+    Dedup.cosineVerify(pairRows)
+      .select(col("va").as("new_vec"), col("vb").as("dup_of"), col("cosine"))
+  }
+
+  def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame =
+    embedDuplicates(newVecs, indexEmbedCorpus(corpusVecs))
 
   /** Start the embedding gate — same foreachBatch shape as [[start]]. */
   def startEmbed(
@@ -150,14 +159,16 @@ object DedupGate {
       corpusVecs: DataFrame,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val corpus = indexEmbedCorpus(corpusVecs)
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch((df: DataFrame, id: Long) =>
-        sink(embedDuplicates(df, corpusVecs), id))
+        sink(embedDuplicates(df, corpus), id))
       .start()
+  }
 
   /** Batch analog for the oracle: vec_id % 4 == 0 as "new" against
     * the rest — the full SRP chain restricted to crossing pairs is

@@ -21,16 +21,10 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_ips") >= 1, s"IP not detected: $r")
       assert(r.getAs[Long]("n_phones") >= 1, s"phone not detected: $r")
     }
-    // and the scrub is total: re-scanning the scrubbed text finds none
+    // and the scrub is total: re-scanning the scrubbed text (built by
+    // the operator's OWN injection + redaction builders) finds none
     val residual = Tables.documents(spark, d)
-      .select(concat(col("text"),
-        lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
-        col("doc_id") % 256, lit(".0.1 call 555-01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("t"))
-      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
-          lit(TextAnalysis.EmailRe), lit("<EMAIL>")),
-          lit(TextAnalysis.Ipv4Re), lit("<IP>")),
-          lit(TextAnalysis.PhoneRe), lit("<PHONE>")).as("clean"))
+      .select(TextAnalysis.piiScrubbed(TextAnalysis.piiInjected).as("clean"))
       .filter(regexp_count(col("clean"), lit(TextAnalysis.EmailRe)) > 0 ||
         regexp_count(col("clean"), lit(TextAnalysis.Ipv4Re)) > 0 ||
         regexp_count(col("clean"), lit(TextAnalysis.PhoneRe)) > 0)
