@@ -64,7 +64,11 @@ object SparkEntry {
     "q_interval_join_outer" -> (IntervalJoin.qIntervalJoinOuter _),
     "q_approx_quantile" -> (Relational.qApproxQuantile _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q12_priority_ship" -> (Relational.q12PriorityShip _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
@@ -858,6 +862,51 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size < 15),
+        |th AS (
+        |  SELECT l_partkey AS tp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) * 0.2 AS qty_thresh
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pf)
+        |  GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN pf ON l_partkey = p_partkey
+        |JOIN th ON l_partkey = tp
+        |WHERE l_quantity < qty_thresh""".stripMargin,
     "q_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -691,6 +691,83 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q14-style promo revenue share: one full-fact scan, part dim
+    * broadcast, both the conditional and total revenue as decimal-exact
+    * sums in ONE aggregate — the ratio is a single deterministic double
+    * division. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+        dsum(rev)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: the correlated
+    * 0.2*avg(quantity) subquery becomes a per-part aggregate joined
+    * back — computed only for the filtered parts (semi join BEFORE the
+    * aggregate, so at scale the threshold build touches the brand's
+    * lineitems, not the whole fact). */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)
+    val li = Tables.lineitem(s, d)
+    val thresh = li
+      .join(broadcast(pf.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("tp"))
+      .agg((davg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(thresh), col("l_partkey") === col("tp"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q13-style order-count distribution: left join keeps
+    * zero-order customers (count of a null key is 0), then a second
+    * tiny aggregate over the counts. */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q8-style market share: the national supplier's share of
+    * LARGE-part revenue among an entire region's customers, per year.
+    * Every dimension broadcasts; the fact shuffles once for the final
+    * year group-by. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val custNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("ck"))
+    val suppNations = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("ck"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sk"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) /
+        dsum(rev)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q10-style returned items: customers ranked by revenue lost
     * to returns in a quarter. */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
