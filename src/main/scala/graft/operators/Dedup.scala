@@ -216,6 +216,19 @@ object Dedup {
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     pairIndex(s, d, "lsh")(qMinhashLsh(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** Index MAINTENANCE: append verified pairs to an existing bucketed
+    * pair table — the step after an ingestion gate admits new
+    * documents, so cluster and corpus-clean queries stay correct for
+    * the expanded corpus without a full rebuild. Spark appends
+    * bucketed files per bucket (same bucket spec enforced by the
+    * catalog), so the layout contract — shuffle-free bucketed reads —
+    * survives the append; DedupGateSpec pins both the merged-cluster
+    * semantics and the post-append plan shape. */
+  private[graft] def appendPairs(s: SparkSession, table: String, pairs: DataFrame): Unit =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .write.mode("append").bucketBy(PairIndexBuckets, "doc_b").sortBy("doc_b")
+      .saveAsTable(table)
+
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard
     * pair graph — the step that makes near-dedup transitively correct
     * (A~B, B~C must collapse to ONE representative even when A~C was

@@ -57,6 +57,33 @@ class DedupGateSpec extends SparkSpec {
       s"expected exactly the planted near-dup hit, got $hits")
   }
 
+  test("gate-to-index maintenance: append merges clusters, keeps the bucketed layout") {
+    import spark.implicits._
+    // snapshot index holds one dup pair (1~2); the gate then admits
+    // doc 100 as a near-dup of corpus doc 3 and its pair is APPENDED
+    val table = "graft_spec_pairs_append"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), table)
+    new scala.reflect.io.Directory(wh).deleteRecursively()
+    graft.sources.Writers.writeBucketed(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_b", Dedup.PairIndexBuckets, table)
+    Dedup.appendPairs(spark, table, Seq((100L, 3L)).toDF("doc_a", "doc_b"))
+
+    // cluster semantics over the MAINTAINED index: {1,2} and {3,100}
+    val clusters = Dedup.connectedComponents(spark.table(table))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 100L -> 3L),
+      s"unexpected clusters after append: $clusters")
+
+    // the layout contract survives the append: a distinct on the
+    // bucket key still reads bucketed with zero shuffle exchanges
+    val plan = spark.table(table).select(col("doc_b")).distinct()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"append lost the bucketed layout:\n$plan")
+    assert(!plan.contains("Exchange"), s"post-append distinct shuffles:\n$plan")
+  }
+
   test("streaming embed gate flags semantic near-dups against the corpus") {
     implicit val sq = spark.sqlContext
     val rng = new java.util.Random(11)
