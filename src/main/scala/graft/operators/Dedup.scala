@@ -218,14 +218,35 @@ object Dedup {
 
   /** Index MAINTENANCE: append verified pairs to an existing bucketed
     * pair table — the step after an ingestion gate admits new
-    * documents, so cluster and corpus-clean queries stay correct for
-    * the expanded corpus without a full rebuild. Spark appends
-    * bucketed files per bucket (same bucket spec enforced by the
-    * catalog), so the layout contract — shuffle-free bucketed reads —
-    * survives the append; DedupGateSpec pins both the merged-cluster
-    * semantics and the post-append plan shape. */
+    * documents, so cluster and corpus-clean queries reflect the
+    * expanded corpus without a full rebuild. Three contract points:
+    *  - ORIENTATION is canonicalized to doc_a < doc_b before the
+    *    append: the built index guarantees it (the LSH self-join uses
+    *    id <), and qCleanCorpus reads distinct doc_b as the keep-
+    *    lowest-id LOSERS — a gate hit arrives as (new_doc, dup_of)
+    *    with the newcomer (higher id) first, which un-canonicalized
+    *    would mark the ORIGINAL as the loser.
+    *  - IDEMPOTENT: pairs already in the table are anti-joined away,
+    *    so an at-least-once replayed gate batch does not grow the
+    *    index (the same replay-idempotence discipline as the durable
+    *    sinks).
+    *  - LIFETIME: appends cover the span between corpus snapshots. A
+    *    pairIndex REBUILD (new snapshot) reconstructs only the
+    *    snapshot's own pairs — production lands gate-admitted docs
+    *    into the next snapshot through the batch pipeline, so their
+    *    pairs re-enter the rebuilt index there; the append bridges
+    *    the gap, it is not the system of record.
+    * Spark appends bucketed files per bucket (same bucket spec
+    * enforced by the catalog), so the layout contract — shuffle-free
+    * bucketed reads — survives; DedupGateSpec pins orientation,
+    * idempotence, merged-cluster semantics, and the post-append plan
+    * shape. */
   private[graft] def appendPairs(s: SparkSession, table: String, pairs: DataFrame): Unit =
-    pairs.select(col("doc_a"), col("doc_b"))
+    pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+      .join(s.table(table), Seq("doc_a", "doc_b"), "left_anti")
       .write.mode("append").bucketBy(PairIndexBuckets, "doc_b").sortBy("doc_b")
       .saveAsTable(table)
 

@@ -741,8 +741,11 @@ object Relational {
 
   /** TPC-H Q8-style market share: the national supplier's share of
     * LARGE-part revenue among an entire region's customers, per year.
-    * Every dimension broadcasts; the fact shuffles once for the final
-    * year group-by. */
+    * part/supplier/nation/region broadcast; orders and customer are
+    * fact-sized at scale, so the plan carries their two shuffle joins
+    * plus the final year group-by (which the filtered-part selectivity
+    * makes small) — the quadratic risk is zero, the shuffles are the
+    * honest minimum for a three-fact join. */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val custNations = Tables.nation(s, d)

@@ -68,7 +68,18 @@ class DedupGateSpec extends SparkSpec {
     new scala.reflect.io.Directory(wh).deleteRecursively()
     graft.sources.Writers.writeBucketed(
       Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_b", Dedup.PairIndexBuckets, table)
+    // the gate emits (new_doc=100, dup_of=3) — newcomer FIRST; the
+    // append must canonicalize to doc_a < doc_b or qCleanCorpus's
+    // distinct-doc_b loser read would drop the ORIGINAL doc 3
     Dedup.appendPairs(spark, table, Seq((100L, 3L)).toDF("doc_a", "doc_b"))
+    assert(spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (3L, 100L)),
+      "appended pair not canonicalized to doc_a < doc_b")
+
+    // replaying the same gate batch (at-least-once delivery) must not
+    // grow the index
+    Dedup.appendPairs(spark, table, Seq((100L, 3L)).toDF("doc_a", "doc_b"))
+    assert(spark.table(table).count() == 2, "replayed append duplicated rows")
 
     // cluster semantics over the MAINTAINED index: {1,2} and {3,100}
     val clusters = Dedup.connectedComponents(spark.table(table))
