@@ -337,7 +337,11 @@ object SparkEntry {
   private val KmIters = 3
   private def kmeansChainSql: String = {
     val sb = new StringBuilder(
-      "c1 AS (SELECT vec_id AS cent_id, pos, x FROM ve WHERE vec_id % 100 = 0)")
+      // fixed-cardinality seed mirror (Similarity.seedStride): stride
+      // = greatest(1, n // TargetCells) — DuckDB's // is the same
+      // floor division as Scala Long `/` on non-negatives
+      s"c1 AS (SELECT vec_id AS cent_id, pos, x FROM ve WHERE vec_id % " +
+        s"(SELECT greatest(1, count(*) // ${Similarity.TargetCells}) FROM embeddings) = 0)")
     for (i <- 1 to KmIters) sb ++= s""",
          |cn$i AS (SELECT cent_id,
          |    CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS n2

@@ -121,9 +121,28 @@ object Similarity {
 
   val KMeansIters = 3
 
-  /** Deterministic seed centroids: every 100th vec_id. */
+  /** Coarse-quantizer cardinality is a PARAMETER, not a function of
+    * corpus size: a production IVF index picks k (4096, sqrt(n), ...)
+    * and keeps it as the corpus grows, because everything downstream
+    * is sized by k — the driver-side centroid cache, the per-task
+    * broadcast of the centroid array, and the O(n*k) assignment work.
+    * The earlier `vec_id % 100` seed made k = n/100: at 1 B vectors
+    * that is 10 M centroids — a driver OOM and an O(n^2/100) argmax.
+    * With fixed k the cache and broadcast are O(k*dim) regardless of
+    * corpus size ([[SimilarityPlanSpec]] pins this). */
+  val TargetCells = 64L
+
+  /** Deterministic modulo-stride seed spread across the id range:
+    * stride = max(1, floor(n / TargetCells)), centroids = vec_ids
+    * divisible by it — ~TargetCells seeds whatever n is. The count is
+    * ONE scalar aggregate (a bounded driver value, like the CC stop
+    * test), and the floor division is mirrored bit-identically by the
+    * oracle's `count(*) // TargetCells` scalar subquery. */
+  private[graft] def seedStride(e: DataFrame): Long =
+    math.max(1L, e.count() / TargetCells)
+
   private[graft] def seedCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 100 === 0)
+    e.filter(col("vec_id") % seedStride(e) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         col("n2").as("cent_n2"))
 
@@ -182,7 +201,8 @@ object Similarity {
     * point math), so it is memoized per (path, iters) as collected
     * rows — exactly how a production ANN index treats its coarse
     * quantizer (train offline, reuse across queries). The cache holds
-    * |cells| rows of dim floats; rebuilt as a local DataFrame on use. */
+    * at most ~[[TargetCells]] rows of dim floats — O(k), independent
+    * of corpus size — rebuilt as a local DataFrame on use. */
   private val centCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[org.apache.spark.sql.Row]]()
 

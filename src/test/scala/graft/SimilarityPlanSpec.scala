@@ -16,10 +16,29 @@ class SimilarityPlanSpec extends SparkSpec {
   private def parts(s: org.apache.spark.sql.SparkSession) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
-    val cent = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
-        col("n2").as("cent_n2"))
-    (e, cent)
+    (e, Similarity.seedCentroids(e))
+  }
+
+  test("centroid cardinality is O(TargetCells), independent of corpus size") {
+    val (e, _) = parts(spark)
+    val n = e.count()
+    // a 10x corpus with the same id density (shifted blocks) must NOT
+    // get 10x the centroids: the stride scales with n so the seed set
+    // stays ~TargetCells — the property that keeps the driver cache
+    // and per-task broadcast O(k*dim) at any corpus size
+    val e10 = (0 until 10).map(i =>
+      e.select((col("vec_id") + lit(i * n)).as("vec_id"), col("embedding"), col("n2")))
+      .reduce(_ unionAll _)
+    val kSmall = Similarity.seedCentroids(e).count()
+    val kBig = Similarity.seedCentroids(e10).count()
+    val cap = 2 * Similarity.TargetCells
+    assert(kSmall <= cap && kBig <= cap,
+      s"seed centroid count grew with the corpus: $kSmall -> $kBig (cap $cap)")
+    assert(kBig <= kSmall * 2,
+      s"10x corpus must not multiply centroids: $kSmall -> $kBig")
+    // and the trained set can only shrink (cells may die), so the
+    // memoized driver cache is bounded by the same k
+    assert(Similarity.trainCentroids(e).count() <= kSmall)
   }
 
   test("IVF assignment shuffles nothing and evaluates the argmax once") {
