@@ -1032,27 +1032,32 @@ object SparkEntry {
     // >=0.5 pair in the corpus is recalled (empirically exact here;
     // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
     "q_minhash_lsh" -> jaccardSql,
-    // gate ground truth: exact-Jaccard pairs crossing the new/corpus
-    // split, oriented as (new_doc, dup_of) — LSH ≡ exact at these band
-    // parameters (same argument as q_minhash_lsh)
+    // gate ground truth: exact-Jaccard pairs touching the new side —
+    // crossing pairs oriented (new, corpus) PLUS new-new pairs (the
+    // intra-batch population) oriented (higher, lower) = keep-lowest-id.
+    // jaccardSql canonicalizes doc_a < doc_b, so for a new-new pair the
+    // newcomer-to-flag is doc_b. LSH ≡ exact at these band parameters
+    // (same argument as q_minhash_lsh).
     "q_dedup_gate" ->
-      s"""SELECT CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_doc,
-         |  CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+      s"""SELECT CASE WHEN doc_b % 4 = 0 THEN doc_b ELSE doc_a END AS new_doc,
+         |  CASE WHEN doc_b % 4 = 0 THEN doc_a ELSE doc_b END AS dup_of,
          |  jaccard
          |FROM ($jaccardSql)
-         |WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)
+         |WHERE (doc_a % 4 = 0) OR (doc_b % 4 = 0)
          |ORDER BY new_doc, dup_of""".stripMargin,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
     // embedding gate ground truth: the full SRP chain restricted to
-    // crossing pairs, oriented as (new_vec, dup_of)
+    // pairs touching the new side — crossing pairs oriented (new,
+    // corpus) plus new-new pairs oriented (higher, lower); the chain
+    // canonicalizes va < vb, so the new-new newcomer is vb
     "q_embed_gate" ->
-      s"""SELECT CASE WHEN va % 4 = 0 THEN va ELSE vb END AS new_vec,
-         |  CASE WHEN va % 4 = 0 THEN vb ELSE va END AS dup_of,
+      s"""SELECT CASE WHEN vb % 4 = 0 THEN vb ELSE va END AS new_vec,
+         |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
          |  cosine
          |FROM (${srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)})
-         |WHERE (va % 4 = 0) <> (vb % 4 = 0)
+         |WHERE (va % 4 = 0) OR (vb % 4 = 0)
          |ORDER BY new_vec, dup_of""".stripMargin,
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
