@@ -155,6 +155,12 @@ object Bench {
       """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
     }
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf":"$sfDir"}""")
+    // the full line above can exceed the driver's 2 KB output-tail
+    // capture, leaving the headline invisible (BENCH_r3/r4 `parsed:
+    // null`) — repeat the totals in a tiny final line that always fits
+    val (worstName, worstDelta) =
+      if (deltas.nonEmpty) deltas.maxBy(_._2) else ("none", 0.0)
+    println(s"""{"metric":"total_summary","total":${jnum(total)},"n_queries":${results.size},"n_errors":${errors.size},"worst_query":"$worstName","worst_delta":${jnum(worstDelta)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
