@@ -16,19 +16,20 @@ class DedupGateSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  test("gate pairs are exactly the batch LSH pairs that cross the split") {
+  test("gate pairs are exactly the batch LSH pairs touching the new side") {
     // the gate reuses the batch signature/band operators, so its hits
-    // must be q_minhash_lsh's verified pairs restricted to (new,
-    // corpus) crossings — no more (no phantom candidates), no fewer
-    // (no lost bands)
+    // must be q_minhash_lsh's verified pairs restricted to pairs
+    // TOUCHING the new side — (new, corpus) crossings AND (new, new)
+    // intra-batch pairs, the same predicate as the driver oracle — no
+    // more (no phantom candidates), no fewer (no lost bands)
     val gate = DedupGate.qDedupGate(spark, d).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
-    val crossing = Dedup.qMinhashLsh(spark, d)
+    val touching = Dedup.qMinhashLsh(spark, d)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (a, b) => (a % 4 == 0) != (b % 4 == 0) }.toSet
-    assert(gate == crossing, s"gate pairs diverged from batch LSH crossings")
+      .filter { case (a, b) => (a % 4 == 0) || (b % 4 == 0) }.toSet
+    assert(gate == touching, s"gate pairs diverged from batch LSH pairs touching the new side")
   }
 
   test("streaming gate flags near-dups against the corpus and passes clean docs") {
