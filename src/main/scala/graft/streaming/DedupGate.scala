@@ -152,6 +152,40 @@ object DedupGate {
   def duplicates(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame =
     duplicates(newDocs, indexCorpus(corpusDocs))
 
+  /** The cross-batch mutable state of a running text gate — the
+    * growing corpus index plus the exactly-once absorption guard —
+    * extracted from [[start]]'s foreachBatch so the absorb path is
+    * unit-testable without a streaming harness. One instance per gate;
+    * [[process]] is what foreachBatch invokes per micro-batch. */
+  final class TextGateState(corpusDocs: DataFrame,
+      pairTable: Option[String] = None) {
+    @volatile private var corpus = indexCorpus(corpusDocs)
+    private val absorbedBatches =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    /** Current index (corpus snapshot + absorbed increments). */
+    def index: TextIndex = corpus
+
+    /** One micro-batch: verify dups, sink them, maintain the pair
+      * table, then absorb the batch's admitted docs. Absorption is
+      * exactly-once per batch id — a replayed batch (at-least-once
+      * foreachBatch) re-emits its hits but never re-absorbs, so the
+      * index cannot double-count shingles. */
+    def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
+      val batch = df.localCheckpoint(false)
+      val dups = duplicates(batch, corpus).localCheckpoint(false)
+      sink(dups, id)
+      pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
+        dups.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b"))))
+      if (absorbedBatches.add(id)) {
+        val admitted = batch.join(
+          dups.select(col("new_doc").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        corpus = corpus.absorb(admitted)
+      }
+    }
+  }
+
   /** Start the gate: raw new docs stream into foreachBatch against the
     * corpus index, which GROWS by each batch's admitted docs (see the
     * module doc's three populations). `pairTable`, when set, receives
@@ -163,27 +197,12 @@ object DedupGate {
       sink: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0),
       pairTable: Option[String] = None): StreamingQuery = {
-    @volatile var corpus = indexCorpus(corpusDocs)
-    val absorbedBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val state = new TextGateState(corpusDocs, pairTable)
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        val batch = df.localCheckpoint(false)
-        val dups = duplicates(batch, corpus).localCheckpoint(false)
-        sink(dups, id)
-        pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
-          dups.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b"))))
-        // exactly-once absorption: a replayed batch reuses its id, so
-        // the guard keeps the index from double-counting shingles
-        if (absorbedBatches.add(id)) {
-          val admitted = batch.join(
-            dups.select(col("new_doc").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          corpus = corpus.absorb(admitted)
-        }
-      }
+      .foreachBatch { (df: DataFrame, id: Long) => state.process(df, id, sink) }
       .start()
   }
 
@@ -269,6 +288,34 @@ object DedupGate {
   def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame =
     embedDuplicates(newVecs, indexEmbedCorpus(corpusVecs))
 
+  /** Cross-batch state of a running embedding gate — the semantic twin
+    * of [[TextGateState]] (growing SRP index + exactly-once absorb
+    * guard), extracted for the same unit-testability. */
+  final class EmbedGateState(corpusVecs: DataFrame,
+      pairTable: Option[String] = None) {
+    @volatile private var corpus = indexEmbedCorpus(corpusVecs)
+    private val absorbedBatches =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    /** Current index (corpus snapshot + absorbed increments). */
+    def index: EmbedIndex = corpus
+
+    /** One micro-batch — see [[TextGateState.process]]. */
+    def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
+      val batch = df.localCheckpoint(false)
+      val dups = embedDuplicates(batch, corpus).localCheckpoint(false)
+      sink(dups, id)
+      pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
+        dups.select(col("new_vec").as("doc_a"), col("dup_of").as("doc_b"))))
+      if (absorbedBatches.add(id)) {
+        val admitted = batch.join(
+          dups.select(col("new_vec").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        corpus = corpus.absorb(admitted)
+      }
+    }
+  }
+
   /** Start the embedding gate — same foreachBatch + absorb + optional
     * pair-table maintenance shape as [[start]]; `pairTable` receives
     * SRP hits (the semantic twin of the text gate's maintenance). */
@@ -279,25 +326,12 @@ object DedupGate {
       sink: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0),
       pairTable: Option[String] = None): StreamingQuery = {
-    @volatile var corpus = indexEmbedCorpus(corpusVecs)
-    val absorbedBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val state = new EmbedGateState(corpusVecs, pairTable)
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        val batch = df.localCheckpoint(false)
-        val dups = embedDuplicates(batch, corpus).localCheckpoint(false)
-        sink(dups, id)
-        pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
-          dups.select(col("new_vec").as("doc_a"), col("dup_of").as("doc_b"))))
-        if (absorbedBatches.add(id)) {
-          val admitted = batch.join(
-            dups.select(col("new_vec").as("vec_id")).distinct(),
-            Seq("vec_id"), "left_anti")
-          corpus = corpus.absorb(admitted)
-        }
-      }
+      .foreachBatch { (df: DataFrame, id: Long) => state.process(df, id, sink) }
       .start()
   }
 
