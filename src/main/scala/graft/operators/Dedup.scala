@@ -137,18 +137,26 @@ object Dedup {
     * murmur3 signatures give full recall on every planted pair, which
     * is asserted by the oracle (and the recall/precision trade is
     * documented at the band parameters above). */
-  def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // four uses of the shingle set (signatures, shared x2, sizes) —
-    // materialized once; see qNgramJaccard for the reuse rationale
-    val sh = shingles(Tables.documents(s, d), "doc_id", "text")
-      .localCheckpoint(false)
+  /** Candidate pairs from the band-bucket self-join over a shingle
+    * set — exposed so Bench can record the candidate count against
+    * the all-pairs count at every scale point (the measured pruning
+    * the 100 TB story rests on, text side). */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     val bands = lshBands(minhashSignatures(sh))
-    val candidates = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // four uses of the shingle set (signatures, shared x2, sizes) —
+    // materialized once; see qNgramJaccard for the reuse rationale
+    val sh = shingles(Tables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(false)
+    val candidates = minhashCandidates(sh)
     // exact verification restricted to candidates: join the shingle
     // sets of both sides and count the intersection
     val shared = candidates
