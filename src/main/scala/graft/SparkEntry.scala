@@ -114,7 +114,9 @@ object SparkEntry {
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
+    "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
     "q_ivf_recall" -> (Similarity.qIvfRecall _),
+    "q_ivf_int8_recall" -> (Similarity.qIvfInt8Recall _),
     "q_embed_classify" -> (Similarity.qEmbedClassify _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
@@ -398,6 +400,65 @@ object SparkEntry {
          |cz AS (SELECT c.qid, c.cid, qn.n2 AS qn2, cn.n2 AS cn2,
          |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
          |  FROM cand c JOIN n qn ON c.qid = qn.vec_id JOIN n cn ON c.cid = cn.vec_id),
+         |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM cz GROUP BY qid, cid),
+         |ranked AS (SELECT qid, cid, dot/(sqrt(qn2)*sqrt(cn2)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
+         |  FROM cdots)
+         |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** Int8-index IVF search mirror of Similarity.qKnnIvfInt8: the
+    * knnIvfSql chain up to probes, then the q_embed_quantize
+    * quantization per vector, an INTEGER dot product over the
+    * quantized lists for the shortlist (top 30 per query by the
+    * int-derived approximate cosine), and the exact fixed-point fp32
+    * rerank on the shortlist only. */
+  private val knnIvfInt8Sql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |centl AS (SELECT cent_id, list(x ORDER BY pos) AS cent_e
+         |          FROM c${KmIters + 1} GROUP BY 1),
+         |cent AS (SELECT cent_id, cent_e, ${n2Sql("cent_e")} AS cent_n2 FROM centl),
+         |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
+         |       FROM n a CROSS JOIN cent c),
+         |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM az GROUP BY vec_id, cent_id),
+         |assign AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots) t WHERE rn = 1),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT vec_id AS qid, cent_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
+         |q8 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+         |      (CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS qe
+         |  FROM (SELECT vec_id, embedding,
+         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |    FROM embeddings)),
+         |qn8 AS (SELECT vec_id, qe,
+         |    CAST((SELECT sum(u.v*u.v) FROM unnest(qe) u(v)) AS BIGINT) AS qn2i FROM q8),
+         |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
+         |         WHERE a.vec_id <> p.qid),
+         |z8 AS (SELECT c.qid, c.cid, qa.qn2i AS qan, qb.qn2i AS qbn,
+         |        unnest(list_zip(qa.qe, qb.qe)) AS z
+         |  FROM cand c JOIN qn8 qa ON c.qid = qa.vec_id JOIN qn8 qb ON c.cid = qb.vec_id),
+         |s8 AS (SELECT qid, cid, any_value(qan) AS qan, any_value(qbn) AS qbn,
+         |    CAST(sum(z[1]*z[2]) AS BIGINT) AS adot
+         |  FROM z8 GROUP BY qid, cid),
+         |short AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |        ORDER BY (CASE WHEN qan > 0 AND qbn > 0
+         |          THEN CAST(adot AS DOUBLE)/(sqrt(CAST(qan AS DOUBLE))*sqrt(CAST(qbn AS DOUBLE)))
+         |          ELSE 0.0 END) DESC, cid) AS rn
+         |    FROM s8) t WHERE rn <= 30),
+         |cz AS (SELECT s.qid, s.cid, qn.n2 AS qn2, cn.n2 AS cn2,
+         |        unnest(list_zip(qn.embedding, cn.embedding)) AS z
+         |  FROM short s JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.cid = cn.vec_id),
          |cdots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
          |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM cz GROUP BY qid, cid),
@@ -1213,6 +1274,15 @@ object SparkEntry {
          |  AND len($tokSql) >= 20
          |ORDER BY doc_id""".stripMargin,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_ivf_int8" -> knnIvfInt8Sql,
+    "q_ivf_int8_recall" ->
+      s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
+         |  SELECT b.qid, count(*) AS k,
+         |    CAST(sum(CASE WHEN i.icid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM ($knnBruteSql) b
+         |  LEFT JOIN (SELECT qid AS iqid, cid AS icid FROM ($knnIvfInt8Sql)) i
+         |    ON b.qid = i.iqid AND b.cid = i.icid
+         |  GROUP BY 1) t ORDER BY qid""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, 'fake/raw' AS format,
         |  CAST(n_chars % 640 + 1 AS BIGINT) AS width,

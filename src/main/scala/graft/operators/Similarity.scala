@@ -253,6 +253,99 @@ object Similarity {
         col("scale"))
       .orderBy(col("vec_id"), col("pos"))
 
+  /** Shortlist depth for the int8 search: rerank the top
+    * RerankFactor*K int8-scored candidates in fp32. */
+  val RerankFactor = 3
+
+  /** IVF search over the int8-QUANTIZED index — what a 100 TB ANN
+    * deployment actually executes: the probed cells' candidates are
+    * scored with an INTEGER dot product over the 4x-compressed vectors
+    * (the only per-candidate data the search stage touches), the top
+    * RerankFactor*K shortlist is then reranked in fp32 exact-decimal
+    * cosine, and only the final K survive. The fp32 table is read for
+    * |queries| x 3K rows instead of every candidate — at scale the
+    * full-precision vectors can live on slower storage entirely.
+    *
+    * Approximate score: dot_int8(a,b) / (|a|_int8 * |b|_int8) — all
+    * integer-derived (exact int64 sums, one sqrt+divide), so the
+    * shortlist ordering is bit-identical in any engine. Quantization
+    * is the SAME symmetric half-up scheme as [[qEmbedQuantize]].
+    * Output schema matches [[qKnnBrute]]; recall vs brute is measured
+    * by [[qIvfInt8Recall]]. */
+  def qKnnIvfInt8(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainedCentroids(s, d)
+    val assign = assignCells(e, centroidArray(cent))
+    // the int8 index: per candidate only (vec_id, cell, qe, qn2i) —
+    // the fp32 payload is deliberately DROPPED here; rerank re-joins it
+    val idx8 = quantizeCols(assign, "ce").select(
+      col("vec_id"), col("cell"), col("qe"), col("qn2i"))
+
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe0"), col("n2").as("qn2"))
+    val q8 = quantizeCols(
+      q.select(col("qid"), col("qe0").as("ce")), "ce")
+      .select(col("qid"), col("qe").as("qqe"), col("qn2i").as("qqn2i"))
+    // probe list: fp32 queries vs the O(k) fp32 centroids (centroids
+    // stay full-precision — they are k rows, not the corpus)
+    val probeScored = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe0"), col("cent_e")), col("qn2"), col("cent_n2")))
+      .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
+    val probes = topK(probeScored, NProbe)
+      .select(col("qid"), col("cid").as("cell"))
+      .join(broadcast(q8), "qid")
+
+    // int8 scoring pass: integer dot over quantized vectors only
+    val scored8 = idx8.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adot", expr(
+        "aggregate(zip_with(qqe, qe, (x, y) -> cast(x as bigint) * y), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("cosine",
+        when(col("qqn2i") > 0 && col("qn2i") > 0,
+          col("adot").cast(DoubleType) /
+            (sqrt(col("qqn2i").cast(DoubleType)) * sqrt(col("qn2i").cast(DoubleType))))
+          .otherwise(lit(0.0)))
+      .select(col("qid"), col("vec_id").as("cid"), col("cosine"))
+    val shortlist = topK(scored8, K * RerankFactor).select(col("qid"), col("cid"))
+
+    // fp32 rerank on the |queries| x 3K shortlist only
+    val rer = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+      .join(broadcast(shortlist.join(
+        q.select(col("qid"), col("qe0"), col("qn2")), "qid")), "cid")
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe0"), col("ce")), col("qn2"), col("cn2")))
+      .select(col("qid"), col("cid"), col("cosine"))
+    topK(rer, K)
+  }
+
+  /** Symmetric int8 quantization of array column `vec` (the
+    * [[qEmbedQuantize]] scheme): adds qe (array<int>) and qn2i (the
+    * exact int64 squared norm of qe). */
+  private def quantizeCols(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("mx", expr(s"array_max(transform($vec, x -> abs(cast(x as double))))"))
+      .withColumn("qscale", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .withColumn("qe", expr(
+        s"transform($vec, x -> cast(floor(cast(x as double) * qscale + 0.5) as int))"))
+      .withColumn("qn2i", expr(
+        "aggregate(qe, cast(0 as bigint), (a, v) -> a + cast(v as bigint) * v)"))
+
+  /** Recall of the int8-index search against the exact brute-force
+    * ground truth — the row that certifies the 4x compression (plus
+    * shortlist rerank) keeps answer quality. */
+  def qIvfInt8Recall(s: SparkSession, d: String): DataFrame = {
+    val brute = qKnnBrute(s, d).select(col("qid"), col("cid"))
+    val ivf = qKnnIvfInt8(s, d).select(col("qid").as("iqid"), col("cid").as("icid"))
+    brute
+      .join(ivf, col("qid") === col("iqid") && col("cid") === col("icid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("icid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Nearest-class-mean classification over the labeled embedding
     * table — the label-coherence check a training pipeline runs before
     * trusting a labeled corpus (labels whose members don't cluster

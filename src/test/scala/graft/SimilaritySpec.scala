@@ -32,6 +32,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8-index IVF search loses no recall vs fp32 IVF and keeps exact final scores") {
+    val d = "/root/testdata/sf0.001"
+    // quantization must not degrade the search: per query, the int8
+    // path's recall vs brute force is at least the fp32 IVF path's
+    // (the absolute ceiling is the nprobe trade, recorded separately
+    // by q_ivf_recall — no int8 layer can beat its own probe list)
+    val fp32 = graft.operators.Similarity.qIvfRecall(spark, d).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall")).toMap
+    val recall = graft.operators.Similarity.qIvfInt8Recall(spark, d).collect()
+    assert(recall.map(_.getAs[Long]("qid")).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    recall.foreach { r =>
+      assert(r.getAs[Double]("recall") >= fp32(r.getAs[Long]("qid")),
+        s"int8 recall degraded vs fp32 IVF for qid ${r.getAs[Long]("qid")}: $r")
+    }
+    // and >= 0.9 RELATIVE recall against the fp32 IVF result set (the
+    // quantization-loss metric itself — measured 1.0 here)
+    val ivfSet = graft.operators.Similarity.qKnnIvf(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val int8ByQ = graft.operators.Similarity.qKnnIvfInt8(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1)
+    int8ByQ.foreach { case (qid, hits) =>
+      val rel = hits.count(ivfSet.contains).toDouble / hits.length
+      assert(rel >= 0.9, s"int8 relative recall vs fp32 IVF below 0.9 for qid $qid: $rel")
+    }
+    // the rerank stage re-scores in fp32 exact-decimal cosine: every
+    // int8-path hit that brute force also returns must carry the SAME
+    // cosine (the quantization error is confined to the shortlist cut)
+    val brute = graft.operators.Similarity.qKnnBrute(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cosine"))
+      .toMap
+    graft.operators.Similarity.qKnnIvfInt8(spark, d).collect().foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(key).foreach(bc =>
+        assert(bc == r.getAs[Double]("cosine"),
+          s"rerank cosine differs from brute-force exact for $key"))
+    }
+  }
+
   test("IVF results are a subset-ranked view consistent with brute force on probed cells") {
     val brute = graft.operators.Similarity.qKnnBrute(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
