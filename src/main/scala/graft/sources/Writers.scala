@@ -41,4 +41,49 @@ object Writers {
     * `key` plan without a shuffle exchange on either side. */
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
     df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite").saveAsTable(table)
+
+  /** Compact a bucketed table in place: every append (e.g.
+    * [[graft.operators.Dedup.appendPairs]]) leaves one file set per
+    * bucket, so a long-lived pair index accretes small files — the
+    * classic streaming-maintenance tax. This rewrites the table down
+    * to ONE file per non-empty bucket while keeping the exact bucket
+    * spec (read from catalog metadata, so callers cannot mis-state
+    * it): `repartition(n, key)` uses the same murmur3-pmod hash as the
+    * bucketing layer, aligning tasks 1:1 with buckets.
+    *
+    * The rewrite goes through a temp table + catalog rename (Spark
+    * cannot overwrite a table it is reading), so a crash mid-compact
+    * leaves the original table untouched — same single-writer contract
+    * as appendPairs. Consumers' plans are unchanged: the bucket spec
+    * survives, so zero-exchange reads keep planning zero-exchange. */
+  def compactBucketed(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val spec = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
+    val bCols = spec.bucketColumnNames
+    val tmp = table + "_compacting"
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    // read with bucketed scanning OFF: the bucketed scan advertises
+    // the very HashPartitioning the repartition below asks for, so the
+    // planner elides the exchange — but the scan's ACTUAL partitions
+    // are size-packed file splits (many small append files), leaving
+    // tasks with mixed buckets and one output file per (task, bucket).
+    // A plain scan forces the shuffle, aligning tasks 1:1 with buckets
+    // (repartition and the bucket writer share murmur3-pmod).
+    val bucketingConf = "spark.sql.sources.bucketing.enabled"
+    val was = s.conf.get(bucketingConf, "true")
+    s.conf.set(bucketingConf, "false")
+    try {
+      val w = s.table(table)
+        .repartition(spec.numBuckets, bCols.map(col): _*)
+        .write.bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+      (spec.sortColumnNames match {
+        case h +: t => w.sortBy(h, t: _*)
+        case _ => w
+      }).mode("overwrite").saveAsTable(tmp)
+    } finally s.conf.set(bucketingConf, was)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }
