@@ -34,6 +34,7 @@ object Bench {
   private val Headline = Seq(
     "q7_volume_shipping", "q_late_split", "q_clean_corpus",
     "q_kmeans_centroids", "q_knn_ivf",
+    "q_knn_ivf_int8",
     "q_report_agg", "q_minhash_lsh", "q_embed_neardup",
     "q_embed_neardup_lsh", "q_embed_neardup_strict", "q10_returned_items")
 

@@ -33,7 +33,9 @@ import graft.operators.Dedup
   * snapshot, and docs admitted since re-enter through the batch
   * pipeline's next snapshot (the same system-of-record contract as
   * [[Dedup.appendPairs]]). The union plan grows one (checkpointed) arm
-  * per batch, so snapshot cadence bounds plan width; docs/SCALE.md
+  * per batch; every [[CollapseEvery]] absorbs the gate state collapses
+  * the arms back into one checkpointed frame each, so plan width is
+  * bounded in code regardless of snapshot cadence; docs/SCALE.md
   * records the cadence math.
   *
   * Shape: the stream feeds foreachBatch, and each micro-batch runs the
@@ -68,6 +70,16 @@ import graft.operators.Dedup
   */
 object DedupGate {
 
+  /** Absorbs between in-code index collapses: each absorb adds one
+    * checkpointed union arm per index frame, and every CollapseEvery
+    * absorbs the gate re-checkpoints the union into a single frame —
+    * bounding analyzer cost and per-batch task count at ~CollapseEvery
+    * extra arms/tasks worst-case (SCALE.md, streaming-gate cadence).
+    * 64 keeps the collapse cost (one full index rewrite) amortized to
+    * ~1.6% of batches while never letting the plan exceed 3x64+3
+    * union arms even if the corpus snapshot is never republished. */
+  val CollapseEvery = 64
+
   /** Corpus snapshot pre-processed for the text gate: shingle rows,
     * slim band index, and set sizes — built once, localCheckpointed,
     * shared across every micro-batch. [[absorb]] extends it with
@@ -86,6 +98,16 @@ object DedupGate {
           Dedup.lshBands(Dedup.minhashSignatures(shA)).localCheckpoint(false)),
         sizes.unionAll(Dedup.shingleSizes(shA).localCheckpoint(false)))
     }
+
+    /** Collapse the accumulated union arms into one checkpointed frame
+      * each — content-identical, plan width reset to 1. The gate state
+      * calls this every [[DedupGate.CollapseEvery]] absorbs, so plan
+      * width and per-batch task-launch overhead stay bounded even when
+      * the corpus snapshot is republished rarely (SCALE.md cadence). */
+    def collapsed: TextIndex = TextIndex(
+      sh.localCheckpoint(false),
+      bands.localCheckpoint(false),
+      sizes.localCheckpoint(false))
   }
 
   def indexCorpus(corpusDocs: DataFrame): TextIndex = {
@@ -158,8 +180,10 @@ object DedupGate {
     * unit-testable without a streaming harness. One instance per gate;
     * [[process]] is what foreachBatch invokes per micro-batch. */
   final class TextGateState(corpusDocs: DataFrame,
-      pairTable: Option[String] = None) {
+      pairTable: Option[String] = None,
+      collapseEvery: Int = CollapseEvery) {
     @volatile private var corpus = indexCorpus(corpusDocs)
+    private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
@@ -182,6 +206,11 @@ object DedupGate {
           dups.select(col("new_doc").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         corpus = corpus.absorb(admitted)
+        absorbsSinceCollapse += 1
+        if (absorbsSinceCollapse >= collapseEvery) {
+          corpus = corpus.collapsed
+          absorbsSinceCollapse = 0
+        }
       }
     }
   }
@@ -235,6 +264,11 @@ object DedupGate {
         bands.unionAll(embedBands(vA).localCheckpoint(false)),
         vecs.unionAll(vA))
     }
+
+    /** See [[TextIndex.collapsed]] — same plan-width reset. */
+    def collapsed: EmbedIndex = EmbedIndex(
+      bands.localCheckpoint(false),
+      vecs.localCheckpoint(false))
   }
 
   private def embedBands(vecs: DataFrame): DataFrame = {
@@ -292,8 +326,10 @@ object DedupGate {
     * of [[TextGateState]] (growing SRP index + exactly-once absorb
     * guard), extracted for the same unit-testability. */
   final class EmbedGateState(corpusVecs: DataFrame,
-      pairTable: Option[String] = None) {
+      pairTable: Option[String] = None,
+      collapseEvery: Int = CollapseEvery) {
     @volatile private var corpus = indexEmbedCorpus(corpusVecs)
+    private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
@@ -312,6 +348,11 @@ object DedupGate {
           dups.select(col("new_vec").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
         corpus = corpus.absorb(admitted)
+        absorbsSinceCollapse += 1
+        if (absorbsSinceCollapse >= collapseEvery) {
+          corpus = corpus.collapsed
+          absorbsSinceCollapse = 0
+        }
       }
     }
   }

@@ -154,6 +154,64 @@ class DedupGateSpec extends SparkSpec {
       "replayed batch id re-absorbed: band index grew")
   }
 
+  test("gate index collapse keeps absorbed content and resets plan width") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    // collapseEvery=2: the second absorb triggers a collapse
+    val state = new DedupGate.TextGateState(corpus, collapseEvery = 2)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      hits ++= df.select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (id, r.getLong(0), r.getLong(1)))
+
+    state.process(Seq(
+      (100L, "glaciers carve deep valleys through ancient mountain ranges over millennia")
+    ).toDF("doc_id", "text"), 0L, sink)
+    state.process(Seq(
+      (101L, "solar panels convert sunlight into electricity across distributed grids daily")
+    ).toDF("doc_id", "text"), 1L, sink)
+    assert(hits.isEmpty, s"fresh docs falsely flagged: $hits")
+
+    // plan width reset: the collapsed index is a checkpointed scan,
+    // not a union of per-batch arms
+    Seq(state.index.sh, state.index.bands, state.index.sizes).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Union"), s"collapse left union arms:\n$plan")
+    }
+
+    // content preserved across the collapse: a near-dup of the
+    // PRE-collapse batch-0 admit is still caught and attributed
+    state.process(Seq(
+      (200L, "glaciers carve deep valleys through ancient mountain ranges over centuries")
+    ).toDF("doc_id", "text"), 2L, sink)
+    assert(hits.toList == List((2L, 200L, 100L)),
+      s"post-collapse index lost the batch-0 admit: $hits")
+
+    // embed twin, compact: same collapse schedule, same guarantees
+    val rng = new java.util.Random(31)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val estate = new DedupGate.EmbedGateState(
+      Seq((1L, vec())).toDF("vec_id", "embedding"), collapseEvery = 2)
+    val ehits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def esink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      ehits ++= df.select(col("new_vec"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val fresh = vec()
+    estate.process(Seq((100L, fresh)).toDF("vec_id", "embedding"), 0L, esink)
+    estate.process(Seq((101L, vec())).toDF("vec_id", "embedding"), 1L, esink)
+    assert(ehits.isEmpty, s"fresh vectors falsely flagged: $ehits")
+    Seq(estate.index.bands, estate.index.vecs).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Union"), s"embed collapse left union arms:\n$plan")
+    }
+    estate.process(Seq(
+      (200L, fresh.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    ).toDF("vec_id", "embedding"), 2L, esink)
+    assert(ehits.toList == List((200L, 100L)),
+      s"post-collapse embed index lost the batch-0 admit: $ehits")
+  }
+
   test("embed gate absorbs across batches and ignores replayed batch ids") {
     val rng = new java.util.Random(17)
     def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
