@@ -80,11 +80,25 @@ class SimilarityPlanSpec extends SparkSpec {
   }
 
   test("ANN rerank is partial-aggregated top-k with no Window operator") {
-    for (df <- Seq(Similarity.qKnnBrute(spark, d), Similarity.qKnnIvf(spark, d))) {
+    for (df <- Seq(Similarity.qKnnBrute(spark, d), Similarity.qKnnIvf(spark, d),
+        Similarity.qKnnIvfInt8(spark, d))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"row_number window survives in ANN path:\n$plan")
       assert(plan.contains("partial_topkaggregator"),
         s"top-k must partial-aggregate (O(k) map-side state):\n$plan")
     }
+  }
+
+  test("int8 search never hash-shuffles the vector table") {
+    // the scale contract of the quantized path: candidate scoring and
+    // the fp32 rerank both reach the vector table through broadcast
+    // joins (probes / shortlist are |queries|-bounded) — the only hash
+    // exchanges in the whole plan are the O(k)-row centroid train/agg
+    // steps and the tiny per-query top-k partials, never a shuffle
+    // keyed on vec_id (which would move the corpus)
+    val plan = Similarity.qKnnIvfInt8(spark, d).queryExecution.executedPlan.toString
+    val vecShuffles = "Exchange hashpartitioning\\(vec_id".r.findAllIn(plan).size +
+      "Exchange hashpartitioning\\(cid".r.findAllIn(plan).size
+    assert(vecShuffles == 0, s"int8 path shuffles the vector table:\n$plan")
   }
 }
