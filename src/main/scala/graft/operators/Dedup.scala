@@ -248,7 +248,10 @@ object Dedup {
     * enforced by the catalog), so the layout contract — shuffle-free
     * bucketed reads — survives; DedupGateSpec pins orientation,
     * idempotence, merged-cluster semantics, and the post-append plan
-    * shape. */
+    * shape. Each append leaves its own file set per touched bucket —
+    * run [[graft.sources.Writers.compactBucketed]] between snapshots
+    * to fold the accretion back to one file per bucket (plan shape
+    * preserved; CompactionSpec). */
   private[graft] def appendPairs(s: SparkSession, table: String, pairs: DataFrame): Unit =
     pairs.select(
         least(col("doc_a"), col("doc_b")).as("doc_a"),
