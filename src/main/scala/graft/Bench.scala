@@ -80,9 +80,10 @@ object Bench {
     // on noise. With reps>1 the FIRST sample of a memoized builder
     // (centroid training, pair index) still pays the build, so the
     // median prices steady-state search — intentional: that is the
-    // production-relevant number, and the build cost stays visible in
-    // the per-query max if ever needed.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // production-relevant number — and the build cost is preserved in
+    // the emitted `queries_max` map (the max sample per query).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toIntOption
+      .getOrElse(3).max(1)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val t0 = System.nanoTime()
@@ -93,6 +94,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val maxSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val samples = Seq.fill(reps)(timeOnce(name, fn, dir)).sorted
@@ -103,6 +105,7 @@ object Bench {
       // 68s->114s swing on bench-identical code). A full GC on a
       // mostly-dead heap is O(live data), a few ms here.
       System.gc()
+      maxSamples(name) = samples.last
       samples(samples.size / 2)
     }
     // deterministic execution order: index BUILDERS first (so the
@@ -146,7 +149,9 @@ object Bench {
     val sf1Json: String =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) "null"
       else try {
-        val sf1Dir = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+        val sf1Path = java.nio.file.Files.createTempDirectory("graft-sf1")
+        val sf1Dir = sf1Path.toString
+        try {
         val reps10 = spark.range(10).select(col("id").as("rep"))
         val docs = Tables.documents(spark, sfDir)
         docs.crossJoin(reps10).select(
@@ -158,7 +163,13 @@ object Bench {
                 org.apache.spark.sql.functions.lit("r"),
                 col("rep").cast("string"),
                 org.apache.spark.sql.functions.lit("_$1")))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+          // tagged replicas are longer than their source rows, so
+          // n_chars is recomputed — copying it would leave the
+          // generated table internally inconsistent
+          .withColumn("n_chars",
+            org.apache.spark.sql.functions.length(col("text")).cast("long"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
         Tables.embeddings(spark, sfDir).crossJoin(reps10).select(
           (col("vec_id") * 10 + col("rep")).as("vec_id"),
@@ -203,6 +214,8 @@ object Bench {
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
         s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)}}"""
+        } finally // ~10x sf0.1 of parquet per run — don't accrete in /tmp
+          new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
         "null"
@@ -253,7 +266,11 @@ object Bench {
       System.err.println(s"[bench] srp_strict probe failed: ${e.getMessage}")
       """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
     }
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
+    // max sample per query: the build cost of memoized indexes lands
+    // in the first rep, so the max preserves what the median drops
+    val qsMax = maxSamples.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
     // the driver's 2 KB output-tail capture truncates this line (only
     // ~27 of 95 per-query deltas survived in BENCH_r07) — persist the
     // FULL line so every regression is auditable from the repo
@@ -271,7 +288,7 @@ object Bench {
     // null`) — repeat the totals in a tiny final line that always fits
     val (worstName, worstDelta) =
       if (deltas.nonEmpty) deltas.maxBy(_._2) else ("none", 0.0)
-    println(s"""{"metric":"total_summary","total":${jnum(total)},"n_queries":${results.size},"n_errors":${errors.size},"worst_query":"$worstName","worst_delta":${jnum(worstDelta)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","total":${jnum(total)},"n_queries":${results.size},"n_errors":${errors.distinct.size},"worst_query":"$worstName","worst_delta":${jnum(worstDelta)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,10 +51,15 @@ object Writers {
     * it): `repartition(n, key)` uses the same murmur3-pmod hash as the
     * bucketing layer, aligning tasks 1:1 with buckets.
     *
-    * The rewrite goes through a temp table + catalog rename (Spark
-    * cannot overwrite a table it is reading), so a crash mid-compact
-    * leaves the original table untouched — same single-writer contract
-    * as appendPairs. Consumers' plans are unchanged: the bucket spec
+    * The rewrite goes through a temp table + a rename-based swap
+    * (Spark cannot overwrite a table it is reading). No step ever
+    * deletes the only copy: the original is renamed aside before the
+    * compacted table takes its name and dropped only after the swap —
+    * a crash mid-swap leaves all rows in `<table>_compacting` or
+    * `<table>_old`, recoverable with one catalog rename (the catalog
+    * swap itself is two statements, so a reader can observe a missing
+    * name during the swap — same single-writer contract as
+    * appendPairs). Consumers' plans are unchanged: the bucket spec
     * survives, so zero-exchange reads keep planning zero-exchange. */
   def compactBucketed(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
@@ -83,7 +88,10 @@ object Writers {
         case _ => w
       }).mode("overwrite").saveAsTable(tmp)
     } finally s.conf.set(bucketingConf, was)
-    s.sql(s"DROP TABLE $table")
+    val old = table + "_old"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
   }
 }

@@ -199,8 +199,13 @@ object DedupGate {
       val batch = df.localCheckpoint(false)
       val dups = duplicates(batch, corpus).localCheckpoint(false)
       sink(dups, id)
+      // self-hits (a replayed/re-ingested id verifying against its own
+      // corpus content) are REPORTED to the sink but never persisted:
+      // a (d,d) row in the pair index would surface d as a phantom
+      // singleton cluster in connectedComponents
       pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
-        dups.select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b"))))
+        dups.filter(col("new_doc") =!= col("dup_of"))
+          .select(col("new_doc").as("doc_a"), col("dup_of").as("doc_b"))))
       if (absorbedBatches.add(id)) {
         val admitted = batch.join(
           dups.select(col("new_doc").as("doc_id")).distinct(),
@@ -341,8 +346,10 @@ object DedupGate {
       val batch = df.localCheckpoint(false)
       val dups = embedDuplicates(batch, corpus).localCheckpoint(false)
       sink(dups, id)
+      // see TextGateState.process: self-hits reported, never persisted
       pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
-        dups.select(col("new_vec").as("doc_a"), col("dup_of").as("doc_b"))))
+        dups.filter(col("new_vec") =!= col("dup_of"))
+          .select(col("new_vec").as("doc_a"), col("dup_of").as("doc_b"))))
       if (absorbedBatches.add(id)) {
         val admitted = batch.join(
           dups.select(col("new_vec").as("vec_id")).distinct(),

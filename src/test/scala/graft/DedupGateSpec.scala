@@ -122,11 +122,18 @@ class DedupGateSpec extends SparkSpec {
       s"batch-1 dup not attributed to the batch-0 admit: $hits")
   }
 
-  test("text gate replay: hits re-emitted, index NOT re-absorbed") {
+  test("text gate replay: hits re-emitted, index NOT re-absorbed, no self-pair persisted") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank")
     ).toDF("doc_id", "text")
-    val state = new DedupGate.TextGateState(corpus)
+    val table = "graft_spec_pairs_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    new scala.reflect.io.Directory(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table))
+      .deleteRecursively()
+    graft.sources.Writers.writeBucketed(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_b", Dedup.PairIndexBuckets, table)
+    val state = new DedupGate.TextGateState(corpus, pairTable = Some(table))
     val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
       hits ++= df.select(col("new_doc"), col("dup_of")).collect()
@@ -152,6 +159,13 @@ class DedupGateSpec extends SparkSpec {
       "replayed batch id re-absorbed: doc count grew")
     assert(state.index.bands.count() == bandsAfterAbsorb,
       "replayed batch id re-absorbed: band index grew")
+
+    // the replay's (100,100) self-hit is REPORTED but must never reach
+    // the pair index: a (d,d) edge would surface d as a phantom
+    // singleton cluster in connectedComponents
+    assert(spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "replayed self-hit was persisted to the pair index")
   }
 
   test("gate index collapse keeps absorbed content and resets plan width") {
