@@ -103,7 +103,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Dedup.qNgramJaccard _),
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_dedup_gate" -> (graft.streaming.DedupGate.qDedupGate _),
+    "q_dedup_gate_disk" -> (graft.streaming.DedupGate.qDedupGateDisk _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
+    "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
@@ -1106,6 +1108,15 @@ object SparkEntry {
          |FROM ($jaccardSql)
          |WHERE (doc_a % 4 = 0) OR (doc_b % 4 = 0)
          |ORDER BY new_doc, dup_of""".stripMargin,
+    // disk-backed gate: SAME ground truth as q_dedup_gate — the
+    // bucketed on-disk verify path must be semantics-preserving
+    "q_dedup_gate_disk" ->
+      s"""SELECT CASE WHEN doc_b % 4 = 0 THEN doc_b ELSE doc_a END AS new_doc,
+         |  CASE WHEN doc_b % 4 = 0 THEN doc_a ELSE doc_b END AS dup_of,
+         |  jaccard
+         |FROM ($jaccardSql)
+         |WHERE (doc_a % 4 = 0) OR (doc_b % 4 = 0)
+         |ORDER BY new_doc, dup_of""".stripMargin,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
@@ -1114,6 +1125,14 @@ object SparkEntry {
     // corpus) plus new-new pairs oriented (higher, lower); the chain
     // canonicalizes va < vb, so the new-new newcomer is vb
     "q_embed_gate" ->
+      s"""SELECT CASE WHEN vb % 4 = 0 THEN vb ELSE va END AS new_vec,
+         |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
+         |  cosine
+         |FROM (${srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)})
+         |WHERE (va % 4 = 0) OR (vb % 4 = 0)
+         |ORDER BY new_vec, dup_of""".stripMargin,
+    // disk-backed embed gate: same ground truth as q_embed_gate
+    "q_embed_gate_disk" ->
       s"""SELECT CASE WHEN vb % 4 = 0 THEN vb ELSE va END AS new_vec,
          |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
          |  cosine

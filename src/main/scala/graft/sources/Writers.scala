@@ -42,6 +42,29 @@ object Writers {
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
     df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite").saveAsTable(table)
 
+  /** [[writeBucketed]] plus stale-state cleanup: a warehouse directory
+    * left by a previous JVM (the in-memory catalog forgets the table,
+    * the files remain) fails saveAsTable with LOCATION_ALREADY_EXISTS —
+    * drop both the catalog entry and the directory first. The
+    * freshness contract of every build-at-start bucketed table
+    * (Dedup.pairIndex, DedupGate's corpus content tables). */
+  def replaceBucketed(
+      s: org.apache.spark.sql.SparkSession,
+      df: DataFrame, key: String, buckets: Int, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    val whPath =
+      if (whUri.getScheme == null) whUri.getPath else new java.io.File(whUri).getPath
+    new scala.reflect.io.Directory(new java.io.File(whPath, table)).deleteRecursively()
+    writeBucketed(df, key, buckets, table)
+  }
+
+  /** Backtick-quote a table identifier for raw-SQL interpolation —
+    * hostile or reserved names must not break (or inject into) the
+    * DDL the maintenance paths issue. */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Compact a bucketed table in place: every append (e.g.
     * [[graft.operators.Dedup.appendPairs]]) leaves one file set per
     * bucket, so a long-lived pair index accretes small files — the
@@ -56,11 +79,17 @@ object Writers {
     * deletes the only copy: the original is renamed aside before the
     * compacted table takes its name and dropped only after the swap —
     * a crash mid-swap leaves all rows in `<table>_compacting` or
-    * `<table>_old`, recoverable with one catalog rename (the catalog
-    * swap itself is two statements, so a reader can observe a missing
-    * name during the swap — same single-writer contract as
-    * appendPairs). Consumers' plans are unchanged: the bucket spec
-    * survives, so zero-exchange reads keep planning zero-exchange. */
+    * `<table>_old`, recoverable with one catalog rename. Consumers'
+    * plans are unchanged: the bucket spec survives, so zero-exchange
+    * reads keep planning zero-exchange.
+    *
+    * SINGLE-WRITER, PAUSED-READER contract (callers): the catalog swap
+    * is two statements, so a concurrent reader can observe the table
+    * name missing mid-swap — run compaction only from the one
+    * maintenance owner of the table (the appendPairs writer), between
+    * its own reads. Concurrent readers in the SAME SparkSession no
+    * longer risk planning unbucketed scans: the bucketing flag is
+    * flipped in a cloned session, never the caller's. */
   def compactBucketed(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val spec = s.sessionState.catalog
@@ -68,30 +97,30 @@ object Writers {
       .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
     val bCols = spec.bucketColumnNames
     val tmp = table + "_compacting"
-    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    s.sql(s"DROP TABLE IF EXISTS ${quoted(tmp)}")
     // read with bucketed scanning OFF: the bucketed scan advertises
     // the very HashPartitioning the repartition below asks for, so the
     // planner elides the exchange — but the scan's ACTUAL partitions
     // are size-packed file splits (many small append files), leaving
     // tasks with mixed buckets and one output file per (task, bucket).
     // A plain scan forces the shuffle, aligning tasks 1:1 with buckets
-    // (repartition and the bucket writer share murmur3-pmod).
-    val bucketingConf = "spark.sql.sources.bucketing.enabled"
-    val was = s.conf.get(bucketingConf, "true")
-    s.conf.set(bucketingConf, "false")
-    try {
-      val w = s.table(table)
-        .repartition(spec.numBuckets, bCols.map(col): _*)
-        .write.bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
-      (spec.sortColumnNames match {
-        case h +: t => w.sortBy(h, t: _*)
-        case _ => w
-      }).mode("overwrite").saveAsTable(tmp)
-    } finally s.conf.set(bucketingConf, was)
+    // (repartition and the bucket writer share murmur3-pmod). The flag
+    // is scoped to a CLONED session (same SparkContext + shared
+    // catalog, isolated SQL conf), so concurrent readers of the
+    // caller's session keep planning bucketed scans throughout.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    val w = s2.table(table)
+      .repartition(spec.numBuckets, bCols.map(col): _*)
+      .write.bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+    (spec.sortColumnNames match {
+      case h +: t => w.sortBy(h, t: _*)
+      case _ => w
+    }).mode("overwrite").saveAsTable(tmp)
     val old = table + "_old"
-    s.sql(s"DROP TABLE IF EXISTS $old")
-    s.sql(s"ALTER TABLE $table RENAME TO $old")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    s.sql(s"DROP TABLE $old")
+    s.sql(s"DROP TABLE IF EXISTS ${quoted(old)}")
+    s.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(old)}")
+    s.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+    s.sql(s"DROP TABLE ${quoted(old)}")
   }
 }

@@ -23,7 +23,7 @@ import graft.operators.Dedup
   *     lower id (keep-lowest-id, matching the batch pipeline);
   *  3. earlier batches — every batch's ADMITTED docs are folded into
   *     the gate index ([[TextIndex.absorb]] / [[EmbedIndex.absorb]]):
-  *     each increment is localCheckpointed once and unioned in, so
+  *     each increment is checkpointed once and unioned in, so
   *     per-batch cost is the increment only. Replayed batches (at-
   *     least-once foreachBatch) are not re-absorbed: the batchId guard
   *     makes absorption exactly-once per batch id.
@@ -34,9 +34,38 @@ import graft.operators.Dedup
   * pipeline's next snapshot (the same system-of-record contract as
   * [[Dedup.appendPairs]]). The union plan grows one (checkpointed) arm
   * per batch; every [[CollapseEvery]] absorbs the gate state collapses
-  * the arms back into one checkpointed frame each, so plan width is
-  * bounded in code regardless of snapshot cadence; docs/SCALE.md
-  * records the cadence math.
+  * the arms back into one checkpointed frame each AND unpersists the
+  * superseded arms' blocks immediately (no ContextCleaner-lag double
+  * footprint), so plan width and memory are bounded in code regardless
+  * of snapshot cadence; docs/SCALE.md records the cadence math.
+  *
+  * ==The 100 TB verify stage: disk-backed corpus content==
+  *
+  * Candidates come from equi-joins on the band key against a SLIM
+  * index (3 ints per corpus band). Exact verification (shared-shingle
+  * Jaccard / two-stage cosine, the shared [[Dedup.jaccardOnPairs]] /
+  * [[Dedup.cosineVerify]] helpers so gate and batch semantics cannot
+  * drift) needs the CONTENT — shingle sets / vectors — of candidate
+  * dup_of docs only. Holding that content as cluster-memory frames and
+  * joining candidates into ALL of it (the pre-round-9 shape) is a full
+  * corpus pass per trigger at 100 TB. The scale path is
+  * [[indexCorpusDisk]] / [[indexEmbedCorpusDisk]]: corpus content
+  * lives in a doc-id-BUCKETED on-disk table (the [[Dedup.pairIndex]]
+  * layout, [[graft.sources.Writers.writeBucketed]]), and each batch's
+  * verify reads it through `doc_id IN (candidate ids)` — the id list
+  * is collected per batch (bounded: O(batch x band fan-out), the same
+  * order as the batch already held on the driver's heap as a plan, and
+  * the same bounded-collect discipline as
+  * [[ReportPipeline.DurableKeyedUpsertSink]]'s affected-bucket list),
+  * and the In-predicate engages BUCKET PRUNING (`SelectedBucketsCount`
+  * in the scan, pinned by `DiskGateSpec`) plus parquet row-group
+  * skipping on the in-bucket-sorted id — per-batch verify I/O is
+  * O(candidates), not O(corpus). Admitted docs are APPENDED to the
+  * table (same bucket spec, catalog-enforced) so later batches verify
+  * against them too; [[graft.sources.Writers.compactBucketed]] folds
+  * the append accretion between snapshots. The in-memory index
+  * ([[indexCorpus]]) remains for harness-scale tests and runs the SAME
+  * pruned-verify code path — only the storage differs.
   *
   * Shape: the stream feeds foreachBatch, and each micro-batch runs the
   * SAME codegen'd operators as the batch LSH paths
@@ -50,14 +79,8 @@ import graft.operators.Dedup
   * data. The gates hold no streaming state store; their only cross-
   * batch state is the absorbed index increments above.
   *
-  * Scale shape: candidates come from equi joins on the band key
-  * against a SLIM index (3 ints per corpus band; at 100 TB a bucketed
-  * on-disk table of [[Dedup.pairIndex]]'s kind), and the exact
-  * verification (shared-shingle Jaccard / two-stage cosine, both THE
-  * shared helpers [[Dedup.jaccardOnPairs]] / [[Dedup.cosineVerify]] so
-  * gate and batch semantics cannot drift) touches only candidate doc
-  * ids. Same-id pairs are NOT excluded on the corpus join: a
-  * re-ingested document whose id already exists in the corpus is still
+  * Same-id pairs are NOT excluded on the corpus join: a re-ingested
+  * document whose id already exists in the corpus is still
   * content-checked — "already admitted" is exactly what a gate must
   * report.
   *
@@ -80,34 +103,111 @@ object DedupGate {
     * union arms even if the corpus snapshot is never republished. */
   val CollapseEvery = 64
 
-  /** Corpus snapshot pre-processed for the text gate: shingle rows,
-    * slim band index, and set sizes — built once, localCheckpointed,
-    * shared across every micro-batch. [[absorb]] extends it with
-    * admitted docs between snapshots. */
-  final case class TextIndex(sh: DataFrame, bands: DataFrame, sizes: DataFrame) {
-    /** Fold admitted docs in so later batches see them: each increment
-      * is checkpointed ONCE (shingles, bands, sizes) and unioned into
-      * the standing frames — per-batch work is the increment only, and
-      * earlier increments are never recomputed. */
-    def absorb(admittedDocs: DataFrame): TextIndex = {
-      import graft.functions.TextFunctions.shingles
-      val shA = shingles(admittedDocs, "doc_id", "text").localCheckpoint(false)
-      TextIndex(
-        sh.unionAll(shA),
-        bands.unionAll(
-          Dedup.lshBands(Dedup.minhashSignatures(shA)).localCheckpoint(false)),
-        sizes.unionAll(Dedup.shingleSizes(shA).localCheckpoint(false)))
+  /** Buckets for the on-disk corpus content tables (shingles /
+    * vectors). Harness-sized like [[Dedup.PairIndexBuckets]]; at
+    * 100 TB raise with corpus so one bucket stays executor-sized —
+    * verify cost per batch is unchanged (bucket pruning reads only
+    * candidate ids' buckets either way). */
+  val GateCorpusBuckets = 8
+
+  /** Drop the localCheckpoint blocks backing `dfs` NOW instead of
+    * waiting for driver GC + ContextCleaner lag (the transient 2x
+    * index footprint flagged in round-8 advice). Matches only
+    * checkpointed leaves (LogicalRDD); a disk-backed table scan has
+    * none and is untouched. Callers must pass only frames whose
+    * content is no longer reachable from any live plan — a local
+    * checkpoint has no lineage to recompute from. */
+  private[streaming] def unpersistCheckpoints(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    })
+
+  /** The bucket-pruned verify read, planned in a CLONED session with
+    * `autoBucketedScan` off. Two load-bearing details, both measured
+    * on Spark 4.1.2 (DiskGateSpec pins the plan):
+    *  - a bare id-filter scan under the default conf is stripped of
+    *    its bucketed-scan status by DisableUnnecessaryBucketedScan
+    *    (no distribution-needing parent), and with it Spark drops
+    *    BUCKET PRUNING at runtime — the scan reads every file of the
+    *    table (measured numFiles = all). Planning under
+    *    autoBucketedScan=false keeps `SelectedBucketsCount` and the
+    *    read touches only the candidate ids' buckets.
+    *  - the conf must not leak: it lives in a cloned session (same
+    *    SparkContext + shared catalog, isolated SQL conf — the
+    *    compactBucketed discipline), and the caller materializes the
+    *    result eagerly so the final verify query — planned in the
+    *    GATE's session, under its conf — consumes a checkpointed
+    *    O(candidates) leaf, not a subtree that would be re-planned
+    *    without the pruning. */
+  private[graft] def prunedTableRead(s: SparkSession, table: String,
+      idCol: String, ids: Seq[Long], cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.table(table).select(cols: _*).filter(col(idCol).isin(ids: _*))
+  }
+
+  /** Corpus snapshot pre-processed for the text gate: shingle content
+    * (in-memory frame OR bucketed on-disk table — `table` set), slim
+    * band index, and set sizes. [[absorb]] extends it with admitted
+    * docs between snapshots. */
+  final case class TextIndex(sh: DataFrame, bands: DataFrame, sizes: DataFrame,
+      table: Option[String] = None) {
+
+    /** Verify-stage read: shingle rows for exactly `ids`. On a
+      * disk-backed index the In-predicate on the bucket column engages
+      * bucket pruning + row-group skipping and the (O(candidates))
+      * result is materialized eagerly — see [[prunedTableRead]] for
+      * why; on the in-memory index it is a partition-local filter of
+      * the checkpointed frame. */
+    def shinglesFor(ids: Seq[Long]): DataFrame = table match {
+      case Some(t) =>
+        prunedTableRead(sh.sparkSession, t, "doc_id", ids,
+          Seq(col("doc_id"), col("shingle"))).localCheckpoint(true)
+      case None =>
+        sh.select(col("doc_id"), col("shingle"))
+          .filter(col("doc_id").isin(ids: _*))
     }
 
-    /** Collapse the accumulated union arms into one checkpointed frame
-      * each — content-identical, plan width reset to 1. The gate state
-      * calls this every [[DedupGate.CollapseEvery]] absorbs, so plan
-      * width and per-batch task-launch overhead stay bounded even when
-      * the corpus snapshot is republished rarely (SCALE.md cadence). */
+    /** Fold admitted docs in so later batches see them: the increment
+      * is checkpointed ONCE, eagerly (so the source batch frame can be
+      * dropped by the caller), and unioned into the slim frames;
+      * disk-backed content is APPENDED to the bucketed table (same
+      * spec, catalog-enforced) instead of growing a union arm. */
+    def absorb(admittedDocs: DataFrame): TextIndex = {
+      import graft.functions.TextFunctions.shingles
+      val shA = shingles(admittedDocs, "doc_id", "text").localCheckpoint(true)
+      val shNext = table match {
+        case Some(t) =>
+          shA.write.mode("append")
+            .bucketBy(GateCorpusBuckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(t)
+          shA.sparkSession.table(t)
+        case None => sh.unionAll(shA)
+      }
+      val next = TextIndex(shNext,
+        bands.unionAll(
+          Dedup.lshBands(Dedup.minhashSignatures(shA)).localCheckpoint(true)),
+        sizes.unionAll(Dedup.shingleSizes(shA).localCheckpoint(true)),
+        table)
+      // disk mode: shA's content now lives in the table and the
+      // bands/sizes increments are already materialized — drop it
+      if (table.isDefined) unpersistCheckpoints(shA)
+      next
+    }
+
+    /** Collapse the accumulated union arms into one eagerly
+      * checkpointed frame each — content-identical, plan width reset
+      * to 1 (a disk-backed `sh` is already a single table scan and is
+      * left as-is). Pure: the receiver stays valid; the gate STATE
+      * additionally unpersists the superseded arms once the collapsed
+      * copy is materialized ([[TextGateState.process]]). */
     def collapsed: TextIndex = TextIndex(
-      sh.localCheckpoint(false),
-      bands.localCheckpoint(false),
-      sizes.localCheckpoint(false))
+      if (table.isDefined) sh else sh.localCheckpoint(true),
+      bands.localCheckpoint(true),
+      sizes.localCheckpoint(true),
+      table)
   }
 
   def indexCorpus(corpusDocs: DataFrame): TextIndex = {
@@ -118,6 +218,26 @@ object DedupGate {
       Dedup.shingleSizes(sh).localCheckpoint(false))
   }
 
+  /** The 100 TB form of [[indexCorpus]]: corpus shingles land in a
+    * doc_id-bucketed, in-bucket-sorted catalog table (replacing any
+    * stale one) and only the slim band/size frames stay in cluster
+    * memory. The one full corpus pass happens HERE, at gate start —
+    * per-batch verify then reads candidate ids' buckets only. In
+    * production the table is the batch pipeline's published snapshot;
+    * the builder here is the self-contained form. */
+  def indexCorpusDisk(corpusDocs: DataFrame, table: String): TextIndex = {
+    import graft.functions.TextFunctions.shingles
+    val s = corpusDocs.sparkSession
+    val sh = shingles(corpusDocs, "doc_id", "text").localCheckpoint(true)
+    graft.sources.Writers.replaceBucketed(s, sh, "doc_id", GateCorpusBuckets, table)
+    val idx = TextIndex(s.table(table),
+      Dedup.lshBands(Dedup.minhashSignatures(sh)).localCheckpoint(true),
+      Dedup.shingleSizes(sh).localCheckpoint(true),
+      Some(table))
+    unpersistCheckpoints(sh) // content now lives in the table
+    idx
+  }
+
   /** New docs vs the index AND vs each other: DISTINCT candidate pairs
     * from (a) the new-bands x corpus-bands join and (b) the new-bands
     * self-join (higher id flagged as the newcomer — keep-lowest-id),
@@ -125,10 +245,14 @@ object DedupGate {
     * [[Dedup.jaccardOnPairs]] (the one definition of formula and
     * threshold). Output (new_doc, dup_of, jaccard), pair-unique.
     *
-    * The dup_of side of verification draws from corpus shingles plus
-    * the batch's own (for intra-batch pairs); a re-ingested id present
-    * in both is verified against its CORPUS content — the question the
-    * gate answers is "is this a dup of what the corpus already holds". */
+    * The dup_of side of verification draws from corpus content for ids
+    * the corpus holds (a re-ingested id is verified against its CORPUS
+    * content — the question the gate answers is "is this a dup of what
+    * the corpus already holds") and from the batch's own shingles for
+    * intra-batch-only ids — all through [[TextIndex.shinglesFor]], the
+    * pruned O(candidates) read (module doc). The candidate id list is
+    * a bounded driver collect: O(batch x band fan-out) longs, the
+    * same order the driver already holds for the batch itself. */
   def duplicates(newDocs: DataFrame, corpus: TextIndex): DataFrame = {
     import graft.functions.TextFunctions.shingles
     // the new-docs shingle set feeds bands + shared-count + sizes —
@@ -149,18 +273,22 @@ object DedupGate {
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val cand = candCorpus.unionAll(candIntra).distinct()
-    // dup_of-side shingles/sizes: corpus first, batch docs only for
-    // ids the corpus lacks (re-ingested ids verify against corpus
-    // content; sizes is the compact one-row-per-doc id set to anti-join)
-    val corpusIds = corpus.sizes.select(col("doc_id"))
-    val shNewOnly = shNew.join(corpusIds, Seq("doc_id"), "left_anti")
-    val shB = corpus.sh.select(col("doc_id"), col("shingle"))
-      .unionAll(shNewOnly.select(col("doc_id"), col("shingle")))
-    val sizesNew = Dedup.shingleSizes(shNew).localCheckpoint(false)
-    val sizesB = corpus.sizes.select(col("doc_id"), col("n"))
-      .unionAll(sizesNew.join(corpusIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("n")))
+    // checkpointed: the candidate set feeds the id collect AND the
+    // shared-shingle join — band joins must not run twice
+    val cand = candCorpus.unionAll(candIntra).distinct().localCheckpoint(false)
+    val bIds = cand.select(col("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: O(candidates)
+    // dup_of-side content, candidate ids ONLY: corpus content first
+    // (bucket-pruned on a disk index), batch shingles for the ids the
+    // corpus lacks; sizes recomputed from the same pruned rows
+    // (shingles() is distinct per doc, so count == set size)
+    val shCorpusCand = corpus.shinglesFor(bIds)
+    val corpusCandIds = shCorpusCand.select(col("doc_id")).distinct()
+    val shB = shCorpusCand.unionAll(
+      shNew.join(corpusCandIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("shingle")))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesNew = Dedup.shingleSizes(shNew)
     val shared = cand
       .join(shNew.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(shB.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -178,11 +306,17 @@ object DedupGate {
     * growing corpus index plus the exactly-once absorption guard —
     * extracted from [[start]]'s foreachBatch so the absorb path is
     * unit-testable without a streaming harness. One instance per gate;
-    * [[process]] is what foreachBatch invokes per micro-batch. */
+    * [[process]] is what foreachBatch invokes per micro-batch.
+    * `corpusTable` switches the index to the disk-backed 100 TB form
+    * ([[indexCorpusDisk]]); the gate is the single writer of that
+    * table for its lifetime. */
   final class TextGateState(corpusDocs: DataFrame,
       pairTable: Option[String] = None,
-      collapseEvery: Int = CollapseEvery) {
-    @volatile private var corpus = indexCorpus(corpusDocs)
+      collapseEvery: Int = CollapseEvery,
+      corpusTable: Option[String] = None) {
+    @volatile private var corpus = corpusTable
+      .map(t => indexCorpusDisk(corpusDocs, t))
+      .getOrElse(indexCorpus(corpusDocs))
     private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
@@ -194,10 +328,12 @@ object DedupGate {
       * table, then absorb the batch's admitted docs. Absorption is
       * exactly-once per batch id — a replayed batch (at-least-once
       * foreachBatch) re-emits its hits but never re-absorbs, so the
-      * index cannot double-count shingles. */
+      * index cannot double-count shingles. The batch and dup frames
+      * are checkpointed eagerly and unpersisted before return —
+      * per-batch blocks never wait on driver GC. */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
-      val batch = df.localCheckpoint(false)
-      val dups = duplicates(batch, corpus).localCheckpoint(false)
+      val batch = df.localCheckpoint(true)
+      val dups = duplicates(batch, corpus).localCheckpoint(true)
       sink(dups, id)
       // self-hits (a replayed/re-ingested id verifying against its own
       // corpus content) are REPORTED to the sink but never persisted:
@@ -213,25 +349,32 @@ object DedupGate {
         corpus = corpus.absorb(admitted)
         absorbsSinceCollapse += 1
         if (absorbsSinceCollapse >= collapseEvery) {
-          corpus = corpus.collapsed
+          val old = corpus
+          corpus = old.collapsed // eager: new copies exist before...
+          // ...the superseded arms (snapshot + increments) are dropped
+          unpersistCheckpoints(old.sh, old.bands, old.sizes)
           absorbsSinceCollapse = 0
         }
       }
+      unpersistCheckpoints(batch, dups)
     }
   }
 
   /** Start the gate: raw new docs stream into foreachBatch against the
     * corpus index, which GROWS by each batch's admitted docs (see the
     * module doc's three populations). `pairTable`, when set, receives
-    * every hit via [[Dedup.appendPairs]]. */
+    * every hit via [[Dedup.appendPairs]]; `corpusTable` switches the
+    * corpus content to the disk-backed bucketed table (the 100 TB
+    * posture — module doc). */
   def start(
       newDocs: DataFrame,
       corpusDocs: DataFrame,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0),
-      pairTable: Option[String] = None): StreamingQuery = {
-    val state = new TextGateState(corpusDocs, pairTable)
+      pairTable: Option[String] = None,
+      corpusTable: Option[String] = None): StreamingQuery = {
+    val state = new TextGateState(corpusDocs, pairTable, CollapseEvery, corpusTable)
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -254,26 +397,72 @@ object DedupGate {
       .orderBy(col("new_doc"), col("dup_of"))
   }
 
+  /** [[qDedupGate]] through the DISK-backed index — same result set
+    * (same oracle SQL), but the verify stage reads the bucketed
+    * on-disk shingle table bucket-pruned: the query-level proof that
+    * the 100 TB gate posture is semantics-preserving. */
+  def qDedupGateDisk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    duplicates(
+      docs.filter(col("doc_id") % 4 === 0),
+      indexCorpusDisk(docs.filter(col("doc_id") % 4 =!= 0),
+        gateTableName("sh", d)))
+      .orderBy(col("new_doc"), col("dup_of"))
+  }
+
+  /** Deterministic per-corpus table name for the gate content tables
+    * (same digest discipline as Dedup's pair index). */
+  private def gateTableName(kind: String, d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_gate_${kind}_$digest"
+  }
+
   // ------------------------------------------- embedding-side gate
 
   /** Corpus snapshot pre-processed for the embedding gate: slim SRP
-    * band index + vectors with precomputed norms. [[absorb]] extends
-    * it with admitted vectors between snapshots (same increment-
+    * band index + vector content (in-memory frame OR bucketed on-disk
+    * table — `table` set, the 100 TB posture). [[absorb]] extends it
+    * with admitted vectors between snapshots (same increment-
     * checkpoint discipline as [[TextIndex.absorb]]). */
-  final case class EmbedIndex(bands: DataFrame, vecs: DataFrame) {
+  final case class EmbedIndex(bands: DataFrame, vecs: DataFrame,
+      table: Option[String] = None) {
+
+    /** Verify-stage read: (vec_id, embedding, n2) for exactly `ids` —
+      * bucket-pruned on a disk index ([[TextIndex.shinglesFor]]). */
+    def vectorsFor(ids: Seq[Long]): DataFrame = table match {
+      case Some(t) =>
+        prunedTableRead(vecs.sparkSession, t, "vec_id", ids,
+          Seq(col("vec_id"), col("embedding"), col("n2"))).localCheckpoint(true)
+      case None =>
+        vecs.select(col("vec_id"), col("embedding"), col("n2"))
+          .filter(col("vec_id").isin(ids: _*))
+    }
+
     def absorb(admittedVecs: DataFrame): EmbedIndex = {
       import graft.functions.VectorFunctions.norm2Exact
       val vA = admittedVecs.select(col("vec_id"), col("embedding"),
-        norm2Exact(col("embedding")).as("n2")).localCheckpoint(false)
-      EmbedIndex(
-        bands.unionAll(embedBands(vA).localCheckpoint(false)),
-        vecs.unionAll(vA))
+        norm2Exact(col("embedding")).as("n2")).localCheckpoint(true)
+      val vecsNext = table match {
+        case Some(t) =>
+          vA.write.mode("append")
+            .bucketBy(GateCorpusBuckets, "vec_id").sortBy("vec_id")
+            .saveAsTable(t)
+          vA.sparkSession.table(t)
+        case None => vecs.unionAll(vA)
+      }
+      val next = EmbedIndex(
+        bands.unionAll(embedBands(vA).localCheckpoint(true)),
+        vecsNext, table)
+      if (table.isDefined) unpersistCheckpoints(vA)
+      next
     }
 
-    /** See [[TextIndex.collapsed]] — same plan-width reset. */
+    /** See [[TextIndex.collapsed]] — same plan-width reset, pure. */
     def collapsed: EmbedIndex = EmbedIndex(
-      bands.localCheckpoint(false),
-      vecs.localCheckpoint(false))
+      bands.localCheckpoint(true),
+      if (table.isDefined) vecs else vecs.localCheckpoint(true),
+      table)
   }
 
   private def embedBands(vecs: DataFrame): DataFrame = {
@@ -290,12 +479,31 @@ object DedupGate {
         norm2Exact(col("embedding")).as("n2")).localCheckpoint(false))
   }
 
+  /** The 100 TB form of [[indexEmbedCorpus]] — vectors (with
+    * precomputed norms) land in a vec_id-bucketed catalog table; see
+    * [[indexCorpusDisk]]. */
+  def indexEmbedCorpusDisk(corpusVecs: DataFrame, table: String): EmbedIndex = {
+    import graft.functions.VectorFunctions.norm2Exact
+    val s = corpusVecs.sparkSession
+    val vecs = corpusVecs.select(col("vec_id"), col("embedding"),
+      norm2Exact(col("embedding")).as("n2")).localCheckpoint(true)
+    graft.sources.Writers.replaceBucketed(s, vecs, "vec_id", GateCorpusBuckets, table)
+    val idx = EmbedIndex(
+      embedBands(vecs).localCheckpoint(true),
+      s.table(table), Some(table))
+    unpersistCheckpoints(vecs)
+    idx
+  }
+
   /** New embeddings vs the index AND vs each other: semantic near-dup
     * hits at [[Dedup.CosineThreshold]] — DISTINCT candidate pairs from
     * the SRP band-bucket join against the corpus index unioned with
     * the intra-batch self-join (higher vec_id flagged, keep-lowest-id),
-    * then [[Dedup.cosineVerify]]'s two-stage verify once per pair
-    * (vectors joined back for candidates only). */
+    * then [[Dedup.cosineVerify]]'s two-stage verify once per pair.
+    * Vectors are joined back for CANDIDATE ids only, through
+    * [[EmbedIndex.vectorsFor]]'s pruned read — O(candidates) verify
+    * I/O on a disk index (module doc); corpus content is preferred for
+    * re-ingested ids, batch content covers intra-batch-only ids. */
   def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame = {
     import graft.functions.VectorFunctions.norm2Exact
     val vecsNew = newVecs.select(col("vec_id"), col("embedding"),
@@ -310,10 +518,14 @@ object DedupGate {
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") > col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-    val cand = candCorpus.unionAll(candIntra).distinct()
-    val corpusIds = corpus.vecs.select(col("vec_id"))
-    val vecsB = corpus.vecs.select(col("vec_id"), col("embedding"), col("n2"))
-      .unionAll(vecsNew.join(corpusIds, Seq("vec_id"), "left_anti")
+    // checkpointed: feeds the id collect AND the vector join-back
+    val cand = candCorpus.unionAll(candIntra).distinct().localCheckpoint(false)
+    val bIds = cand.select(col("vb")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: O(candidates)
+    val vecsCorpusCand = corpus.vectorsFor(bIds)
+    val corpusCandIds = vecsCorpusCand.select(col("vec_id"))
+    val vecsB = vecsCorpusCand.unionAll(
+      vecsNew.join(corpusCandIds, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("embedding"), col("n2")))
     val pairRows = cand
       .join(vecsNew.select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -332,8 +544,11 @@ object DedupGate {
     * guard), extracted for the same unit-testability. */
   final class EmbedGateState(corpusVecs: DataFrame,
       pairTable: Option[String] = None,
-      collapseEvery: Int = CollapseEvery) {
-    @volatile private var corpus = indexEmbedCorpus(corpusVecs)
+      collapseEvery: Int = CollapseEvery,
+      corpusTable: Option[String] = None) {
+    @volatile private var corpus = corpusTable
+      .map(t => indexEmbedCorpusDisk(corpusVecs, t))
+      .getOrElse(indexEmbedCorpus(corpusVecs))
     private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
@@ -343,8 +558,8 @@ object DedupGate {
 
     /** One micro-batch — see [[TextGateState.process]]. */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
-      val batch = df.localCheckpoint(false)
-      val dups = embedDuplicates(batch, corpus).localCheckpoint(false)
+      val batch = df.localCheckpoint(true)
+      val dups = embedDuplicates(batch, corpus).localCheckpoint(true)
       sink(dups, id)
       // see TextGateState.process: self-hits reported, never persisted
       pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
@@ -357,24 +572,29 @@ object DedupGate {
         corpus = corpus.absorb(admitted)
         absorbsSinceCollapse += 1
         if (absorbsSinceCollapse >= collapseEvery) {
-          corpus = corpus.collapsed
+          val old = corpus
+          corpus = old.collapsed
+          unpersistCheckpoints(old.bands, old.vecs)
           absorbsSinceCollapse = 0
         }
       }
+      unpersistCheckpoints(batch, dups)
     }
   }
 
   /** Start the embedding gate — same foreachBatch + absorb + optional
     * pair-table maintenance shape as [[start]]; `pairTable` receives
-    * SRP hits (the semantic twin of the text gate's maintenance). */
+    * SRP hits (the semantic twin of the text gate's maintenance),
+    * `corpusTable` switches to the disk-backed vector table. */
   def startEmbed(
       newVecs: DataFrame,
       corpusVecs: DataFrame,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0),
-      pairTable: Option[String] = None): StreamingQuery = {
-    val state = new EmbedGateState(corpusVecs, pairTable)
+      pairTable: Option[String] = None,
+      corpusTable: Option[String] = None): StreamingQuery = {
+    val state = new EmbedGateState(corpusVecs, pairTable, CollapseEvery, corpusTable)
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -392,6 +612,18 @@ object DedupGate {
     embedDuplicates(
       vecs.filter(col("vec_id") % 4 === 0),
       vecs.filter(col("vec_id") % 4 =!= 0))
+      .orderBy(col("new_vec"), col("dup_of"))
+  }
+
+  /** [[qEmbedGate]] through the DISK-backed vector table — same result
+    * set (same oracle SQL), verify reads bucket-pruned
+    * ([[qDedupGateDisk]]). */
+  def qEmbedGateDisk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    embedDuplicates(
+      vecs.filter(col("vec_id") % 4 === 0),
+      indexEmbedCorpusDisk(vecs.filter(col("vec_id") % 4 =!= 0),
+        gateTableName("vec", d)))
       .orderBy(col("new_vec"), col("dup_of"))
   }
 }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DedupGate
+
+/** The disk-backed gate corpus index (the 100 TB verify posture) must
+  * be (a) semantics-preserving — identical hits to the in-memory
+  * index, (b) bucket-pruned — the verify read touches candidate ids'
+  * buckets, not the whole table, (c) maintained — absorbs append to
+  * the table and replays don't, and (d) memory-bounded — collapse
+  * unpersists the superseded arms immediately. */
+class DiskGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def ckptIds(df: DataFrame): Seq[Int] = {
+    val b = scala.collection.mutable.ArrayBuffer[Int]()
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => b += r.rdd.id
+      case _ => ()
+    }
+    b.toSeq
+  }
+
+  test("disk text gate hits are identical to the in-memory gate") {
+    val mem = DedupGate.qDedupGate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = DedupGate.qDedupGateDisk(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mem == disk, "disk-backed verify changed the text gate's hit set")
+    assert(mem.nonEmpty, "vacuous equality: no gate hits at sf0.001")
+  }
+
+  test("disk embed gate hits are identical to the in-memory gate") {
+    val mem = DedupGate.qEmbedGate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = DedupGate.qEmbedGateDisk(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mem == disk, "disk-backed verify changed the embed gate's hit set")
+    assert(mem.nonEmpty, "vacuous equality: no embed gate hits at sf0.001")
+  }
+
+  test("verify read engages bucket pruning: only candidate buckets scanned") {
+    val table = "graft_spec_gate_prune"
+    DedupGate.indexCorpusDisk(Tables.documents(spark, d), table)
+    // the pruned read the disk-mode shinglesFor materializes: planned
+    // under the cloned autoBucketedScan=false session, a single id
+    // must hash to exactly one selected bucket
+    val read = DedupGate.prunedTableRead(spark, table, "doc_id", Seq(12L),
+      Seq(col("doc_id"), col("shingle")))
+    val plan = read.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"verify read did not bucket-prune:\n$plan")
+    assert(m.get.group(1).toInt == 1 && m.get.group(2).toInt == DedupGate.GateCorpusBuckets,
+      s"expected 1 of ${DedupGate.GateCorpusBuckets} buckets selected, got ${m.get.matched}")
+    // and at RUNTIME only the selected bucket's rows enter the scan
+    // (the numFiles metric is populated BEFORE bucket pruning, so the
+    // scan's numOutputRows — rows actually decoded, pre-Filter — is
+    // the runtime evidence: ~1/8 of the table for one id, not all)
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    val total = spark.table(table).count()
+    assert(scanned > 0 && scanned <= total / 4,
+      s"pruning ineffective at runtime: scanned $scanned of $total shingle rows")
+  }
+
+  test("disk gate state: absorb appends to the table, replay does not, cross-batch dup caught") {
+    val table = "graft_spec_gate_absorb"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark structured streaming state")
+    ).toDF("doc_id", "text")
+    val state = new DedupGate.TextGateState(corpus, corpusTable = Some(table))
+    val rowsAfterSnapshot = spark.table(table).count()
+    assert(rowsAfterSnapshot > 0, "snapshot shingles not written to the table")
+
+    // batch 0: a clean doc is ADMITTED -> its shingles appended
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def sink(df: DataFrame, id: Long): Unit =
+      hits ++= df.select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val b0 = Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    state.process(b0, 0L, sink)
+    assert(hits.isEmpty, s"clean doc flagged: $hits")
+    val rowsAfterAbsorb = spark.table(table).count()
+    assert(rowsAfterAbsorb > rowsAfterSnapshot, "admitted doc's shingles not appended")
+
+    // replayed batch id: the re-ingested doc now verifies against its
+    // OWN absorbed on-disk content — the (100,100) "already admitted"
+    // self-hit is re-emitted (gate contract), but the table must NOT
+    // grow (no re-absorb)
+    state.process(b0, 0L, sink)
+    assert(hits.toSet == Set((100L, 100L)),
+      s"replay should re-report the absorbed doc as already admitted: $hits")
+    assert(spark.table(table).count() == rowsAfterAbsorb,
+      "replayed batch id re-appended shingles")
+
+    // batch 1: near-dup of the batch-0 ADMIT — only the absorbed
+    // on-disk content can verify it
+    val b1 = Seq((200L, "totally unrelated text with no overlap whatsoever in any sentence"))
+      .toDF("doc_id", "text")
+    state.process(b1, 1L, sink)
+    assert(hits.toSet == Set((100L, 100L), (200L, 100L)),
+      s"cross-batch near-dup not caught through the disk index: $hits")
+
+    // the layout contract survives the appends: bucketed, no shuffle
+    val plan = spark.table(table).select(col("doc_id")).distinct()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"append lost the bucketed layout:\n$plan")
+    assert(!plan.contains("Exchange"), s"post-append distinct shuffles:\n$plan")
+  }
+
+  test("disk embed gate state: absorb appends vectors, cross-batch dup caught") {
+    val table = "graft_spec_gate_vec_absorb"
+    // srp_bands is compiled for the corpus embedding dim (64)
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val ortho = Array.tabulate(64)(i => math.cos(i * 2.3 + 1.1).toFloat)
+    val corpus = Seq((1L, base)).toDF("vec_id", "embedding")
+    val state = new DedupGate.EmbedGateState(corpus, corpusTable = Some(table))
+    val n0 = spark.table(table).count()
+    assert(n0 == 1, "snapshot vectors not written")
+
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def sink(df: DataFrame, id: Long): Unit =
+      hits ++= df.select(col("new_vec"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    // batch 0: orthogonal vector admitted
+    state.process(Seq((100L, ortho)).toDF("vec_id", "embedding"), 0L, sink)
+    assert(hits.isEmpty, s"clean vector flagged: $hits")
+    assert(spark.table(table).count() == n0 + 1, "admitted vector not appended")
+    // batch 1: near-dup of the ADMITTED vector (tiny jitter of ortho)
+    val orthoJit = ortho.zipWithIndex.map { case (v, i) => v + (if (i == 0) 0.01f else 0f) }
+    state.process(Seq((200L, orthoJit)).toDF("vec_id", "embedding"), 1L, sink)
+    assert(hits.toSet == Set((200L, 100L)),
+      s"cross-batch embed near-dup not caught through the disk index: $hits")
+  }
+
+  test("collapse unpersists the superseded arms' checkpoint blocks immediately") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val state = new DedupGate.TextGateState(corpus, collapseEvery = 2)
+    state.process(
+      Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
+        .toDF("doc_id", "text"), 0L, (_, _) => ())
+    // pre-collapse arms: snapshot + one increment per frame
+    val pre = (ckptIds(state.index.sh) ++ ckptIds(state.index.bands) ++
+      ckptIds(state.index.sizes)).toSet
+    assert(pre.nonEmpty, "expected checkpointed arms before the collapse")
+    // second absorb triggers the collapse
+    state.process(
+      Seq((200L, "more fresh content entirely distinct from previous documents here"))
+        .toDF("doc_id", "text"), 1L, (_, _) => ())
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = pre.intersect(live)
+    assert(leaked.isEmpty,
+      s"superseded arms still persisted after collapse: RDD ids $leaked")
+    // and the collapsed index still answers: a near-dup of the
+    // batch-0 admit is caught post-collapse
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    state.process(
+      Seq((300L, "totally unrelated text with no overlap whatsoever in any sentence"))
+        .toDF("doc_id", "text"), 2L, (df, _) => hits ++= df
+        .select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(hits.toSet == Set((300L, 100L)),
+      s"post-collapse index lost absorbed content: $hits")
+  }
+}
