@@ -127,9 +127,25 @@ object ReportPipeline {
     * double-report rows in the final ~30 s of a still-open window
     * (counted by the agg AND flagged late). The reference sends these
     * to a `lateLog` Kafka topic as TSV (DataReport.java:156-161);
-    * `lateSink` receives the same formatted lines. */
-  final class LateRouter(lateSink: Row => Unit, latePath: Option[String] = None) {
-    private val maxTsMicros = new AtomicLong(Long.MinValue)
+    * `lateSink` receives the same formatted lines.
+    *
+    * `watermarkPath`: the observed max is PERSISTED (one 8-byte file,
+    * atomic tmp+rename per advancing batch) and restored on
+    * construction. Without it, a restarted router reports nothing
+    * late until it re-observes a max — while the agg side's
+    * CHECKPOINTED watermark keeps dropping those rows, so the two
+    * branches disagree across the restart window. (The reference's
+    * `MyWatermark` resets too — reference-faithful — but our agg side
+    * does NOT reset, so the durable form is the consistent one.)
+    * Replay-idempotent: a replayed batch rewrites the same max. */
+  final class LateRouter(lateSink: Row => Unit, latePath: Option[String] = None,
+      watermarkPath: Option[String] = None) {
+    private def wmFile = java.nio.file.Paths.get(watermarkPath.get, "max_ts_micros")
+    private val maxTsMicros = new AtomicLong(
+      watermarkPath.filter(_ => java.nio.file.Files.exists(wmFile))
+        .map(_ => java.lang.Long.parseLong(
+          new String(java.nio.file.Files.readAllBytes(wmFile), "UTF-8").trim))
+        .getOrElse(Long.MinValue))
     private val windowUs = 30L * 1000000
     def route(batch: DataFrame, batchId: Long): Unit = {
       val wm = maxTsMicros.get()
@@ -163,7 +179,21 @@ object ReportPipeline {
         }
         val batchMax = cached.agg(max(unix_micros(col("ts")))).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        batchMax.foreach(m => maxTsMicros.getAndUpdate(cur => math.max(cur, m)))
+        batchMax.foreach { m =>
+          val advanced = maxTsMicros.getAndUpdate(cur => math.max(cur, m)) < m
+          // durable watermark: written AFTER the late branch (a crash
+          // between the two re-reports some lates on replay — at-least
+          // -once, never silently dropped), only when it advanced
+          if (advanced) watermarkPath.foreach { dir =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+            val tmp = java.nio.file.Paths.get(dir, s"max_ts_micros.tmp$batchId")
+            java.nio.file.Files.write(tmp,
+              maxTsMicros.get().toString.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, wmFile,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
       } finally cached.unpersist()
     }
   }

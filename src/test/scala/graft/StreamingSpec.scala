@@ -83,4 +83,36 @@ class StreamingSpec extends SparkSpec {
     assert(!sink.snapshot.keys.exists(_._2 == "black"))
     assert(late.toSeq == Seq("2018-01-01 10:00:20\tblack\tAREA_US"))
   }
+
+  test("LateRouter watermark survives restart: persisted max keeps the branches consistent") {
+    import org.apache.spark.sql.functions._
+    val wmDir = tmpDir()
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("dts", "type")
+      .select(to_timestamp(col("dts")).as("ts"), col("type"),
+        lit("AREA_US").as("area"))
+
+    val late1 = ArrayBuffer[String]()
+    val r1 = new ReportPipeline.LateRouter(
+      r => late1 += r.getAs[String]("line"), None, Some(wmDir))
+    r1.route(batch(("2018-01-01 10:02:00", "shelf")), 0L)
+    assert(late1.isEmpty)
+
+    // "restart": a NEW router on the same watermark dir must classify
+    // a >40s-behind record late on its FIRST batch — the agg side's
+    // checkpointed watermark would drop it, and the branches must not
+    // diverge across the restart window
+    val late2 = ArrayBuffer[String]()
+    val r2 = new ReportPipeline.LateRouter(
+      r => late2 += r.getAs[String]("line"), None, Some(wmDir))
+    r2.route(batch(("2018-01-01 10:00:20", "black")), 1L)
+    assert(late2.toSeq == Seq("2018-01-01 10:00:20\tblack\tAREA_US"),
+      s"restarted router lost the persisted watermark: $late2")
+
+    // the pre-fix divergence, pinned: a router WITHOUT the durable
+    // max sees nothing late on its first batch
+    val late3 = ArrayBuffer[String]()
+    val r3 = new ReportPipeline.LateRouter(r => late3 += r.getAs[String]("line"))
+    r3.route(batch(("2018-01-01 10:00:20", "black")), 1L)
+    assert(late3.isEmpty)
+  }
 }
