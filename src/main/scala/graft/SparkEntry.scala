@@ -69,6 +69,11 @@ object SparkEntry {
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_stock" -> (Relational.q11ImportantStock _),
+    "q16_parts_supplier" -> (Relational.q16PartsSupplier _),
+    "q20_potential_promo" -> (Relational.q20PotentialPromo _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q12_priority_ship" -> (Relational.q12PriorityShip _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
@@ -468,6 +473,13 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
          |  FROM cdots)
          |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** The derived partsupp parquet for the ORACLE's scale factor: the
+    * driver's DuckDB gate always runs at sf0.01 (harness contract), so
+    * the oracle SQL pins that dir's table — written by the Verify run
+    * itself ([[graft.Tables.partsupp]]) before DuckDB reads it. */
+  private val PartsuppOracleGlob =
+    graft.Tables.partsuppPath("/root/testdata/sf0.01") + "/*.parquet"
 
   def oracleSql: Map[String, String] = Map(
     "q_report_agg" ->
@@ -974,6 +986,78 @@ object SparkEntry {
         |JOIN pf ON l_partkey = p_partkey
         |JOIN th ON l_partkey = tp
         |WHERE l_quantity < qty_thresh""".stripMargin,
+    // ---- partsupp-dependent TPC-H shapes: the table is DERIVED
+    // (Tables.partsupp — deterministic, written by the Verify run) and
+    // the oracle reads the SAME parquet by absolute path, so both
+    // engines see one identical table. The driver's oracle runs at
+    // sf0.01; the path below pins that dir.
+    "q2_min_cost_supplier" ->
+      s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob')),
+         |eu AS (SELECT n_nationkey, n_name FROM nation
+         |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         |sup_eu AS (SELECT ps_partkey, ps_suppkey, ps_supplycost,
+         |             s_acctbal, s_name, n_name
+         |           FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |           JOIN eu ON s_nationkey = n_nationkey),
+         |mc AS (SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS mc_cost
+         |       FROM sup_eu GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  ps_supplycost, ps_suppkey AS s_suppkey
+         |FROM sup_eu
+         |JOIN part ON ps_partkey = p_partkey AND p_size = 15
+         |JOIN mc ON ps_partkey = mc_partkey AND ps_supplycost = mc_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+         |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob'))
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+         |    - ps_supplycost * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob')),
+         |pp AS (SELECT ps_partkey,
+         |         CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) AS value
+         |       FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |       JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |       GROUP BY 1),
+         |tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total FROM pp)
+         |SELECT ps_partkey, value FROM pp, tot
+         |WHERE value > total * 0.001
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q16_parts_supplier" ->
+      s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob'))
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+         |  AND p_size IN (1, 4, 7, 10, 14, 23, 45, 49)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_potential_promo" ->
+      s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob')),
+         |q97 AS (SELECT l_partkey, l_suppkey,
+         |          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         |        FROM lineitem
+         |        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |        GROUP BY 1, 2),
+         |excess AS (SELECT DISTINCT ps_suppkey FROM partsupp
+         |           JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+         |           JOIN q97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |           WHERE ps_availqty > qty * 0.5)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         |JOIN excess ON s_suppkey = ps_suppkey
+         |ORDER BY s_name, s_suppkey""".stripMargin,
     "q_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

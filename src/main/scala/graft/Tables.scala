@@ -55,4 +55,61 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  private val partsuppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** On-disk location of the derived partsupp table for a scale-factor
+    * dir. Outside the (read-only) testdata tree; the oracle SQL reads
+    * the same files by absolute path, so Spark and DuckDB always see
+    * one identical table. */
+  def partsuppPath(d: String): String =
+    s"/root/repo/data/partsupp/${new java.io.File(d).getName}"
+
+  /** DERIVED partsupp: the harness testdata ships no partsupp.parquet,
+    * which blocked the five partsupp-dependent TPC-H shapes (Q2, Q9,
+    * Q11, Q16, Q20). The table is generated DETERMINISTICALLY from the
+    * tables that do exist and is therefore identical for both engines:
+    *  - referential integrity with the fact table: every DISTINCT
+    *    (l_partkey, l_suppkey) pair that occurs in lineitem is a
+    *    partsupp row (in TPC-H, lineitem draws its pairs FROM
+    *    partsupp; deriving the superset restores that invariant);
+    *  - coverage: plus 4 synthetic evenly-striped suppliers per part
+    *    ((p + i*(S/4+1)) mod S, the TPC-H dbgen stripe), so parts that
+    *    were never ordered still have suppliers (Q2/Q16 semantics);
+    *  - attributes are pure key arithmetic (exact in both engines):
+    *    ps_availqty  = (p*4 + s) mod 9999 + 1,
+    *    ps_supplycost = ((p*7 + s*13) mod 90000)/100 + 1.
+    * Built once per JVM per dir (computeIfAbsent blocks concurrent
+    * callers), overwritten on first touch so a formula change never
+    * leaves a stale table behind; both engines then READ the same
+    * parquet, so no cross-engine arithmetic is involved in the table
+    * itself. At 100 TB this materialization step is the same pattern
+    * as the pair index: one distinct-shuffle over the fact table's
+    * (part, supp) pairs, written bucketed next to the warehouse. */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = partsuppCache.computeIfAbsent(partsuppPath(d), { p =>
+      val nSupp = supplier(s, d).count() // bounded scalar: |supplier|
+      val step = nSupp / 4 + 1
+      val pairs = lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .unionByName(part(s, d)
+          .select(col("p_partkey").as("ps_partkey"),
+            explode(expr("sequence(0, 3)")).as("i"))
+          .select(col("ps_partkey"),
+            pmod(col("ps_partkey") + col("i") * step, lit(nSupp))
+              .cast("long").as("ps_suppkey")))
+        .distinct()
+      pairs.select(col("ps_partkey"), col("ps_suppkey"),
+          (pmod(col("ps_partkey") * 4 + col("ps_suppkey"), lit(9999)) + 1)
+            .cast("int").as("ps_availqty"),
+          ((pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 13, lit(90000)))
+            .cast("double") / 100.0 + 1.0).as("ps_supplycost"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 }

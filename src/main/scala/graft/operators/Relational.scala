@@ -960,4 +960,129 @@ object Relational {
         sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
         count(lit(1)).as("cnt"))
       .orderBy(col("o_orderstatus"))
+
+  // ------------------- partsupp-dependent TPC-H shapes (Q2/Q9/Q11/Q16/Q20)
+  // over the derived table (Tables.partsupp — deterministic, shared
+  // with the oracle by absolute path)
+
+  /** TPC-H Q2 analog: minimum-cost supplier per size-15 part within
+    * region EUROPE (adapted to the harness columns — no p_mfgr /
+    * s_address). Spark-first min-cost-per-group: aggregate the min
+    * over the region-scoped supply graph, join back on (part, cost) —
+    * two passes over a dim-sized frame, no correlated subquery. The
+    * region/nation dims broadcast; partsupp joins supplier on the
+    * supp key (dim-sized) before touching part. s_suppkey rides along
+    * as the deterministic final tie-break. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val europe = broadcast(Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val supplyEu = Tables.partsupp(s, d)
+      .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+      .join(europe, col("s_nationkey") === col("n_nationkey"))
+    val minCost = supplyEu.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("mc_cost"))
+    supplyEu
+      .join(Tables.part(s, d).filter(col("p_size") === 15),
+        col("ps_partkey") === col("p_partkey"))
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost") === col("mc_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost"), col("s_suppkey"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 analog: profit (revenue minus supply cost) by supplier
+    * nation and order year for parts named like '%red%'. The two fact
+    * tables join on their full composite key (l_partkey, l_suppkey);
+    * part prunes first (broadcast after the LIKE filter), dims
+    * broadcast, one final shuffle on (nation, year). */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.partsupp(s, d),
+        col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 analog: parts whose stock value at NATION_7's suppliers
+    * exceeds 0.1% of that nation's total stock value. The total is a
+    * one-row broadcast scalar (crossJoin of an aggregate — the
+    * qTopCustomers pattern), never a driver round-trip; both sides of
+    * the threshold comparison use the same decimal-exact sum. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val nation7 = broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey")))
+    val stock = Tables.partsupp(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("ps_suppkey") === col("s_suppkey"))
+      .join(nation7, col("s_nationkey") === col("n_nationkey"))
+    val perPart = stock.groupBy(col("ps_partkey"))
+      .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+    val total = perPart.agg(dsum(col("value")).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("total") * 0.001)
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 analog: how many distinct suppliers can supply each
+    * (brand, type, size) combination — excluding one brand, MEDIUM
+    * types, sizes outside the catalog list, and suppliers in deficit
+    * (s_acctbal < 0; the harness schema has no s_comment to match
+    * TPC-H's complaint clause). Anti-join for the exclusion, distinct
+    * count after a broadcast part join. */
+  def q16PartsSupplier(s: SparkSession, d: String): DataFrame = {
+    val sizes = Seq(1, 4, 7, 10, 14, 23, 45, 49).map(lit(_))
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").like("MEDIUM%") && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.partsupp(s, d)
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 analog: NATION_3 suppliers holding excess stock
+    * (availqty > half of 1997 shipped quantity) of 'small%' parts.
+    * The shipped-quantity aggregate is computed once per
+    * (part, supplier) pair and joined INNER — a pair never shipped in
+    * 1997 fails TPC-H's NULL comparison, and the inner join reproduces
+    * exactly that. Semi join surfaces each supplier once. */
+  def q20PotentialPromo(s: SparkSession, d: String): DataFrame = {
+    val qty97 = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val excess = Tables.partsupp(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))), col("ps_partkey") === col("p_partkey"))
+      .join(qty97, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > col("qty") * 0.5)
+      .select(col("ps_suppkey"))
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
 }

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_int8_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_embed_classify" -> "broadcast side is the fixed per-label centroid set",
     "q22_idle_customers" -> "scalar subquery: single-row avg-balance broadcast",
-    "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast")
+    "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast",
+    "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
