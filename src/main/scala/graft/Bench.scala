@@ -171,13 +171,19 @@ object Bench {
             org.apache.spark.sql.functions.length(col("text")).cast("long"))
           .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
-        Tables.embeddings(spark, sfDir).crossJoin(reps10).select(
+        // per-replica circular rotation; a zero shift for rep>0 (dim a
+        // multiple of 7) would duplicate replica 0 exactly and silently
+        // break the linear-near-dup premise — clamp to >=1 (round-8
+        // advice; dim=64 today, so this is a guard, not a change)
+        Tables.embeddings(spark, sfDir).crossJoin(reps10)
+          .withColumn("shift", org.apache.spark.sql.functions.expr(
+            "case when rep = 0 then 0 else greatest(1, cast(rep*7 % size(embedding) as int)) end"))
+          .select(
           (col("vec_id") * 10 + col("rep")).as("vec_id"),
           org.apache.spark.sql.functions.expr(
             """concat(
-              |  slice(embedding, cast(rep*7 % size(embedding) as int) + 1,
-              |        size(embedding) - cast(rep*7 % size(embedding) as int)),
-              |  slice(embedding, 1, cast(rep*7 % size(embedding) as int)))"""
+              |  slice(embedding, shift + 1, size(embedding) - shift),
+              |  slice(embedding, 1, shift))"""
               .stripMargin).as("embedding"),
           col("label"))
           .write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
@@ -221,22 +227,39 @@ object Bench {
         "null"
       }
 
-    // per-query delta vs the captured baseline round (fractional)
+    // Per-query delta vs the captured baseline run (fractional).
+    // Default baseline: BENCH_BASELINE.json, a committed bench_last
+    // line RE-CAPTURED UNDER THE SAME reps=3 methodology as current
+    // runs — deltas compare median to median, so memoized builders
+    // (whose build cost the median intentionally drops) no longer show
+    // spurious improvements against the old single-shot r01 capture.
+    // Falls back to the driver-format r01 file if the baseline is
+    // absent; both formats parse (raw bench line, or driver JSON with
+    // the line inside `tail`).
     val deltas: Seq[(String, Double)] = try {
-      val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json")
+      val basePath = sys.env.get("SPARK_GRAFT_BASELINE").getOrElse {
+        val recaptured = "/root/repo/BENCH_BASELINE.json"
+        if (new java.io.File(recaptured).isFile) recaptured
+        else "/root/repo/BENCH_r01.json"
+      }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(new java.io.File(basePath))
-      val tail = root.path("tail").asText("")
-      val start = tail.indexOf("{\"metric\"")
-      if (start < 0) Seq.empty
-      else {
-        val lineEnd = tail.indexOf('\n', start)
-        val line = if (lineEnd < 0) tail.substring(start) else tail.substring(start, lineEnd)
-        val qs = mapper.readTree(line).path("queries")
-        results.toSeq.collect {
-          case (name, sec) if qs.has(name) && qs.get(name).asDouble() > 0 =>
-            name -> (sec - qs.get(name).asDouble()) / qs.get(name).asDouble()
+      val qs =
+        if (root.has("queries")) root.path("queries")
+        else {
+          val tail = root.path("tail").asText("")
+          val start = tail.indexOf("{\"metric\"")
+          if (start < 0) mapper.createObjectNode()
+          else {
+            val lineEnd = tail.indexOf('\n', start)
+            val line = if (lineEnd < 0) tail.substring(start)
+              else tail.substring(start, lineEnd)
+            mapper.readTree(line).path("queries")
+          }
         }
+      results.toSeq.collect {
+        case (name, sec) if qs.has(name) && qs.get(name).asDouble() > 0 =>
+          name -> (sec - qs.get(name).asDouble()) / qs.get(name).asDouble()
       }
     } catch { case _: Throwable => Seq.empty }
 
