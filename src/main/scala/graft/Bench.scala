@@ -187,8 +187,28 @@ object Bench {
               .stripMargin).as("embedding"),
           col("label"))
           .write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
-        // warm the two generated tables the same way as the main SF
-        for (t <- Seq("documents", "embeddings")) {
+        // 10x TPC-H star schema: entity keys re-striped by replica
+        // (k*10+rep) so every join stays within-replica — referential
+        // integrity is preserved, no cross-replica fan-in, aggregates
+        // and join cardinalities scale LINEARLY while the table sizes
+        // grow 10x. Dims (nation/region) are fixed and copied.
+        val keyCols: Seq[(String, Seq[String])] = Seq(
+          "customer" -> Seq("c_custkey"),
+          "orders" -> Seq("o_orderkey", "o_custkey"),
+          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          "part" -> Seq("p_partkey"),
+          "supplier" -> Seq("s_suppkey"))
+        for ((t, keys) <- keyCols)
+          keys.foldLeft(Tables.load(spark, sfDir, t).crossJoin(reps10))(
+              (df, k) => df.withColumn(k, col(k) * 10 + col("rep")))
+            .drop("rep")
+            .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+        for (t <- Seq("nation", "region"))
+          Tables.load(spark, sfDir, t)
+            .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+        // warm the generated tables the same way as the main SF
+        for (t <- Seq("documents", "embeddings", "customer", "orders",
+            "lineitem", "part", "supplier", "nation", "region")) {
           val df = Tables.load(spark, sf1Dir, t)
           df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max(col("h"))).collect()
         }
@@ -200,8 +220,14 @@ object Bench {
         // it too is quadratic at 10x (measured: 31 s at sf1-of-sf0.01
         // vs 0.6 s at sf0.01). The strict-threshold variant below IS
         // the scale path and carries the reduction claim.
+        // relational headliners join the probe now that the star
+        // schema replicates too (round-8 gap: no >sf0.1 point for the
+        // ~90 non-corpus queries); q_dedup_gate_disk measures the
+        // round-9 disk-backed gate verify at 10x corpus
         val sf1Queries = Seq("q_minhash_lsh",
-          "q_embed_neardup_strict", "q_kmeans_centroids", "q_knn_ivf")
+          "q_embed_neardup_strict", "q_kmeans_centroids", "q_knn_ivf",
+          "q1_pricing", "q7_volume_shipping", "q9_product_profit",
+          "q10_returned_items", "q_dedup_gate_disk")
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
           .map(fn => n -> timeOnce(s"sf1/$n", fn, sf1Dir)))
         // the two pruning ratios the 100 TB story rests on, at 10x:
@@ -220,8 +246,13 @@ object Bench {
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
         s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)}}"""
-        } finally // ~10x sf0.1 of parquet per run — don't accrete in /tmp
+        } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
+          // q9 derives a partsupp for the (temp-named) sf1 dir — drop it
+          new scala.reflect.io.Directory(
+            new java.io.File(Tables.partsuppPath(sf1Dir))).deleteRecursively()
+          ()
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
         "null"

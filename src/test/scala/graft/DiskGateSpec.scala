@@ -66,6 +66,12 @@ class DiskGateSpec extends SparkSpec {
     val total = spark.table(table).count()
     assert(scanned > 0 && scanned <= total / 4,
       s"pruning ineffective at runtime: scanned $scanned of $total shingle rows")
+    // the autoBucketedScan flip lives in the CLONED session only — the
+    // caller's session conf must be untouched (the compactBucketed
+    // discipline; round-8 advice)
+    assert(spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true") == "true",
+      "prunedTableRead leaked its conf flip into the caller's session")
   }
 
   test("disk gate state: absorb appends to the table, replay does not, cross-batch dup caught") {
@@ -138,6 +144,42 @@ class DiskGateSpec extends SparkSpec {
     state.process(Seq((200L, orthoJit)).toDF("vec_id", "embedding"), 1L, sink)
     assert(hits.toSet == Set((200L, 100L)),
       s"cross-batch embed near-dup not caught through the disk index: $hits")
+  }
+
+  test("compacting the gate content table between snapshots preserves gate behavior") {
+    val table = "graft_spec_gate_compact"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val state = new DedupGate.TextGateState(corpus, corpusTable = Some(table))
+    state.process(
+      Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
+        .toDF("doc_id", "text"), 0L, (_, _) => ())
+    val filesBefore = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val rowsBefore = spark.table(table).count()
+    // maintenance window: fold the snapshot+append accretion
+    graft.sources.Writers.compactBucketed(spark, table)
+    val filesAfter = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(spark.table(table).count() == rowsBefore, "compaction changed content")
+    // <=1 file per bucket (the strict before/after shrink is pinned by
+    // CompactionSpec on a many-append table; here snapshot+1 append may
+    // already sit at one file per touched bucket)
+    assert(filesAfter <= DedupGate.GateCorpusBuckets && filesAfter <= filesBefore,
+      s"compaction left >1 file per bucket: $filesBefore -> $filesAfter")
+    // the running gate still verifies against ADMITTED content through
+    // the compacted table
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    state.process(
+      Seq((200L, "totally unrelated text with no overlap whatsoever in any sentence"))
+        .toDF("doc_id", "text"), 1L, (df, _) => hits ++= df
+        .select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(hits.toSet == Set((200L, 100L)),
+      s"gate lost absorbed content after compaction: $hits")
   }
 
   test("collapse unpersists the superseded arms' checkpoint blocks immediately") {
