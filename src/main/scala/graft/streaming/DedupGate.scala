@@ -353,6 +353,16 @@ object DedupGate {
           corpus = old.collapsed // eager: new copies exist before...
           // ...the superseded arms (snapshot + increments) are dropped
           unpersistCheckpoints(old.sh, old.bands, old.sizes)
+          // fold the content table's append accretion on the same
+          // cadence: the gate is the table's single writer and
+          // process() its only reader, so the two-statement catalog
+          // swap inside compactBucketed has no concurrent observer —
+          // exactly the maintenance window the compaction contract
+          // asks for. Refresh the scan afterwards (new table files).
+          corpusTable.foreach { t =>
+            graft.sources.Writers.compactBucketed(df.sparkSession, t)
+            corpus = corpus.copy(sh = df.sparkSession.table(t))
+          }
           absorbsSinceCollapse = 0
         }
       }
@@ -575,6 +585,12 @@ object DedupGate {
           val old = corpus
           corpus = old.collapsed
           unpersistCheckpoints(old.bands, old.vecs)
+          // see TextGateState.process: content-table compaction on the
+          // collapse cadence, single-writer window
+          corpusTable.foreach { t =>
+            graft.sources.Writers.compactBucketed(df.sparkSession, t)
+            corpus = corpus.copy(vecs = df.sparkSession.table(t))
+          }
           absorbsSinceCollapse = 0
         }
       }

@@ -182,6 +182,36 @@ class DiskGateSpec extends SparkSpec {
       s"gate lost absorbed content after compaction: $hits")
   }
 
+  test("disk gate self-compacts its content table on the collapse cadence") {
+    val table = "graft_spec_gate_selfcompact"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val state = new DedupGate.TextGateState(corpus,
+      collapseEvery = 2, corpusTable = Some(table))
+    state.process(
+      Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
+        .toDF("doc_id", "text"), 0L, (_, _) => ())
+    // second absorb triggers collapse -> automatic compaction
+    state.process(
+      Seq((200L, "more fresh content entirely distinct from previous documents here"))
+        .toDF("doc_id", "text"), 1L, (_, _) => ())
+    val files = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= DedupGate.GateCorpusBuckets,
+      s"collapse did not compact the content table: $files files")
+    // post-compaction index still verifies against all absorbed docs
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    state.process(
+      Seq((300L, "more fresh content entirely distinct from previous sentences here"))
+        .toDF("doc_id", "text"), 2L, (df, _) => hits ++= df
+        .select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(hits.toSet == Set((300L, 200L)),
+      s"gate lost absorbed content after self-compaction: $hits")
+  }
+
   test("collapse unpersists the superseded arms' checkpoint blocks immediately") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
