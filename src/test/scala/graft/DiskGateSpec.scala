@@ -212,6 +212,36 @@ class DiskGateSpec extends SparkSpec {
       s"gate lost absorbed content after self-compaction: $hits")
   }
 
+  test("gate restart rebuilds the content table from the snapshot: no stale accretion") {
+    val table = "graft_spec_gate_restart"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val state1 = new DedupGate.TextGateState(corpus, corpusTable = Some(table))
+    val snapshotRows = spark.table(table).count()
+    state1.process(
+      Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
+        .toDF("doc_id", "text"), 0L, (_, _) => ())
+    assert(spark.table(table).count() > snapshotRows, "absorb did not append")
+    // "restart": a fresh gate on the same corpus snapshot + table name
+    // must rebuild the table to exactly the snapshot — absorbed docs
+    // re-enter through the batch pipeline's NEXT snapshot (the
+    // documented system-of-record contract), never as stale appends
+    // that the new gate cannot account for
+    val state2 = new DedupGate.TextGateState(corpus, corpusTable = Some(table))
+    assert(spark.table(table).count() == snapshotRows,
+      "restart left stale absorbed shingles in the content table")
+    // and the restarted gate still verifies against the snapshot
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    state2.process(
+      Seq((300L, "the quick brown fox jumps over the lazy dog near the river shore"))
+        .toDF("doc_id", "text"), 0L, (df, _) => hits ++= df
+        .select(col("new_doc"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(hits.toSet == Set((300L, 1L)),
+      s"restarted gate missed a snapshot near-dup: $hits")
+  }
+
   test("collapse unpersists the superseded arms' checkpoint blocks immediately") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
