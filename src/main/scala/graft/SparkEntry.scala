@@ -112,6 +112,7 @@ object SparkEntry {
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_simhash" -> (Dedup.qSimhash _),
+    "q_simhash_md5" -> (Dedup.qSimhashMd5 _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
     "q_embed_neardup_strict" -> (Dedup.qEmbedNearDupStrict _),
@@ -156,6 +157,26 @@ object SparkEntry {
        |FROM sp JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  /** Mirror of Dedup.qSimhashMd5: distinct tokens, uint32 from the
+    * first 8 md5 hex chars, 32 bit-majority weights, ties -> 0. */
+  private val simhashMd5Sql = {
+    val w = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
+      .mkString(",\n    ")
+    val sh = (0 until 32).map(j =>
+      s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t AS token FROM (
+       |    SELECT doc_id, unnest($tokSql) AS t FROM documents) WHERE t <> ''),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM tok),
+       |w AS (SELECT doc_id,
+       |    $w
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sh AS BIGINT) AS simhash32 FROM w
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val langScoreSql = {
     val profiles = graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1)
     val scores = profiles.map { case (lg, ws) =>
@@ -1179,6 +1200,10 @@ object SparkEntry {
     // >=0.5 pair in the corpus is recalled (empirically exact here;
     // recall probability at j=0.5 is 1-(1-0.5^2)^16 ~ 0.99).
     "q_minhash_lsh" -> jaccardSql,
+    // engine-portable SimHash (md5-hashed 32-bit variant): the one
+    // hash family both engines share, so the bit-majority construction
+    // itself is oracle-verified; xxhash64 q_simhash stays rows-only
+    "q_simhash_md5" -> simhashMd5Sql,
     // gate ground truth: exact-Jaccard pairs touching the new side —
     // crossing pairs oriented (new, corpus) PLUS new-new pairs (the
     // intra-batch population) oriented (higher, lower) = keep-lowest-id.

@@ -397,6 +397,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Engine-portable SimHash — the ORACLE-GREEN variant: 32-bit
+    * signatures via the same bit-majority construction as
+    * [[simhashSignatures]], but hashed with md5 (first 8 hex chars →
+    * uint32), which BOTH engines compute identically — so the
+    * algorithm itself (not just row counts) is hash-verified against
+    * DuckDB. The xxhash64 64-bit path stays the production signature
+    * (faster, wider; `q_simhash`, rows-only by necessity). Distinct
+    * tokens (set semantics, weight 1 per token), ties at weight 0
+    * resolve to bit 0 — both pinned in the oracle SQL too. One
+    * groupBy over the token fan-out; the 32 bit-weights are static
+    * aggregate columns (no per-bit explode), fully codegen. */
+  def qSimhashMd5(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType).as("h"))
+    val weights = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"w$j"))
+    val simhash = (0 until 32).map(j =>
+      when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
+      .select(col("doc_id"), simhash.cast(LongType).as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composite corpus-cleaning pipeline a training-data run
     * actually executes: exact-dup removal (fingerprint), near-dup
     * removal (drop the higher doc_id of every >=0.5-Jaccard pair),
