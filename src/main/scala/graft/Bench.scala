@@ -222,27 +222,30 @@ object Bench {
         // the scale path and carries the reduction claim.
         // relational headliners join the probe now that the star
         // schema replicates too (round-8 gap: no >sf0.1 point for the
-        // ~90 non-corpus queries); q_dedup_gate_disk measures the
-        // round-9 disk-backed gate verify at 10x corpus
+        // ~90 non-corpus queries); the disk gate is probed separately
+        // below with ONE index build split into build/verify numbers
         val sf1Queries = Seq("q_minhash_lsh",
           "q_embed_neardup_strict", "q_kmeans_centroids", "q_knn_ivf",
           "q1_pricing", "q7_volume_shipping", "q9_product_profit",
-          "q10_returned_items", "q_dedup_gate_disk")
+          "q10_returned_items")
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
           .map(fn => n -> timeOnce(s"sf1/$n", fn, sf1Dir)))
-        // steady-state gate verify: q_dedup_gate_disk above charges the
-        // one-time disk index BUILD to every invocation (the gate-start
-        // cost); a RUNNING gate pays only the per-batch verify, so time
-        // one batch against a prebuilt index — the number the 10 s
-        // trigger budget must cover at 10x corpus
+        // disk-gate probe at 10x corpus, ONE index build: gate-start
+        // cost (shingle + bucketed table write over 3/4 of the corpus)
+        // and per-batch verify cost reported separately — a RUNNING
+        // gate pays only the second per trigger, which is the number a
+        // 10 s trigger budget must cover
         val gateSteady: Seq[(String, Double)] = try {
           val docs = Tables.documents(spark, sf1Dir)
+          val t0 = System.nanoTime()
           val idx = graft.streaming.DedupGate.indexCorpusDisk(
             docs.filter(col("doc_id") % 4 =!= 0), "graft_bench_gate_sf1")
-          val t0 = System.nanoTime()
+          val t1 = System.nanoTime()
           graft.streaming.DedupGate
             .duplicates(docs.filter(col("doc_id") % 4 === 0), idx).count()
-          Seq("gate_verify_steady" -> (System.nanoTime() - t0) / 1e9)
+          val t2 = System.nanoTime()
+          Seq("gate_index_build" -> (t1 - t0) / 1e9,
+            "gate_verify_steady" -> (t2 - t1) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] gate steady probe failed: ${e.getMessage}")
           Seq.empty
@@ -266,10 +269,13 @@ object Bench {
         s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
-          // q9 derives a partsupp for the (temp-named) sf1 dir — drop it
-          new scala.reflect.io.Directory(
-            new java.io.File(Tables.partsuppPath(sf1Dir))).deleteRecursively()
-          ()
+          // q9 derives a partsupp for the (temp-named) sf1 dir — drop
+          // files AND the JVM memo together
+          Tables.dropPartsupp(sf1Dir)
+          // the gate probe's content table would otherwise accrete one
+          // warehouse dir per run (temp-digested names never repeat)
+          try spark.sql("DROP TABLE IF EXISTS graft_bench_gate_sf1")
+          catch { case _: Throwable => () }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")

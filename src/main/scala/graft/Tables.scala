@@ -62,9 +62,24 @@ object Tables {
   /** On-disk location of the derived partsupp table for a scale-factor
     * dir. Outside the (read-only) testdata tree; the oracle SQL reads
     * the same files by absolute path, so Spark and DuckDB always see
-    * one identical table. */
-  def partsuppPath(d: String): String =
-    s"/root/repo/data/partsupp/${new java.io.File(d).getName}"
+    * one identical table. The basename carries a digest of the FULL
+    * path — two dirs sharing a basename (e.g. a temp copy named
+    * sf0.01) must never share a derived table. */
+  def partsuppPath(d: String): String = {
+    val f = new java.io.File(d)
+    s"/root/repo/data/partsupp/${f.getName}_${graft.sources.Writers.tableDigest(f.getAbsolutePath)}"
+  }
+
+  /** Drop the JVM memo AND the on-disk files for a dir's derived
+    * partsupp — for callers that delete the underlying corpus (the
+    * bench's temp sf1 dir): a retained memo over deleted files would
+    * make a later same-JVM partsupp() call return an empty path. */
+  def dropPartsupp(d: String): Unit = {
+    val p = partsuppPath(d)
+    partsuppCache.remove(p)
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    ()
+  }
 
   /** DERIVED partsupp: the harness testdata ships no partsupp.parquet,
     * which blocked the five partsupp-dependent TPC-H shapes (Q2, Q9,

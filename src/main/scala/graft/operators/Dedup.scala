@@ -198,18 +198,10 @@ object Dedup {
   private def pairIndex(
       s: SparkSession, d: String, kind: String)(build: => DataFrame): DataFrame = {
     val table = pairIndexCache.computeIfAbsent(s"$kind|$d", _ => {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val name = s"graft_pairs_${kind}_$digest"
-      // a stale warehouse directory from a previous JVM (in-memory
-      // catalog forgets the table, the files remain) fails saveAsTable
-      // with LOCATION_ALREADY_EXISTS — clear both catalog and files
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val whPath =
-        if (whUri.getScheme == null) whUri.getPath else new java.io.File(whUri).getPath
-      new scala.reflect.io.Directory(new java.io.File(whPath, name)).deleteRecursively()
-      graft.sources.Writers.writeBucketed(build, "doc_b", PairIndexBuckets, name)
+      val name = s"graft_pairs_${kind}_${graft.sources.Writers.tableDigest(d)}"
+      // replaceBucketed clears both the catalog entry and any stale
+      // warehouse directory a previous JVM left behind
+      graft.sources.Writers.replaceBucketed(s, build, "doc_b", PairIndexBuckets, name)
       name
     })
     // the memo is JVM-wide but catalogs are per-session: a fresh

@@ -65,6 +65,14 @@ object Writers {
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
+  /** 8-hex-char md5 digest for deterministic per-corpus table names —
+    * the ONE naming scheme shared by every build-at-start bucketed
+    * table (pair index, gate content tables), so the mapping from
+    * corpus dir to table can never drift between them. */
+  def tableDigest(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
   /** Compact a bucketed table in place: every append (e.g.
     * [[graft.operators.Dedup.appendPairs]]) leaves one file set per
     * bucket, so a long-lived pair index accretes small files — the

@@ -253,7 +253,22 @@ object DedupGate {
     * pruned O(candidates) read (module doc). The candidate id list is
     * a bounded driver collect: O(batch x band fan-out) longs, the
     * same order the driver already holds for the batch itself. */
-  def duplicates(newDocs: DataFrame, corpus: TextIndex): DataFrame = {
+  def duplicates(newDocs: DataFrame, corpus: TextIndex): DataFrame =
+    duplicatesWithScratch(newDocs, corpus)._1
+
+  /** [[duplicates]] plus the per-call checkpoint frames ("scratch") the
+    * result plan reads from. A long-running gate must drop those blocks
+    * as soon as the batch's verified result is materialized — waiting
+    * on driver GC + ContextCleaner accretes O(batch+candidates) blocks
+    * per trigger (the round-8 memory-hygiene class of bug). Batch
+    * analogs (the q* oracle queries) use the plain [[duplicates]] and
+    * let one-shot GC handle it. The scratch list contains ONLY
+    * checkpoints created by this call — never the corpus index's own
+    * frames (the in-memory shinglesFor path returns a filter OVER the
+    * index, which is why shCorpusCand joins the list only in disk
+    * mode, where it is a fresh checkpoint). */
+  private def duplicatesWithScratch(
+      newDocs: DataFrame, corpus: TextIndex): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.TextFunctions.shingles
     // the new-docs shingle set feeds bands + shared-count + sizes —
     // same materialize-once rationale as qMinhashLsh
@@ -295,8 +310,10 @@ object DedupGate {
         Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    Dedup.jaccardOnPairs(shared, sizesNew, sizesB)
+    val result = Dedup.jaccardOnPairs(shared, sizesNew, sizesB)
       .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
+    (result, Seq(shNew, bandsNew, cand) ++
+      (if (corpus.table.isDefined) Seq(shCorpusCand) else Nil))
   }
 
   def duplicates(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame =
@@ -328,12 +345,21 @@ object DedupGate {
       * table, then absorb the batch's admitted docs. Absorption is
       * exactly-once per batch id — a replayed batch (at-least-once
       * foreachBatch) re-emits its hits but never re-absorbs, so the
-      * index cannot double-count shingles. The batch and dup frames
-      * are checkpointed eagerly and unpersisted before return —
-      * per-batch blocks never wait on driver GC. */
+      * index cannot double-count shingles. The batch, dup, and
+      * per-call scratch frames are checkpointed eagerly and
+      * unpersisted before return — per-batch blocks never wait on
+      * driver GC. Consequence for `sink`: it must fully CONSUME the
+      * frame it is handed before returning (collect/write inside the
+      * call, the normal foreachBatch discipline) — a sink that defers
+      * reading to after process() returns would find the lineage-free
+      * checkpoint blocks already dropped. */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
       val batch = df.localCheckpoint(true)
-      val dups = duplicates(batch, corpus).localCheckpoint(true)
+      val (dupsRaw, scratch) = duplicatesWithScratch(batch, corpus)
+      val dups = dupsRaw.localCheckpoint(true)
+      // the eager checkpoint above materialized the result — the
+      // call's scratch checkpoints are dead now; drop them
+      unpersistCheckpoints(scratch: _*)
       sink(dups, id)
       // self-hits (a replayed/re-ingested id verifying against its own
       // corpus content) are REPORTED to the sink but never persisted:
@@ -421,12 +447,9 @@ object DedupGate {
   }
 
   /** Deterministic per-corpus table name for the gate content tables
-    * (same digest discipline as Dedup's pair index). */
-  private def gateTableName(kind: String, d: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"graft_gate_${kind}_$digest"
-  }
+    * (the shared [[graft.sources.Writers.tableDigest]] scheme). */
+  private[graft] def gateTableName(kind: String, d: String): String =
+    s"graft_gate_${kind}_${graft.sources.Writers.tableDigest(d)}"
 
   // ------------------------------------------- embedding-side gate
 
@@ -514,7 +537,12 @@ object DedupGate {
     * [[EmbedIndex.vectorsFor]]'s pruned read — O(candidates) verify
     * I/O on a disk index (module doc); corpus content is preferred for
     * re-ingested ids, batch content covers intra-batch-only ids. */
-  def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame = {
+  def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame =
+    embedDuplicatesWithScratch(newVecs, corpus)._1
+
+  /** See [[duplicatesWithScratch]] — same per-call cleanup contract. */
+  private def embedDuplicatesWithScratch(
+      newVecs: DataFrame, corpus: EmbedIndex): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.VectorFunctions.norm2Exact
     val vecsNew = newVecs.select(col("vec_id"), col("embedding"),
       norm2Exact(col("embedding")).as("n2")).localCheckpoint(false)
@@ -542,8 +570,10 @@ object DedupGate {
         col("n2").as("n2a")), "va")
       .join(vecsB.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         col("n2").as("n2b")), "vb")
-    Dedup.cosineVerify(pairRows)
+    val result = Dedup.cosineVerify(pairRows)
       .select(col("va").as("new_vec"), col("vb").as("dup_of"), col("cosine"))
+    (result, Seq(vecsNew, bandsNew, cand) ++
+      (if (corpus.table.isDefined) Seq(vecsCorpusCand) else Nil))
   }
 
   def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame =
@@ -566,10 +596,13 @@ object DedupGate {
     /** Current index (corpus snapshot + absorbed increments). */
     def index: EmbedIndex = corpus
 
-    /** One micro-batch — see [[TextGateState.process]]. */
+    /** One micro-batch — see [[TextGateState.process]] (including the
+      * synchronous-sink contract). */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
       val batch = df.localCheckpoint(true)
-      val dups = embedDuplicates(batch, corpus).localCheckpoint(true)
+      val (dupsRaw, scratch) = embedDuplicatesWithScratch(batch, corpus)
+      val dups = dupsRaw.localCheckpoint(true)
+      unpersistCheckpoints(scratch: _*)
       sink(dups, id)
       // see TextGateState.process: self-hits reported, never persisted
       pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
