@@ -244,8 +244,20 @@ object Bench {
           graft.streaming.DedupGate
             .duplicates(docs.filter(col("doc_id") % 4 === 0), idx).count()
           val t2 = System.nanoTime()
+          // the embedding gate's twin numbers (SRP bands + vector
+          // table build vs per-batch cosine verify)
+          val vecs = Tables.embeddings(spark, sf1Dir)
+          val t3 = System.nanoTime()
+          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
+            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_sf1")
+          val t4 = System.nanoTime()
+          graft.streaming.DedupGate
+            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
+          val t5 = System.nanoTime()
           Seq("gate_index_build" -> (t1 - t0) / 1e9,
-            "gate_verify_steady" -> (t2 - t1) / 1e9)
+            "gate_verify_steady" -> (t2 - t1) / 1e9,
+            "egate_index_build" -> (t4 - t3) / 1e9,
+            "egate_verify_steady" -> (t5 - t4) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] gate steady probe failed: ${e.getMessage}")
           Seq.empty
@@ -272,10 +284,11 @@ object Bench {
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
           // files AND the JVM memo together
           Tables.dropPartsupp(sf1Dir)
-          // the gate probe's content table would otherwise accrete one
-          // warehouse dir per run (temp-digested names never repeat)
-          try spark.sql("DROP TABLE IF EXISTS graft_bench_gate_sf1")
-          catch { case _: Throwable => () }
+          // the gate probes' content tables would otherwise accrete
+          // one warehouse dir per run
+          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_egate_sf1"))
+            try spark.sql(s"DROP TABLE IF EXISTS $t")
+            catch { case _: Throwable => () }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
