@@ -244,20 +244,18 @@ object Bench {
           graft.streaming.DedupGate
             .duplicates(docs.filter(col("doc_id") % 4 === 0), idx).count()
           val t2 = System.nanoTime()
-          // the embedding gate's twin numbers (SRP bands + vector
-          // table build vs per-batch cosine verify)
-          val vecs = Tables.embeddings(spark, sf1Dir)
-          val t3 = System.nanoTime()
-          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
-            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_sf1")
-          val t4 = System.nanoTime()
-          graft.streaming.DedupGate
-            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
-          val t5 = System.nanoTime()
+          // The EMBED gate is deliberately NOT probed at sf1: its
+          // verify cost is O(candidates), but at the harness's weak
+          // 0.4 threshold the SRP banding admits ~37M candidate pairs
+          // at 10x (the documented random-cosine-background artifact,
+          // Dedup.scala qEmbedNearDupLsh scaladoc — the same reason
+          // q_embed_neardup_lsh is excluded above), and the vector
+          // join-back for that quadratic candidate set OOMs the 8 GB
+          // local JVM. q_embed_gate_disk at sf0.1 carries the embed
+          // gate's measured number; the text gate carries the sf1
+          // scale story.
           Seq("gate_index_build" -> (t1 - t0) / 1e9,
-            "gate_verify_steady" -> (t2 - t1) / 1e9,
-            "egate_index_build" -> (t4 - t3) / 1e9,
-            "egate_verify_steady" -> (t5 - t4) / 1e9)
+            "gate_verify_steady" -> (t2 - t1) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] gate steady probe failed: ${e.getMessage}")
           Seq.empty
