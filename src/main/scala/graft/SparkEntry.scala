@@ -1048,9 +1048,10 @@ object SparkEntry {
          |       FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
          |       JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |       GROUP BY 1),
-         |tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total FROM pp)
-         |SELECT ps_partkey, value FROM pp, tot
-         |WHERE value > total * 0.001
+         |tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total FROM pp),
+         |np AS (SELECT count(*) AS n_part FROM part)
+         |SELECT ps_partkey, value FROM pp, tot, np
+         |WHERE value * n_part > total * 2.0
          |ORDER BY value DESC, ps_partkey""".stripMargin,
     "q16_parts_supplier" ->
       s"""WITH partsupp AS (SELECT * FROM read_parquet('$PartsuppOracleGlob'))

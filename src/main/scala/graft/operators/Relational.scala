@@ -1018,10 +1018,15 @@ object Relational {
       .orderBy(col("nation"), col("o_year").desc)
 
   /** TPC-H Q11 analog: parts whose stock value at NATION_7's suppliers
-    * exceeds 0.1% of that nation's total stock value. The total is a
-    * one-row broadcast scalar (crossJoin of an aggregate — the
-    * qTopCustomers pattern), never a driver round-trip; both sides of
-    * the threshold comparison use the same decimal-exact sum. */
+    * exceeds a SCALE-INVARIANT share of that nation's total stock
+    * value — `value * |part| > total * 2`, i.e. twice the average
+    * per-part share (TPC-H itself scales Q11's fraction by 1/SF for
+    * the same reason: a fixed fraction flattens to an empty result as
+    * the catalog grows). At |part| = 2000 this is exactly the 0.1%
+    * threshold the sf0.01 oracle gate pins. The total and the part
+    * count are one-row broadcast scalars (crossJoin of an aggregate —
+    * the qTopCustomers pattern), never a driver round-trip; both
+    * sides of the comparison use the same decimal-exact sum. */
   def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
     val nation7 = broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")
       .select(col("n_nationkey")))
@@ -1031,8 +1036,9 @@ object Relational {
     val perPart = stock.groupBy(col("ps_partkey"))
       .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
     val total = perPart.agg(dsum(col("value")).as("total"))
-    perPart.crossJoin(broadcast(total))
-      .filter(col("value") > col("total") * 0.001)
+    val nPart = Tables.part(s, d).agg(count(lit(1)).as("n_part"))
+    perPart.crossJoin(broadcast(total)).crossJoin(broadcast(nPart))
+      .filter(col("value") * col("n_part") > col("total") * 2.0)
       .select(col("ps_partkey"), col("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }

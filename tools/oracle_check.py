@@ -7,13 +7,26 @@ mismatches are caught before a round ends.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
+import hashlib
 import json
+import os
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def partsupp_glob(sf_dir):
+    """Mirror of graft.Tables.partsuppPath: the derived partsupp for a
+    scale-factor dir. The committed oracle SQL pins the sf0.01 path
+    (the driver's gate always runs there); for cross-SF dev checks we
+    substitute the requested dir's table - both engines must read the
+    SAME files at whatever SF is under test."""
+    f = os.path.abspath(sf_dir)
+    digest = hashlib.md5(f.encode("utf-8")).hexdigest()[:8]
+    return f"/root/repo/data/partsupp/{os.path.basename(f)}_{digest}/*.parquet"
 
 
 def norm(rows):
@@ -32,8 +45,11 @@ def main(sf_dir, out_dir, only=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sf001_glob = partsupp_glob("/root/testdata/sf0.01")
+    this_glob = partsupp_glob(sf_dir)
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        sql = sql.replace(sf001_glob, this_glob)
         if only and name not in only:
             continue
         try:
