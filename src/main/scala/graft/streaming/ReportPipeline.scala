@@ -137,12 +137,17 @@ object ReportPipeline {
     * branches disagree across the restart window. (The reference's
     * `MyWatermark` resets too — reference-faithful — but our agg side
     * does NOT reset, so the durable form is the consistent one.)
-    * Replay-idempotent: a replayed batch rewrites the same max. */
+    * Defaults to piggybacking on `latePath` when that is set — the
+    * production (distributed-branch) form is restart-consistent out
+    * of the box; the max lives as `max_ts_micros` at the dir root,
+    * outside the `batch_id=` subdirs the branch writes. Replay-
+    * idempotent: a replayed batch rewrites the same max. */
   final class LateRouter(lateSink: Row => Unit, latePath: Option[String] = None,
       watermarkPath: Option[String] = None) {
-    private def wmFile = java.nio.file.Paths.get(watermarkPath.get, "max_ts_micros")
+    private val wmDir: Option[String] = watermarkPath.orElse(latePath)
+    private def wmFile = java.nio.file.Paths.get(wmDir.get, "max_ts_micros")
     private val maxTsMicros = new AtomicLong(
-      watermarkPath.filter(_ => java.nio.file.Files.exists(wmFile))
+      wmDir.filter(_ => java.nio.file.Files.exists(wmFile))
         .map(_ => java.lang.Long.parseLong(
           new String(java.nio.file.Files.readAllBytes(wmFile), "UTF-8").trim))
         .getOrElse(Long.MinValue))
@@ -184,7 +189,7 @@ object ReportPipeline {
           // durable watermark: written AFTER the late branch (a crash
           // between the two re-reports some lates on replay — at-least
           // -once, never silently dropped), only when it advanced
-          if (advanced) watermarkPath.foreach { dir =>
+          if (advanced) wmDir.foreach { dir =>
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
             val tmp = java.nio.file.Paths.get(dir, s"max_ts_micros.tmp$batchId")
             java.nio.file.Files.write(tmp,

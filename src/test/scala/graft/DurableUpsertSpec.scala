@@ -90,6 +90,16 @@ class DurableUpsertSpec extends SparkSpec {
     // replaying the batch overwrites the same subdir — no duplication
     router.route(batch("2018-01-01 10:00:20", "2018-01-01 10:01:59"), 1L)
     assert(spark.read.parquet(s"$lateDir/batch_id=1").count() == 1)
+
+    // the production form is restart-consistent OUT OF THE BOX: the
+    // watermark piggybacks on latePath, so a fresh router on the same
+    // dir flags a >40s-behind record on its FIRST batch
+    val router2 = new ReportPipeline.LateRouter(
+      _ => fail("driver-side sink must not be used when latePath is set"),
+      latePath = Some(lateDir))
+    router2.route(batch("2018-01-01 10:00:15"), 2L)
+    assert(spark.read.parquet(s"$lateDir/batch_id=2").count() == 1,
+      "restarted production router lost the piggybacked watermark")
   }
 
   test("end-to-end: streaming agg through the durable sink equals the in-memory sink (K2)") {
