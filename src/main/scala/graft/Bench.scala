@@ -282,11 +282,10 @@ object Bench {
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
           // files AND the JVM memo together
           Tables.dropPartsupp(sf1Dir)
-          // the gate probes' content tables would otherwise accrete
+          // the gate probe's content table would otherwise accrete
           // one warehouse dir per run
-          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_egate_sf1"))
-            try spark.sql(s"DROP TABLE IF EXISTS $t")
-            catch { case _: Throwable => () }
+          try spark.sql("DROP TABLE IF EXISTS graft_bench_gate_sf1")
+          catch { case _: Throwable => () }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")

@@ -139,20 +139,58 @@ object ReportPipeline {
     * does NOT reset, so the durable form is the consistent one.)
     * Defaults to piggybacking on `latePath` when that is set — the
     * production (distributed-branch) form is restart-consistent out
-    * of the box; the max lives as `max_ts_micros` at the dir root,
-    * outside the `batch_id=` subdirs the branch writes. Replay-
-    * idempotent: a replayed batch rewrites the same max. */
+    * of the box. Two details carry that claim safely:
+    *  - the file is `_max_ts_micros` — the underscore prefix keeps it
+    *    (and its tmp sibling) invisible to Spark/Hadoop file listing,
+    *    so `spark.read.parquet(latePath)` over the `batch_id=` layout
+    *    keeps working (a bare-named root file would break partition
+    *    discovery);
+    *  - all IO goes through the Hadoop FileSystem of the dir's URI
+    *    (restored lazily on the first batch, where a session is in
+    *    hand), so a remote latePath (hdfs://, s3a://) persists where
+    *    the parquet goes — java.nio would have written a bogus local
+    *    path and silently lost the restart consistency.
+    * Replay-idempotent: a replayed batch rewrites the same max. */
   final class LateRouter(lateSink: Row => Unit, latePath: Option[String] = None,
       watermarkPath: Option[String] = None) {
     private val wmDir: Option[String] = watermarkPath.orElse(latePath)
-    private def wmFile = java.nio.file.Paths.get(wmDir.get, "max_ts_micros")
-    private val maxTsMicros = new AtomicLong(
-      wmDir.filter(_ => java.nio.file.Files.exists(wmFile))
-        .map(_ => java.lang.Long.parseLong(
-          new String(java.nio.file.Files.readAllBytes(wmFile), "UTF-8").trim))
-        .getOrElse(Long.MinValue))
+    private val maxTsMicros = new AtomicLong(Long.MinValue)
+    private val restoredOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def wmTarget(dir: String) = new org.apache.hadoop.fs.Path(dir, "_max_ts_micros")
+
+    private def restore(hc: org.apache.hadoop.conf.Configuration): Unit =
+      wmDir.foreach { dir =>
+        val target = wmTarget(dir)
+        val fs = target.getFileSystem(hc)
+        if (fs.exists(target)) {
+          val in = fs.open(target)
+          val line = try new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+          finally in.close()
+          Option(line).map(_.trim).filter(_.nonEmpty)
+            .foreach(s => maxTsMicros.set(s.toLong))
+        }
+      }
+
+    private def persist(hc: org.apache.hadoop.conf.Configuration, batchId: Long): Unit =
+      wmDir.foreach { dir =>
+        val target = wmTarget(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s"_max_ts_micros.tmp$batchId")
+        val fs = target.getFileSystem(hc)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+        val out = fs.create(tmp, true)
+        try out.write(maxTsMicros.get().toString.getBytes("UTF-8"))
+        finally out.close()
+        // OVERWRITE rename: atomic swap on HDFS/local; object stores
+        // degrade to copy+delete, which is safe here — the value is a
+        // monotone max, so a stale read only widens re-reporting
+        org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, hc)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     private val windowUs = 30L * 1000000
     def route(batch: DataFrame, batchId: Long): Unit = {
+      val hadoopConf = batch.sparkSession.sessionState.newHadoopConf()
+      if (restoredOnce.compareAndSet(false, true)) restore(hadoopConf)
       val wm = maxTsMicros.get()
       // one persist, two actions (late filter + max), one computation
       // of the parse subtree per micro-batch
@@ -189,15 +227,7 @@ object ReportPipeline {
           // durable watermark: written AFTER the late branch (a crash
           // between the two re-reports some lates on replay — at-least
           // -once, never silently dropped), only when it advanced
-          if (advanced) wmDir.foreach { dir =>
-            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-            val tmp = java.nio.file.Paths.get(dir, s"max_ts_micros.tmp$batchId")
-            java.nio.file.Files.write(tmp,
-              maxTsMicros.get().toString.getBytes("UTF-8"))
-            java.nio.file.Files.move(tmp, wmFile,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          }
+          if (advanced) persist(hadoopConf, batchId)
         }
       } finally cached.unpersist()
     }

@@ -100,6 +100,13 @@ class DurableUpsertSpec extends SparkSpec {
     router2.route(batch("2018-01-01 10:00:15"), 2L)
     assert(spark.read.parquet(s"$lateDir/batch_id=2").count() == 1,
       "restarted production router lost the piggybacked watermark")
+
+    // the piggybacked watermark file must be INVISIBLE to dataset
+    // reads: consuming the whole late branch as a partitioned dataset
+    // (the batch_id= layout's purpose) still works — the underscore
+    // prefix keeps _max_ts_micros out of partition discovery
+    assert(spark.read.parquet(lateDir).count() == 2,
+      "watermark file broke whole-directory reads of the late branch")
   }
 
   test("end-to-end: streaming agg through the durable sink equals the in-memory sink (K2)") {

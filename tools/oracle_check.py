@@ -49,9 +49,9 @@ def main(sf_dir, out_dir, only=None):
     this_glob = partsupp_glob(sf_dir)
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
-        sql = sql.replace(sf001_glob, this_glob)
         if only and name not in only:
             continue
+        sql = sql.replace(sf001_glob, this_glob)
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
