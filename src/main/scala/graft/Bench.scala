@@ -212,20 +212,36 @@ object Bench {
           val df = Tables.load(spark, sf1Dir, t)
           df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max(col("h"))).collect()
         }
-        // Scale-path probes only. Deliberately NOT run at 10x: the
-        // all-pairs ground-truth queries (q_ngram_jaccard,
-        // q_embed_neardup, q_knn_brute — quadratic by design) AND
-        // q_embed_neardup_lsh — at the harness's weak 0.4 threshold
-        // banding admits ~2.6x all-pairs (documented in SCALE.md), so
-        // it too is quadratic at 10x (measured: 31 s at sf1-of-sf0.01
-        // vs 0.6 s at sf0.01). The strict-threshold variant below IS
-        // the scale path and carries the reduction claim.
-        // relational headliners join the probe now that the star
-        // schema replicates too (round-8 gap: no >sf0.1 point for the
-        // ~90 non-corpus queries); the disk gate is probed separately
-        // below with ONE index build split into build/verify numbers
-        val sf1Queries = Seq("q_minhash_lsh",
-          "q_embed_neardup_strict", "q_kmeans_centroids", "q_knn_ivf",
+        // FULL corpus-query suite at 10x (round-9 advice #3): every
+        // documents/embeddings-dependent query runs once, EXCEPT the
+        // documented non-scale-path exclusions, each with a reason:
+        //  - q_ngram_jaccard, q_embed_neardup, q_knn_brute,
+        //    q_ivf_recall, q_ivf_int8_recall: contain the all-pairs /
+        //    brute-force ground truth — quadratic BY DESIGN (they
+        //    exist to judge the scale paths, PlanAudit-allowlisted).
+        //  - q_embed_neardup_lsh, q_embed_clusters (its srp-pair
+        //    consumer), q_embed_gate, q_embed_gate_disk: the weak-0.4
+        //    narrow banding admits ~all-pairs candidates on an
+        //    isotropic corpus (SCALE.md) — quadratic at 10x; the
+        //    strict-mode variants (q_embed_neardup_strict here, the
+        //    egate probe below for the gate) ARE their scale story.
+        //  - q_dedup_gate / q_dedup_gate_disk: covered by the gate
+        //    probe below, which runs the same build+verify split with
+        //    attribution the single query number can't give.
+        // Relational headliners stay for the star-schema scale point.
+        val sf1Queries = Seq(
+          // builders first (bench main-loop convention): centroid
+          // training charged to kmeans, lshPairs to q_clean_corpus
+          "q_kmeans_centroids",
+          "q_clean_corpus", "q_contamination", "q_data_split",
+          "q_dedup_clusters", "q_dedup_content", "q_dedup_exact",
+          "q_doc_chunks", "q_embed_classify", "q_embed_neardup_strict",
+          "q_embed_quantize", "q_fingerprint", "q_frame_sample",
+          "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
+          "q_media_decode", "q_media_meta", "q_minhash_lsh",
+          "q_mixture_sample", "q_pii_scrub", "q_repetition",
+          "q_seq_pack", "q_simhash", "q_simhash_md5", "q_subtoken_count",
+          "q_text_quality", "q_token_stats", "q_word_count",
           "q1_pricing", "q7_volume_shipping", "q9_product_profit",
           "q10_returned_items")
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
@@ -244,18 +260,29 @@ object Bench {
           graft.streaming.DedupGate
             .duplicates(docs.filter(col("doc_id") % 4 === 0), idx).count()
           val t2 = System.nanoTime()
-          // The EMBED gate is deliberately NOT probed at sf1: its
-          // verify cost is O(candidates), but at the harness's weak
-          // 0.4 threshold the SRP banding admits ~37M candidate pairs
-          // at 10x (the documented random-cosine-background artifact,
-          // Dedup.scala qEmbedNearDupLsh scaladoc — the same reason
-          // q_embed_neardup_lsh is excluded above), and the vector
-          // join-back for that quadratic candidate set OOMs the 8 GB
-          // local JVM. q_embed_gate_disk at sf0.1 carries the embed
-          // gate's measured number; the text gate carries the sf1
-          // scale story.
+          // EMBED gate at 10x, STRICT config (EmbedBanding.Strict: 8-bit
+          // wide bands x 2 layouts, cosine 0.7 — the production
+          // operating point, oracle-pinned by q_embed_gate_strict).
+          // The narrow 0.4 config is NOT probed here: at that threshold
+          // the SRP banding admits ~quadratic candidates on an isotropic
+          // corpus (the documented random-cosine-background artifact,
+          // Dedup.scala qEmbedNearDupLsh scaladoc) and the vector
+          // join-back OOMs the 8 GB local JVM — that config exists for
+          // the harness oracle, not for scale. Strict candidates track
+          // true dup density, so build/verify scale like the text gate.
+          val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
+          val e0 = System.nanoTime()
+          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
+            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_sf1",
+            graft.streaming.DedupGate.EmbedBanding.Strict)
+          val e1 = System.nanoTime()
+          graft.streaming.DedupGate
+            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
+          val e2 = System.nanoTime()
           Seq("gate_index_build" -> (t1 - t0) / 1e9,
-            "gate_verify_steady" -> (t2 - t1) / 1e9)
+            "gate_verify_steady" -> (t2 - t1) / 1e9,
+            "egate_index_build" -> (e1 - e0) / 1e9,
+            "egate_verify_steady" -> (e2 - e1) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] gate steady probe failed: ${e.getMessage}")
           Seq.empty
@@ -273,19 +300,37 @@ object Bench {
         val times = (sf1Times ++ gateSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
+        // per-query sf1/sf0.1 time ratio (rows grow 10x, so ~10 is
+        // linear). Single-shot sf1 against the sf0.1 median — the
+        // measured same-code variance band is ~1.5x (bench_variance
+        // .md), so the super-linear flag fires above 10 x 1.5 = 15,
+        // not at 10.01. An empty `superlinear` is the claim "no
+        // corpus query degrades super-linearly at 10x".
+        val ratios = sf1Times.flatMap { case (n, t) =>
+          results.get(n).filter(_ > 0).map(n -> t / _) }
+        val ratiosJson = ratios
+          .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+          .mkString("{", ",", "}")
+        val superlinear = ratios.collect { case (n, r) if r > 15.0 => n }
+        val superJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"superlinear":$superJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
           // files AND the JVM memo together
           Tables.dropPartsupp(sf1Dir)
-          // the gate probe's content table would otherwise accrete
-          // one warehouse dir per run
-          try spark.sql("DROP TABLE IF EXISTS graft_bench_gate_sf1")
-          catch { case _: Throwable => () }
+          // the gate probes' content tables and the sf1 queries'
+          // memoized pair indexes (digest-keyed by the TEMP dir name,
+          // so a new table per run) would otherwise accrete one
+          // warehouse dir per run
+          val digest = graft.sources.Writers.tableDigest(sf1Dir)
+          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_egate_sf1",
+              s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
+            try spark.sql(s"DROP TABLE IF EXISTS $t")
+            catch { case _: Throwable => () }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
@@ -301,12 +346,12 @@ object Bench {
     // Falls back to the driver-format r01 file if the baseline is
     // absent; both formats parse (raw bench line, or driver JSON with
     // the line inside `tail`).
+    val basePath = sys.env.get("SPARK_GRAFT_BASELINE").getOrElse {
+      val recaptured = "/root/repo/BENCH_BASELINE.json"
+      if (new java.io.File(recaptured).isFile) recaptured
+      else "/root/repo/BENCH_r01.json"
+    }
     val deltas: Seq[(String, Double)] = try {
-      val basePath = sys.env.get("SPARK_GRAFT_BASELINE").getOrElse {
-        val recaptured = "/root/repo/BENCH_BASELINE.json"
-        if (new java.io.File(recaptured).isFile) recaptured
-        else "/root/repo/BENCH_r01.json"
-      }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(new java.io.File(basePath))
       val qs =
@@ -358,7 +403,11 @@ object Bench {
     // in the first rep, so the max preserves what the median drops
     val qsMax = maxSamples.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
+    // baseline_file: which baseline delta_vs_baseline was graded
+    // against — BASELINE.md declares BENCH_BASELINE.json (median-of-3
+    // re-capture) the operative one; the emitted path makes every
+    // BENCH_r{N} self-describing about it
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
     // the driver's 2 KB output-tail capture truncates this line (only
     // ~27 of 95 per-query deltas survived in BENCH_r07) — persist the
     // FULL line so every regression is auditable from the repo

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_gate_disk" -> (graft.streaming.DedupGate.qDedupGateDisk _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
+    "q_embed_gate_strict" -> (graft.streaming.DedupGate.qEmbedGateStrict _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_simhash_md5" -> (Dedup.qSimhashMd5 _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
@@ -1247,6 +1248,18 @@ object SparkEntry {
          |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
          |  cosine
          |FROM (${srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)})
+         |WHERE (va % 4 = 0) OR (vb % 4 = 0)
+         |ORDER BY new_vec, dup_of""".stripMargin,
+    // strict-banding embed gate: the strict SRP chain (augmented
+    // corpus, wide bands, 0.7 — exactly srpStrictSql) restricted to
+    // pairs touching the new side, with the same %4 orientation as
+    // q_embed_gate. PlantIdOffset % 4 == 0, so planted ids inherit
+    // their source's batch assignment in both engines.
+    "q_embed_gate_strict" ->
+      s"""SELECT CASE WHEN vb % 4 = 0 THEN vb ELSE va END AS new_vec,
+         |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
+         |  cosine
+         |FROM ($srpStrictSql)
          |WHERE (va % 4 = 0) OR (vb % 4 = 0)
          |ORDER BY new_vec, dup_of""".stripMargin,
     "q_embed_clusters" -> ccSql(

@@ -66,8 +66,14 @@ object Tables {
     * path — two dirs sharing a basename (e.g. a temp copy named
     * sf0.01) must never share a derived table. */
   def partsuppPath(d: String): String = {
-    val f = new java.io.File(d)
-    s"/root/repo/data/partsupp/${f.getName}_${graft.sources.Writers.tableDigest(f.getAbsolutePath)}"
+    // CANONICAL path (not absolute): getAbsolutePath keeps '..'/'.'
+    // segments while the oracle harness's Python side normalizes them
+    // — the digests would disagree for a non-canonical sfDir and the
+    // partsupp queries would compare against a nonexistent path.
+    // getCanonicalPath <-> os.path.realpath is the matched pair
+    // (tools/oracle_check.py mirrors this line).
+    val f = new java.io.File(d).getCanonicalFile
+    s"/root/repo/data/partsupp/${f.getName}_${graft.sources.Writers.tableDigest(f.getPath)}"
   }
 
   /** Drop the JVM memo AND the on-disk files for a dir's derived

@@ -27,6 +27,11 @@ import graft.operators.CleanJob
   *    Spark's sink contract is at-least-once with deterministic batch
   *    ids, so an idempotent/keyed sink yields the same observable
   *    exactly-once (the reference's own ES-id trick, SURVEY §2.5 K2).
+  *    The transactional-producer form — per-batch Kafka transaction,
+  *    atomic progress marker, replay skipping, zombie fencing — is
+  *    CODE at [[KafkaEosSink]] (logic unit-tested with a fake
+  *    producer; the kafka-clients binding is a reflective factory
+  *    since the sandbox ships no broker or jar).
   *
   * Checkpointing (R2): `checkpointLocation` gives the micro-batch
   * commit log; trigger interval plays the reference's 60 s checkpoint

@@ -148,11 +148,45 @@ object DedupGate {
     s2.table(table).select(cols: _*).filter(col(idCol).isin(ids: _*))
   }
 
+  /** Largest candidate-id list the verify stage will COLLECT to the
+    * driver and replay as an In-predicate (the bucket-pruned read
+    * path). Beyond it the gate degrades PREDICTABLY to a join-based
+    * verify — one streaming semi-join pass over the corpus content,
+    * no driver rows at all — instead of building a multi-million-
+    * literal plan that exhausts the driver (the documented weak-
+    * threshold dup-storm case). 100k longs is ~1 MB on the driver and
+    * a hash-set InSet at execution: well inside the collect discipline
+    * the gates already rely on. `@volatile var` so a deployment (or a
+    * spec) can tune it; the fallback changes the ACCESS PATH only —
+    * hit sets are identical (CandidateCapSpec pins both). */
+  @volatile var MaxVerifyIds: Int = 100000
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Distinct candidate ids, collected iff there are at most
+    * [[MaxVerifyIds]] of them (the limit bounds the transfer BEFORE
+    * the driver materializes anything); None = over the cap, caller
+    * must take the join-based verify path. */
+  private def collectIdsCapped(cand: DataFrame, idCol: String): Option[Seq[Long]] = {
+    val ids = cand.select(col(idCol)).distinct().limit(MaxVerifyIds + 1)
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.size <= MaxVerifyIds) Some(ids)
+    else {
+      log.warn(s"gate verify: > $MaxVerifyIds distinct candidate ids — " +
+        "falling back to join-based verify (one corpus-content pass this " +
+        "batch). Persistent storms mean the banding admits too much: switch " +
+        "to a stricter EmbedBanding or widen text bands.")
+      None
+    }
+  }
+
   /** Corpus snapshot pre-processed for the text gate: shingle content
-    * (in-memory frame OR bucketed on-disk table — `table` set), slim
-    * band index, and set sizes. [[absorb]] extends it with admitted
-    * docs between snapshots. */
-  final case class TextIndex(sh: DataFrame, bands: DataFrame, sizes: DataFrame,
+    * (in-memory frame OR bucketed on-disk table — `table` set) and the
+    * slim band index. [[absorb]] extends it with admitted docs between
+    * snapshots. (Set SIZES are recomputed from the pruned shingle rows
+    * at verify time — `count(*)` over rows that are distinct per doc
+    * by construction — so no sizes frame is maintained.) */
+  final case class TextIndex(sh: DataFrame, bands: DataFrame,
       table: Option[String] = None) {
 
     /** Verify-stage read: shingle rows for exactly `ids`. On a
@@ -168,6 +202,22 @@ object DedupGate {
       case None =>
         sh.select(col("doc_id"), col("shingle"))
           .filter(col("doc_id").isin(ids: _*))
+    }
+
+    /** The over-[[MaxVerifyIds]] form of [[shinglesFor]]: a semi-join
+      * of the content against the candidate-id frame — one streaming
+      * pass over the corpus content (bucketed scan on a disk index,
+      * shuffle on the SLIM id side only), nothing on the driver.
+      * Costlier per batch than the pruned read, but bounded and
+      * predictable — the degradation path for dup storms. */
+    def shinglesForJoin(idsDf: DataFrame): DataFrame = {
+      val content = table match {
+        case Some(t) => sh.sparkSession.table(t)
+        case None => sh
+      }
+      content.select(col("doc_id"), col("shingle"))
+        .join(idsDf.select(col(idsDf.columns.head).as("doc_id")), Seq("doc_id"),
+          "left_semi")
     }
 
     /** Fold admitted docs in so later batches see them: the increment
@@ -189,10 +239,9 @@ object DedupGate {
       val next = TextIndex(shNext,
         bands.unionAll(
           Dedup.lshBands(Dedup.minhashSignatures(shA)).localCheckpoint(true)),
-        sizes.unionAll(Dedup.shingleSizes(shA).localCheckpoint(true)),
         table)
-      // disk mode: shA's content now lives in the table and the
-      // bands/sizes increments are already materialized — drop it
+      // disk mode: shA's content now lives in the table and the bands
+      // increment is already materialized — drop it
       if (table.isDefined) unpersistCheckpoints(shA)
       next
     }
@@ -206,7 +255,6 @@ object DedupGate {
     def collapsed: TextIndex = TextIndex(
       if (table.isDefined) sh else sh.localCheckpoint(true),
       bands.localCheckpoint(true),
-      sizes.localCheckpoint(true),
       table)
   }
 
@@ -214,8 +262,7 @@ object DedupGate {
     import graft.functions.TextFunctions.shingles
     val sh = shingles(corpusDocs, "doc_id", "text").localCheckpoint(false)
     TextIndex(sh,
-      Dedup.lshBands(Dedup.minhashSignatures(sh)).localCheckpoint(false),
-      Dedup.shingleSizes(sh).localCheckpoint(false))
+      Dedup.lshBands(Dedup.minhashSignatures(sh)).localCheckpoint(false))
   }
 
   /** The 100 TB form of [[indexCorpus]]: corpus shingles land in a
@@ -232,7 +279,6 @@ object DedupGate {
     graft.sources.Writers.replaceBucketed(s, sh, "doc_id", GateCorpusBuckets, table)
     val idx = TextIndex(s.table(table),
       Dedup.lshBands(Dedup.minhashSignatures(sh)).localCheckpoint(true),
-      Dedup.shingleSizes(sh).localCheckpoint(true),
       Some(table))
     unpersistCheckpoints(sh) // content now lives in the table
     idx
@@ -291,13 +337,27 @@ object DedupGate {
     // checkpointed: the candidate set feeds the id collect AND the
     // shared-shingle join — band joins must not run twice
     val cand = candCorpus.unionAll(candIntra).distinct().localCheckpoint(false)
-    val bIds = cand.select(col("doc_b")).distinct()
-      .collect().map(_.getLong(0)).toSeq // bounded: O(candidates)
     // dup_of-side content, candidate ids ONLY: corpus content first
     // (bucket-pruned on a disk index), batch shingles for the ids the
     // corpus lacks; sizes recomputed from the same pruned rows
-    // (shingles() is distinct per doc, so count == set size)
-    val shCorpusCand = corpus.shinglesFor(bIds)
+    // (shingles() is distinct per doc, so count == set size). The id
+    // collect is capped — a dup storm over MaxVerifyIds degrades to
+    // the join-based read instead of exhausting the driver.
+    // (shCandScratch: the paths that create a FRESH checkpoint — the
+    // disk-mode pruned read, or the fallback join which is always
+    // materialized once so the corpus pass cannot run twice — must
+    // hand it to the caller's cleanup; the in-memory pruned path is a
+    // filter OVER the index and owns no blocks)
+    val (shCorpusCand, shCandScratch) =
+      collectIdsCapped(cand, "doc_b") match {
+        case Some(bIds) =>
+          val df = corpus.shinglesFor(bIds)
+          (df, if (corpus.table.isDefined) Seq(df) else Nil)
+        case None =>
+          val df = corpus.shinglesForJoin(
+            cand.select(col("doc_b")).distinct()).localCheckpoint(true)
+          (df, Seq(df))
+      }
     val corpusCandIds = shCorpusCand.select(col("doc_id")).distinct()
     val shB = shCorpusCand.unionAll(
       shNew.join(corpusCandIds, Seq("doc_id"), "left_anti")
@@ -312,8 +372,7 @@ object DedupGate {
       .agg(count(lit(1)).as("shared"))
     val result = Dedup.jaccardOnPairs(shared, sizesNew, sizesB)
       .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
-    (result, Seq(shNew, bandsNew, cand) ++
-      (if (corpus.table.isDefined) Seq(shCorpusCand) else Nil))
+    (result, Seq(shNew, bandsNew, cand) ++ shCandScratch)
   }
 
   def duplicates(newDocs: DataFrame, corpusDocs: DataFrame): DataFrame =
@@ -378,7 +437,7 @@ object DedupGate {
           val old = corpus
           corpus = old.collapsed // eager: new copies exist before...
           // ...the superseded arms (snapshot + increments) are dropped
-          unpersistCheckpoints(old.sh, old.bands, old.sizes)
+          unpersistCheckpoints(old.sh, old.bands)
           // fold the content table's append accretion on the same
           // cadence: the gate is the table's single writer and
           // process() its only reader, so the two-statement catalog
@@ -453,13 +512,39 @@ object DedupGate {
 
   // ------------------------------------------- embedding-side gate
 
+  /** SRP banding + threshold configuration for the embedding gate —
+    * the selectivity dial ([[Dedup.srpWideBands]]) made a first-class
+    * gate parameter. The two shipped configs are the two operating
+    * points the batch queries already prove out:
+    *  - [[EmbedBanding.Narrow]]: 40 x 4-bit bands at the harness's
+    *    weak 0.4 threshold — full recall, but candidate volume is
+    *    quadratic on an isotropic corpus (the documented
+    *    [[Dedup.qEmbedNearDupLsh]] artifact). Harness/oracle config.
+    *  - [[EmbedBanding.Strict]]: 20 x 8-bit bands x 2 offset layouts
+    *    at the realistic 0.7 threshold ([[Dedup.qEmbedNearDupStrict]])
+    *    — measured 6.5x candidate reduction at full recall. THE 100 TB
+    *    config: candidate volume tracks true near-dup density, so
+    *    per-trigger verify stays O(batch x dup density) at any corpus
+    *    size (the sf1 egate probe in Bench is the standing record).
+    * `group`/`offsets` feed [[Dedup.srpWideBands]] per layout;
+    * `threshold` feeds [[Dedup.cosineVerify]]. */
+  final case class EmbedBanding(threshold: Double, group: Int, offsets: Seq[Int])
+  object EmbedBanding {
+    val Narrow = EmbedBanding(Dedup.CosineThreshold, 1, Seq(0))
+    val Strict = EmbedBanding(Dedup.StrictThreshold, Dedup.StrictBandGroup,
+      Dedup.StrictBandOffsets)
+  }
+
   /** Corpus snapshot pre-processed for the embedding gate: slim SRP
     * band index + vector content (in-memory frame OR bucketed on-disk
     * table — `table` set, the 100 TB posture). [[absorb]] extends it
     * with admitted vectors between snapshots (same increment-
-    * checkpoint discipline as [[TextIndex.absorb]]). */
+    * checkpoint discipline as [[TextIndex.absorb]]). `banding` is the
+    * index's band layout — absorbed increments band identically, and
+    * [[embedDuplicates]] verifies at its threshold. */
   final case class EmbedIndex(bands: DataFrame, vecs: DataFrame,
-      table: Option[String] = None) {
+      table: Option[String] = None,
+      banding: EmbedBanding = EmbedBanding.Narrow) {
 
     /** Verify-stage read: (vec_id, embedding, n2) for exactly `ids` —
       * bucket-pruned on a disk index ([[TextIndex.shinglesFor]]). */
@@ -470,6 +555,19 @@ object DedupGate {
       case None =>
         vecs.select(col("vec_id"), col("embedding"), col("n2"))
           .filter(col("vec_id").isin(ids: _*))
+    }
+
+    /** Over-[[MaxVerifyIds]] form of [[vectorsFor]] — semi-join
+      * against the candidate-id frame ([[TextIndex.shinglesForJoin]]'s
+      * degradation contract). */
+    def vectorsForJoin(idsDf: DataFrame): DataFrame = {
+      val content = table match {
+        case Some(t) => vecs.sparkSession.table(t)
+        case None => vecs
+      }
+      content.select(col("vec_id"), col("embedding"), col("n2"))
+        .join(idsDf.select(col(idsDf.columns.head).as("vec_id")), Seq("vec_id"),
+          "left_semi")
     }
 
     def absorb(admittedVecs: DataFrame): EmbedIndex = {
@@ -485,8 +583,8 @@ object DedupGate {
         case None => vecs.unionAll(vA)
       }
       val next = EmbedIndex(
-        bands.unionAll(embedBands(vA).localCheckpoint(true)),
-        vecsNext, table)
+        bands.unionAll(embedBands(vA, banding).localCheckpoint(true)),
+        vecsNext, table, banding)
       if (table.isDefined) unpersistCheckpoints(vA)
       next
     }
@@ -495,35 +593,52 @@ object DedupGate {
     def collapsed: EmbedIndex = EmbedIndex(
       bands.localCheckpoint(true),
       if (table.isDefined) vecs else vecs.localCheckpoint(true),
-      table)
+      table, banding)
   }
 
-  private def embedBands(vecs: DataFrame): DataFrame = {
+  /** (vec_id, layout, band_id, band_val) band rows for `vecs` under
+    * `banding`: ONE srp_bands signature pass per vector (its alias is
+    * referenced by every layout, so CollapseProject keeps it in its
+    * own projection — no per-layout recompute), then each offset
+    * layout's [[Dedup.srpWideBands]] re-pack flattened out of a single
+    * generate. With the Narrow config this is band-for-band the
+    * original 40 x 4-bit explode (group=1/offset=0 re-pack is the
+    * identity; layout is constant 0). */
+  private def embedBands(vecs: DataFrame, banding: EmbedBanding): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
-    vecs.select(col("vec_id"),
-      posexplode(srp_bands(col("embedding"))).as(Seq("band_id", "band_val")))
+    val layoutArrays = banding.offsets.map { off =>
+      transform(Dedup.srpWideBands(col("sig"), banding.group, off),
+        (v, i) => struct(lit(off).as("layout"), i.as("band_id"), v.as("band_val")))
+    }
+    vecs.select(col("vec_id"), srp_bands(col("embedding")).as("sig"))
+      .select(col("vec_id"), explode(flatten(array(layoutArrays: _*))).as("e"))
+      .select(col("vec_id"), col("e.layout").as("layout"),
+        col("e.band_id").as("band_id"), col("e.band_val").as("band_val"))
   }
 
-  def indexEmbedCorpus(corpusVecs: DataFrame): EmbedIndex = {
+  def indexEmbedCorpus(corpusVecs: DataFrame,
+      banding: EmbedBanding = EmbedBanding.Narrow): EmbedIndex = {
     import graft.functions.VectorFunctions.norm2Exact
     EmbedIndex(
-      embedBands(corpusVecs).localCheckpoint(false),
+      embedBands(corpusVecs, banding).localCheckpoint(false),
       corpusVecs.select(col("vec_id"), col("embedding"),
-        norm2Exact(col("embedding")).as("n2")).localCheckpoint(false))
+        norm2Exact(col("embedding")).as("n2")).localCheckpoint(false),
+      None, banding)
   }
 
   /** The 100 TB form of [[indexEmbedCorpus]] — vectors (with
     * precomputed norms) land in a vec_id-bucketed catalog table; see
     * [[indexCorpusDisk]]. */
-  def indexEmbedCorpusDisk(corpusVecs: DataFrame, table: String): EmbedIndex = {
+  def indexEmbedCorpusDisk(corpusVecs: DataFrame, table: String,
+      banding: EmbedBanding = EmbedBanding.Narrow): EmbedIndex = {
     import graft.functions.VectorFunctions.norm2Exact
     val s = corpusVecs.sparkSession
     val vecs = corpusVecs.select(col("vec_id"), col("embedding"),
       norm2Exact(col("embedding")).as("n2")).localCheckpoint(true)
     graft.sources.Writers.replaceBucketed(s, vecs, "vec_id", GateCorpusBuckets, table)
     val idx = EmbedIndex(
-      embedBands(vecs).localCheckpoint(true),
-      s.table(table), Some(table))
+      embedBands(vecs, banding).localCheckpoint(true),
+      s.table(table), Some(table), banding)
     unpersistCheckpoints(vecs)
     idx
   }
@@ -540,27 +655,40 @@ object DedupGate {
   def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame =
     embedDuplicatesWithScratch(newVecs, corpus)._1
 
-  /** See [[duplicatesWithScratch]] — same per-call cleanup contract. */
+  /** See [[duplicatesWithScratch]] — same per-call cleanup contract.
+    * Banding (layout/joins) and verify threshold both come from
+    * `corpus.banding`, so a strict-config index verifies strictly. */
   private def embedDuplicatesWithScratch(
       newVecs: DataFrame, corpus: EmbedIndex): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.VectorFunctions.norm2Exact
     val vecsNew = newVecs.select(col("vec_id"), col("embedding"),
       norm2Exact(col("embedding")).as("n2")).localCheckpoint(false)
-    val bandsNew = embedBands(vecsNew).localCheckpoint(false)
+    val bandsNew = embedBands(vecsNew, corpus.banding).localCheckpoint(false)
     val candCorpus = bandsNew
       .join(corpus.bands.select(col("vec_id").as("dup_of"),
-        col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+        col("layout"), col("band_id"), col("band_val")),
+        Seq("layout", "band_id", "band_val"))
       .select(col("vec_id").as("va"), col("dup_of").as("vb"))
     val candIntra = bandsNew.as("x").join(bandsNew.as("y"),
+        col("x.layout") === col("y.layout") &&
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") > col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
     // checkpointed: feeds the id collect AND the vector join-back
     val cand = candCorpus.unionAll(candIntra).distinct().localCheckpoint(false)
-    val bIds = cand.select(col("vb")).distinct()
-      .collect().map(_.getLong(0)).toSeq // bounded: O(candidates)
-    val vecsCorpusCand = corpus.vectorsFor(bIds)
+    // capped collect, join-based fallback beyond it — see the text
+    // side ([[duplicatesWithScratch]]) for the scratch-tracking note
+    val (vecsCorpusCand, vecCandScratch) =
+      collectIdsCapped(cand, "vb") match {
+        case Some(bIds) =>
+          val df = corpus.vectorsFor(bIds)
+          (df, if (corpus.table.isDefined) Seq(df) else Nil)
+        case None =>
+          val df = corpus.vectorsForJoin(
+            cand.select(col("vb")).distinct()).localCheckpoint(true)
+          (df, Seq(df))
+      }
     val corpusCandIds = vecsCorpusCand.select(col("vec_id"))
     val vecsB = vecsCorpusCand.unionAll(
       vecsNew.join(corpusCandIds, Seq("vec_id"), "left_anti")
@@ -570,10 +698,9 @@ object DedupGate {
         col("n2").as("n2a")), "va")
       .join(vecsB.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         col("n2").as("n2b")), "vb")
-    val result = Dedup.cosineVerify(pairRows)
+    val result = Dedup.cosineVerify(pairRows, corpus.banding.threshold)
       .select(col("va").as("new_vec"), col("vb").as("dup_of"), col("cosine"))
-    (result, Seq(vecsNew, bandsNew, cand) ++
-      (if (corpus.table.isDefined) Seq(vecsCorpusCand) else Nil))
+    (result, Seq(vecsNew, bandsNew, cand) ++ vecCandScratch)
   }
 
   def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame =
@@ -585,10 +712,11 @@ object DedupGate {
   final class EmbedGateState(corpusVecs: DataFrame,
       pairTable: Option[String] = None,
       collapseEvery: Int = CollapseEvery,
-      corpusTable: Option[String] = None) {
+      corpusTable: Option[String] = None,
+      banding: EmbedBanding = EmbedBanding.Narrow) {
     @volatile private var corpus = corpusTable
-      .map(t => indexEmbedCorpusDisk(corpusVecs, t))
-      .getOrElse(indexEmbedCorpus(corpusVecs))
+      .map(t => indexEmbedCorpusDisk(corpusVecs, t, banding))
+      .getOrElse(indexEmbedCorpus(corpusVecs, banding))
     private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
@@ -634,7 +762,9 @@ object DedupGate {
   /** Start the embedding gate — same foreachBatch + absorb + optional
     * pair-table maintenance shape as [[start]]; `pairTable` receives
     * SRP hits (the semantic twin of the text gate's maintenance),
-    * `corpusTable` switches to the disk-backed vector table. */
+    * `corpusTable` switches to the disk-backed vector table, `banding`
+    * picks the operating point ([[EmbedBanding.Strict]] is the
+    * production config — module doc). */
   def startEmbed(
       newVecs: DataFrame,
       corpusVecs: DataFrame,
@@ -642,8 +772,10 @@ object DedupGate {
       sink: (DataFrame, Long) => Unit,
       trigger: Trigger = Trigger.ProcessingTime(0),
       pairTable: Option[String] = None,
-      corpusTable: Option[String] = None): StreamingQuery = {
-    val state = new EmbedGateState(corpusVecs, pairTable, CollapseEvery, corpusTable)
+      corpusTable: Option[String] = None,
+      banding: EmbedBanding = EmbedBanding.Narrow): StreamingQuery = {
+    val state = new EmbedGateState(corpusVecs, pairTable, CollapseEvery,
+      corpusTable, banding)
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -673,6 +805,27 @@ object DedupGate {
       vecs.filter(col("vec_id") % 4 === 0),
       indexEmbedCorpusDisk(vecs.filter(col("vec_id") % 4 =!= 0),
         gateTableName("vec", d)))
+      .orderBy(col("new_vec"), col("dup_of"))
+  }
+
+  /** The embedding gate at its PRODUCTION operating point: strict
+    * banding ([[EmbedBanding.Strict]] — 8-bit wide SRP bands, two
+    * offset layouts, cosine 0.7) over the planted-near-dup corpus
+    * ([[Dedup.augmentedEmbeddings]], the clustered structure a real
+    * corpus has), through the DISK-backed vector table. This is the
+    * config the sf1 egate probe scales: candidate volume tracks true
+    * dup density (6.5x below all-pairs, SF-stable), so per-trigger
+    * verify I/O stays O(batch x density) at any corpus size — the
+    * narrow-config quadratic-candidate artifact
+    * ([[Dedup.qEmbedNearDupLsh]] scaladoc) does not apply. Oracle: the
+    * strict SRP chain restricted to pairs touching the new side,
+    * mirrored bit-identically in SQL. */
+  def qEmbedGateStrict(s: SparkSession, d: String): DataFrame = {
+    val vecs = Dedup.augmentedEmbeddings(s, d)
+    embedDuplicates(
+      vecs.filter(col("vec_id") % 4 === 0),
+      indexEmbedCorpusDisk(vecs.filter(col("vec_id") % 4 =!= 0),
+        gateTableName("svec", d), EmbedBanding.Strict))
       .orderBy(col("new_vec"), col("dup_of"))
   }
 }

@@ -162,6 +162,15 @@ object ReportPipeline {
       wmDir.foreach { dir =>
         val target = wmTarget(dir)
         val fs = target.getFileSystem(hc)
+        // a crash between tmp-create and rename strands the tmp file;
+        // it is listing-invisible (underscore) but would accrete over
+        // restarts — sweep strays (incl. per-batch-named ones from
+        // older layouts) before resuming
+        try {
+          val strays = fs.globStatus(
+            new org.apache.hadoop.fs.Path(dir, "_max_ts_micros.tmp*"))
+          if (strays != null) strays.foreach(s => fs.delete(s.getPath, false))
+        } catch { case _: java.io.FileNotFoundException => () }
         if (fs.exists(target)) {
           val in = fs.open(target)
           val line = try new java.io.BufferedReader(
@@ -172,10 +181,15 @@ object ReportPipeline {
         }
       }
 
-    private def persist(hc: org.apache.hadoop.conf.Configuration, batchId: Long): Unit =
+    private def persist(hc: org.apache.hadoop.conf.Configuration): Unit =
       wmDir.foreach { dir =>
         val target = wmTarget(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir, s"_max_ts_micros.tmp$batchId")
+        // ONE fixed tmp name, created with overwrite: route() runs
+        // serially per batch, so there is no concurrent persist to
+        // collide with, and a crash-stranded tmp is simply overwritten
+        // by the next persist instead of accreting per batch id
+        // (restore() additionally sweeps strays on restart)
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_max_ts_micros.tmp")
         val fs = target.getFileSystem(hc)
         fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
         val out = fs.create(tmp, true)
@@ -227,7 +241,7 @@ object ReportPipeline {
           // durable watermark: written AFTER the late branch (a crash
           // between the two re-reports some lates on replay — at-least
           // -once, never silently dropped), only when it advanced
-          if (advanced) persist(hadoopConf, batchId)
+          if (advanced) persist(hadoopConf)
         }
       } finally cached.unpersist()
     }

@@ -144,7 +144,7 @@ class DedupGateSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     state.process(batch, 0L, sink)
     assert(hits.isEmpty, s"fresh doc falsely flagged: $hits")
-    val docsAfterAbsorb = state.index.sizes.count()
+    val docsAfterAbsorb = state.index.sh.select(col("doc_id")).distinct().count()
     val bandsAfterAbsorb = state.index.bands.count()
     assert(docsAfterAbsorb == 2, "admitted doc not absorbed into the index")
 
@@ -155,7 +155,7 @@ class DedupGateSpec extends SparkSpec {
     state.process(batch, 0L, sink)
     assert(hits.toList == List((0L, 100L, 100L)),
       s"replayed batch did not re-emit the already-admitted hit: $hits")
-    assert(state.index.sizes.count() == docsAfterAbsorb,
+    assert(state.index.sh.select(col("doc_id")).distinct().count() == docsAfterAbsorb,
       "replayed batch id re-absorbed: doc count grew")
     assert(state.index.bands.count() == bandsAfterAbsorb,
       "replayed batch id re-absorbed: band index grew")
@@ -189,7 +189,7 @@ class DedupGateSpec extends SparkSpec {
 
     // plan width reset: the collapsed index is a checkpointed scan,
     // not a union of per-batch arms
-    Seq(state.index.sh, state.index.bands, state.index.sizes).foreach { df =>
+    Seq(state.index.sh, state.index.bands).foreach { df =>
       val plan = df.queryExecution.optimizedPlan.toString
       assert(!plan.contains("Union"), s"collapse left union arms:\n$plan")
     }

@@ -74,6 +74,45 @@ class DiskGateSpec extends SparkSpec {
       "prunedTableRead leaked its conf flip into the caller's session")
   }
 
+  test("bucket pruning holds at production candidate counts (2,500 ids)") {
+    // The round-9 spec pinned pruning for ONE id; production batches
+    // collect thousands. Two things must survive the jump: (a) the
+    // optimizer's In -> InSet conversion (fires at 10+ values) must
+    // still feed bucket pruning, and (b) rows DECODED must stay
+    // bounded by the candidate ids' buckets even though the parquet
+    // pushdown falls back from per-value filters to a min/max range
+    // above inFilterThreshold (default 10) — i.e. the bucket, not the
+    // row group, is the verify read's unit of I/O at production
+    // candidate counts. 80k rows, 2,500 candidate ids all hashing to
+    // ONE bucket: the read must select 1 of 8 buckets and decode ~1/8
+    // of the table.
+    val table = "graft_spec_gate_prune_wide"
+    val df = spark.range(80000).select(col("id").as("doc_id"),
+      (col("id") * 7).as("payload"))
+    graft.sources.Writers.replaceBucketed(spark, df, "doc_id",
+      DedupGate.GateCorpusBuckets, table)
+    // bucket id = pmod(murmur3(doc_id), buckets) — functions.hash IS
+    // the bucketing hash (Murmur3, seed 42)
+    val ids = df.select(col("doc_id"))
+      .filter(pmod(hash(col("doc_id")), lit(DedupGate.GateCorpusBuckets)) === 3)
+      .limit(2500).collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 2500, s"expected 2500 ids in bucket 3, got ${ids.size}")
+    val read = DedupGate.prunedTableRead(spark, table, "doc_id", ids,
+      Seq(col("doc_id"), col("payload")))
+    val plan = read.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"2,500-id verify read did not bucket-prune:\n$plan")
+    assert(m.get.group(1).toInt == 1,
+      s"expected 1 selected bucket for single-bucket ids, got ${m.get.matched}")
+    // collect() executes THIS queryExecution (count() would plan a
+    // separate one and leave these metrics untouched)
+    assert(read.collect().length == 2500, "pruned read lost candidate rows")
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned > 0 && scanned <= 80000 / 4,
+      s"pruning ineffective at 2,500 ids: decoded $scanned of 80000 rows")
+  }
+
   test("disk gate state: absorb appends to the table, replay does not, cross-batch dup caught") {
     val table = "graft_spec_gate_absorb"
     val corpus = Seq(
@@ -251,8 +290,7 @@ class DiskGateSpec extends SparkSpec {
       Seq((100L, "totally unrelated text with no overlap whatsoever in any shingle"))
         .toDF("doc_id", "text"), 0L, (_, _) => ())
     // pre-collapse arms: snapshot + one increment per frame
-    val pre = (ckptIds(state.index.sh) ++ ckptIds(state.index.bands) ++
-      ckptIds(state.index.sizes)).toSet
+    val pre = (ckptIds(state.index.sh) ++ ckptIds(state.index.bands)).toSet
     assert(pre.nonEmpty, "expected checkpointed arms before the collapse")
     // second absorb triggers the collapse
     state.process(

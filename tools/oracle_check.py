@@ -24,7 +24,10 @@ def partsupp_glob(sf_dir):
     (the driver's gate always runs there); for cross-SF dev checks we
     substitute the requested dir's table - both engines must read the
     SAME files at whatever SF is under test."""
-    f = os.path.abspath(sf_dir)
+    # realpath, matching Tables.partsuppPath's getCanonicalPath — the
+    # two sides must normalize identically or the digests disagree for
+    # a non-canonical sfDir (e.g. /root/testdata/../testdata/sf0.01)
+    f = os.path.realpath(sf_dir)
     digest = hashlib.md5(f.encode("utf-8")).hexdigest()[:8]
     return f"/root/repo/data/partsupp/{os.path.basename(f)}_{digest}/*.parquet"
 
