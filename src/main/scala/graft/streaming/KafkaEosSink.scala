@@ -88,10 +88,16 @@ object KafkaEosSink {
   /** Stable per-writer transactional id: one logical writer per
     * (checkpoint dir [, partition]) — restarts reuse it (fencing),
     * concurrent partitions get distinct ids (Kafka transactional
-    * producers are single-writer). */
-  def transactionalId(checkpointDir: String, partition: Option[Int] = None): String =
-    s"graft-eos-${Integer.toHexString(checkpointDir.hashCode)}" +
-      partition.map(p => s"-p$p").getOrElse("")
+    * producers are single-writer). FULL md5 of the dir, NOT
+    * String.hashCode (or a truncated digest): a 32-bit collision
+    * between two unrelated checkpoint dirs would make their writers
+    * fence each other and read each other's progress markers — crash
+    * loop plus silent batch skipping. */
+  def transactionalId(checkpointDir: String, partition: Option[Int] = None): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft-eos-$md5" + partition.map(p => s"-p$p").getOrElse("")
+  }
 
   /** Production [[TxProducer]]: reflectively bound KafkaProducer so
     * this repo compiles with zero Kafka dependency. Every call maps
@@ -150,39 +156,61 @@ object KafkaEosSink {
       newProducer: () => TxProducer,
       readLastCommitted: () => Long) {
 
-    // restored once per sink incarnation; advanced on every commit.
+    @volatile private var producerOpt: Option[TxProducer] = None
+    // restored lazily on the first write, STRICTLY AFTER the producer
+    // is initialized: initTransactions fences any zombie predecessor
+    // AND aborts/commits its pending transaction FIRST, so the marker
+    // read cannot race a zombie's in-flight commit (reading the marker
+    // before fencing would leave a window where the zombie commits
+    // batch N after we read N-1 — the replay of N would then resend).
     // A replayed batch id <= this is ALREADY in Kafka (its marker
     // committed atomically with its rows) — skip, don't resend.
-    private var lastCommitted: Long = readLastCommitted()
-    private lazy val producer: TxProducer = {
+    private var lastCommitted: Option[Long] = None
+    private def producer: TxProducer = producerOpt.getOrElse {
       val p = newProducer()
       p.initTransactions() // fences any zombie predecessor with this id
+      producerOpt = Some(p)
       p
     }
 
     /** Rows must carry (key, value) string columns. */
     def write(df: DataFrame, batchId: Long): Unit = {
-      if (batchId <= lastCommitted) return // replay of a committed batch
+      val p = producer // init (zombie fencing) BEFORE the marker read
+      if (lastCommitted.isEmpty) lastCommitted = Some(readLastCommitted())
+      if (batchId <= lastCommitted.get) return // replay of a committed batch
       val rows = df.select(col("key").cast("string"), col("value").cast("string"))
         .collect() // see class doc: foreachPartition in production
-      producer.beginTransaction()
+      p.beginTransaction()
       try {
-        rows.foreach(r => producer.send(topic, r.getString(0), r.getString(1)))
+        rows.foreach(r => p.send(topic, r.getString(0), r.getString(1)))
         // marker rides in the SAME transaction: rows and progress
         // become visible atomically or not at all
-        producer.send(progressTopic, txId, batchId.toString)
-        producer.commitTransaction()
-        lastCommitted = batchId
+        p.send(progressTopic, txId, batchId.toString)
+        p.commitTransaction()
+        lastCommitted = Some(batchId)
       } catch {
         case e: Throwable =>
           // all-or-nothing: a half-sent batch must never become
           // visible; Spark will retry the batch (same id) and the
-          // fresh transaction re-sends everything
-          producer.abortTransaction()
+          // fresh transaction re-sends everything. The abort is
+          // GUARDED: after an ambiguous commit failure (client-side
+          // timeout, broker-side success) a real producer's abort
+          // throws — that must not mask the original error.
+          try p.abortTransaction() catch { case e2: Throwable => e.addSuppressed(e2) }
+          // ambiguous-commit resolution: re-read the marker so a
+          // commit that actually LANDED broker-side advances
+          // lastCommitted and the retried batch is skipped, not
+          // resent. Unreachable broker -> keep the old value (the
+          // retry re-reads it after reconnecting: lastCommitted is
+          // cleared so the next write restores it fresh).
+          lastCommitted = try Some(readLastCommitted()) catch { case _: Throwable => None }
           throw e
       }
     }
 
-    def close(): Unit = producer.close()
+    /** Closes the producer IF one was ever initialized — close() on a
+      * never-written sink must not connect to Kafka and fence a live
+      * writer sharing this transactional id. */
+    def close(): Unit = producerOpt.foreach(_.close())
   }
 }

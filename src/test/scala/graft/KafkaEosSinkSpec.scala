@@ -18,7 +18,10 @@ class KafkaEosSinkSpec extends SparkSpec {
     private val pending = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     var inits = 0
     var aborts = 0
+    var closes = 0
     var failNextCommit = false
+    // the ambiguous failure: broker commits, client sees an error
+    var failNextCommitAfterLanding = false
     def initTransactions(): Unit = inits += 1
     def beginTransaction(): Unit = pending.clear()
     def send(topic: String, key: String, value: String): Unit =
@@ -26,9 +29,12 @@ class KafkaEosSinkSpec extends SparkSpec {
     def commitTransaction(): Unit = {
       if (failNextCommit) { failNextCommit = false; sys.error("broker gone") }
       committed ++= pending; pending.clear()
+      if (failNextCommitAfterLanding) {
+        failNextCommitAfterLanding = false; sys.error("commit timed out client-side")
+      }
     }
     def abortTransaction(): Unit = { aborts += 1; pending.clear() }
-    def close(): Unit = ()
+    def close(): Unit = closes += 1
     def lastMarker(txId: String): Long = committed
       .collect { case ("progress", k, v) if k == txId => v.toLong }
       .lastOption.getOrElse(-1L)
@@ -74,6 +80,43 @@ class KafkaEosSinkSpec extends SparkSpec {
     sink.write(batch("k1" -> "v1"), 0L)
     assert(p.committed.count(_._1 == "out") == 1 && p.lastMarker("tx1") == 0L,
       "retry after abort did not commit exactly once")
+  }
+
+  test("zombie fencing happens BEFORE the progress marker is read") {
+    // reading the marker first would leave a window where a zombie's
+    // in-flight batch commits after the read — the replay of that
+    // batch would then resend (class doc); pin the ordering
+    val p = new FakeProducer
+    var initsAtMarkerRead = -1
+    val sink = new KafkaEosSink.Sink("out", "progress", "tx1", () => p,
+      () => { initsAtMarkerRead = p.inits; -1L })
+    sink.write(batch("k1" -> "v1"), 0L)
+    assert(initsAtMarkerRead == 1,
+      s"marker read before initTransactions fenced the zombie (inits=$initsAtMarkerRead)")
+  }
+
+  test("ambiguous commit (landed broker-side, failed client-side) does not double-send") {
+    val p = new FakeProducer
+    val sink = new KafkaEosSink.Sink("out", "progress", "tx1",
+      () => p, () => p.lastMarker("tx1"))
+    p.failNextCommitAfterLanding = true
+    intercept[RuntimeException] { sink.write(batch("k1" -> "v1"), 0L) }
+    assert(p.committed.count(_._1 == "out") == 1, "landed commit lost")
+    // Spark retries batch 0: the marker re-read resolved the ambiguity,
+    // so the retry must SKIP, not commit the rows a second time
+    sink.write(batch("k1" -> "v1"), 0L)
+    assert(p.committed.count(_._1 == "out") == 1,
+      s"ambiguous commit re-sent on retry: ${p.committed}")
+    // and the original error was not masked by the guarded abort
+    assert(p.aborts == 1, "abort not attempted (or attempted twice)")
+  }
+
+  test("close() on a never-written sink does not connect (no fencing of a live writer)") {
+    val p = new FakeProducer
+    val sink = new KafkaEosSink.Sink("out", "progress", "tx1", () => p, () => -1L)
+    sink.close()
+    assert(p.inits == 0 && p.closes == 0,
+      "close() on an idle sink initialized a producer — would fence the live writer")
   }
 
   test("transactional id is stable per checkpoint and distinct per partition") {
