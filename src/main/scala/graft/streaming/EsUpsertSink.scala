@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** K2 — the Elasticsearch keyed-upsert sink's CLIENT PATH as code
+  * (reference: `DataReport.java:167-205` — ES bulk processor with a
+  * deterministic document id built from window time + type + area,
+  * `DataReport.java:196-198`).
+  *
+  * The durable SEMANTICS of K2 (replay-idempotent keyed upsert) are
+  * already reproduced and crash-tested by
+  * [[ReportPipeline.DurableKeyedUpsertSink]] (bucket-partitioned
+  * parquet MERGE). This class is the missing transport: the actual
+  * `_bulk`-API client path, runnable against any Elasticsearch-
+  * compatible endpoint. No connector jar is needed — the transport is
+  * JDK 17's built-in `java.net.http.HttpClient`, so the whole path
+  * COMPILES AND UNIT-TESTS in this repo; only the live endpoint is
+  * environment-blocked, and [[EsUpsertSinkSpec]] pins the request
+  * construction and the replay/retry semantics against a fake
+  * transport.
+  *
+  * Exactly-once story (same as the reference's own): the document id
+  * is DETERMINISTIC (the upstream report pipeline already computes
+  * time+type+area keys), and a bulk `index` op with an explicit `_id`
+  * is an upsert — a replayed micro-batch overwrites the same
+  * documents, so at-least-once delivery + keyed overwrite = the same
+  * observable exactly-once the reference configures
+  * (`DataReport.java:190-200`). A bulk response with `errors: true`
+  * throws, Spark retries the batch, and idempotence makes the retry
+  * safe — so PARTIAL bulk failures need no per-item replay logic.
+  *
+  * 100 TB posture: like [[KafkaEosSink]], the driver `collect()` in
+  * [[EsUpsertSink.write]] exists for spec visibility; production uses
+  * the `foreachPartition` form with one client per partition (the
+  * bulk API is stateless, so partition writers need no coordination —
+  * unlike Kafka transactions there is no per-writer fencing to
+  * manage). `BulkChunk` bounds each request body the way the
+  * reference's `setBulkFlushMaxActions` does (it ships 1 — per-record
+  * flush — with a comment to raise it in production; we default to
+  * 1000). */
+object EsUpsertSink {
+
+  /** Docs per `_bulk` request — the reference's bulk-flush knob
+    * (`setBulkFlushMaxActions`, `DataReport.java:196`). */
+  val BulkChunk = 1000
+
+  /** Transport seam: ship one NDJSON `_bulk` body. Production:
+    * [[httpTransport]]. Tests: a fake recording bodies / injecting
+    * failures. Must THROW on non-2xx or `"errors":true` responses —
+    * the caller relies on the exception to trigger Spark's batch
+    * retry. */
+  trait BulkTransport {
+    def bulk(body: String): Unit
+  }
+
+  /** NDJSON `_bulk` body for a chunk of (id, sourceJson) docs —
+    * action line + source line per doc, trailing newline (the _bulk
+    * API contract). `index` with explicit `_id` = keyed upsert. */
+  def bulkBody(index: String, docs: Seq[(String, String)]): String =
+    docs.map { case (id, source) =>
+      s"""{"index":{"_index":"${jsonEscape(index)}","_id":"${jsonEscape(id)}"}}""" +
+        "\n" + source
+    }.mkString("", "\n", "\n")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  /** Production transport: POST the body to `<endpoint>/_bulk` with
+    * JDK's HttpClient. Throws on non-2xx and on a 2xx whose response
+    * reports `"errors":true` (partial failure) — Spark then retries
+    * the batch; deterministic ids make that safe. Retries 429/5xx
+    * with capped exponential backoff before giving up, the
+    * politeness floor for a bulk API under load. */
+  def httpTransport(endpoint: String,
+      maxRetries: Int = 3): BulkTransport = new BulkTransport {
+    private val client = java.net.http.HttpClient.newHttpClient()
+    def bulk(body: String): Unit = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$endpoint/_bulk"))
+        .header("Content-Type", "application/x-ndjson")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val code = resp.statusCode()
+        if (code / 100 == 2) {
+          // the _bulk API reports item-level failures inside a 2xx
+          if (resp.body().contains("\"errors\":true"))
+            throw new java.io.IOException(
+              s"_bulk reported item failures: ${resp.body().take(512)}")
+          done = true
+        } else if ((code == 429 || code / 100 == 5) && attempt < maxRetries) {
+          attempt += 1
+          Thread.sleep(100L << attempt) // 200/400/800 ms
+        } else {
+          throw new java.io.IOException(s"_bulk HTTP $code: ${resp.body().take(512)}")
+        }
+      }
+    }
+  }
+
+  /** The foreachBatch body: rows with (doc_id, payload) string
+    * columns become chunked `_bulk` upserts. Wire as:
+    * {{{
+    * val sink = new EsUpsertSink.Sink("auditindex",
+    *   EsUpsertSink.httpTransport("http://es:9200"))
+    * frame.writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch(sink.write _).start()
+    * }}}
+    * where `frame` carries the report pipeline's deterministic
+    * time+type+area doc_id — replays overwrite, never duplicate. */
+  final class Sink(index: String, transport: BulkTransport,
+      chunk: Int = BulkChunk) {
+    def write(df: DataFrame, batchId: Long): Unit = {
+      val rows = df.select(col("doc_id").cast("string"),
+        col("payload").cast("string")).collect() // prod: foreachPartition
+      rows.iterator.map(r => (r.getString(0), r.getString(1)))
+        .grouped(chunk)
+        .foreach(g => transport.bulk(bulkBody(index, g.toSeq)))
+    }
+  }
+}

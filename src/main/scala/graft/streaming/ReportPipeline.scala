@@ -76,7 +76,9 @@ object ReportPipeline {
     * rewrite volume is bounded by the affected buckets' size, not the
     * table's; a transactional table format would replace the
     * localCheckpoint lineage cut with a real MERGE, with the same key
-    * semantics. */
+    * semantics. The actual ES CLIENT path (chunked `_bulk` upserts
+    * over JDK HttpClient, same deterministic ids) is
+    * [[EsUpsertSink]] — swap sinks, keep the keys. */
   final class DurableKeyedUpsertSink(tablePath: String, nBuckets: Int = 16) {
     private def hasTable: Boolean = {
       val fs = new java.io.File(tablePath).listFiles()
