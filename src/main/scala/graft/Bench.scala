@@ -241,7 +241,7 @@ object Bench {
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_seq_pack", "q_simhash", "q_simhash_md5", "q_subtoken_count",
-          "q_text_quality", "q_token_stats", "q_word_count",
+          "q_text_quality", "q_tfidf_topk", "q_token_stats", "q_word_count",
           "q1_pricing", "q7_volume_shipping", "q9_product_profit",
           "q10_returned_items")
         val errsBeforeSf1 = errors.toSet

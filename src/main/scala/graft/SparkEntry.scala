@@ -90,6 +90,7 @@ object SparkEntry {
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
+    "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_lang_id_eval" -> (TextAnalysis.qLangIdEval _),
     "q_fingerprint" -> (TextAnalysis.qFingerprint _),
@@ -1148,6 +1149,23 @@ object SparkEntry {
          |  CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio,
          |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE)/n_tokens) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+    // TF-IDF keywords: score = tf*N/df as ONE double division of
+    // exact integers (no ln() — transcendental last-ulp behavior
+    // differs across engines and a one-ulp flip inside a ranking
+    // changes rows); monotone-equivalent to raw-frequency TF-IDF at
+    // fixed N, ties broken by token
+    "q_tfidf_topk" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |    CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM scored)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_lang_id" -> (langScoreSql + "\nORDER BY doc_id"),
     "q_lang_id_eval" ->
       s"""SELECT lang, count(*) AS n,

@@ -41,6 +41,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
 
+  /** Corpus-level term statistics -> per-document keywords: top-3
+    * tokens per document by TF-IDF — the classic training-data use is
+    * both keyword extraction and its inverse (a document whose "top"
+    * terms still score low is boilerplate-heavy). Two corpus
+    * aggregations (term frequency per (doc, token); document frequency
+    * per token) joined on token, then a per-doc top-k window.
+    *
+    * Cross-engine exactness without libm: the usual idf = ln(N/df) is
+    * a transcendental whose last-ulp behavior the two engines don't
+    * promise to share, and inside a RANKING a one-ulp disagreement
+    * flips rows. The score here is tf * N / df computed as ONE IEEE
+    * double division of exactly-represented integers ((tf*N) up to
+    * 2^53, then / df) — bit-identical in any IEEE engine, and a
+    * monotone transform of tf * (N/df), so the RANKING it induces is
+    * the standard raw-frequency TF-IDF ranking for fixed N. Ties
+    * broken by token; output ordered (doc_id, rank).
+    *
+    * Scale shape: explode -> two hash aggs (map-side partials carry
+    * the load) -> a token-keyed shuffle join of (doc x distinct-token)
+    * against (distinct-token) — the canonical big-big equi-join, AQE
+    * handles the skewed stopword keys — -> per-doc window over <=
+    * |distinct tokens in doc| rows. No driver rows, no UDFs. */
+  def qTfIdfTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // bounded scalar: one long, the N in the score
+    val docTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = docTok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docTok.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "tok")
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast(DoubleType) / col("df").cast(DoubleType))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+        col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Per-document quality signals + a composite score: length band,
     * mean token length, stopword ratio, punctuation ratio. The score
     * formula is deliberately closed-form arithmetic (no libm beyond
