@@ -235,7 +235,8 @@ object Bench {
           "q_kmeans_centroids",
           "q_clean_corpus", "q_contamination", "q_data_split",
           "q_dedup_clusters", "q_dedup_content", "q_dedup_exact",
-          "q_doc_chunks", "q_embed_classify", "q_embed_neardup_strict",
+          "q_doc_chunks", "q_embed_classify", "q_embed_neardup_deep",
+          "q_embed_neardup_strict",
           "q_embed_quantize", "q_fingerprint", "q_frame_sample",
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
@@ -301,6 +302,31 @@ object Bench {
           System.err.println(s"[bench] egate steady probe failed: ${e.getMessage}")
           Seq.empty
         }
+        // EMBED gate at 10x, DEEP config (EmbedBanding.Deep: 16-bit
+        // bands x 4 layouts x 3 hash families, cosine 0.7) — the
+        // operating point for exactly this corpus shape: isotropic
+        // noise, where strict's candidates still track the quadratic
+        // random background while deep's 1/65536-per-band collision
+        // rate kills it. The strict-vs-deep verify split is the
+        // measured evidence for the config-selection guidance
+        // (SCALE.md): same recall (srp_deep_recall below), candidates
+        // two orders of magnitude sparser.
+        val egateDeepSteady: Seq[(String, Double)] = try {
+          val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
+          val e0 = System.nanoTime()
+          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
+            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_deep_sf1",
+            graft.streaming.DedupGate.EmbedBanding.Deep)
+          val e1 = System.nanoTime()
+          graft.streaming.DedupGate
+            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
+          val e2 = System.nanoTime()
+          Seq("egate_deep_index_build" -> (e1 - e0) / 1e9,
+            "egate_deep_verify_steady" -> (e2 - e1) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] egate deep steady probe failed: ${e.getMessage}")
+          Seq.empty
+        }
         // the two pruning ratios the 100 TB story rests on, at 10x:
         // text MinHash bands and strict SRP bands vs their all-pairs
         import graft.functions.TextFunctions.shingles
@@ -310,6 +336,7 @@ object Bench {
         val textAll = nDocs * (nDocs - 1) / 2
         val nVecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir).count()
         val srpCand = graft.operators.Dedup.strictCandidates(spark, sf1Dir).count()
+        val deepCand = graft.operators.Dedup.deepCandidates(spark, sf1Dir).count()
         val srpAll = nVecs * (nVecs - 1) / 2
         // CORRECTNESS at 10x, not just timing: the planted near-dup
         // pairs (vec_id, vec_id + PlantIdOffset) are the known dup
@@ -324,7 +351,10 @@ object Bench {
         val plantedRecalled = graft.operators.Dedup.qEmbedNearDupStrict(spark, sf1Dir)
           .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
             col("vb") >= graft.operators.Dedup.PlantIdOffset).count()
-        val times = (sf1Times ++ gateSteady ++ egateSteady)
+        val deepRecalled = graft.operators.Dedup.qEmbedNearDupDeep(spark, sf1Dir)
+          .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
+            col("vb") >= graft.operators.Dedup.PlantIdOffset).count()
+        val times = (sf1Times ++ gateSteady ++ egateSteady ++ egateDeepSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
         // per-query sf1/sf0.1 time ratio (rows grow 10x, so ~10 is
@@ -346,7 +376,11 @@ object Bench {
         // same code is linear in true dup density; the flag is kept
         // because hiding a measured quadratic behind an expectation
         // would defeat the field's purpose (SCALE.md, strict-SRP
-        // scale note). The FLAG
+        // scale note). q_embed_neardup_deep IS the config fix for
+        // noise-dominated corpora (16-bit bands x 3 hash families:
+        // ~45x fewer candidates at the same full recall — srp_deep /
+        // srp_deep_recall record both) and is expected to stay under
+        // the flag line here. The FLAG
         // divides by the sf0.1 MAX sample, not the median: for
         // memoized-builder queries (kmeans centroids, pair indexes,
         // IVF cells) the sf1 single shot pays the one-time build that
@@ -367,7 +401,7 @@ object Bench {
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"superlinear":$superJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"superlinear":$superJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
@@ -379,6 +413,7 @@ object Bench {
           // warehouse dir per run
           val digest = graft.sources.Writers.tableDigest(sf1Dir)
           for (t <- Seq("graft_bench_gate_sf1", "graft_bench_egate_sf1",
+              "graft_bench_egate_deep_sf1",
               s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
             try spark.sql(s"DROP TABLE IF EXISTS $t")
             catch { case _: Throwable => () }
@@ -438,17 +473,20 @@ object Bench {
     // wide-band candidate count vs the all-pairs space on the
     // planted-cluster corpus (untimed instrumentation — the query's
     // wall time is already in `queries`)
-    val srpStrict = try {
+    val (srpStrict, srpDeep) = try {
       val n = graft.operators.Dedup.augmentedEmbeddings(spark, sfDir).count()
-      val cand = graft.operators.Dedup.strictCandidates(spark, sfDir).count()
       val all = n * (n - 1) / 2
       // cand == 0 would render NaN/Infinity — bare tokens that corrupt
       // the single-JSON-line driver contract
-      val reduction = if (cand == 0) 0.0 else all.toDouble / cand
-      s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(reduction)}}"""
+      def row(cand: Long) =
+        s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
+          if (cand == 0) 0.0 else all.toDouble / cand)}}"""
+      (row(graft.operators.Dedup.strictCandidates(spark, sfDir).count()),
+        row(graft.operators.Dedup.deepCandidates(spark, sfDir).count()))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] srp_strict probe failed: ${e.getMessage}")
-      """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
+      val zero = """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
+      (zero, zero)
     }
     // max sample per query: the build cost of memoized indexes lands
     // in the first rep, so the max preserves what the median drops
@@ -458,7 +496,7 @@ object Bench {
     // against — BASELINE.md declares BENCH_BASELINE.json (median-of-3
     // re-capture) the operative one; the emitted path makes every
     // BENCH_r{N} self-describing about it
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"srp_deep":$srpDeep,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
     // the driver's 2 KB output-tail capture truncates this line (only
     // ~27 of 95 per-query deltas survived in BENCH_r07) — persist the
     // FULL line so every regression is auditable from the repo

@@ -113,11 +113,13 @@ object SparkEntry {
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_embed_gate_strict" -> (graft.streaming.DedupGate.qEmbedGateStrict _),
+    "q_embed_gate_deep" -> (graft.streaming.DedupGate.qEmbedGateDeep _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_simhash_md5" -> (Dedup.qSimhashMd5 _),
     "q_embed_neardup" -> (Dedup.qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
     "q_embed_neardup_strict" -> (Dedup.qEmbedNearDupStrict _),
+    "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     // --- similarity search ---
@@ -211,9 +213,14 @@ object SparkEntry {
     * SAME `java.util.Random(7)` draws the Spark expression bakes into
     * codegen (graft.functions.expressions.SrpLsh), so signatures are
     * bit-identical across engines by construction. */
-  private def srpWeightsSqlLiteral: String = {
+  private def srpWeightsSqlLiteral: String =
+    srpWeightsSqlLiteralFor(graft.functions.expressions.SrpLsh.Seed)
+
+  /** One hash family's Rademacher matrix as a SQL literal — the
+    * seeded form backs the multi-family deep chain. */
+  private def srpWeightsSqlLiteralFor(seed: Long): String = {
     import graft.functions.expressions.SrpLsh
-    val w = SrpLsh.flatWeights
+    val w = SrpLsh.flatWeightsFor(seed)
     (0 until SrpLsh.Bits).map { j =>
       (0 until SrpLsh.Dim).map(p => w(j * SrpLsh.Dim + p)).mkString("[", ",", "]")
     }.mkString("[", ",", "]")
@@ -307,30 +314,81 @@ object SparkEntry {
   private def srpNearDupLshSql: String =
     srpChainSql("", "embeddings", 1, graft.operators.Dedup.CosineThreshold)
 
+  /** The planted-near-dup augmentation CTEs (mirror of
+    * Dedup.augmentedEmbeddings — zeroed coordinates, no float
+    * arithmetic, bit-identical corpora); shared by the strict and
+    * deep chains. Ends with a comma (srpChainSql prefix contract). */
+  private def srpAugPrefixSql: String = {
+    import graft.operators.Dedup
+    s"""pl AS (
+       |  SELECT vec_id, pos,
+       |    CASE WHEN (pos + vec_id) % ${Dedup.PlantZeroMod} = 0
+       |         THEN CAST(0 AS REAL) ELSE embedding[pos+1] END AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(0, len(embedding)-1)) AS pos
+       |        FROM embeddings WHERE vec_id % ${Dedup.PlantStride} = 0)),
+       |aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + ${Dedup.PlantIdOffset} AS vec_id,
+       |         list(x ORDER BY pos) AS embedding
+       |  FROM pl GROUP BY vec_id),
+       |""".stripMargin
+  }
+
   /** Strict-threshold mirror (Dedup.qEmbedNearDupStrict): plant
-    * deterministic near-dup copies (zeroed coordinates — no float
-    * arithmetic, so the augmented corpus is bit-identical across
-    * engines), then run the shared chain with 8-bit wide bands at the
-    * realistic 0.7 threshold. */
+    * deterministic near-dup copies, then run the shared chain with
+    * 8-bit wide bands at the realistic 0.7 threshold. */
   private def srpStrictSql: String = {
     import graft.operators.Dedup
-    val aug =
-      s"""pl AS (
-         |  SELECT vec_id, pos,
-         |    CASE WHEN (pos + vec_id) % ${Dedup.PlantZeroMod} = 0
-         |         THEN CAST(0 AS REAL) ELSE embedding[pos+1] END AS x
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(0, len(embedding)-1)) AS pos
-         |        FROM embeddings WHERE vec_id % ${Dedup.PlantStride} = 0)),
-         |aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + ${Dedup.PlantIdOffset} AS vec_id,
-         |         list(x ORDER BY pos) AS embedding
-         |  FROM pl GROUP BY vec_id),
-         |""".stripMargin
-    srpChainSql(aug, "aug", Dedup.StrictBandGroup, Dedup.StrictThreshold,
-      Dedup.StrictBandOffsets)
+    srpChainSql(srpAugPrefixSql, "aug", Dedup.StrictBandGroup,
+      Dedup.StrictThreshold, Dedup.StrictBandOffsets)
+  }
+
+  /** DEEP-config mirror (Dedup.qEmbedNearDupDeep): three independent
+    * hash families (one SQL weight literal per Dedup.DeepSeeds entry),
+    * each re-banded into 16-bit wide bands across the 4 distinct
+    * rotation layouts, unioned with the family id in the bucket join
+    * key — then the same exact-cosine verify tail at 0.7. */
+  private def srpDeepSql: String = {
+    import graft.operators.Dedup
+    import graft.functions.expressions.SrpLsh
+    val group = Dedup.DeepBandGroup
+    val rid = s"((band_id + ${SrpLsh.Bands} - off) % ${SrpLsh.Bands})"
+    val perSeed = Dedup.DeepSeeds.zipWithIndex.map { case (seed, k) =>
+      s"""s$k AS (SELECT ve.vec_id, js.j,
+         |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * (${srpWeightsSqlLiteralFor(seed)})[js.j+1][ve.pos+1]) AS s
+         |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
+         |  GROUP BY 1, 2),
+         |bands$k AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
+         |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
+         |  FROM s$k GROUP BY 1, 2),
+         |wide$k AS (SELECT vec_id, $k AS sig_id, off AS layout, $rid // $group AS band_id,
+         |    sum(band_val * (1 << (${SrpLsh.BandBits} * ($rid % $group)))) AS band_val
+         |  FROM bands$k CROSS JOIN (SELECT unnest([${Dedup.DeepBandOffsets.mkString(",")}]) AS off)
+         |  GROUP BY 1, 2, 3, 4)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = Dedup.DeepSeeds.indices
+      .map(k => s"SELECT * FROM wide$k").mkString(" UNION ALL ")
+    s"""WITH ${srpAugPrefixSql}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
+       |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+       |    SELECT vec_id, embedding,
+       |      unnest(generate_series(0, len(embedding)-1)) AS pos
+       |    FROM aug)),
+       |$perSeed,
+       |allb AS ($unionAll),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM allb a JOIN allb b ON a.sig_id = b.sig_id AND a.layout = b.layout
+       |    AND a.band_id = b.band_id AND a.band_val = b.band_val
+       |    AND a.vec_id < b.vec_id),
+       |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
+       |    unnest(list_zip(an.embedding, bn.embedding)) AS z
+       |  FROM cand c JOIN n an ON c.va = an.vec_id JOIN n bn ON c.vb = bn.vec_id),
+       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+       |  FROM cz GROUP BY va, vb)
+       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.StrictThreshold} ORDER BY va, vb""".stripMargin
   }
 
   /** Exact connected components (mirrors Dedup.connectedComponents'
@@ -1249,6 +1307,7 @@ object SparkEntry {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
+    "q_embed_neardup_deep" -> srpDeepSql,
     // embedding gate ground truth: the full SRP chain restricted to
     // pairs touching the new side — crossing pairs oriented (new,
     // corpus) plus new-new pairs oriented (higher, lower); the chain
@@ -1278,6 +1337,15 @@ object SparkEntry {
          |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
          |  cosine
          |FROM ($srpStrictSql)
+         |WHERE (va % 4 = 0) OR (vb % 4 = 0)
+         |ORDER BY new_vec, dup_of""".stripMargin,
+    // deep-banding embed gate: the deep multi-family SRP chain
+    // (exactly srpDeepSql) restricted to pairs touching the new side
+    "q_embed_gate_deep" ->
+      s"""SELECT CASE WHEN vb % 4 = 0 THEN vb ELSE va END AS new_vec,
+         |  CASE WHEN vb % 4 = 0 THEN va ELSE vb END AS dup_of,
+         |  cosine
+         |FROM ($srpDeepSql)
          |WHERE (va % 4 = 0) OR (vb % 4 = 0)
          |ORDER BY new_vec, dup_of""".stripMargin,
     "q_embed_clusters" -> ccSql(

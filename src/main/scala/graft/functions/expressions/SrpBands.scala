@@ -30,11 +30,24 @@ object SrpLsh {
   val Dim = 64            // harness embedding dimensionality
   val Seed = 7L
 
-  /** Flat row-major weight matrix: w(j, pos) = flat(j * Dim + pos). */
-  lazy val flatWeights: Array[Long] = {
-    val rng = new java.util.Random(Seed)
-    Array.fill(Bits * Dim)(if (rng.nextBoolean()) 1L else -1L)
-  }
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+
+  /** Flat row-major weight matrix for a seed: w(j, pos) =
+    * flat(j * Dim + pos). Each seed is an INDEPENDENT hash family —
+    * the textbook LSH amplification axis that rotation layouts
+    * ([[graft.operators.Dedup.srpWideBands]]) cannot provide (only
+    * `group` distinct rotations of one signature exist, and they are
+    * correlated). Memoized per seed: the arrays are codegen reference
+    * objects and must be stable across plan compilations. */
+  def flatWeightsFor(seed: Long): Array[Long] =
+    weightCache.computeIfAbsent(seed, s => {
+      val rng = new java.util.Random(s)
+      Array.fill(Bits * Dim)(if (rng.nextBoolean()) 1L else -1L)
+    })
+
+  /** The default-family matrix (seed [[Seed]]). */
+  def flatWeights: Array[Long] = flatWeightsFor(Seed)
 }
 
 /** Catalyst expression: ARRAY<FLOAT> embedding -> ARRAY<INT> of
@@ -44,7 +57,8 @@ object SrpLsh {
   * signature never leaves whole-stage codegen, and per-vector output
   * is 40 ints regardless of dimensionality (the property that makes
   * the candidate generator's shuffle O(n), not O(n*dim)). */
-case class SrpBands(child: Expression) extends UnaryExpression {
+case class SrpBands(child: Expression, seed: Long = SrpLsh.Seed)
+    extends UnaryExpression {
   override def prettyName: String = "srp_bands"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -74,7 +88,7 @@ case class SrpBands(child: Expression) extends UnaryExpression {
     val x = input.asInstanceOf[ArrayData]
     requireDim(x.numElements())
     val n = SrpLsh.Dim
-    val w = SrpLsh.flatWeights
+    val w = SrpLsh.flatWeightsFor(seed)
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -95,7 +109,7 @@ case class SrpBands(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val w = ctx.addReferenceObj("srpWeights", SrpLsh.flatWeights, "long[]")
+      val w = ctx.addReferenceObj("srpWeights", SrpLsh.flatWeightsFor(seed), "long[]")
       val n = ctx.freshName("n")
       val q = ctx.freshName("q")
       val bands = ctx.freshName("bands")
@@ -129,4 +143,7 @@ case class SrpBands(child: Expression) extends UnaryExpression {
 
 object SrpBands {
   def srp_bands(e: Column): Column = Bridge.column(SrpBands(Bridge.expression(e)))
+  /** Seeded form: an independent SRP hash family per seed. */
+  def srp_bands(e: Column, seed: Long): Column =
+    Bridge.column(SrpBands(Bridge.expression(e), seed))
 }

@@ -618,28 +618,82 @@ object Dedup {
     * (still 6.5x below all-pairs). */
   val StrictBandOffsets: Seq[Int] = Seq(0, 1)
 
-  /** Strict candidate generator: 20 x 8-bit wide SRP bands
-    * ([[srpWideBands]] group=2) per offset layout over the augmented
-    * corpus, candidates = union over layouts (the layout id is part of
-    * the join key, so one self-join does all layouts). The signature
-    * is computed ONCE per vector; layouts are array re-reads. Exposed
-    * separately so Bench can record the candidate count against the
-    * all-pairs count — the measured pruning the 100 TB story rests
-    * on. */
-  private[graft] def strictCandidates(s: SparkSession, d: String): DataFrame = {
+  /** The default SRP hash family's seed (the one every narrow/strict
+    * path uses). */
+  val DefaultSeed: Long = graft.functions.expressions.SrpLsh.Seed
+
+  // -------------------------------- deep-threshold SRP (16-bit, multi-family)
+
+  /** DEEP operating point: 16-bit bands (group=4). Only `group`
+    * distinct rotation layouts of one signature exist (offset and
+    * offset+group produce the SAME quarter partition, renumbered), so
+    * the recall knob at this width is MORE HASH FAMILIES — extra
+    * seeded signatures ([[DeepSeeds]]) — not more offsets. Measured
+    * single-family recall at sf0.1: 183/200 (4 layouts, 131x fewer
+    * candidates than strict); three families compound the per-family
+    * miss (~0.085^3) back to full recall while keeping ~40x of the
+    * candidate reduction. */
+  val DeepBandGroup = 4
+  val DeepBandOffsets: Seq[Int] = Seq(0, 1, 2, 3)
+  /** Three independent Rademacher families: the default plus two more
+    * fixed seeds (arbitrary but frozen — the oracle inlines each
+    * family's matrix as a literal, so these are part of the
+    * cross-engine contract). */
+  val DeepSeeds: Seq[Long] = Seq(DefaultSeed, 101L, 202L)
+
+  /** Deep candidate generator — [[bandedCandidates]] at the deep
+    * point: 10 x 16-bit bands x 4 layouts x 3 families = 120 bands
+    * with random collision 1/65536 per band. */
+  private[graft] def deepCandidates(s: SparkSession, d: String): DataFrame =
+    bandedCandidates(s, d, DeepBandGroup, DeepBandOffsets, DeepSeeds)
+
+  /** Embedding near-dup at the strict threshold through the DEEP
+    * index — same answer set as [[qEmbedNearDupStrict]] whenever
+    * recall is full (the spec measures exactly that), at a candidate
+    * volume that no longer tracks the all-pairs background: 16-bit
+    * bands admit 1/65536 of random pairs per band, so on an ISOTROPIC
+    * corpus (the harness's — where the strict config's candidates
+    * grow quadratically, the bench's one documented superlinear flag)
+    * the deep config's verify stays near-linear. This is the
+    * operating point for noise-dominated corpora; strict remains the
+    * default for clustered real-world corpora where its candidates
+    * already track dup density. */
+  def qEmbedNearDupDeep(s: SparkSession, d: String): DataFrame = {
+    val e = augmentedEmbeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
+    cosineVerify(
+      deepCandidates(s, d)
+        .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
+        .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"),
+      StrictThreshold)
+  }
+
+  /** Generic wide-band candidate generator over the augmented corpus:
+    * one SRP signature per (vector, SEED) — each seed an independent
+    * hash family ([[graft.functions.expressions.SrpLsh.flatWeightsFor]])
+    * — re-banded into `group`-quarter wide bands per offset layout;
+    * candidates = one self-join with (sig_id, layout, band_id,
+    * band_val) as the key, so the union over families and layouts
+    * costs one shuffle. Signatures are computed ONCE per (vector,
+    * seed) and materialized (the union over layouts would otherwise
+    * re-project 160 dots per vector per layout — exchange reuse
+    * collapses the self-join sides, not union branches). */
+  private[graft] def bandedCandidates(s: SparkSession, d: String,
+      group: Int, offsets: Seq[Int], seeds: Seq[Long]): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
-    // materialized: the union over offset layouts would otherwise
-    // re-scan and re-project 160 dots per vector once per layout
-    // (exchange reuse collapses the self-join sides, not union branches)
-    val sig = augmentedEmbeddings(s, d)
-      .select(col("vec_id"), srp_bands(col("embedding")).as("sig"))
-      .localCheckpoint(false)
-    val bands = StrictBandOffsets.map(off =>
-      sig.select(col("vec_id"), lit(off).as("layout"),
-        posexplode(srpWideBands(col("sig"), StrictBandGroup, off))
-          .as(Seq("band_id", "band_val"))))
-      .reduce(_ unionAll _)
+    val vecs = augmentedEmbeddings(s, d)
+    val bands = seeds.zipWithIndex.map { case (seed, sigId) =>
+      val sig = vecs
+        .select(col("vec_id"), srp_bands(col("embedding"), seed).as("sig"))
+        .localCheckpoint(false)
+      offsets.map(off =>
+        sig.select(col("vec_id"), lit(sigId).as("sig_id"), lit(off).as("layout"),
+          posexplode(srpWideBands(col("sig"), group, off))
+            .as(Seq("band_id", "band_val"))))
+        .reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
     bands.as("x").join(bands.as("y"),
+        col("x.sig_id") === col("y.sig_id") &&
         col("x.layout") === col("y.layout") &&
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
@@ -647,6 +701,15 @@ object Dedup {
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
   }
+
+  /** Strict candidate generator: 20 x 8-bit wide SRP bands
+    * ([[srpWideBands]] group=2) per offset layout over the augmented
+    * corpus — [[bandedCandidates]] at the strict operating point.
+    * Exposed separately so Bench can record the candidate count
+    * against the all-pairs count — the measured pruning the 100 TB
+    * story rests on. */
+  private[graft] def strictCandidates(s: SparkSession, d: String): DataFrame =
+    bandedCandidates(s, d, StrictBandGroup, StrictBandOffsets, Seq(DefaultSeed))
 
   /** Embedding near-dup at the REALISTIC threshold (0.7) with the
     * selectivity dial engaged: wide 8-bit SRP bands prune the

@@ -526,13 +526,28 @@ object DedupGate {
     *    config: candidate volume tracks true near-dup density, so
     *    per-trigger verify stays O(batch x dup density) at any corpus
     *    size (the sf1 egate probe in Bench is the standing record).
-    * `group`/`offsets` feed [[Dedup.srpWideBands]] per layout;
-    * `threshold` feeds [[Dedup.cosineVerify]]. */
-  final case class EmbedBanding(threshold: Double, group: Int, offsets: Seq[Int])
+    *  - [[EmbedBanding.Deep]]: 10 x 16-bit bands x 4 layouts x 3
+    *    independent hash families at 0.7 ([[Dedup.qEmbedNearDupDeep]])
+    *    — the operating point for NOISE-DOMINATED corpora, where even
+    *    strict's 8-bit bands admit a quadratic random background
+    *    (1/256 per band): 16-bit bands admit 1/65536, and the recall
+    *    lost to the narrower net is bought back with extra seeded
+    *    signatures ([[Dedup.DeepSeeds]]) instead of more (correlated)
+    *    rotation layouts.
+    * `group`/`offsets` feed [[Dedup.srpWideBands]] per layout per
+    * seed; `threshold` feeds [[Dedup.cosineVerify]]. The hash-family
+    * index is folded into the `layout` band-row column
+    * (`sigId * group + offset` — injective since offsets < group), so
+    * the index schema, absorb increments, and every band join are
+    * family-aware without a schema change. */
+  final case class EmbedBanding(threshold: Double, group: Int, offsets: Seq[Int],
+      seeds: Seq[Long] = Seq(Dedup.DefaultSeed))
   object EmbedBanding {
     val Narrow = EmbedBanding(Dedup.CosineThreshold, 1, Seq(0))
     val Strict = EmbedBanding(Dedup.StrictThreshold, Dedup.StrictBandGroup,
       Dedup.StrictBandOffsets)
+    val Deep = EmbedBanding(Dedup.StrictThreshold, Dedup.DeepBandGroup,
+      Dedup.DeepBandOffsets, Dedup.DeepSeeds)
   }
 
   /** Corpus snapshot pre-processed for the embedding gate: slim SRP
@@ -597,23 +612,42 @@ object DedupGate {
   }
 
   /** (vec_id, layout, band_id, band_val) band rows for `vecs` under
-    * `banding`: ONE srp_bands signature pass per vector (its alias is
-    * referenced by every layout, so CollapseProject keeps it in its
-    * own projection — no per-layout recompute), then each offset
-    * layout's [[Dedup.srpWideBands]] re-pack flattened out of a single
-    * generate. With the Narrow config this is band-for-band the
-    * original 40 x 4-bit explode (group=1/offset=0 re-pack is the
-    * identity; layout is constant 0). */
+    * `banding`: ONE srp_bands signature pass per (vector, hash
+    * family) — each signature's alias is referenced by every layout,
+    * so CollapseProject keeps it in its own projection (no per-layout
+    * recompute) — then each offset layout's [[Dedup.srpWideBands]]
+    * re-pack flattened out of a single generate, with the family id
+    * folded into `layout` (`sigId * group + offset`). With the Narrow
+    * config this is band-for-band the original 40 x 4-bit explode
+    * (group=1/offset=0 re-pack is the identity; layout is constant
+    * 0). */
   private def embedBands(vecs: DataFrame, banding: EmbedBanding): DataFrame = {
     import graft.functions.expressions.SrpBands.srp_bands
-    val layoutArrays = banding.offsets.map { off =>
-      transform(Dedup.srpWideBands(col("sig"), banding.group, off),
-        (v, i) => struct(lit(off).as("layout"), i.as("band_id"), v.as("band_val")))
+    // Narrow fast path: group=1/offset=0 re-packing is the identity,
+    // so skip the wide-band HOF machinery (transform/aggregate lambdas
+    // are interpreted, not whole-stage-codegen'd — the module doc's
+    // measured 14x HOF tax applies) and keep the original direct
+    // codegen posexplode of the signature.
+    if (banding.group == 1 && banding.offsets == Seq(0) &&
+        banding.seeds == Seq(Dedup.DefaultSeed))
+      vecs.select(col("vec_id"), lit(0).as("layout"),
+        posexplode(srp_bands(col("embedding"))).as(Seq("band_id", "band_val")))
+    else {
+      val layoutArrays = banding.seeds.zipWithIndex.flatMap { case (seed, sigId) =>
+        banding.offsets.map { off =>
+          transform(Dedup.srpWideBands(col(s"sig$sigId"), banding.group, off),
+            (v, i) => struct(lit(sigId * banding.group + off).as("layout"),
+              i.as("band_id"), v.as("band_val")))
+        }
+      }
+      val sigCols = col("vec_id") +: banding.seeds.zipWithIndex.map {
+        case (seed, sigId) => srp_bands(col("embedding"), seed).as(s"sig$sigId")
+      }
+      vecs.select(sigCols: _*)
+        .select(col("vec_id"), explode(flatten(array(layoutArrays: _*))).as("e"))
+        .select(col("vec_id"), col("e.layout").as("layout"),
+          col("e.band_id").as("band_id"), col("e.band_val").as("band_val"))
     }
-    vecs.select(col("vec_id"), srp_bands(col("embedding")).as("sig"))
-      .select(col("vec_id"), explode(flatten(array(layoutArrays: _*))).as("e"))
-      .select(col("vec_id"), col("e.layout").as("layout"),
-        col("e.band_id").as("band_id"), col("e.band_val").as("band_val"))
   }
 
   def indexEmbedCorpus(corpusVecs: DataFrame,
@@ -826,6 +860,27 @@ object DedupGate {
       vecs.filter(col("vec_id") % 4 === 0),
       indexEmbedCorpusDisk(vecs.filter(col("vec_id") % 4 =!= 0),
         gateTableName("svec", d), EmbedBanding.Strict))
+      .orderBy(col("new_vec"), col("dup_of"))
+  }
+
+  /** The embedding gate at the DEEP operating point
+    * ([[EmbedBanding.Deep]] — 16-bit bands, 4 layouts, 3 hash
+    * families, cosine 0.7) through the disk-backed vector table. Same
+    * ground truth as [[qEmbedGateStrict]] whenever deep recall is full
+    * (the batch spec measures exactly that), at a candidate volume
+    * that no longer tracks the isotropic all-pairs background — the
+    * gate config for noise-dominated corpora, closing the narrow
+    * config's quadratic-candidate artifact end-to-end (index, absorb,
+    * and per-trigger verify all family-aware via the layout fold).
+    * Oracle: the deep SRP chain restricted to pairs touching the new
+    * side, mirrored bit-identically in SQL (three weight-matrix
+    * literals, one per [[Dedup.DeepSeeds]] family). */
+  def qEmbedGateDeep(s: SparkSession, d: String): DataFrame = {
+    val vecs = Dedup.augmentedEmbeddings(s, d)
+    embedDuplicates(
+      vecs.filter(col("vec_id") % 4 === 0),
+      indexEmbedCorpusDisk(vecs.filter(col("vec_id") % 4 =!= 0),
+        gateTableName("dvec", d), EmbedBanding.Deep))
       .orderBy(col("new_vec"), col("dup_of"))
   }
 }

@@ -98,6 +98,33 @@ class SrpLshSpec extends SparkSpec {
     }
   }
 
+  test("deep query: full recall via three hash families AND order-of-magnitude deeper pruning") {
+    // q_embed_neardup_deep is the 16-bit operating point. At this band
+    // width only `group`=4 distinct rotation layouts of one signature
+    // exist (offset and offset+group give the same quarter partition),
+    // and a single family measures 183/200 recall at sf0.1 — so the
+    // recall knob is INDEPENDENT HASH FAMILIES (seeded signatures),
+    // compounding the per-family miss. Claims against the planted
+    // corpus:
+    //  (a) recall — three families restore equality with the exact
+    //      all-pairs answer at 0.7;
+    //  (b) pruning — candidates are an order of magnitude below the
+    //      strict config's (the point of the deeper bands: the random
+    //      background admits 1/65536 per band, so candidate volume
+    //      stops tracking all-pairs on an isotropic corpus — the fix
+    //      for the bench's one documented superlinear flag).
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val deep = Dedup.qEmbedNearDupDeep(spark, d).collect().toSeq
+      val exact = Dedup.exactNearDupPairs(
+        Dedup.augmentedEmbeddings(spark, d), Dedup.StrictThreshold).collect().toSeq
+      assert(deep == exact, s"deep LSH != exact all-pairs at $d")
+      val deepCand = Dedup.deepCandidates(spark, d).count()
+      val strictCand = Dedup.strictCandidates(spark, d).count()
+      assert(deepCand * 10 < strictCand,
+        s"expected >=10x fewer candidates than strict at $d: $deepCand vs $strictCand")
+    }
+  }
+
   test("srp_bands fails fast on wrong dimensionality and wrong element type") {
     import spark.implicits._
     import graft.functions.expressions.SrpBands.srp_bands
