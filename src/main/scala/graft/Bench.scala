@@ -247,7 +247,15 @@ object Bench {
           "q10_returned_items")
         val errsBeforeSf1 = errors.toSet
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
-          .map(fn => n -> timeOnce(s"sf1/$n", fn, sf1Dir)))
+          .map { fn =>
+            val t = timeOnce(s"sf1/$n", fn, sf1Dir)
+            // same hygiene as time(): drop dead localCheckpoint refs
+            // between queries so earlier plans' block-manager memory
+            // doesn't leak into later single-shot timings — this is
+            // the OOM-prone window (10x data, one JVM)
+            System.gc()
+            n -> t
+          })
         // a query that FAILED at sf1 has a time-to-failure, not a
         // time-to-answer — it must be excluded from the ratio record
         // (a fast OOM would otherwise read as a great ratio) and
@@ -327,16 +335,28 @@ object Bench {
           System.err.println(s"[bench] egate deep steady probe failed: ${e.getMessage}")
           Seq.empty
         }
-        // the two pruning ratios the 100 TB story rests on, at 10x:
-        // text MinHash bands and strict SRP bands vs their all-pairs
+        // the pruning ratios the 100 TB story rests on, at 10x: text
+        // MinHash bands and strict/deep SRP bands vs their all-pairs.
+        // Each probe is INDEPENDENTLY guarded (0 = probe failed, the
+        // srp_strict sf0.1 convention): a failure in one — the deep
+        // chain is the heaviest — must not discard the sf1 timings
+        // and ratios already measured above, nor its sibling probes
+        // (the egate blocks' own-try principle).
+        def probe(name: String)(f: => Long): Long =
+          try f catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name probe failed: ${e.getMessage}")
+            0L
+          }
         import graft.functions.TextFunctions.shingles
         val nDocs = Tables.documents(spark, sf1Dir).count()
-        val textCand = graft.operators.Dedup.minhashCandidates(
-          shingles(Tables.documents(spark, sf1Dir), "doc_id", "text")).count()
+        val textCand = probe("text_lsh")(graft.operators.Dedup.minhashCandidates(
+          shingles(Tables.documents(spark, sf1Dir), "doc_id", "text")).count())
         val textAll = nDocs * (nDocs - 1) / 2
         val nVecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir).count()
-        val srpCand = graft.operators.Dedup.strictCandidates(spark, sf1Dir).count()
-        val deepCand = graft.operators.Dedup.deepCandidates(spark, sf1Dir).count()
+        val srpCand = probe("srp_strict")(
+          graft.operators.Dedup.strictCandidates(spark, sf1Dir).count())
+        val deepCand = probe("srp_deep")(
+          graft.operators.Dedup.deepCandidates(spark, sf1Dir).count())
         val srpAll = nVecs * (nVecs - 1) / 2
         // CORRECTNESS at 10x, not just timing: the planted near-dup
         // pairs (vec_id, vec_id + PlantIdOffset) are the known dup
@@ -348,12 +368,14 @@ object Bench {
         // holding the sf0.1 value (full recall) at 10x the corpus.
         val planted = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
           .filter(col("vec_id") >= graft.operators.Dedup.PlantIdOffset).count()
-        val plantedRecalled = graft.operators.Dedup.qEmbedNearDupStrict(spark, sf1Dir)
-          .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
-            col("vb") >= graft.operators.Dedup.PlantIdOffset).count()
-        val deepRecalled = graft.operators.Dedup.qEmbedNearDupDeep(spark, sf1Dir)
-          .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
-            col("vb") >= graft.operators.Dedup.PlantIdOffset).count()
+        val plantedRecalled = probe("srp_strict_recall")(
+          graft.operators.Dedup.qEmbedNearDupStrict(spark, sf1Dir)
+            .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
+              col("vb") >= graft.operators.Dedup.PlantIdOffset).count())
+        val deepRecalled = probe("srp_deep_recall")(
+          graft.operators.Dedup.qEmbedNearDupDeep(spark, sf1Dir)
+            .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
+              col("vb") >= graft.operators.Dedup.PlantIdOffset).count())
         val times = (sf1Times ++ gateSteady ++ egateSteady ++ egateDeepSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
@@ -473,20 +495,25 @@ object Bench {
     // wide-band candidate count vs the all-pairs space on the
     // planted-cluster corpus (untimed instrumentation — the query's
     // wall time is already in `queries`)
-    val (srpStrict, srpDeep) = try {
-      val n = graft.operators.Dedup.augmentedEmbeddings(spark, sfDir).count()
-      val all = n * (n - 1) / 2
-      // cand == 0 would render NaN/Infinity — bare tokens that corrupt
-      // the single-JSON-line driver contract
-      def row(cand: Long) =
-        s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
-          if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-      (row(graft.operators.Dedup.strictCandidates(spark, sfDir).count()),
-        row(graft.operators.Dedup.deepCandidates(spark, sfDir).count()))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] srp_strict probe failed: ${e.getMessage}")
+    // per-probe guards: a deep-chain failure must not zero the
+    // already-computed strict reading (or vice versa), and the log
+    // must blame the probe that actually failed
+    val (srpStrict, srpDeep) = {
       val zero = """{"all_pairs":0,"candidates":0,"reduction":0}""" // 0 = probe failed
-      (zero, zero)
+      def row(name: String)(cand: => Long): String = try {
+        val n = graft.operators.Dedup.augmentedEmbeddings(spark, sfDir).count()
+        val all = n * (n - 1) / 2
+        val c = cand
+        // c == 0 would render NaN/Infinity — bare tokens that corrupt
+        // the single-JSON-line driver contract
+        s"""{"all_pairs":$all,"candidates":$c,"reduction":${jnum(
+          if (c == 0) 0.0 else all.toDouble / c)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name probe failed: ${e.getMessage}")
+        zero
+      }
+      (row("srp_strict")(graft.operators.Dedup.strictCandidates(spark, sfDir).count()),
+        row("srp_deep")(graft.operators.Dedup.deepCandidates(spark, sfDir).count()))
     }
     // max sample per query: the build cost of memoized indexes lands
     // in the first rep, so the max preserves what the median drops

@@ -271,35 +271,50 @@ object SparkEntry {
     * reads. */
   private def srpChainSql(
       prefix: String, source: String, group: Int, threshold: Double,
-      offsets: Seq[Int] = Seq(0)): String = {
+      offsets: Seq[Int] = Seq(0),
+      seeds: Seq[Long] = Seq(graft.functions.expressions.SrpLsh.Seed)): String = {
     import graft.functions.expressions.SrpLsh
-    // wide re-banding over every offset layout: original quarter j
+    // One pipeline per hash family k (independent weight literal per
+    // seed — graft.functions.expressions.SrpBands(seed) mirror), each
+    // wide-re-banded over every offset layout: original quarter j
     // lands in rotated position rid = (j - off) mod Bands, wide band
     // rid // group, weight 16^(rid % group) — exactly
-    // Dedup.srpWideBands(sig, group, off) per layout, with the layout
-    // id folded into the bucket join key (union of layouts = one join)
+    // Dedup.srpWideBands(sig, group, off) per layout. Family id and
+    // layout are both folded into the bucket join key, so the union
+    // over (families x layouts) still feeds ONE self-join — the same
+    // key fold the Spark side uses (Dedup.bandedCandidates,
+    // DedupGate.embedBands). With group=1/offsets=[0]/one seed this
+    // degenerates to the original narrow 40x4-bit chain (the re-band
+    // group-by is the identity), so every SRP oracle — narrow, strict,
+    // deep, and the three gate restrictions — shares this ONE
+    // definition and the bit-identical cross-engine contract
+    // (1e6/1e12 quantization, weight literals, verify formula) cannot
+    // drift between paths.
     val rid = s"((band_id + ${SrpLsh.Bands} - off) % ${SrpLsh.Bands})"
-    val wideCte = if (group == 1) "" else s""",
-       |wide AS (SELECT vec_id, off AS layout, $rid // $group AS band_id,
-       |    sum(band_val * (1 << (${SrpLsh.BandBits} * ($rid % $group)))) AS band_val
-       |  FROM bands CROSS JOIN (SELECT unnest([${offsets.mkString(",")}]) AS off)
-       |  GROUP BY 1, 2, 3)""".stripMargin
-    val bandRel = if (group == 1) "bands" else "wide"
-    val layoutEq = if (group == 1) "" else "a.layout = b.layout AND "
+    val perSeed = seeds.zipWithIndex.map { case (seed, k) =>
+      s"""s$k AS (SELECT ve.vec_id, js.j,
+         |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * (${srpWeightsSqlLiteralFor(seed)})[js.j+1][ve.pos+1]) AS s
+         |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
+         |  GROUP BY 1, 2),
+         |bands$k AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
+         |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
+         |  FROM s$k GROUP BY 1, 2),
+         |wide$k AS (SELECT vec_id, $k AS sig_id, off AS layout, $rid // $group AS band_id,
+         |    sum(band_val * (1 << (${SrpLsh.BandBits} * ($rid % $group)))) AS band_val
+         |  FROM bands$k CROSS JOIN (SELECT unnest([${offsets.mkString(",")}]) AS off)
+         |  GROUP BY 1, 2, 3, 4)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = seeds.indices.map(k => s"SELECT * FROM wide$k").mkString(" UNION ALL ")
     s"""WITH ${prefix}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM $source),
        |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
        |    SELECT vec_id, embedding,
        |      unnest(generate_series(0, len(embedding)-1)) AS pos
        |    FROM $source)),
-       |s AS (SELECT ve.vec_id, js.j,
-       |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * ($srpWeightsSqlLiteral)[js.j+1][ve.pos+1]) AS s
-       |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
-       |  GROUP BY 1, 2),
-       |bands AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
-       |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
-       |  FROM s GROUP BY 1, 2)$wideCte,
+       |$perSeed,
+       |allb AS ($unionAll),
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM $bandRel a JOIN $bandRel b ON ${layoutEq}a.band_id = b.band_id AND a.band_val = b.band_val
+       |  FROM allb a JOIN allb b ON a.sig_id = b.sig_id AND a.layout = b.layout
+       |    AND a.band_id = b.band_id AND a.band_val = b.band_val
        |    AND a.vec_id < b.vec_id),
        |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
        |    unnest(list_zip(an.embedding, bn.embedding)) AS z
@@ -345,50 +360,13 @@ object SparkEntry {
       Dedup.StrictThreshold, Dedup.StrictBandOffsets)
   }
 
-  /** DEEP-config mirror (Dedup.qEmbedNearDupDeep): three independent
-    * hash families (one SQL weight literal per Dedup.DeepSeeds entry),
-    * each re-banded into 16-bit wide bands across the 4 distinct
-    * rotation layouts, unioned with the family id in the bucket join
-    * key — then the same exact-cosine verify tail at 0.7. */
+  /** DEEP-config mirror (Dedup.qEmbedNearDupDeep): the shared chain
+    * at 16-bit bands, 4 rotation layouts, and one weight-matrix
+    * literal per [[graft.operators.Dedup.DeepSeeds]] hash family. */
   private def srpDeepSql: String = {
     import graft.operators.Dedup
-    import graft.functions.expressions.SrpLsh
-    val group = Dedup.DeepBandGroup
-    val rid = s"((band_id + ${SrpLsh.Bands} - off) % ${SrpLsh.Bands})"
-    val perSeed = Dedup.DeepSeeds.zipWithIndex.map { case (seed, k) =>
-      s"""s$k AS (SELECT ve.vec_id, js.j,
-         |    sum(CAST(floor(ve.x*1e6 + 0.5) AS BIGINT) * (${srpWeightsSqlLiteralFor(seed)})[js.j+1][ve.pos+1]) AS s
-         |  FROM ve CROSS JOIN (SELECT unnest(generate_series(0, ${SrpLsh.Bits - 1})) AS j) js
-         |  GROUP BY 1, 2),
-         |bands$k AS (SELECT vec_id, j // ${SrpLsh.BandBits} AS band_id,
-         |    sum(CASE WHEN s >= 0 THEN 1 << (j % ${SrpLsh.BandBits}) ELSE 0 END) AS band_val
-         |  FROM s$k GROUP BY 1, 2),
-         |wide$k AS (SELECT vec_id, $k AS sig_id, off AS layout, $rid // $group AS band_id,
-         |    sum(band_val * (1 << (${SrpLsh.BandBits} * ($rid % $group)))) AS band_val
-         |  FROM bands$k CROSS JOIN (SELECT unnest([${Dedup.DeepBandOffsets.mkString(",")}]) AS off)
-         |  GROUP BY 1, 2, 3, 4)""".stripMargin
-    }.mkString(",\n")
-    val unionAll = Dedup.DeepSeeds.indices
-      .map(k => s"SELECT * FROM wide$k").mkString(" UNION ALL ")
-    s"""WITH ${srpAugPrefixSql}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
-       |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
-       |    SELECT vec_id, embedding,
-       |      unnest(generate_series(0, len(embedding)-1)) AS pos
-       |    FROM aug)),
-       |$perSeed,
-       |allb AS ($unionAll),
-       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM allb a JOIN allb b ON a.sig_id = b.sig_id AND a.layout = b.layout
-       |    AND a.band_id = b.band_id AND a.band_val = b.band_val
-       |    AND a.vec_id < b.vec_id),
-       |cz AS (SELECT c.va, c.vb, an.n2 AS n2a, bn.n2 AS n2b,
-       |    unnest(list_zip(an.embedding, bn.embedding)) AS z
-       |  FROM cand c JOIN n an ON c.va = an.vec_id JOIN n bn ON c.vb = bn.vec_id),
-       |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
-       |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-       |  FROM cz GROUP BY va, vb)
-       |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
-       |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.StrictThreshold} ORDER BY va, vb""".stripMargin
+    srpChainSql(srpAugPrefixSql, "aug", Dedup.DeepBandGroup,
+      Dedup.StrictThreshold, Dedup.DeepBandOffsets, Dedup.DeepSeeds)
   }
 
   /** Exact connected components (mirrors Dedup.connectedComponents'

@@ -523,9 +523,7 @@ object Dedup {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    cosineVerify(candidates
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"))
+    verifyCandidates(candidates, e, CosineThreshold)
   }
 
   /** Re-pack the 40 x 4-bit SRP bands into wider bands of `group`
@@ -658,15 +656,24 @@ object Dedup {
     * operating point for noise-dominated corpora; strict remains the
     * default for clustered real-world corpora where its candidates
     * already track dup density. */
-  def qEmbedNearDupDeep(s: SparkSession, d: String): DataFrame = {
-    val e = augmentedEmbeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
-    cosineVerify(
-      deepCandidates(s, d)
-        .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
-        .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"),
+  def qEmbedNearDupDeep(s: SparkSession, d: String): DataFrame =
+    verifyCandidates(deepCandidates(s, d),
+      augmentedEmbeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2")),
       StrictThreshold)
-  }
+
+  /** Exact-cosine verify tail shared by every banded near-dup query:
+    * vectors+norms joined back for CANDIDATE pair rows only (the two-
+    * sided equi-join [[cosineVerify]] expects), verified at
+    * `threshold`. ONE definition so join-back fixes (column handling,
+    * checkpoint discipline) cannot drift between the narrow, strict,
+    * and deep paths. */
+  private def verifyCandidates(cand: DataFrame, vecs: DataFrame,
+      threshold: Double): DataFrame =
+    cosineVerify(cand
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"),
+      threshold)
 
   /** Generic wide-band candidate generator over the augmented corpus:
     * one SRP signature per (vector, SEED) — each seed an independent
@@ -728,15 +735,11 @@ object Dedup {
     * itself at every SF. This is the query [[qEmbedNearDupLsh]]'s
     * scaladoc promises: same code, same index, real threshold —
     * super-linear pruning at full recall. */
-  def qEmbedNearDupStrict(s: SparkSession, d: String): DataFrame = {
-    val e = augmentedEmbeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
-    cosineVerify(
-      strictCandidates(s, d)
-        .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("n2").as("n2a")), "va")
-        .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("n2").as("n2b")), "vb"),
+  def qEmbedNearDupStrict(s: SparkSession, d: String): DataFrame =
+    verifyCandidates(strictCandidates(s, d),
+      augmentedEmbeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2")),
       StrictThreshold)
-  }
 
   /** Memoized SRP near-dup pair index — the semantic twin of
     * [[lshPairs]]: downstream cluster building reuses one bucketed

@@ -541,7 +541,18 @@ object DedupGate {
     * the index schema, absorb increments, and every band join are
     * family-aware without a schema change. */
   final case class EmbedBanding(threshold: Double, group: Int, offsets: Seq[Int],
-      seeds: Seq[Long] = Seq(Dedup.DefaultSeed))
+      seeds: Seq[Long] = Seq(Dedup.DefaultSeed)) {
+    // the layout fold is injective ONLY while offsets stay inside
+    // [0, group): a violating config would silently alias band rows
+    // of different hash families into one band space (false candidates
+    // the exact verify then hides as pure wasted I/O) — fail fast
+    // instead. offset >= group is also never useful: offset and
+    // offset % group produce the same quarter partition, renumbered.
+    require(offsets.nonEmpty && offsets.forall(o => o >= 0 && o < group),
+      s"offsets must lie in [0, group=$group) for the family-layout fold: $offsets")
+    require(seeds.nonEmpty && seeds.distinct == seeds,
+      s"seeds must be non-empty and distinct: $seeds")
+  }
   object EmbedBanding {
     val Narrow = EmbedBanding(Dedup.CosineThreshold, 1, Seq(0))
     val Strict = EmbedBanding(Dedup.StrictThreshold, Dedup.StrictBandGroup,
