@@ -243,7 +243,17 @@ object Bench {
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_seq_pack", "q_simhash", "q_simhash_md5", "q_subtoken_count",
           "q_text_quality", "q_tfidf_topk", "q_token_stats", "q_word_count",
+          // relational at 10x: the four original headliners, the full
+          // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
+          // derives — one distinct-shuffle charged to q9, their own
+          // numbers are pure query time), and the remaining star-join
+          // shapes (q3 top-N, q5 five-way within-replica join, q18
+          // group-having semi-join) — every distinct relational plan
+          // shape gets a 10x point, not just the heaviest four
           "q1_pricing", "q7_volume_shipping", "q9_product_profit",
+          "q2_min_cost_supplier", "q11_important_stock",
+          "q16_parts_supplier", "q20_potential_promo",
+          "q3_top_orders", "q5_region_revenue", "q18_large_orders",
           "q10_returned_items")
         val errsBeforeSf1 = errors.toSet
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
