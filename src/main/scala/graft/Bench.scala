@@ -241,6 +241,7 @@ object Bench {
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
+          "q_semdedup",
           "q_seq_pack", "q_simhash", "q_simhash_md5", "q_subtoken_count",
           "q_text_quality", "q_tfidf_topk", "q_token_stats", "q_word_count",
           // relational at 10x: the four original headliners, the full

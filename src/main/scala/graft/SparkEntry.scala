@@ -122,6 +122,7 @@ object SparkEntry {
     "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
+    "q_semdedup" -> (Dedup.qSemDedup _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
@@ -441,11 +442,13 @@ object SparkEntry {
          |$kmeansChainSql
          |SELECT cent_id, CAST(pos AS BIGINT) AS pos, x AS val
          |FROM c${KmIters + 1} ORDER BY cent_id, pos""".stripMargin
-  private val knnIvfSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |$veSql,
-         |$kmeansChainSql,
-         |centl AS (SELECT cent_id, list(x ORDER BY pos) AS cent_e
+  /** Final-centroid nearest-cell assignment CTEs (expects `n`, `ve`,
+    * and the kmeans chain upstream; emits `assign(vec_id, cell)`) —
+    * the mirror of Similarity.assignCells over trainedCentroids,
+    * shared by the IVF search chain and the SemDeDup oracle so the
+    * assignment arithmetic cannot drift between them. */
+  private def ivfAssignCtes: String =
+    s"""centl AS (SELECT cent_id, list(x ORDER BY pos) AS cent_e
          |          FROM c${KmIters + 1} GROUP BY 1),
          |cent AS (SELECT cent_id, cent_e, ${n2Sql("cent_e")} AS cent_n2 FROM centl),
          |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
@@ -456,7 +459,13 @@ object SparkEntry {
          |assign AS (SELECT vec_id, cent_id AS cell FROM (
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots) t WHERE rn = 1),
+         |    FROM adots) t WHERE rn = 1)""".stripMargin
+
+  private val knnIvfSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |$ivfAssignCtes,
          |probes AS (SELECT qid, cell FROM (
          |    SELECT vec_id AS qid, cent_id AS cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
@@ -473,6 +482,37 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(qn2)*sqrt(cn2)) DESC, cid) AS rn
          |  FROM cdots)
          |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  /** Mirror of Dedup.qSemDedup: the IVF assignment chain, exact-cosine
+    * pairs restricted to same-cell (the embedNearDupSql arithmetic with
+    * cluster blocking), the recursive component closure of ccSql, and
+    * a min-id representative per component. One flat chain so the
+    * kmeans/assignment CTEs are computed once. */
+  private def semDedupSql =
+    s"""WITH RECURSIVE n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |$ivfAssignCtes,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, na.n2 AS n2a, nb.n2 AS n2b,
+         |             na.embedding AS ea, nb.embedding AS eb
+         |      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      JOIN n na ON a.vec_id = na.vec_id JOIN n nb ON b.vec_id = nb.vec_id),
+         |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
+         |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM z GROUP BY va, vb),
+         |pr AS (SELECT va AS doc_a, vb AS doc_b FROM dots
+         |       WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.SemDedupThreshold}),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |       UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(v, u) AS (
+         |  SELECT a, a FROM ed
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a),
+         |cc AS (SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v)
+         |SELECT a.vec_id, a.cell, coalesce(c.cluster_id, a.vec_id) AS rep,
+         |       (coalesce(c.cluster_id, a.vec_id) = a.vec_id) AS keep
+         |FROM assign a LEFT JOIN cc c ON a.vec_id = c.vec_id ORDER BY a.vec_id""".stripMargin
 
   /** Int8-index IVF search mirror of Similarity.qKnnIvfInt8: the
     * knnIvfSql chain up to probes, then the q_embed_quantize
@@ -1328,6 +1368,7 @@ object SparkEntry {
          |ORDER BY new_vec, dup_of""".stripMargin,
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
+    "q_semdedup" -> semDedupSql,
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
     // same fixed-point class-mean + argmax chain as Similarity.qEmbedClassify

@@ -278,6 +278,61 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
+  /** Cosine threshold for cluster-blocked semantic dedup — the strict
+    * operating point (same bar as the strict SRP path), where a pair
+    * is a genuine paraphrase/near-copy, not topical similarity. */
+  val SemDedupThreshold = 0.7
+
+  /** SemDeDup-style cluster-blocked semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public arXiv:2303.09540): k-means-cluster the
+    * embedding space, compare pairs ONLY within a cluster, keep one
+    * representative (min vec_id) per cosine-connected component.
+    * The third blocking family next to MinHash-LSH (lexical) and
+    * SRP-LSH (hyperplane): centroid blocking needs no hash design and
+    * its candidate volume is sum over cells of n_c^2 — tunable purely
+    * by the coarse-quantizer cardinality k ([[Similarity.TargetCells]]
+    * here; a production corpus sizes k so n_c ~ 1-10k, e.g. k = n/4096,
+    * exactly like an IVF index).
+    *
+    * Scale posture: assignment is the zero-shuffle broadcast argmax of
+    * the IVF path ([[Similarity.assignCells]] — the vector table never
+    * shuffles for it); the ONE wide op is the self-join shuffle on
+    * `cell`; components run on the (tiny) surviving pair set. Recall
+    * is by construction that of SemDeDup: a near-dup pair split across
+    * a centroid boundary is missed — the paper's accepted trade; run
+    * [[qEmbedClusters]]' SRP path when full recall is required.
+    * Output: every vector with its cell, representative, and keep
+    * verdict — `keep = false` rows are what a curation pipeline drops. */
+  def qSemDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOn(Similarity.withNorm(Tables.embeddings(s, d)),
+      Similarity.trainedCentroids(s, d))
+
+  /** The SemDeDup core over an explicit corpus and centroid set —
+    * `e` is a withNorm'd (vec_id, embedding, n2) frame, `cents` the
+    * long-form (cent_id, cent_e, cent_n2) centroids (specs plant
+    * their own corpus and train matching centroids). */
+  private[graft] def semDedupOn(e: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = Similarity.assignCells(e, Similarity.centroidArray(cents))
+      .localCheckpoint(false) // feeds both join branches + the verdict base
+    val a = asg.select(col("cell"), col("vec_id").as("va"),
+      col("ce").as("ea"), col("cn2").as("n2a"))
+    val b = asg.select(col("cell"), col("vec_id").as("vb"),
+      col("ce").as("eb"), col("cn2").as("n2b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(cosineFromParts(dotExact(col("ea"), col("eb")),
+        col("n2a"), col("n2b")) >= SemDedupThreshold)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(connectedComponents(pairs).withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep"))
+      .withColumn("keep", col("rep") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact connected components over an undirected (doc_a, doc_b) pair
     * set: alternating min-label edge-propagation and pointer-jumping
     * (label doubling — l(v) := min(l(v), l(l(v)))) until a detected

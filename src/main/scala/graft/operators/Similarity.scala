@@ -40,7 +40,7 @@ object Similarity {
   val NumQueries = 5
   val NProbe = 2
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
 
   /** Per-query top-k over a (qid, cid, cosine) frame via the bounded

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_neardup" -> "documented exact near-dup ground truth (all-pairs by design)",
     "q_ivf_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_knn_ivf" -> "broadcast side is the fixed k-means centroid set (|cells| rows)",
+    "q_semdedup" -> "broadcast side is the fixed k-means centroid set (|cells| rows)",
     "q_knn_ivf_int8" -> "broadcast sides are the fixed centroid set and the |queries|x3K shortlist",
     "q_ivf_int8_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_embed_classify" -> "broadcast side is the fixed per-label centroid set",
