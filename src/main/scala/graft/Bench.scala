@@ -235,15 +235,16 @@ object Bench {
           "q_kmeans_centroids",
           "q_clean_corpus", "q_contamination", "q_data_split",
           "q_dedup_clusters", "q_dedup_content", "q_dedup_exact",
+          "q_dedup_keep_best",
           "q_doc_chunks", "q_embed_classify", "q_embed_neardup_deep",
           "q_embed_neardup_strict",
           "q_embed_quantize", "q_fingerprint", "q_frame_sample",
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
-          "q_semdedup",
-          "q_seq_pack", "q_simhash", "q_simhash_md5", "q_subtoken_count",
-          "q_text_quality", "q_tfidf_topk", "q_token_stats", "q_word_count",
+          "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
+          "q_source_quota", "q_subtoken_count", "q_text_quality",
+          "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
           // relational at 10x: the four original headliners, the full
           // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
           // derives — one distinct-shuffle charged to q9, their own

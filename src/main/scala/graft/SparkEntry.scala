@@ -102,6 +102,8 @@ object SparkEntry {
     "q_contamination" -> (TextAnalysis.qContamination _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
+    "q_source_quota" -> (TextAnalysis.qSourceQuota _),
+    "q_token_budget" -> (TextAnalysis.qTokenBudgetSample _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.qDedupExact _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_embed_neardup_strict" -> (Dedup.qEmbedNearDupStrict _),
     "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
+    "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q_semdedup" -> (Dedup.qSemDedup _),
     // --- similarity search ---
@@ -375,16 +378,25 @@ object SparkEntry {
     * reachability closure, cluster id = min reachable vertex (incl.
     * self). Diameter-independent, like the Spark side's convergent
     * propagation — the UNION dedup bounds the recursion. */
-  private def ccSql(pairsSql: String, outId: String): String =
-    s"""WITH RECURSIVE pr AS ($pairsSql),
+  /** Connected-components CTE chain over a (doc_a, doc_b) pair query:
+    * recursive reachability closure, min label per component, emitted
+    * as `cc($outId, cluster_id)`. ONE definition shared by every
+    * cluster-consuming oracle (q_dedup_clusters, q_embed_clusters,
+    * q_dedup_keep_best, q_semdedup) so the closure cannot drift.
+    * Callers prefix `WITH RECURSIVE`. */
+  private def ccCtes(pairsSql: String, outId: String): String =
+    s"""pr AS ($pairsSql),
        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
        |       UNION ALL SELECT doc_b, doc_a FROM pr),
        |reach(v, u) AS (
        |  SELECT a, a FROM ed
        |  UNION
-       |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a)
-       |SELECT v AS $outId, min(u) AS cluster_id
-       |FROM reach GROUP BY v ORDER BY $outId""".stripMargin
+       |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a),
+       |cc AS (SELECT v AS $outId, min(u) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  private def ccSql(pairsSql: String, outId: String): String =
+    s"""WITH RECURSIVE ${ccCtes(pairsSql, outId)}
+       |SELECT $outId, cluster_id FROM cc ORDER BY $outId""".stripMargin
 
   private val knnBruteSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
@@ -501,15 +513,10 @@ object SparkEntry {
          |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
          |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
          |  FROM z GROUP BY va, vb),
-         |pr AS (SELECT va AS doc_a, vb AS doc_b FROM dots
-         |       WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.SemDedupThreshold}),
-         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
-         |       UNION ALL SELECT doc_b, doc_a FROM pr),
-         |reach(v, u) AS (
-         |  SELECT a, a FROM ed
-         |  UNION
-         |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a),
-         |cc AS (SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v)
+         |${ccCtes(
+            s"""SELECT va AS doc_a, vb AS doc_b FROM dots
+               |       WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${Dedup.SemDedupThreshold}""".stripMargin,
+            "vec_id")}
          |SELECT a.vec_id, a.cell, coalesce(c.cluster_id, a.vec_id) AS rep,
          |       (coalesce(c.cluster_id, a.vec_id) = a.vec_id) AS keep
          |FROM assign a LEFT JOIN cc c ON a.vec_id = c.vec_id ORDER BY a.vec_id""".stripMargin
@@ -1402,6 +1409,19 @@ object SparkEntry {
     // closure), over the exact-Jaccard pair set (≡ LSH pairs at these
     // params)
     "q_dedup_clusters" -> ccSql(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id"),
+    // mirror of Dedup.qDedupKeepBest: same component closure, then the
+    // longest-member (ties -> min doc_id) representative per cluster
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${ccCtes(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id")},
+         |m AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |      FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id),
+         |best AS (SELECT cluster_id, doc_id AS rep FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM m) t WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, b.rep, (b.rep = m.doc_id) AS keep
+         |FROM m JOIN best b ON m.cluster_id = b.cluster_id
+         |ORDER BY m.doc_id""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,
@@ -1486,6 +1506,30 @@ object SparkEntry {
         |      strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
         |    FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+    // mirror of TextAnalysis.qSourceQuota: top-N longest per source
+    // (window form — the Spark side's bounded partial agg is
+    // plan-shape, not semantics)
+    "q_source_quota" ->
+      s"""SELECT source, CAST(rn AS BIGINT) AS rnk, doc_id, n_chars
+         |FROM (SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |        ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= ${graft.operators.TextAnalysis.QuotaPerSource}
+         |ORDER BY source, rnk""".stripMargin,
+    // mirror of TextAnalysis.qTokenBudgetSample: single global
+    // cumulative window in md5 order (the Spark side's bucketed
+    // prefix-sum decomposition is plan-shape, not semantics)
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |      md5(CAST(doc_id AS VARCHAR)) AS k
+         |    FROM (SELECT doc_id, $tokSql AS toks FROM documents)),
+         |tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY k, doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c, tot WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx

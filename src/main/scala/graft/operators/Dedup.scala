@@ -265,6 +265,35 @@ object Dedup {
     connectedComponents(lshPairs(s, d))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware duplicate resolution: per near-dup cluster, keep
+    * the LONGEST member (ties -> lowest doc_id) instead of the min-id
+    * one — what a curation pipeline actually ships, since the longest
+    * copy of a scraped page is usually the least-truncated one.
+    * Singletons (docs in no cluster) keep themselves.
+    *
+    * Scale shape: clusters from the same LSH pair graph as
+    * [[qDedupClusters]]; the representative is an argmax AGGREGATION
+    * (`max(struct(n_chars, -doc_id))` — map-side partials, O(1) state
+    * per cluster), NOT a per-cluster window sort, so the heavy
+    * shuffle carries one struct per cluster rather than every member
+    * row through a sort. Two equi-joins (doc_id, then cluster_id)
+    * round out the plan — all AQE-friendly hash joins. */
+  def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val m = docs
+      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_chars"))
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b").getField("neg_id")).as("rep"))
+    m.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rep"),
+        (col("rep") === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SEMANTIC dedup clusters: the same component construction over the
     * embedding-cosine near-dup graph — text-dissimilar but
     * meaning-similar documents collapse together (the companion of the

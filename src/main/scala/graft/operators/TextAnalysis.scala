@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Deterministic.{davg, dsum}
 import graft.functions.TextFunctions._
+import graft.functions.TopKAggregator
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table: token statistics, quality scoring, language ID,
@@ -367,4 +368,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast(LongType)).as("sum_chars"))
       .orderBy(col("split"))
+
+  /** Per-source document quota — cap each source (domain) at
+    * [[QuotaPerSource]] documents, keeping the longest (ties -> lowest
+    * doc_id). The standard web-curation guard against a single crawler-
+    * friendly domain dominating the corpus.
+    *
+    * Scale shape: the per-source top-N goes through [[TopKAggregator]]
+    * (bounded partial aggregation — O(N) state per source regardless
+    * of source size, map-side combine does the heavy lifting), NOT a
+    * window row_number, which would shuffle and SORT every member row
+    * of the biggest domain through one task. n_chars -> Double is
+    * exact (< 2^53), so the ranking is integer-exact cross-engine. */
+  val QuotaPerSource = 10
+  def qSourceQuota(s: SparkSession, d: String): DataFrame = {
+    val tk = udaf(new TopKAggregator(QuotaPerSource),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(tk(col("n_chars").cast(DoubleType), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col._2").as("doc_id"), col("col._1").cast(LongType).as("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Deterministic token-budget sampling: admit documents in
+    * md5(doc_id) order until the cumulative token count reaches half
+    * the corpus total — the "give me N tokens, reproducibly" primitive
+    * behind every mixture recipe (the md5 order is a stable global
+    * shuffle, so the kept set is a uniform sample independent of
+    * storage order, and a re-run keeps the SAME documents).
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window sort:
+    *  1. bucket = first two md5 hex chars (256 buckets, an
+    *     order-preserving prefix of the sort key);
+    *  2. per-bucket token totals (hash agg, map-side partials), then
+    *     bucket offsets via a window over the 256-row bucket frame
+    *     (bounded by construction — the one "global" sort is 256 rows);
+    *  3. per-bucket cumulative sums (each bucket sorts ~n/256 rows in
+    *     its own task — the same range-partition + local-sort pattern
+    *     as Spark's own orderBy) plus the broadcast offset.
+    * The budget scalar is a 1-row broadcast (crossJoin — BNLJ-
+    * allowlisted), and nothing touches the driver. */
+  def qTokenBudgetSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast(StringType)).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("off", coalesce(
+        sum(col("bsum")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val budget = docs.agg(
+      floor(sum(col("n_tokens")) / 2).cast(LongType).as("budget"))
+    val wCum = Window.partitionBy(col("bucket"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(wCum))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

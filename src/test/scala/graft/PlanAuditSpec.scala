@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_ivf_int8" -> "broadcast sides are the fixed centroid set and the |queries|x3K shortlist",
     "q_ivf_int8_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_embed_classify" -> "broadcast side is the fixed per-label centroid set",
+    "q_token_budget" -> "scalar subquery: single-row token-budget broadcast",
     "q22_idle_customers" -> "scalar subquery: single-row avg-balance broadcast",
     "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast",
     "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast")
