@@ -531,18 +531,7 @@ object SparkEntry {
     s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
-         |centl AS (SELECT cent_id, list(x ORDER BY pos) AS cent_e
-         |          FROM c${KmIters + 1} GROUP BY 1),
-         |cent AS (SELECT cent_id, cent_e, ${n2Sql("cent_e")} AS cent_n2 FROM centl),
-         |az AS (SELECT a.vec_id, c.cent_id, a.n2, c.cent_n2, unnest(list_zip(a.embedding, c.cent_e)) AS z
-         |       FROM n a CROSS JOIN cent c),
-         |adots AS (SELECT vec_id, cent_id, any_value(n2) AS n2, any_value(cent_n2) AS cn2,
-         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
-         |  FROM az GROUP BY vec_id, cent_id),
-         |assign AS (SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots) t WHERE rn = 1),
+         |$ivfAssignCtes,
          |probes AS (SELECT qid, cell FROM (
          |    SELECT vec_id AS qid, cent_id AS cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn

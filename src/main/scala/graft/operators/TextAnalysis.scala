@@ -412,18 +412,26 @@ object TextAnalysis {
     * The budget scalar is a 1-row broadcast (crossJoin — BNLJ-
     * allowlisted), and nothing touches the driver. */
   def qTokenBudgetSample(s: SparkSession, d: String): DataFrame = {
+    // ONE tokenize+md5 scan feeds all three consumers (join branch,
+    // bucket sums, budget) — without the checkpoint Spark re-evaluates
+    // the lineage per branch and tokenization triples
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"),
         md5(col("doc_id").cast(StringType)).as("k"))
       .withColumn("bucket", substring(col("k"), 1, 2))
-    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bsum"))
+      .localCheckpoint(false)
+    val bsums = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bsum"))
+      .localCheckpoint(false) // 256 rows, feeds offsets AND the budget
+    val offsets = bsums
       .withColumn("off", coalesce(
         sum(col("bsum")).over(Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bucket"), col("off"))
-    val budget = docs.agg(
-      floor(sum(col("n_tokens")) / 2).cast(LongType).as("budget"))
+    // integral halving (n_tokens >= 0, so >>1 == floor div 2) — a
+    // double division would round above 2^53 total tokens and admit a
+    // different trailing document than the oracle's exact `// 2`
+    val budget = bsums.agg(shiftright(sum(col("bsum")), 1).as("budget"))
     val wCum = Window.partitionBy(col("bucket"))
       .orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

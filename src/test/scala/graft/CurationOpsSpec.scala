@@ -72,7 +72,7 @@ class CurationOpsSpec extends SparkSpec {
       size(graft.functions.TextFunctions.tokens(col("text")))
         .cast("long").as("n_tokens"),
       md5(col("doc_id").cast("string")).as("k"))
-    val budget = base.agg(floor(sum(col("n_tokens")) / 2).cast("long"))
+    val budget = base.agg(shiftright(sum(col("n_tokens")), 1))
       .head.getLong(0)
     val wAll = Window.orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
