@@ -96,4 +96,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(cumMax <= budget && cumMax + nextTok > budget,
       s"not a maximal prefix: cum $cumMax, budget $budget, next $nextTok")
   }
+
+  test("curation plans carry their scale shape, not the window fallback") {
+    // quota: bounded partial top-k, and NO Window operator anywhere —
+    // the whole point is that the hot domain never sorts in one task
+    val quotaPlan = TextAnalysis.qSourceQuota(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(quotaPlan.contains("partial_topkaggregator"),
+      s"source quota must partial-aggregate (O(quota) map-side state):\n$quotaPlan")
+    assert(!quotaPlan.contains("Window"),
+      s"source quota fell back to a window sort:\n$quotaPlan")
+    // budget: the per-row cumulative window must be PARTITIONED BY
+    // bucket (parallel local sorts); only the 256-row offset window
+    // may be unpartitioned
+    val budgetPlan = TextAnalysis.qTokenBudgetSample(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(budgetPlan.contains("windowspecdefinition(bucket#") ||
+      budgetPlan.contains("windowspecdefinition(bucket"),
+      s"token-budget cumulative sum lost its bucket partitioning:\n$budgetPlan")
+  }
 }
