@@ -235,10 +235,11 @@ object Bench {
           "q_kmeans_centroids",
           "q_clean_corpus", "q_contamination", "q_data_split",
           "q_dedup_clusters", "q_dedup_content", "q_dedup_exact",
-          "q_dedup_keep_best",
+          "q_dedup_keep_best", "q_dedup_stats",
           "q_doc_chunks", "q_embed_classify", "q_embed_neardup_deep",
           "q_embed_neardup_strict",
-          "q_embed_quantize", "q_fingerprint", "q_frame_sample",
+          "q_embed_quantize", "q_filter_funnel", "q_fingerprint",
+          "q_frame_sample",
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
     "q_token_budget" -> (TextAnalysis.qTokenBudgetSample _),
+    "q_filter_funnel" -> (TextAnalysis.qFilterFunnel _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.qDedupExact _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
+    "q_dedup_stats" -> (Dedup.qDedupStats _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q_semdedup" -> (Dedup.qSemDedup _),
     // --- similarity search ---
@@ -1411,6 +1413,16 @@ object SparkEntry {
          |SELECT m.doc_id, m.cluster_id, b.rep, (b.rep = m.doc_id) AS keep
          |FROM m JOIN best b ON m.cluster_id = b.cluster_id
          |ORDER BY m.doc_id""".stripMargin,
+    // mirror of Dedup.qDedupStats: same closure, cluster-size histogram
+    "q_dedup_stats" ->
+      s"""WITH RECURSIVE ${ccCtes(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id")},
+         |m AS (SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM m GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+         |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,
@@ -1519,6 +1531,35 @@ object SparkEntry {
          |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
          |FROM c, tot WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    // mirror of TextAnalysis.qFilterFunnel: first-failing-rule charge,
+    // integer cross-multiplied thresholds, funnel arithmetic from one
+    // counter row
+    "q_filter_funnel" ->
+      s"""WITH m AS (SELECT n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_len,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+         |  FROM (SELECT n_chars, text, $tokSql AS toks FROM documents)),
+         |s AS (SELECT CASE WHEN NOT (n_chars BETWEEN 100 AND 100000) THEN 1
+         |        WHEN NOT (tok_len BETWEEN 4*n_tok AND 10*n_tok) THEN 2
+         |        WHEN NOT (20*n_stop >= n_tok) THEN 3
+         |        WHEN NOT (10*n_dist >= 3*n_tok) THEN 4 ELSE 5 END AS stage FROM m),
+         |a AS (SELECT count(*) AS total,
+         |    CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |    CAST(sum(CASE WHEN stage = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+         |  FROM s)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'len_band' AS rule,
+         |    total AS n_in, d1 AS n_dropped, total - d1 AS n_out FROM a
+         |  UNION ALL SELECT 2, 'word_len', total - d1, d2, total - d1 - d2 FROM a
+         |  UNION ALL SELECT 3, 'stop_ratio', total - d1 - d2, d3,
+         |    total - d1 - d2 - d3 FROM a
+         |  UNION ALL SELECT 4, 'lex_diversity', total - d1 - d2 - d3, d4,
+         |    total - d1 - d2 - d3 - d4 FROM a) t
+         |ORDER BY stage""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx

@@ -294,6 +294,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus duplication REPORT: cluster-size histogram over the
+    * near-dup component graph (singletons included) — "how duplicated
+    * is my corpus" in one table: for each cluster size, how many
+    * clusters, how many documents they hold, and how many a dedup pass
+    * would remove (size − 1 each). The number a curation run checks
+    * BEFORE committing to a dedup threshold.
+    *
+    * Scale shape: two hash aggregations (cluster_id -> size ->
+    * histogram) over the component frame — output is bounded by the
+    * largest cluster size, not the corpus. */
+  def qDedupStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("cluster_size"))
+
   /** SEMANTIC dedup clusters: the same component construction over the
     * embedding-cosine near-dup graph — text-dissimilar but
     * meaning-similar documents collapse together (the companion of the

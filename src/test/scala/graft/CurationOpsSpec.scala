@@ -97,6 +97,60 @@ class CurationOpsSpec extends SparkSpec {
       s"not a maximal prefix: cum $cumMax, budget $budget, next $nextTok")
   }
 
+  test("filter funnel: verdicts re-derivable per doc, arithmetic consistent") {
+    val rows = TextAnalysis.qFilterFunnel(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "four funnel stages")
+    // chain consistency: each stage's n_in is the previous n_out, the
+    // first n_in is the corpus, every count non-negative
+    val total = Tables.documents(spark, d).count()
+    assert(rows.head._3 == total, "stage 1 must see the whole corpus")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._5, s"stage ${b._1} n_in != stage ${a._1} n_out") }
+    assert(rows.forall(r => r._4 >= 0 && r._5 >= 0 && r._4 <= r._3))
+    // independent per-doc recomputation of the first-fail charge
+    import graft.functions.TextFunctions.{stopwords, tokens}
+    val en = stopwords("en").toSet
+    val want = Tables.documents(spark, d).select(col("n_chars"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+        val (nc, nt) = (r.getLong(0), toks.size.toLong)
+        val tl = toks.map(_.length.toLong).sum
+        val ns = toks.count(en).toLong
+        val nd = toks.distinct.size.toLong
+        if (!(nc >= 100 && nc <= 100000)) 1
+        else if (!(tl >= 4 * nt && tl <= 10 * nt)) 2
+        else if (!(20 * ns >= nt)) 3
+        else if (!(10 * nd >= 3 * nt)) 4 else 5
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (st, _, _, dropped, _) =>
+      assert(dropped == want.getOrElse(st.toInt, 0L),
+        s"stage $st dropped $dropped, independent recount ${want.get(st.toInt)}") }
+    // non-vacuous: every rule fires on this corpus
+    assert(rows.forall(_._4 > 0), s"a funnel stage dropped nothing: $rows")
+  }
+
+  test("dedup stats histogram accounts for every document exactly once") {
+    val rows = Dedup.qDedupStats(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, d).count()
+    assert(rows.map(_._3).sum == total, "histogram must cover the corpus")
+    rows.foreach { case (sz, nc, nd, nr) =>
+      assert(nd == sz * nc && nr == (sz - 1) * nc, s"arithmetic broken at size $sz") }
+    // cross-check against the verdict-level keep-best frame: removable
+    // docs == keep=false verdicts; cluster count at each size matches
+    val verdicts = Dedup.qDedupKeepBest(spark, d).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3)))
+    assert(rows.map(_._4).sum == verdicts.count(!_._2),
+      "n_removable must equal the keep=false verdict count")
+    val wantHist = verdicts.groupBy(_._1).values.groupBy(_.size)
+      .map { case (sz, cs) => sz.toLong -> cs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == wantHist,
+      "histogram diverged from the verdict-level clusters")
+    // non-vacuous: both singletons and real clusters exist
+    assert(rows.exists(_._1 == 1L) && rows.exists(_._1 > 1L))
+  }
+
   test("curation plans carry their scale shape, not the window fallback") {
     // quota: bounded partial top-k, and NO Window operator anywhere —
     // the whole point is that the hot domain never sorts in one task
