@@ -243,6 +243,7 @@ object Bench {
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
+          "q_semantic_contamination",
           "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",

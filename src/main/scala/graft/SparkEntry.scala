@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_stats" -> (Dedup.qDedupStats _),
+    "q_semantic_contamination" -> (Dedup.qSemanticContamination _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q_semdedup" -> (Dedup.qSemDedup _),
     // --- similarity search ---
@@ -1423,6 +1424,20 @@ object SparkEntry {
          |  CAST(sz * count(*) AS BIGINT) AS n_docs,
          |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
          |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // mirror of Dedup.qSemanticContamination: exact-cosine pair set
+    // (≡ SRP-LSH pairs at this threshold, the q_embed_clusters
+    // equivalence), md5 split tags, test-vs-train restriction
+    "q_semantic_contamination" ->
+      s"""WITH pr AS (SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)),
+         |sym AS (SELECT doc_a AS vec_id, doc_b AS other FROM pr
+         |        UNION ALL SELECT doc_b, doc_a FROM pr),
+         |t AS (SELECT vec_id, other,
+         |    strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 AS b1,
+         |    strpos('0123456789abcdef', substring(md5(CAST(other AS VARCHAR)), 1, 1)) - 1 AS b2
+         |  FROM sym)
+         |SELECT vec_id, count(*) AS n_train_matches, min(other) AS contaminated_by
+         |FROM t WHERE b1 >= 15 AND b2 < 13
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -294,6 +294,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC train/test decontamination: test-split vectors whose
+    * embedding is a >= [[CosineThreshold]] near-dup of a train-split
+    * vector — the leakage a paraphrased benchmark question produces,
+    * which the shingle-based lexical [[TextAnalysis.qContamination]]
+    * cannot see. Splits are the SAME deterministic md5(id) buckets as
+    * qDataSplit, so the two contamination checks audit one split.
+    *
+    * Scale shape: pure reuse of the memoized SRP-LSH pair index
+    * ([[srpPairs]] — full recall at this threshold, oracle-proven by
+    * q_embed_neardup_lsh); the check itself is a map-side split tag +
+    * filter + one hash agg over the (already-bounded) pair set. No
+    * new index, no new shuffle over the vectors. */
+  def qSemanticContamination(s: SparkSession, d: String): DataFrame = {
+    val pairs = srpPairs(s, d)
+    pairs.select(col("doc_a").as("vec_id"), col("doc_b").as("other"))
+      .union(pairs.select(col("doc_b").as("vec_id"), col("doc_a").as("other")))
+      .filter(splitFromBucket(md5Bucket16(col("vec_id"))) === "test" &&
+        splitFromBucket(md5Bucket16(col("other"))) === "train")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_train_matches"),
+        min(col("other")).as("contaminated_by"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Corpus duplication REPORT: cluster-size histogram over the
     * near-dup component graph (singletons included) — "how duplicated
     * is my corpus" in one table: for each cluster size, how many

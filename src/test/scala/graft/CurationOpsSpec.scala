@@ -151,6 +151,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.exists(_._1 == 1L) && rows.exists(_._1 > 1L))
   }
 
+  test("semantic contamination equals the exact cross-split pair set") {
+    val got = Dedup.qSemanticContamination(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import graft.functions.TextFunctions.{md5Bucket16, splitFromBucket}
+    val splits = Tables.embeddings(spark, d)
+      .select(col("vec_id"), splitFromBucket(md5Bucket16(col("vec_id"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = Dedup.exactNearDupPairs(
+        Tables.embeddings(spark, d), Dedup.CosineThreshold)
+      .select(col("va"), col("vb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = (exact ++ exact.map(_.swap))
+      .filter { case (t, r) => splits(t) == "test" && splits(r) == "train" }
+    val want = cross.groupBy(_._1).toSeq
+      .map { case (t, ms) => (t, ms.length.toLong, ms.map(_._2).min) }
+      .sortBy(_._1)
+    assert(got.toSeq == want, s"contamination diverged: got ${got.toSeq}, want $want")
+    assert(got.nonEmpty, "no cross-split contamination on this corpus — vacuous")
+  }
+
   test("curation plans carry their scale shape, not the window fallback") {
     // quota: bounded partial top-k, and NO Window operator anywhere —
     // the whole point is that the hot domain never sorts in one task
