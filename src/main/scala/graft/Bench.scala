@@ -219,12 +219,14 @@ object Bench {
         //    q_ivf_recall, q_ivf_int8_recall: contain the all-pairs /
         //    brute-force ground truth — quadratic BY DESIGN (they
         //    exist to judge the scale paths, PlanAudit-allowlisted).
-        //  - q_embed_neardup_lsh, q_embed_clusters (its srp-pair
-        //    consumer), q_embed_gate, q_embed_gate_disk: the weak-0.4
+        //  - q_embed_neardup_lsh, q_embed_clusters and
+        //    q_semantic_contamination (its srp-pair consumers),
+        //    q_embed_gate, q_embed_gate_disk: the weak-0.4
         //    narrow banding admits ~all-pairs candidates on an
-        //    isotropic corpus (SCALE.md) — quadratic at 10x; the
-        //    strict-mode variants (q_embed_neardup_strict here, the
-        //    egate probe below for the gate) ARE their scale story.
+        //    isotropic corpus (SCALE.md) — quadratic at 10x (measured
+        //    1776x for the contamination consumer before exclusion);
+        //    the strict-mode variants (q_embed_neardup_strict here,
+        //    the egate probe below for the gate) ARE their scale story.
         //  - q_dedup_gate / q_dedup_gate_disk: covered by the gate
         //    probe below, which runs the same build+verify split with
         //    attribution the single query number can't give.
@@ -243,7 +245,6 @@ object Bench {
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
-          "q_semantic_contamination",
           "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
