@@ -43,15 +43,29 @@ object Tables {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS); see
-    * [[initTimestampNanosRead]]. Floor-convert raw nanos to a
-    * microsecond timestamp — integer `div`, not `/`, because
-    * epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
-    * DuckDB truncates ns->us the same way, so oracle timestamps agree. */
+  /** The events table's `ts` column has shipped in TWO parquet
+    * layouts across harness generations: TIMESTAMP(NANOS) (readable
+    * only via [[initTimestampNanosRead]], decoded as raw `long`
+    * nanos) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (decoded
+    * natively as TIMESTAMP_NTZ). Branch on the DECODED type, not the
+    * path: either layout normalizes to a session-zone (UTC)
+    * microsecond TimestampType, so every downstream operator and the
+    * DuckDB oracle see identical instants. Nanos floor-convert uses
+    * integer `div`, not `/` — epoch-nanos (~1.7e18) exceed double's
+    * 2^53 exact-integer range; DuckDB truncates ns->us the same way. */
   def events(s: SparkSession, d: String): DataFrame = {
     initTimestampNanosRead(s)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is pinned UTC everywhere (builder + Verify/Bench),
+        // so NTZ wall-clock == UTC instant; the cast is exact
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
