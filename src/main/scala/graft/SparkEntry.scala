@@ -126,6 +126,8 @@ object SparkEntry {
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_stats" -> (Dedup.qDedupStats _),
+    "q_span_dedup" -> (Dedup.qSpanDedupScore _),
+    "q_span_hotspots" -> (Dedup.qSpanHotspots _),
     "q_semantic_contamination" -> (Dedup.qSemanticContamination _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q_semdedup" -> (Dedup.qSemDedup _),
@@ -1424,6 +1426,33 @@ object SparkEntry {
          |  CAST(sz * count(*) AS BIGINT) AS n_docs,
          |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
          |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // mirror of Dedup.qSpanDedupScore: positional 8-word span md5s,
+    // cross-doc duplication via HAVING count(DISTINCT doc_id) >= 2,
+    // integer-exact keep verdict
+    "q_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7),
+         |    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+         |  FROM t WHERE len(toks) >= 8),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |per AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(count(dup.h) AS BIGINT) AS dup_spans
+         |  FROM sp LEFT JOIN dup ON sp.h = dup.h GROUP BY sp.doc_id)
+         |SELECT doc_id, n_spans, dup_spans,
+         |  CAST(dup_spans AS DOUBLE)/n_spans AS dup_frac,
+         |  CAST(CASE WHEN dup_spans*2 <= n_spans THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
+    // mirror of Dedup.qSpanHotspots: top-20 cross-doc duplicated spans,
+    // span text as the final tiebreak so the LIMIT edge is deterministic
+    "q_span_hotspots" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS span
+         |  FROM t WHERE len(toks) >= 8)
+         |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20""".stripMargin,
     // mirror of Dedup.qSemanticContamination: exact-cosine pair set
     // (≡ SRP-LSH pairs at this threshold, the q_embed_clusters
     // equivalence), md5 split tags, test-vs-train restriction

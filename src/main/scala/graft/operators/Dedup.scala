@@ -877,4 +877,80 @@ object Dedup {
   private[graft] def srpPairs(s: SparkSession, d: String): DataFrame =
     pairIndex(s, d, "srp")(
       qEmbedNearDupLsh(s, d).select(col("va").as("doc_a"), col("vb").as("doc_b")))
+
+  // ------------------------------------------- cross-document span dedup
+
+  /** Words per span for exact-substring duplication (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr criterion at word granularity: a span duplicated
+    * verbatim across documents marks memorization-prone content that
+    * document-level near-dup (MinHash on DISTINCT shingle sets)
+    * under-weights, because a 100-word boilerplate block inside two
+    * otherwise-different documents moves Jaccard barely at all). */
+  val SpanW = 8
+
+  /** Positional [[SpanW]]-word spans per doc — one row per span
+    * POSITION (deliberately NOT distinct: the per-doc duplicated-token
+    * fraction must weight a block that repeats at five positions five
+    * times). Only the 16-byte md5 of the span travels into the
+    * shuffle; the span text dies inside the scan stage. */
+  private def spanHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks)-$SpanW), i -> md5(array_join(slice(toks, i+1, $SpanW), ' ')))"))
+          .as("h"))
+
+  /** Per-document cross-doc span-duplication score + keep verdict:
+    * `dup_spans` = span positions whose exact [[SpanW]]-word content
+    * also occurs in ANOTHER document (within-doc repetition is
+    * [[TextAnalysis.qRepetition]]'s signal, excluded here by the
+    * count-DISTINCT-doc >= 2 test), `keep` = duplicated fraction
+    * <= 1/2, integer-exact (`2*dup <= n`, no float compare).
+    *
+    * Plan at scale: scan -> explode -> md5 pipelines inside the scan;
+    * then three linear equi-shuffles (agg on h, join back on h, agg on
+    * doc_id). A span shared by D docs at P positions costs D*P join
+    * rows — the true duplication mass being measured, not an artifact;
+    * the groupBy(h) itself is partial-aggregated so a viral span never
+    * concentrates on one reducer before the HAVING. */
+  def qSpanDedupScore(s: SparkSession, d: String): DataFrame = {
+    // feeds two subtrees (dup detection + per-doc totals) — one scan.
+    val sp = spanHashes(Tables.documents(s, d)).localCheckpoint(false)
+    val dup = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("isdup"))
+    sp.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("isdup"), lit(0L))).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast(DoubleType) / col("n_spans")).as("dup_frac"),
+        when(col("dup_spans") * 2 <= col("n_spans"), 1L).otherwise(0L)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top duplicated spans corpus-wide — the "what IS this boilerplate"
+    * report a curation run produces next to the per-doc verdicts.
+    * Groups by the span text itself (the report needs it; partial
+    * aggregation still collapses each span to one row per map task
+    * before the shuffle), deterministic order with the span as final
+    * tiebreak. */
+  def qSpanHotspots(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks)-$SpanW), i -> array_join(slice(toks, i+1, $SpanW), ' '))"))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(20)
 }
