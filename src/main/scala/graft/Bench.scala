@@ -298,6 +298,24 @@ object Bench {
           System.err.println(s"[bench] gate steady probe failed: ${e.getMessage}")
           Seq.empty
         }
+        // SPAN-NOVELTY gate at 10x: the slimmest gate index (distinct
+        // span md5s, bucketed by h) — build cost + one-batch verify
+        // (a semi-join of batch span positions against the set).
+        val sgateSteady: Seq[(String, Double)] = try {
+          val docs = Tables.documents(spark, sf1Dir)
+          val g0 = System.nanoTime()
+          val sidx = graft.streaming.SpanGate.indexSpansDisk(
+            docs.filter(col("doc_id") % 4 =!= 0), "graft_bench_sgate_sf1")
+          val g1 = System.nanoTime()
+          graft.streaming.SpanGate
+            .novelty(docs.filter(col("doc_id") % 4 === 0), sidx).count()
+          val g2 = System.nanoTime()
+          Seq("sgate_index_build" -> (g1 - g0) / 1e9,
+            "sgate_verify_steady" -> (g2 - g1) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sgate steady probe failed: ${e.getMessage}")
+          Seq.empty
+        }
         // EMBED gate at 10x, STRICT config (EmbedBanding.Strict: 8-bit
         // wide bands x 2 layouts, cosine 0.7 — the production
         // operating point, oracle-pinned by q_embed_gate_strict).
@@ -392,7 +410,8 @@ object Bench {
           graft.operators.Dedup.qEmbedNearDupDeep(spark, sf1Dir)
             .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
               col("vb") >= graft.operators.Dedup.PlantIdOffset).count())
-        val times = (sf1Times ++ gateSteady ++ egateSteady ++ egateDeepSteady)
+        val times = (sf1Times ++ gateSteady ++ sgateSteady ++
+            egateSteady ++ egateDeepSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
         // per-query sf1/sf0.1 time ratio (rows grow 10x, so ~10 is

@@ -113,6 +113,8 @@ object SparkEntry {
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_dedup_gate" -> (graft.streaming.DedupGate.qDedupGate _),
     "q_dedup_gate_disk" -> (graft.streaming.DedupGate.qDedupGateDisk _),
+    "q_span_gate" -> (graft.streaming.SpanGate.qSpanGate _),
+    "q_span_gate_disk" -> (graft.streaming.SpanGate.qSpanGateDisk _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_embed_gate_strict" -> (graft.streaming.DedupGate.qEmbedGateStrict _),
@@ -170,6 +172,23 @@ object SparkEntry {
        |FROM sp JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  /** Mirror of SpanGate.novelty over the %4 batch/corpus split: batch
+    * positional 8-word span md5s LEFT-joined against the corpus's
+    * DISTINCT span-hash set, integer-exact admit verdict. */
+  private val spanGateSql =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7),
+       |    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+       |  FROM t WHERE len(toks) >= 8),
+       |corp AS (SELECT DISTINCT h FROM sp WHERE doc_id % 4 <> 0),
+       |new_sp AS (SELECT doc_id, h FROM sp WHERE doc_id % 4 = 0),
+       |per AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(count(c.h) AS BIGINT) AS dup_spans
+       |  FROM new_sp n LEFT JOIN corp c ON n.h = c.h GROUP BY n.doc_id)
+       |SELECT doc_id, n_spans, dup_spans,
+       |  CAST(dup_spans AS DOUBLE)/n_spans AS dup_frac,
+       |  CAST(CASE WHEN dup_spans*2 <= n_spans THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM per ORDER BY doc_id""".stripMargin
   /** Mirror of Dedup.qSimhashMd5: distinct tokens, uint32 from the
     * first 8 md5 hex chars, 32 bit-majority weights, ties -> 0. */
   private val simhashMd5Sql = {
@@ -1323,6 +1342,11 @@ object SparkEntry {
          |FROM ($jaccardSql)
          |WHERE (doc_a % 4 = 0) OR (doc_b % 4 = 0)
          |ORDER BY new_doc, dup_of""".stripMargin,
+    // span-novelty gate: batch (%4=0) positional spans vs the corpus
+    // (%4<>0) DISTINCT span-hash set; same integer-exact admit rule as
+    // q_span_dedup's keep. Disk form is the same ground truth.
+    "q_span_gate" -> spanGateSql,
+    "q_span_gate_disk" -> spanGateSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
