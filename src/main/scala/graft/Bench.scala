@@ -246,7 +246,7 @@ object Bench {
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
-          "q_source_quota", "q_span_dedup", "q_span_hotspots",
+          "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
           // relational at 10x: the four original headliners, the full

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_stats" -> (Dedup.qDedupStats _),
     "q_span_dedup" -> (Dedup.qSpanDedupScore _),
+    "q_span_scrub" -> (Dedup.qSpanScrub _),
     "q_span_hotspots" -> (Dedup.qSpanHotspots _),
     "q_semantic_contamination" -> (Dedup.qSemanticContamination _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
@@ -1466,6 +1467,32 @@ object SparkEntry {
          |  CAST(dup_spans AS DOUBLE)/n_spans AS dup_frac,
          |  CAST(CASE WHEN dup_spans*2 <= n_spans THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM per ORDER BY doc_id""".stripMargin,
+    // mirror of Dedup.qSpanScrub: duplicated-span start positions ->
+    // covered-token mask -> excise -> md5 of the cleaned canonical
+    // form. coalesce on BOTH the covered list (docs with no dup
+    // spans) and the cleaned string (all-covered docs: DuckDB's
+    // array_to_string of an all-NULL-filtered list is NULL where
+    // Spark's array_join is '') so the md5s agree at the edges.
+    "q_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+         |  FROM t, unnest(generate_series(1, len(toks)-7)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |starts AS (SELECT sp.doc_id, list(sp.i) AS st
+         |  FROM sp JOIN dup ON sp.h = dup.h GROUP BY sp.doc_id),
+         |cov AS (SELECT t.doc_id, toks,
+         |    coalesce(list_distinct(flatten(list_transform(st, s -> generate_series(s, s+7)))), []) AS covered
+         |  FROM t LEFT JOIN starts ON t.doc_id = starts.doc_id),
+         |cl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(covered) AS BIGINT) AS n_removed,
+         |    array_to_string(
+         |      list_filter(list_transform(generate_series(1, len(toks)),
+         |        j -> CASE WHEN NOT list_contains(covered, j) THEN toks[j] END), x -> x IS NOT NULL),
+         |      ' ') AS cleaned
+         |  FROM cov)
+         |SELECT doc_id, n_tokens, n_removed, md5(coalesce(cleaned, '')) AS cleaned_md5
+         |FROM cl ORDER BY doc_id""".stripMargin,
     // mirror of Dedup.qSpanHotspots: top-20 cross-doc duplicated spans,
     // span text as the final tiebreak so the LIMIT edge is deterministic
     "q_span_hotspots" ->

@@ -933,6 +933,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The REMOVAL step of ExactSubstr dedup (Lee et al. §4.2): excise
+    * every token covered by a cross-doc duplicated span and emit the
+    * cleaned document — [[qSpanDedupScore]] is the audit, this is the
+    * transform a curation pipeline actually ships. Output is
+    * md5(cleaned canonical form) + counts, oracle-comparable without
+    * moving full text through the compare.
+    *
+    * Canonical form caveat (intentional, documented): the cleaned text
+    * is rebuilt from the TOKENIZED form (lowercased, single-spaced) —
+    * the same canonicalization [[graft.functions.TextFunctions.fingerprint]]
+    * applies before hashing.
+    *
+    * Plan: the positional span frame feeds dup detection and the
+    * start-position collect (one checkpoint); the per-doc `covered`
+    * mask and token filtering are pure in-row HOFs — no shuffle after
+    * the starts join, bounded by each doc's own length. */
+  def qSpanScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // (doc_id, i, h): 1-based span start + span md5 — one row per
+    // POSITION, the removal step needs every covered start
+    val sp = docs.where(size(col("toks")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-$SpanW), i -> md5(array_join(slice(toks, i+1, $SpanW), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .localCheckpoint(false)
+    val dup = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    // duplicated-span start positions per doc (order irrelevant: the
+    // mask below is membership + distinct-size only)
+    val starts = sp.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("st"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), coalesce(
+        expr(s"array_distinct(flatten(transform(st, s -> sequence(s, s + ${SpanW - 1}))))"),
+        expr("array()").cast("array<int>")).as("covered"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(col("covered")).cast(LongType).as("n_removed"),
+        md5(expr(
+          """array_join(filter(transform(sequence(1, size(toks)),
+            |  j -> CASE WHEN NOT array_contains(covered, j) THEN toks[j-1] END),
+            |  x -> x IS NOT NULL), ' ')""".stripMargin)).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top duplicated spans corpus-wide — the "what IS this boilerplate"
     * report a curation run produces next to the per-doc verdicts.
     * Groups by the span text itself (the report needs it; partial

@@ -56,6 +56,37 @@ class SpanDedupSpec extends SparkSpec {
     assert(hot.toSeq == Seq((boiler, 3L, 3L)), s"got ${hot.toSeq}")
   }
 
+  test("scrub excises exactly the covered tokens, matches a recomputation") {
+    val d = "/root/testdata/sf0.001"
+    val raw = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toksById = raw.toSeq.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val spans = toksById.toSeq.flatMap { case (id, toks) =>
+      toks.sliding(Dedup.SpanW).zipWithIndex
+        .filter(_._1.size == Dedup.SpanW)
+        .map { case (w, i) => (id, i, w.mkString(" ")) }.toSeq
+    }
+    val docsPerSpan = spans.groupBy(_._3).map { case (sp, occ) =>
+      sp -> occ.map(_._1).distinct.size
+    }
+    val want = toksById.map { case (id, toks) =>
+      val covered = spans.filter(s => s._1 == id && docsPerSpan(s._3) >= 2)
+        .flatMap(s => s._2 until s._2 + Dedup.SpanW).distinct.toSet
+      val cleaned = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t
+      }.mkString(" ")
+      (id, toks.size.toLong, covered.size.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(cleaned.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.qSpanScrub(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == want, "span-scrub disagrees with recomputation")
+  }
+
   test("real corpus matches an independent Scala recomputation") {
     val d = "/root/testdata/sf0.001"
     val raw = Tables.documents(spark, d)
