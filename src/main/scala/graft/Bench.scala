@@ -410,6 +410,23 @@ object Bench {
           graft.operators.Dedup.qEmbedNearDupDeep(spark, sf1Dir)
             .filter(col("vb") - col("va") === graft.operators.Dedup.PlantIdOffset &&
               col("vb") >= graft.operators.Dedup.PlantIdOffset).count())
+        // RECALL FLOOR, asserted: deep recovered 1991/2000 (99.55%) at
+        // the first 10x run — pin >= 99.5% so a future banding edit
+        // can't silently erode it (LSH recall is probabilistic, but a
+        // drop below the measured floor is a regression, not noise).
+        // Strict measured 2000/2000 at 10x; same floor. A probe that
+        // FAILED (0) is already surfaced by its own stderr line — only
+        // a successful probe below floor lands in `failed`.
+        val RecallFloor = 0.995
+        val floorFailures = Seq(
+          "srp_strict_recall_floor" -> plantedRecalled,
+          "srp_deep_recall_floor" -> deepRecalled).collect {
+          case (tag, rec) if rec > 0 && planted > 0 &&
+              rec.toDouble < RecallFloor * planted =>
+            System.err.println(
+              s"[bench] $tag violated: $rec/$planted < $RecallFloor")
+            tag
+        }
         val times = (sf1Times ++ gateSteady ++ sgateSteady ++
             egateSteady ++ egateDeepSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -451,14 +468,36 @@ object Bench {
         val ratiosJson = ratios
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
+        // Self-explanation for large vs-median ratios: the sf1 single
+        // shot pays one-time index builds that the sf0.1 MEDIAN
+        // deliberately drops (centroid training -> q_kmeans_centroids,
+        // the LSH pair table -> q_clean_corpus, the derived partsupp ->
+        // q9_product_profit). Their `ratios` entries price
+        // build+query over steady-query — NOT scaling. `memoized_build`
+        // names them, and `ratios_vs_max` divides by the sf0.1 MAX
+        // sample (build included — the superlinear flag's denominator)
+        // so every ratio >15 is explained inside this JSON instead of
+        // needing the round-N verdict as a decoder ring.
+        val memoizedBuildPayers =
+          Seq("q_kmeans_centroids", "q_clean_corpus", "q9_product_profit")
+            .filter(n => sf1Times.exists(_._1 == n))
+        val memoizedJson = memoizedBuildPayers
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        val ratiosVsMax = sf1Times.filterNot(t => sf1Failed(t._1))
+          .flatMap { case (n, t) =>
+            maxSamples.get(n).filter(_ > 0).map(m => n -> t / m) }
+        val ratiosVsMaxJson = ratiosVsMax
+          .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+          .mkString("{", ",", "}")
         val superlinear = sf1Times.filterNot(t => sf1Failed(t._1)).collect {
           case (n, t) if maxSamples.get(n).exists(m => m > 0 && t / m > 15.0) => n }
         val superJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val failedJson = sf1Failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val failedJson = (sf1Failed.toSeq.sorted ++ floorFailures)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"superlinear":$superJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
@@ -469,8 +508,8 @@ object Bench {
           // so a new table per run) would otherwise accrete one
           // warehouse dir per run
           val digest = graft.sources.Writers.tableDigest(sf1Dir)
-          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_egate_sf1",
-              "graft_bench_egate_deep_sf1",
+          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_sgate_sf1",
+              "graft_bench_egate_sf1", "graft_bench_egate_deep_sf1",
               s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
             try spark.sql(s"DROP TABLE IF EXISTS $t")
             catch { case _: Throwable => () }

@@ -1581,15 +1581,26 @@ object SparkEntry {
          |    unnest(generate_series(0, CAST(floor((len(toks)-1)/40.0) AS INT))) AS chunk_id
          |  FROM t WHERE len(toks) > 0),
          |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |    CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok,
-         |    CAST(strpos('0123456789abcdef',
-         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket
+         |    CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok
          |  FROM c),
+         |nb AS (SELECT greatest(COALESCE(CAST(ceil(sum(n_tok)
+         |      / ${graft.operators.TextAnalysis.TargetBucketTokens}.0) AS BIGINT), 1), 1)
+         |    AS n_buckets FROM ch),
+         |b AS (SELECT ch.*, (
+         |    (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 6, 1)) - 1)
+         |  ) % nb.n_buckets AS bucket
+         |  FROM ch, nb),
          |p AS (SELECT bucket, doc_id, n_tok,
          |    COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM ch)
-         |SELECT bucket, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+         |  FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
          |  count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM p GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin,

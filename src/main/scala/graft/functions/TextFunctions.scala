@@ -55,6 +55,16 @@ object TextFunctions {
   def md5Bucket256(id: Column): Column =
     md5HexDigit(id, 1) * 16 + md5HexDigit(id, 2)
 
+  /** Deterministic 24-bit value (0 .. 16,777,215) from the first six
+    * md5 hex digits — the uniform hash behind DATA-SIZED bucket counts
+    * (`value % nBuckets`), where a fixed 16/256-way split would cap
+    * parallelism. Built from the same per-digit primitive as the
+    * fixed buckets so every engine (Spark, DuckDB oracle) computes
+    * the identical value from the hex string. */
+  def md5Value24(id: Column): Column =
+    (1 to 6).map(i =>
+      md5HexDigit(id, i).cast("long") * lit(1L << (4 * (6 - i)))).reduce(_ + _)
+
   /** The train/val/test assignment over [[md5Bucket16]]: 13/2/1
     * sixteenths. Single definition — qDataSplit and qContamination
     * must describe the SAME split. */

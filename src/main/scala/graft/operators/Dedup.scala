@@ -893,13 +893,14 @@ object Dedup {
     * POSITION (deliberately NOT distinct: the per-doc duplicated-token
     * fraction must weight a block that repeats at five positions five
     * times). Only the 16-byte md5 of the span travels into the
-    * shuffle; the span text dies inside the scan stage. */
+    * shuffle — the RAW digest (`unhex`, BINARY(16)), not the 32-char
+    * hex string; the span text dies inside the scan stage. */
   private def spanHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= SpanW)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, size(toks)-$SpanW), i -> md5(array_join(slice(toks, i+1, $SpanW), ' ')))"))
+          s"transform(sequence(0, size(toks)-$SpanW), i -> unhex(md5(array_join(slice(toks, i+1, $SpanW), ' '))))"))
           .as("h"))
 
   /** Per-document cross-doc span-duplication score + keep verdict:
@@ -956,7 +957,7 @@ object Dedup {
     // POSITION, the removal step needs every covered start
     val sp = docs.where(size(col("toks")) >= SpanW)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks)-$SpanW), i -> md5(array_join(slice(toks, i+1, $SpanW), ' ')))")))
+        s"transform(sequence(0, size(toks)-$SpanW), i -> unhex(md5(array_join(slice(toks, i+1, $SpanW), ' '))))")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
       .localCheckpoint(false)
     val dup = sp.groupBy(col("h"))

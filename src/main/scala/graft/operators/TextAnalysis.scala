@@ -301,6 +301,12 @@ object TextAnalysis {
 
   val PackBudget = 512 // tokens per packed training row
 
+  /** Tokens a packing bucket targets: 16 packs' worth. Each bucket's
+    * prefix-sum window then sorts a CONSTANT ~[[TargetBucketTokens]]
+    * of chunks regardless of corpus size — scaling adds buckets, not
+    * per-bucket work. */
+  val TargetBucketTokens: Long = 16L * PackBudget
+
   /** Sequence packing: assemble the chunk stream ([[qDocChunks]]) into
     * fixed token-budget training rows. A chunk joins the pack its
     * cumulative starting offset falls in (`floor(cumsum_before /
@@ -308,16 +314,31 @@ object TextAnalysis {
     * one pack (PropertySpec pins conservation + the budget bound).
     *
     * Scale shape: greedy packing is order-dependent, and ONE global
-    * ORDER BY window would serialize on a single partition. Instead
-    * the cumsum window is PARTITIONED by the same deterministic md5
-    * bucket [[qDataSplit]] uses (16 independent streams; packs never
-    * cross buckets), so packing parallelizes and stays reproducible
-    * at any cluster size — at 100 TB, raise the bucket count, nothing
-    * else changes. */
+    * ORDER BY window would serialize on a single partition; a FIXED
+    * 16-way bucket split (the round-10 form) caps parallelism at 16
+    * and grows each bucket's window sort linearly with the corpus —
+    * the bench's superlinear flag caught exactly that (27x at 10x
+    * data). This form sizes the bucket count to the DATA:
+    * `n_buckets = ceil(total_tokens / TargetBucketTokens)` (one
+    * 1-row broadcast scalar, the same pattern as the late-split
+    * window max), and assigns `bucket = md5_24bit(doc_id) mod
+    * n_buckets`. Per-bucket work is a constant ~16 packs at every
+    * scale; 100 TB just means more buckets, and the shuffle's hash
+    * partitioning spreads them over every core in the cluster.
+    * Deterministic for a given corpus: n_buckets depends only on the
+    * corpus token total, the bucket hash only on doc_id. */
   def qSeqPack(s: SparkSession, d: String): DataFrame = {
+    // Materialized once: the chunk frame feeds both the token-total
+    // scalar and the packing pass (same rationale as qContamination's
+    // shingle checkpoint — Catalyst won't reuse the tokenize+explode
+    // subtree across the two consumers).
+    val ch = qDocChunks(s, d).localCheckpoint(false)
+    val nb = ch.agg(
+      greatest(coalesce(ceil(sum(col("n_tok")) / TargetBucketTokens.toDouble), lit(1L)),
+        lit(1L)).cast(LongType).as("n_buckets"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
-    qDocChunks(s, d)
-      .withColumn("bucket", md5Bucket16(col("doc_id")))
+    ch.crossJoin(broadcast(nb)) // 1-row scalar: bucket-count broadcast
+      .withColumn("bucket", pmod(md5Value24(col("doc_id")), col("n_buckets")))
       .withColumn("cum_before",
         coalesce(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("pack_id", (col("cum_before") / PackBudget).cast(LongType))

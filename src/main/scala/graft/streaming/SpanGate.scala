@@ -26,7 +26,9 @@ import graft.functions.TextFunctions.tokens
   * against it.
   *
   * Scale posture (the reason this gate is cheap at 100 TB):
-  *  - index state is 16 bytes (md5) per DISTINCT corpus span — no
+  *  - index state is 16 bytes per DISTINCT corpus span — the raw
+  *    md5 digest (`unhex(md5(..))`, BINARY(16)), NOT the 32-char hex
+  *    string (which would be ~2.5x the bytes in tungsten rows); no
   *    text, no per-doc rows, the slimmest of the three gate indexes;
   *    on disk it is a table bucketed BY SPAN HASH, so the per-trigger
   *    semi-join shuffles only the batch side (the corpus side is a
@@ -45,13 +47,16 @@ object SpanGate {
 
   /** Positional span hashes — (doc_id, h), one row per span POSITION
     * (same weighting contract as the batch query: a block repeating at
-    * five positions counts five times in the duplicated fraction). */
+    * five positions counts five times in the duplicated fraction).
+    * `h` is the raw 16-byte digest (BINARY), so the semi-join shuffle
+    * and the index table carry exactly the 16 bytes the module doc
+    * claims — never the 32-char hex rendering. */
   private[streaming] def spanHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= SpanW)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, size(toks)-$SpanW), i -> md5(array_join(slice(toks, i+1, $SpanW), ' ')))"))
+          s"transform(sequence(0, size(toks)-$SpanW), i -> unhex(md5(array_join(slice(toks, i+1, $SpanW), ' '))))"))
           .as("h"))
 
   /** The gate's corpus state: the distinct span-hash set, in-memory
@@ -118,12 +123,24 @@ object SpanGate {
     * Documents shorter than one span carry no evidence either way and
     * are admitted by omission (no verdict row; [[SpanGateState]]
     * absorbs them). One semi-join on h + two hash aggs on doc_id. */
-  def novelty(newDocs: DataFrame, idx: SpanIndex): DataFrame = {
+  def novelty(newDocs: DataFrame, idx: SpanIndex): DataFrame =
+    noveltyWithScratch(newDocs, idx)._1
+
+  /** [[novelty]] plus its internal span-hash checkpoint frame, so a
+    * long-running caller ([[SpanGateState.process]]) can unpersist the
+    * scratch once the verdicts are materialized — the eager verdict
+    * checkpoint severs the plan reference to `sp`, and without an
+    * explicit unpersist one cached span RDD would leak per micro-batch
+    * until driver GC (the hygiene [[DedupGate.TextGateState]] applies
+    * via its own scratch variant). One-shot batch callers can use
+    * [[novelty]]: the single cached block dies with the query. */
+  private[streaming] def noveltyWithScratch(
+      newDocs: DataFrame, idx: SpanIndex): (DataFrame, DataFrame) = {
     // feeds two subtrees (totals + the semi-join) — checkpoint once
     val sp = spanHashes(newDocs).localCheckpoint(false)
     val dup = sp.join(idx.content.select(col("h")), Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
-    sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val result = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("d"), lit(0L)).as("dup_spans"))
@@ -132,13 +149,25 @@ object SpanGate {
         when(col("dup_spans") * 2 <= col("n_spans"), 1L).otherwise(0L)
           .as("admit"))
       .orderBy(col("doc_id"))
+    (result, sp)
   }
 
   /** Cross-batch mutable state of a running span gate — same contract
     * as [[DedupGate.TextGateState]]: exactly-once absorption per batch
     * id (replays re-emit verdicts, never re-absorb), eager per-batch
     * checkpoint hygiene, collapse + table compaction on the shared
-    * cadence. */
+    * cadence.
+    *
+    * Replay-verdict drift (documented, the TextGate self-hit
+    * convention): an at-least-once replay RECOMPUTES verdicts against
+    * the already-grown index, so a doc that was admitted (and
+    * absorbed) in the original run re-emits as REJECTED — its own
+    * spans now sit in the index. Absorption stays exactly-once (the
+    * batch-id guard), so gate STATE is replay-stable; only the
+    * re-emitted verdict rows differ. A sink that must be idempotent
+    * on verdicts should key on (batch_id, doc_id) and keep the FIRST
+    * write, or treat reject-after-admit re-emissions as no-ops —
+    * the same discipline the text gate asks of its self-hit rows. */
   final class SpanGateState(corpusDocs: DataFrame,
       collapseEvery: Int = CollapseEvery,
       corpusTable: Option[String] = None) {
@@ -156,7 +185,11 @@ object SpanGate {
       * not rejected (admitted docs AND short no-verdict docs). */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
       val batch = df.localCheckpoint(true)
-      val verdicts = novelty(batch, idx).localCheckpoint(true)
+      val (nov, scratch) = noveltyWithScratch(batch, idx)
+      val verdicts = nov.localCheckpoint(true)
+      // the eager checkpoint above severed the plan's reference to the
+      // span-hash scratch — drop it NOW, not at driver GC
+      unpersistCheckpoints(scratch)
       sink(verdicts, id)
       if (absorbedBatches.add(id)) {
         val admitted = batch.join(
