@@ -1724,5 +1724,27 @@ object SparkEntry {
         |        unnest(generate_series(0, least(n_frames - 1, 18), 2)) AS frame_idx
         |      FROM f) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirror of Multimodal.qMediaDecode: the Spark side round-trips a
+    // real 44-byte-header RIFF/WAVE PCM binary (encode -> strict parse
+    // -> payload stats); the oracle recomputes the SAME stats straight
+    // from the source text (ASCII corpus: sample values are code
+    // points), so a single byte of header/offset drift on the Spark
+    // side breaks the hash compare
+    "q_media_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    octet_length(encode(text)) AS n,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    8000 + (doc_id % 8) * 1000 AS rate
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(44 + n AS BIGINT) AS n_bytes,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS sum_samples,
+        |  CAST(COALESCE(list_max(bs), 0) AS BIGINT) AS peak_sample,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS mean_sample,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

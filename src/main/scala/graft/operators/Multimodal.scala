@@ -10,12 +10,16 @@ import graft.Tables
   * typed metadata structs, plus decode / feature-extract / frame-sample
   * stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`StubDecoder`) — but everything
-  * Spark-side is real and load-bearing: the binary column, the nested
-  * metadata struct, the mapPartitions batch shape (one decoder init per
-  * partition, streamed records — exactly how a JNI/FFmpeg decoder would
-  * be mounted), and the frame-sampling fan-out.
+  * The DECODE step is a REAL pure-JVM codec for a real container
+  * format: canonical RIFF/WAVE PCM (44-byte header, 8-bit mono) —
+  * [[WavCodec]] writes and strictly parses the header (magics, chunk
+  * walk, fmt-field consistency) and extracts payload sample stats, so
+  * `q_media_decode` is oracle-checkable end-to-end (DuckDB recomputes
+  * the expected stats from the source rows). Heavier codecs (JPEG,
+  * H.264) aren't in this container, but they would mount at exactly
+  * the same seam: the mapPartitions batch shape (one decoder init per
+  * partition, streamed records — how a JNI/FFmpeg decoder is mounted),
+  * binary columns end-to-end, typed metadata structs.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect, no string conversion); metadata predicates (width/format)
@@ -64,46 +68,133 @@ object Multimodal {
 
   // ----------------------------------------------------- decode pipeline
 
-  case class MediaRecord(doc_id: Long, payload: Array[Byte],
-    format: String, width: Int, height: Int)
+  case class WavRecord(doc_id: Long, payload: Array[Byte])
 
-  case class DecodedFeatures(doc_id: Long, n_bytes: Int,
-    mean_byte: Double, feature_hash: Long)
+  case class WavFeatures(doc_id: Long, n_bytes: Long, sample_rate: Long,
+    n_samples: Long, sum_samples: Long, peak_sample: Long,
+    mean_sample: Double, duration_ms: Long)
 
-  /** STUB decoder — the real codec is not available in this container.
-    * Deterministic byte-level pseudo-features keep the signature and
-    * batch mechanics identical to a real decoder's. */
-  object StubDecoder {
-    def init(): StubDecoder.type = this // per-partition init point
-    def decode(m: MediaRecord): DecodedFeatures = {
-      val bytes = m.payload
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-      DecodedFeatures(m.doc_id, bytes.length, mean,
-        scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong)
+  /** Real RIFF/WAVE PCM codec, pure JVM — canonical 44-byte header,
+    * mono, unsigned 8-bit samples. `write` emits the exact layout any
+    * audio tool reads; `decode` is a STRICT parser: it checks the RIFF
+    * and WAVE magics, the RIFF size field, walks chunks to `fmt ` and
+    * `data` (tolerating extra chunks, the format's rule), and verifies
+    * the PCM fmt fields (audio format 1, mono, 8-bit, byte rate and
+    * block align consistent with the sample rate) before touching a
+    * sample. A one-byte header corruption fails the parse — that
+    * strictness is what makes the end-to-end oracle check meaningful. */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def init(): WavCodec.type = this // per-partition init point
+
+    /** Canonical 44-byte-header mono 8-bit PCM WAV around `samples`. */
+    def write(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + samples.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)          // PCM
+        .putShort(1.toShort)          // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate)           // byte rate = rate * 1 ch * 1 B
+        .putShort(1.toShort)          // block align
+        .putShort(8.toShort)          // bits per sample
+      b.put("data".getBytes("US-ASCII")).putInt(samples.length)
+      b.put(samples).array()
     }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a PCM WAV: $msg")
+
+    /** Strict parse + payload stats for `doc_id`'s payload. */
+    def decode(docId: Long, wav: Array[Byte]): WavFeatures = {
+      if (wav.length < 44) fail(s"${wav.length} bytes < minimal header")
+      val b = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+      if (tag() != "RIFF") fail("missing RIFF magic")
+      if (b.getInt() != wav.length - 8) fail("RIFF size field mismatch")
+      if (tag() != "WAVE") fail("missing WAVE magic")
+      // chunk walk: fmt must precede data (decoder needs it), other
+      // chunks (LIST, fact, ...) are skipped per the format's rule
+      var rate = -1
+      var stats: WavFeatures = null
+      while (stats == null && b.remaining() >= 8) {
+        val id = tag()
+        val len = b.getInt()
+        if (len < 0 || len > b.remaining()) fail(s"chunk $id overruns file")
+        id match {
+          case "fmt " =>
+            if (len != 16) fail(s"fmt chunk length $len != 16 (plain PCM)")
+            if (b.getShort() != 1) fail("audio format != 1 (PCM)")
+            if (b.getShort() != 1) fail("channels != 1")
+            rate = b.getInt()
+            if (rate <= 0) fail(s"sample rate $rate")
+            if (b.getInt() != rate) fail("byte rate inconsistent with rate")
+            if (b.getShort() != 1) fail("block align != 1")
+            if (b.getShort() != 8) fail("bits per sample != 8")
+          case "data" =>
+            if (rate < 0) fail("data chunk before fmt")
+            var sum = 0L
+            var peak = 0L
+            var i = b.position()
+            val end = i + len
+            while (i < end) {
+              val v = (wav(i) & 0xff).toLong
+              sum += v
+              if (v > peak) peak = v
+              i += 1
+            }
+            stats = WavFeatures(docId, wav.length.toLong, rate.toLong,
+              len.toLong, sum, peak,
+              if (len == 0) 0.0 else sum.toDouble / len,
+              len.toLong * 1000L / rate)
+          case _ => b.position(b.position() + len + (len & 1)) // pad byte
+        }
+      }
+      if (stats == null) fail("no data chunk")
+      stats
+    }
+  }
+
+  /** Media sample rate per doc — written into the WAV header and read
+    * back out by the decoder; varying it per row makes the header
+    * parse load-bearing (a constant would decode "correctly" even if
+    * the parser ignored the fmt chunk). */
+  private def wavRate(docId: Long): Int = (8000L + (docId % 8) * 1000L).toInt
+
+  /** WAV view over `documents`: each doc's utf-8 bytes as the 8-bit
+    * PCM sample stream of a real WAV file (mapPartitions: one encoder
+    * init per partition — same mount shape as the decoder). */
+  def wavTable(docs: DataFrame): Dataset[WavRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = WavCodec.init()
+        it.map { case (id, text) =>
+          WavRecord(id, codec.write(text.getBytes("UTF-8"), wavRate(id)))
+        }
+      }
   }
 
   /** Batched decode: one decoder init per partition, records streamed
     * through it — the mapPartitions shape a JNI decoder needs (init is
     * expensive; per-row init would be the classic mistake). */
-  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[DecodedFeatures] = {
+  def decodeWav(media: Dataset[WavRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val decoder = StubDecoder.init()
-      it.map(decoder.decode)
+      val decoder = WavCodec.init()
+      it.map(m => decoder.decode(m.doc_id, m.payload))
     }
   }
 
-  /** Full decode query (rows-only check: byte-level features are not
-    * portable SQL; covered by unit tests instead). */
-  def qMediaDecode(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = mediaTable(Tables.documents(s, d))
-      .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[MediaRecord]
-    decodeFeatures(media).toDF().orderBy(col("doc_id"))
-  }
+  /** Full encode -> strict-parse -> stats round trip over real WAV
+    * binaries. Oracle-checkable: DuckDB recomputes every output column
+    * from the source text directly (the docs are ASCII, so sample
+    * values are code points), which only matches if the header the
+    * encoder wrote and the offsets the parser read are both exactly
+    * right — a single byte of drift corrupts `sum_samples`. */
+  def qMediaDecode(s: SparkSession, d: String): DataFrame =
+    decodeWav(wavTable(Tables.documents(s, d))).toDF().orderBy(col("doc_id"))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: binary payloads, metadata, stub decode. */
+/** Multimodal plumbing: binary payloads, metadata, real WAV decode. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,19 +21,42 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") == 12)
   }
 
-  test("stub decoder is deterministic and partition-batched") {
-    val media = Multimodal.mediaTable(docs)
-      .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[Multimodal.MediaRecord]
-    val out = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+  test("WAV codec: canonical header bytes, strict-parse round trip") {
+    val samples = "hello world".getBytes("UTF-8")
+    val wav = Multimodal.WavCodec.write(samples, 44100)
+    // golden header facts any WAV reader relies on
+    assert(wav.length == 44 + samples.length)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(wav.slice(12, 16), "US-ASCII") == "fmt ")
+    assert(new String(wav.slice(36, 40), "US-ASCII") == "data")
+    val f = Multimodal.WavCodec.decode(7L, wav)
+    assert(f.sample_rate == 44100 && f.n_samples == samples.length)
+    assert(f.sum_samples == samples.map(_ & 0xff).sum)
+    assert(f.peak_sample == samples.map(_ & 0xff).max)
+    assert(math.abs(f.mean_sample - f.sum_samples.toDouble / f.n_samples) < 1e-12)
+
+    // strictness: one corrupted byte in each structural field fails
+    for (off <- Seq(0, 4, 8, 20, 36, 40)) {
+      val bad = wav.clone(); bad(off) = (bad(off) ^ 0x7f).toByte
+      intercept[IllegalArgumentException](Multimodal.WavCodec.decode(7L, bad))
+    }
+    // truncated file fails
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode(7L, wav.take(30)))
+  }
+
+  test("wav pipeline decodes through partition-batched mapPartitions") {
+    val out = Multimodal.decodeWav(Multimodal.wavTable(docs))
+      .collect().sortBy(_.doc_id)
     assert(out.map(_.doc_id).toSeq == Seq(1L, 2L))
-    assert(out(0).n_bytes == 11)
-    assert(math.abs(out(0).mean_byte - "hello world".getBytes("UTF-8").map(_ & 0xff).sum / 11.0) < 1e-12)
-    assert(out(1).n_bytes == 0 && out(1).mean_byte == 0.0)
+    assert(out(0).n_samples == 11 && out(0).n_bytes == 44 + 11)
+    assert(out(0).sample_rate == 9000) // 8000 + (1 % 8) * 1000, from the header
+    assert(out(1).n_samples == 0 && out(1).mean_sample == 0.0)
     // determinism across runs
-    val again = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
-    assert(out.map(_.feature_hash).toSeq == again.map(_.feature_hash).toSeq)
+    val again = Multimodal.decodeWav(Multimodal.wavTable(docs))
+      .collect().sortBy(_.doc_id)
+    assert(out.toSeq == again.toSeq)
   }
 
   test("frame sampling caps at 10 samples of every-2nd frame") {
