@@ -452,7 +452,8 @@ object Bench {
         // would defeat the field's purpose (SCALE.md, strict-SRP
         // scale note). q_embed_neardup_deep IS the config fix for
         // noise-dominated corpora (16-bit bands x 3 hash families:
-        // ~45x fewer candidates at the same full recall — srp_deep /
+        // ~45x fewer candidates at >=99.5% recall (floor asserted
+        // above; 1991/2000 measured at 10x) — srp_deep /
         // srp_deep_recall record both) and is expected to stay under
         // the flag line here. The FLAG
         // divides by the sf0.1 MAX sample, not the median: for

@@ -559,6 +559,63 @@ object DedupGate {
       Dedup.StrictBandOffsets)
     val Deep = EmbedBanding(Dedup.StrictThreshold, Dedup.DeepBandGroup,
       Dedup.DeepBandOffsets, Dedup.DeepSeeds)
+
+    /** The escalation ladder the config docs describe in prose:
+      * narrow -> strict -> deep; deep is the deepest config. */
+    def next(b: EmbedBanding): Option[EmbedBanding] =
+      if (b == Narrow) Some(Strict)
+      else if (b == Strict) Some(Deep)
+      else None
+  }
+
+  /** Candidate-rate fraction above which a banding config is judged
+    * to be failing to prune: candidates per (batch x corpus) cross
+    * pair. Calibrated against the measured operating points — strict
+    * banding on an isotropic corpus admits ~40/256 = 15% of cross
+    * pairs (8-bit-band random background, SCALE.md), deep admits
+    * ~0.4%; a real dup-density-tracking rate sits well below 5%. */
+  val EscalationRate = 0.05
+
+  /** Consecutive over-rate batches before the wire trips — one noisy
+    * batch is not a regime; three in a row is. */
+  val EscalationPatience = 3
+
+  /** Measured-candidate-rate trip wire for the embed gate's banding
+    * choice ([[EmbedBanding]]) — turns "strict for clustered corpora,
+    * deep for noise-dominated" from operator knowledge into a runtime
+    * signal. Each batch reports its candidate-pair count and the
+    * batch/corpus sizes; when the candidate fraction of the cross
+    * space exceeds [[EscalationRate]] for [[EscalationPatience]]
+    * consecutive batches, the monitor logs once and recommends the
+    * next-deeper banding ([[EmbedBanding.next]]). The gate does NOT
+    * hot-swap the index (bands are derived under the current banding;
+    * re-banding is an index rebuild) — the operator restarts the gate
+    * with [[advice]]'s config, which is the cheap part of the
+    * decision; detecting the regime is the part that needs data. */
+  final class BandingMonitor(banding: EmbedBanding,
+      rateThreshold: Double = EscalationRate,
+      patience: Int = EscalationPatience) {
+    private var hot = 0
+    @volatile private var tripped: Option[EmbedBanding] = None
+
+    /** Standing recommendation (None until the wire trips, or when
+      * already at the deepest config). */
+    def advice: Option[EmbedBanding] = tripped
+
+    /** Record one batch's measured pruning quality; returns the
+      * recommendation exactly when this observation trips the wire. */
+    def observe(candidates: Long, batchVecs: Long, corpusVecs: Long): Option[EmbedBanding] = {
+      val cross = batchVecs.toDouble * corpusVecs.toDouble
+      val rate = if (cross > 0) candidates / cross else 0.0
+      hot = if (rate > rateThreshold) hot + 1 else 0
+      if (hot >= patience && tripped.isEmpty) {
+        tripped = EmbedBanding.next(banding)
+        tripped.foreach { _ =>
+          System.err.println(f"[graft.gate] banding escalation: candidate rate $rate%.4f > $rateThreshold%.2f for $hot consecutive batches — current banding is pricing the random background; restart the gate with the next-deeper EmbedBanding config")
+        }
+        tripped
+      } else None
+    }
   }
 
   /** Corpus snapshot pre-processed for the embedding gate: slim SRP
@@ -702,9 +759,12 @@ object DedupGate {
 
   /** See [[duplicatesWithScratch]] — same per-call cleanup contract.
     * Banding (layout/joins) and verify threshold both come from
-    * `corpus.banding`, so a strict-config index verifies strictly. */
+    * `corpus.banding`, so a strict-config index verifies strictly.
+    * The third element is a lazy candidate-pair count over the (still
+    * cached) candidate frame — [[BandingMonitor]] food; callers that
+    * don't monitor never pay the extra (cache-local) count job. */
   private def embedDuplicatesWithScratch(
-      newVecs: DataFrame, corpus: EmbedIndex): (DataFrame, Seq[DataFrame]) = {
+      newVecs: DataFrame, corpus: EmbedIndex): (DataFrame, Seq[DataFrame], () => Long) = {
     import graft.functions.VectorFunctions.norm2Exact
     val vecsNew = newVecs.select(col("vec_id"), col("embedding"),
       norm2Exact(col("embedding")).as("n2")).localCheckpoint(false)
@@ -745,7 +805,7 @@ object DedupGate {
         col("n2").as("n2b")), "vb")
     val result = Dedup.cosineVerify(pairRows, corpus.banding.threshold)
       .select(col("va").as("new_vec"), col("vb").as("dup_of"), col("cosine"))
-    (result, Seq(vecsNew, bandsNew, cand) ++ vecCandScratch)
+    (result, Seq(vecsNew, bandsNew, cand) ++ vecCandScratch, () => cand.count())
   }
 
   def embedDuplicates(newVecs: DataFrame, corpusVecs: DataFrame): DataFrame =
@@ -765,17 +825,30 @@ object DedupGate {
     private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // escalation trip wire: corpus size is tracked incrementally (one
+    // count at init, then +admitted per absorbed batch) — never a
+    // per-batch table count
+    private val monitor = new BandingMonitor(banding)
+    private var corpusN = corpus.vecs.count()
 
     /** Current index (corpus snapshot + absorbed increments). */
     def index: EmbedIndex = corpus
+
+    /** [[BandingMonitor.advice]] for this gate: Some(deeper config)
+      * once the measured candidate rate has tripped the wire. */
+    def escalationAdvice: Option[EmbedBanding] = monitor.advice
 
     /** One micro-batch — see [[TextGateState.process]] (including the
       * synchronous-sink contract). */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
       val batch = df.localCheckpoint(true)
-      val (dupsRaw, scratch) = embedDuplicatesWithScratch(batch, corpus)
+      val (dupsRaw, scratch, candCount) = embedDuplicatesWithScratch(batch, corpus)
       val dups = dupsRaw.localCheckpoint(true)
+      // count candidates while the candidate frame is still cached,
+      // then feed the trip wire (batch/corpus counts are cache-local)
+      val nCand = candCount()
       unpersistCheckpoints(scratch: _*)
+      monitor.observe(nCand, batch.count(), corpusN)
       sink(dups, id)
       // see TextGateState.process: self-hits reported, never persisted
       pairTable.foreach(t => Dedup.appendPairs(df.sparkSession, t,
@@ -786,6 +859,10 @@ object DedupGate {
           dups.select(col("new_vec").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
         corpus = corpus.absorb(admitted)
+        // incremental corpus-size tracking for the trip wire: admitted
+        // = batch minus the distinct flagged ids (both frames cached)
+        corpusN += batch.count() -
+          dups.select(col("new_vec")).distinct().count()
         absorbsSinceCollapse += 1
         if (absorbsSinceCollapse >= collapseEvery) {
           val old = corpus

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_token_budget" -> "scalar subquery: single-row token-budget broadcast",
     "q22_idle_customers" -> "scalar subquery: single-row avg-balance broadcast",
     "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast",
-    "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast")
+    "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast",
+    "q_seq_pack" -> "scalar subquery: single-row data-sized bucket-count broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
