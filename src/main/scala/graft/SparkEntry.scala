@@ -100,6 +100,7 @@ object SparkEntry {
     "q_seq_pack" -> (TextAnalysis.qSeqPack _),
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_contamination" -> (TextAnalysis.qContamination _),
+    "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
@@ -1575,6 +1576,38 @@ object SparkEntry {
          |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ev.n_shingles AS contam_ratio
          |FROM ev LEFT JOIN ht ON ev.doc_id = ht.doc_id
          |ORDER BY ev.doc_id""".stripMargin,
+    // Fixed-point surprisal: round(ln(k)*1e6) agrees bit-for-bit
+    // across engines for integer k (verified to 2e7), so the sum is
+    // integer-exact and order-free; the only floats are the final
+    // correctly-rounded division chain.
+    "q_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks,
+         |    CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13 THEN 'train'
+         |         WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |bg AS (SELECT doc_id, split,
+         |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+         |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+         |  FROM t WHERE len(toks) >= 2),
+         |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
+         |  FROM bg WHERE split = 'train' GROUP BY 1, 2
+         |  ORDER BY c_pair DESC, prev, w LIMIT ${graft.operators.TextAnalysis.LmMaxBigrams}),
+         |ctx AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM t WHERE split = 'train')),
+         |sc AS (SELECT b.doc_id, b.split, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN bgc.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |    CAST(sum(CAST(round(ln(CAST(COALESCE(ctx.c_ctx, 0) + vv.v AS DOUBLE))*1e6) AS BIGINT)
+         |           - CAST(round(ln(CAST(COALESCE(bgc.c_pair, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)) AS BIGINT)
+         |      AS surprisal_x1e6
+         |  FROM bg b CROSS JOIN vv
+         |  LEFT JOIN bgc ON b.prev = bgc.prev AND b.w = bgc.w
+         |  LEFT JOIN ctx ON b.prev = ctx.prev
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, split, n_bigrams, n_unseen, surprisal_x1e6,
+         |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -523,4 +523,80 @@ object TextAnalysis {
         (col("r.n_in") - col("r.n_dropped")).as("n_out"))
       .orderBy(col("stage"))
   }
+
+  /** Pruned-LM size caps: the bigram table and its context table are
+    * top-N-by-count (deterministic count-desc / key-asc tie-break), so
+    * the broadcast side of the scoring join is BOUNDED no matter the
+    * corpus — a 100 TB corpus trains the same ~64 K-row model. Pruned
+    * mass falls through to the add-one smoothing path, which is
+    * standard pruned-LM behavior (CCNet ships a pruned KenLM for the
+    * same reason). */
+  val LmMaxBigrams = 65536
+
+  /** Per-document language-model perplexity (CCNet-style quality
+    * signal): an add-one-smoothed bigram LM is trained on the 'train'
+    * split of the corpus (the SAME md5 13/2/1 split as [[qDataSplit]] /
+    * [[qContamination]]) and every document is scored against it —
+    * low average surprisal = fluent/common text, high = rare or noisy
+    * text; real pipelines keep the head/middle of this distribution.
+    *
+    * Cross-engine exactness without trusting libm: each token's
+    * surprisal ln((c_ctx + V) / (c_pair + 1)) is computed as the
+    * DIFFERENCE OF TWO FIXED-POINT INTEGERS round(ln(k)*1e6) with
+    * k a plain integer count — both engines' round(ln(k)*1e6) agree
+    * bit-for-bit over the full count range (verified exhaustively to
+    * 2e7), and from there everything is integer arithmetic (summation
+    * order can't matter), with exactly one IEEE division chain at the
+    * end (s6/1e6/n, correctly rounded in any IEEE engine). The judge
+    * of fluency is a monotone transform of true add-one bigram
+    * perplexity, quantized at 1e-6 nats per token.
+    *
+    * Scale shape: bigram fan-out pipelines inside the scan stage; LM
+    * training is one word-count-shaped shuffle on (prev, w) with
+    * map-side partials; the capped LM ([[LmMaxBigrams]]) and its
+    * context sums broadcast; scoring is broadcast-joins + a doc_id
+    * re-agg whose map-side partial collapses each doc's bigrams (all
+    * co-located with the doc) to ~1 row before the exchange — shuffle
+    * volume is O(docs), not O(tokens). V is a 1-row bounded scalar. */
+  def qPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
+    // ordered bigrams, one row per adjacent token pair
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("split"),
+          explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS w))"))
+            .as("bg"))
+        .select(col("doc_id"), col("split"),
+          col("bg.prev").as("prev"), col("bg.w").as("w"))
+    val bg = bigrams(docs)
+    // train-split LM: capped bigram counts + context sums over the kept rows
+    val bgc = bg.filter(col("split") === "train")
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+      .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
+      .localCheckpoint(false) // feeds ctx AND the scoring join
+    val ctx = bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
+    // V: train-split unigram vocabulary size (smoothing denominator)
+    val vRow = docs.filter(col("split") === "train")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    def lnX1e6(k: Column): Column =
+      round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+    val term =
+      lnX1e6(coalesce(col("c_ctx"), lit(0L)) + col("v")) -
+        lnX1e6(coalesce(col("c_pair"), lit(0L)) + lit(1L))
+    bg.crossJoin(broadcast(vRow))
+      .join(broadcast(bgc), Seq("prev", "w"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_pair").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(term).as("surprisal_x1e6"))
+      .withColumn("avg_nats",
+        round(col("surprisal_x1e6") / lit(1e6) / col("n_bigrams"), 4))
+      .orderBy(col("doc_id"))
+  }
 }
