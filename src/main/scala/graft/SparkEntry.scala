@@ -101,6 +101,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_contamination" -> (TextAnalysis.qContamination _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
+    "q_bloom_decontam" -> (TextAnalysis.qBloomDecontam _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
@@ -1576,6 +1577,25 @@ object SparkEntry {
          |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ev.n_shingles AS contam_ratio
          |FROM ev LEFT JOIN ht ON ev.doc_id = ht.doc_id
          |ORDER BY ev.doc_id""".stripMargin,
+    // The oracle recomputes the scrub list WITHOUT the bloom prefilter
+    // — proving the bloom+exact-verify chain never changes the result.
+    "q_bloom_decontam" ->
+      s"""WITH ds AS (SELECT doc_id, text,
+         |    CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |      strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+         |    FROM documents)),
+         |sh AS (SELECT DISTINCT doc_id, split, shingle FROM (
+         |  SELECT doc_id, split, unnest(list_transform(generate_series(1, len(toks)-4),
+         |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS shingle
+         |  FROM (SELECT doc_id, split, $tokSql AS toks FROM ds)
+         |  WHERE len(toks) >= 5)),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+         |SELECT s.doc_id, s.split, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM sh s JOIN tr ON s.shingle = tr.shingle
+         |WHERE s.split <> 'train'
+         |GROUP BY 1, 2 ORDER BY s.doc_id""".stripMargin,
     // Fixed-point surprisal: round(ln(k)*1e6) agrees bit-for-bit
     // across engines for integer k (verified to 2e7), so the sum is
     // integer-exact and order-free; the only floats are the final

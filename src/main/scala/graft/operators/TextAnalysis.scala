@@ -276,16 +276,21 @@ object TextAnalysis {
     * shingle hash to make repeat scans co-located). Zero-hit docs stay
     * in the output (left join + coalesce), since "no contamination" is
     * the result that matters. */
-  def qContamination(s: SparkSession, d: String): DataFrame = {
-    // split derives from doc_id alone, so it recomputes on the shingle
-    // fan-out directly — no second pass over documents, no join back.
-    // Materialized once: sh feeds three subtrees (train side + two
-    // eval uses) and Catalyst does not reuse the explode+distinct
-    // exchange across them (same rationale as the exact-Jaccard
-    // ground-truth query's shingle checkpoint in Dedup).
-    val sh = shingles(Tables.documents(s, d), "doc_id", "text", ContamNgram)
+  /** The split-tagged distinct word-5-gram frame both decontamination
+    * variants consume. Materialized once: it feeds three subtrees
+    * (train side + two eval uses) and Catalyst does not reuse the
+    * explode+distinct exchange across them (same rationale as the
+    * exact-Jaccard ground-truth query's shingle checkpoint in Dedup).
+    * The split derives from doc_id alone, so it recomputes on the
+    * shingle fan-out directly — no second pass over documents, no
+    * join back. */
+  private def contamShingles(s: SparkSession, d: String): DataFrame =
+    shingles(Tables.documents(s, d), "doc_id", "text", ContamNgram)
       .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
       .localCheckpoint(false)
+
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = contamShingles(s, d)
     val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
     val evalSh = sh.filter(col("split") =!= "train")
     val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
@@ -296,6 +301,49 @@ object TextAnalysis {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contam_ratio",
         col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom bits per eval item: 20 bits/item gives fpp ~ 1e-4, which
+    * keeps the expected false-positive survivor count (fpp x |train
+    * distinct shingles|) in the same order as the eval set itself even
+    * when the train side is 10^4x larger — size this UP (not the
+    * filter count) as the train corpus grows. */
+  val ContamBloomBitsPerItem = 20L
+
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[qContamination]]'s train-side scan. The eval suite is small and
+    * fixed by construction, so its distinct-shingle set aggregates into
+    * a bloom filter (Spark's own BloomFilterAggregate, built
+    * distributed with map-side partials and merged on the driver as a
+    * ONE-ROW bounded scalar of a few MB); the 100 TB train corpus is
+    * then scanned ONCE with a codegen'd might_contain predicate — no
+    * shuffle of train shingles at all — and only the survivors (true
+    * hits + an eval-sized fpp residue, per [[ContamBloomBitsPerItem]])
+    * enter the exact verify join, which removes every false positive
+    * because the equi-join on the shingle IS the exact criterion.
+    * Output: the scrub list — eval docs with >= 1 train hit — which the
+    * oracle recomputes bloom-free, proving the prefilter is invisible
+    * to the result. */
+  def qBloomDecontam(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.BloomFunctions._
+    val sh = contamShingles(s, d)
+    val trainSh = sh.filter(col("split") === "train").select(col("shingle"))
+    val evalSh = sh.filter(col("split") =!= "train")
+    val evalDistinct = evalSh.select(col("shingle")).distinct()
+      .localCheckpoint(false) // counted, then aggregated: one build
+    val nEval = math.max(evalDistinct.count(), 1024L) // bounded: eval suite size
+    val bloom = evalDistinct
+      .agg(bloom_agg(xxhash64(col("shingle")), nEval,
+        nEval * ContamBloomBitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val survivors = trainSh
+      .filter(bloom_might_contain(bloom, xxhash64(col("shingle"))))
+      .distinct()
+    // survivors is eval-sized by fpp design -> broadcast is safe at scale
+    evalSh.join(broadcast(survivors), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_hit"))
       .orderBy(col("doc_id"))
   }
 

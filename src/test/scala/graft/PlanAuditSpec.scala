@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q22_idle_customers" -> "scalar subquery: single-row avg-balance broadcast",
     "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast",
     "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast",
-    "q_seq_pack" -> "scalar subquery: single-row data-sized bucket-count broadcast")
+    "q_seq_pack" -> "scalar subquery: single-row data-sized bucket-count broadcast",
+    "q_perplexity" -> "scalar subquery: single-row vocabulary-size (V) broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
