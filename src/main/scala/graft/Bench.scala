@@ -245,7 +245,8 @@ object Bench {
           "q_knn_ivf", "q_knn_ivf_int8", "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_meta", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
-          "q_perplexity", "q_bloom_decontam",
+          "q_perplexity", "q_bloom_decontam", "q_audio_features",
+          "q_quality_gate",
           "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_bloom_decontam" -> (TextAnalysis.qBloomDecontam _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
+    "q_mixture_weights" -> (TextAnalysis.qMixtureWeights _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
     "q_token_budget" -> (TextAnalysis.qTokenBudgetSample _),
@@ -117,6 +118,8 @@ object SparkEntry {
     "q_dedup_gate_disk" -> (graft.streaming.DedupGate.qDedupGateDisk _),
     "q_span_gate" -> (graft.streaming.SpanGate.qSpanGate _),
     "q_span_gate_disk" -> (graft.streaming.SpanGate.qSpanGateDisk _),
+    "q_quality_gate" -> (graft.streaming.QualityGate.qQualityGate _),
+    "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_embed_gate_strict" -> (graft.streaming.DedupGate.qEmbedGateStrict _),
@@ -149,6 +152,7 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.qMediaMeta _),
     "q_frame_sample" -> (Multimodal.qFrameSample _),
     "q_media_decode" -> (Multimodal.qMediaDecode _),
+    "q_audio_features" -> (Multimodal.qAudioFeatures _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -178,6 +182,37 @@ object SparkEntry {
   /** Mirror of SpanGate.novelty over the %4 batch/corpus split: batch
     * positional 8-word span md5s LEFT-joined against the corpus's
     * DISTINCT span-hash set, integer-exact admit verdict. */
+  /** Mirror of QualityGate.score over the %4 batch/corpus split: the
+    * q_perplexity fixed-point LM arithmetic (capped add-one bigram
+    * model) with the integer cross-multiplied admit verdict. */
+  private val qualityGateSql =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM t WHERE len(toks) >= 2),
+       |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
+       |  FROM bg WHERE doc_id % 4 <> 0 GROUP BY 1, 2
+       |  ORDER BY c_pair DESC, prev, w LIMIT ${graft.operators.TextAnalysis.LmMaxBigrams}),
+       |ctx AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 <> 0)),
+       |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN bgc.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       |    CAST(sum(CAST(round(ln(CAST(COALESCE(ctx.c_ctx, 0) + vv.v AS DOUBLE))*1e6) AS BIGINT)
+       |           - CAST(round(ln(CAST(COALESCE(bgc.c_pair, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)) AS BIGINT)
+       |      AS surprisal_x1e6
+       |  FROM bg b CROSS JOIN vv
+       |  LEFT JOIN bgc ON b.prev = bgc.prev AND b.w = bgc.w
+       |  LEFT JOIN ctx ON b.prev = ctx.prev
+       |  WHERE b.doc_id % 4 = 0
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_unseen, surprisal_x1e6,
+       |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats,
+       |  CAST(CASE WHEN surprisal_x1e6 <= ${graft.streaming.QualityGate.AdmitMaxNatsX1e6} * n_bigrams
+       |       THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   private val spanGateSql =
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7),
@@ -1350,6 +1385,8 @@ object SparkEntry {
     // q_span_dedup's keep. Disk form is the same ground truth.
     "q_span_gate" -> spanGateSql,
     "q_span_gate_disk" -> spanGateSql,
+    "q_quality_gate" -> qualityGateSql,
+    "q_quality_gate_disk" -> qualityGateSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
@@ -1577,6 +1614,20 @@ object SparkEntry {
          |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ev.n_shingles AS contam_ratio
          |FROM ev LEFT JOIN ht ON ev.doc_id = ht.doc_id
          |ORDER BY ev.doc_id""".stripMargin,
+    // sqrt is IEEE-correctly-rounded in both engines, so the
+    // fixed-point numerators are exact with no empirical caveat; the
+    // normalization is one division of exactly-represented integers.
+    "q_mixture_weights" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM (SELECT source, $tokSql AS toks FROM documents) GROUP BY 1),
+         |f AS (SELECT source, n_docs, n_tokens,
+         |    CAST(round(sqrt(CAST(n_docs AS DOUBLE))*1e6) AS BIGINT) AS sqrt_x1e6
+         |  FROM s),
+         |t AS (SELECT CAST(sum(sqrt_x1e6) AS BIGINT) AS tot_x1e6 FROM f)
+         |SELECT source, n_docs, n_tokens, sqrt_x1e6,
+         |  CAST(sqrt_x1e6 AS DOUBLE) / tot_x1e6 AS weight
+         |FROM f, t ORDER BY source""".stripMargin,
     // The oracle recomputes the scrub list WITHOUT the bloom prefilter
     // — proving the bloom+exact-verify chain never changes the result.
     "q_bloom_decontam" ->
@@ -1799,5 +1850,27 @@ object SparkEntry {
         |       ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS mean_sample,
         |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Frame windows recomputed from the source bytes: only matches if
+    // the WAV header offsets AND the 64-sample window boundaries the
+    // decoder used are both exactly right.
+    "q_audio_features" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs
+         |  FROM documents),
+         |f AS (SELECT doc_id, bs,
+         |    unnest(generate_series(0,
+         |      CAST(ceil(len(bs) / ${graft.operators.Multimodal.AudioFrameSize}.0) AS INT) - 1)) AS frame_idx
+         |  FROM s WHERE len(bs) > 0),
+         |fr AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |    bs[frame_idx*${graft.operators.Multimodal.AudioFrameSize}+1 :
+         |       least((frame_idx+1)*${graft.operators.Multimodal.AudioFrameSize}, len(bs))] AS fb
+         |  FROM f)
+         |SELECT doc_id, frame_idx,
+         |  CAST(len(fb) AS BIGINT) AS n_samples,
+         |  CAST(list_sum(list_transform(fb, v -> (v-128)*(v-128))) AS BIGINT) AS sum_sq_dev,
+         |  CAST(list_max(list_transform(fb, v -> abs(v-128))) AS BIGINT) AS peak_dev,
+         |  CAST(CASE WHEN list_max(list_transform(fb, v -> abs(v-128)))
+         |       < ${graft.operators.Multimodal.AudioSilencePeak} THEN 1 ELSE 0 END AS BIGINT) AS silent
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -74,6 +74,9 @@ object Multimodal {
     n_samples: Long, sum_samples: Long, peak_sample: Long,
     mean_sample: Double, duration_ms: Long)
 
+  case class WavFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+    sum_sq_dev: Long, peak_dev: Long, silent: Long)
+
   /** Real RIFF/WAVE PCM codec, pure JVM — canonical 44-byte header,
     * mono, unsigned 8-bit samples. `write` emits the exact layout any
     * audio tool reads; `decode` is a STRICT parser: it checks the RIFF
@@ -108,8 +111,10 @@ object Multimodal {
     private def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"not a PCM WAV: $msg")
 
-    /** Strict parse + payload stats for `doc_id`'s payload. */
-    def decode(docId: Long, wav: Array[Byte]): WavFeatures = {
+    /** Strict header parse: returns (rate, data offset, data length).
+      * Both the stats decode and the frame decode go through this ONE
+      * parser, so the strictness guarantees can't diverge. */
+    private def parseHeader(wav: Array[Byte]): (Int, Int, Int) = {
       if (wav.length < 44) fail(s"${wav.length} bytes < minimal header")
       val b = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
       def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
@@ -119,8 +124,7 @@ object Multimodal {
       // chunk walk: fmt must precede data (decoder needs it), other
       // chunks (LIST, fact, ...) are skipped per the format's rule
       var rate = -1
-      var stats: WavFeatures = null
-      while (stats == null && b.remaining() >= 8) {
+      while (b.remaining() >= 8) {
         val id = tag()
         val len = b.getInt()
         if (len < 0 || len > b.remaining()) fail(s"chunk $id overruns file")
@@ -136,25 +140,57 @@ object Multimodal {
             if (b.getShort() != 8) fail("bits per sample != 8")
           case "data" =>
             if (rate < 0) fail("data chunk before fmt")
-            var sum = 0L
-            var peak = 0L
-            var i = b.position()
-            val end = i + len
-            while (i < end) {
-              val v = (wav(i) & 0xff).toLong
-              sum += v
-              if (v > peak) peak = v
-              i += 1
-            }
-            stats = WavFeatures(docId, wav.length.toLong, rate.toLong,
-              len.toLong, sum, peak,
-              if (len == 0) 0.0 else sum.toDouble / len,
-              len.toLong * 1000L / rate)
+            return (rate, b.position(), len)
           case _ => b.position(b.position() + len + (len & 1)) // pad byte
         }
       }
-      if (stats == null) fail("no data chunk")
-      stats
+      fail("no data chunk")
+    }
+
+    /** Strict parse + payload stats for `doc_id`'s payload. */
+    def decode(docId: Long, wav: Array[Byte]): WavFeatures = {
+      val (rate, off, len) = parseHeader(wav)
+      var sum = 0L
+      var peak = 0L
+      var i = off
+      val end = off + len
+      while (i < end) {
+        val v = (wav(i) & 0xff).toLong
+        sum += v
+        if (v > peak) peak = v
+        i += 1
+      }
+      WavFeatures(docId, wav.length.toLong, rate.toLong,
+        len.toLong, sum, peak,
+        if (len == 0) 0.0 else sum.toDouble / len,
+        len.toLong * 1000L / rate)
+    }
+
+    /** Strict parse + per-frame features: non-overlapping
+      * `frameSize`-sample windows over the data chunk (last frame
+      * partial), each with its squared-deviation energy and peak
+      * deviation around the 8-bit midpoint — all integers, so the
+      * oracle's recomputation from source bytes is exact. */
+    def decodeFrames(docId: Long, wav: Array[Byte],
+        frameSize: Int, silencePeak: Int): Iterator[WavFrame] = {
+      val (_, off, len) = parseHeader(wav)
+      val nFrames = (len + frameSize - 1) / frameSize
+      (0 until nFrames).iterator.map { f =>
+        val start = off + f * frameSize
+        val end = math.min(start + frameSize, off + len)
+        var sumSq = 0L
+        var peak = 0L
+        var i = start
+        while (i < end) {
+          val dev = (wav(i) & 0xff).toLong - 128L
+          sumSq += dev * dev
+          val a = math.abs(dev)
+          if (a > peak) peak = a
+          i += 1
+        }
+        WavFrame(docId, f.toLong, (end - start).toLong, sumSq, peak,
+          if (peak < silencePeak) 1L else 0L)
+      }
     }
   }
 
@@ -197,4 +233,30 @@ object Multimodal {
     * right — a single byte of drift corrupts `sum_samples`. */
   def qMediaDecode(s: SparkSession, d: String): DataFrame =
     decodeWav(wavTable(Tables.documents(s, d))).toDF().orderBy(col("doc_id"))
+
+  /** Audio frame geometry: 64-sample non-overlapping windows; a frame
+    * is "silent" when every sample is within 16 of the 8-bit midpoint
+    * — the voice-activity-detection primitive a speech pipeline runs
+    * before transcription (silence never reaches the expensive model). */
+  val AudioFrameSize = 64
+  val AudioSilencePeak = 16
+
+  /** Frame-level audio features through the REAL decode path: encode ->
+    * strict header parse -> windowed energy/peak per frame. The frame
+    * fan-out happens inside the decoder's mapPartitions (a real codec
+    * emits frames, like FFmpeg), so per-row cost is one pass over the
+    * payload and the output is bounded at len/frameSize rows per doc.
+    * All feature columns are integers (squared deviation, peak
+    * deviation, silence verdict), so the oracle's recomputation from
+    * the source bytes is exact — any drift in the header offsets or
+    * window boundaries breaks the hash compare. */
+  def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = wavTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = WavCodec.init()
+      it.flatMap(m =>
+        decoder.decodeFrames(m.doc_id, m.payload, AudioFrameSize, AudioSilencePeak))
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -425,6 +425,32 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Temperature-scaled domain mixture weights (the DoReMi/multilingual-
+    * sampling knob at temperature 1/2): per source, weight proportional
+    * to sqrt(n_docs) — upweights small domains relative to raw
+    * frequency without letting a mega-domain dominate. Exponent 1/2 is
+    * deliberate beyond convention: sqrt is IEEE-correctly-rounded (a
+    * promise `pow` does not make), so the fixed-point weights are
+    * engine-exact with zero empirical caveats. Numerators are summed as
+    * integers (round(sqrt*1e6)), so the normalization is one exact
+    * division of exactly-represented integers.
+    *
+    * Scale shape: one hash agg on `source` (map-side partials), a
+    * bounded 1-row total broadcast, output bounded by |sources|. */
+  def qMixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("sqrt_x1e6",
+        round(sqrt(col("n_docs").cast(DoubleType)) * lit(1e6)).cast(LongType))
+    val tot = perSource.agg(sum(col("sqrt_x1e6")).as("tot_x1e6"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sqrt_x1e6"),
+        (col("sqrt_x1e6").cast(DoubleType) / col("tot_x1e6")).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-15 from the
     * first hex digit of md5(doc_id) — stable across engines, runs,
     * and cluster sizes (the property that makes a 100 TB split

@@ -51,12 +51,31 @@ object Writers {
   def replaceBucketed(
       s: org.apache.spark.sql.SparkSession,
       df: DataFrame, key: String, buckets: Int, table: String): Unit = {
+    dropWithLocation(s, table)
+    writeBucketed(df, key, buckets, table)
+  }
+
+  /** Replace an UNBUCKETED saved table (e.g. a persisted model frame):
+    * same stale-location hygiene as [[replaceBucketed]] — a dropped
+    * catalog entry can leave its warehouse directory behind (prior
+    * session, crashed drop), and a bare saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS. */
+  def replaceTable(
+      s: org.apache.spark.sql.SparkSession, df: DataFrame, table: String): Unit = {
+    dropWithLocation(s, table)
+    df.write.saveAsTable(table)
+  }
+
+  /** Drop the catalog entry AND its (possibly orphaned) warehouse
+    * directory. */
+  private def dropWithLocation(
+      s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
     val whPath =
       if (whUri.getScheme == null) whUri.getPath else new java.io.File(whUri).getPath
     new scala.reflect.io.Directory(new java.io.File(whPath, table)).deleteRecursively()
-    writeBucketed(df, key, buckets, table)
+    ()
   }
 
   /** Backtick-quote a table identifier for raw-SQL interpolation —

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Streaming QUALITY gate — the fourth gate modality next to the
+  * lexical gate, the embedding gate, and the span-novelty gate:
+  * admit a document iff its language-model surprisal under the corpus
+  * LM is at most [[AdmitMaxNatsX1e6]] nats/token — the CCNet-style
+  * "does this read like the corpus" filter, run at ingest so noise
+  * never reaches the expensive pipeline stages downstream.
+  *
+  * Unlike the dedup gates the model is FROZEN: production quality
+  * filters score against a model trained offline (retrained on a
+  * cadence, not per batch), because an admit threshold only means
+  * something against a fixed reference distribution. The gate state is
+  * therefore immutable — no absorb step, no batch-order dependence,
+  * and an at-least-once replay re-emits bit-identical verdicts (none
+  * of the replay-drift caveats the absorbing gates document).
+  *
+  * Scale posture: the LM is the CAPPED add-one bigram model of
+  * [[graft.operators.TextAnalysis.qPerplexity]] (top-64K bigrams,
+  * deterministic tie-break) — a BOUNDED broadcast no matter the corpus
+  * size. Per trigger the batch's bigram fan-out joins the broadcast LM
+  * and re-aggregates by doc_id (map-side partials collapse each doc's
+  * co-located bigrams to ~1 row), so verify cost is O(batch tokens)
+  * with shuffle volume O(batch docs) — corpus size appears ONLY in the
+  * one-off model build. Verdicts are integer-exact: fixed-point
+  * surprisal vs an integer cross-multiplied threshold, no float
+  * compare anywhere.
+  */
+object QualityGate {
+
+  import graft.operators.TextAnalysis.LmMaxBigrams
+
+  /** Admit iff surprisal_x1e6 <= AdmitMaxNatsX1e6 * n_bigrams —
+    * 3.42 nats/token, between the sf0.01 and sf0.1 batch medians of
+    * the synthetic corpus so both verdict classes stay populated at
+    * every test SF. */
+  val AdmitMaxNatsX1e6 = 3420000L
+
+  /** Ordered-bigram fan-out: one (doc_id, prev, w) row per adjacent
+    * token pair — pipelines inside the scan stage. */
+  private[streaming] def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS w))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+
+  /** The frozen LM: capped bigram counts (the broadcast side), their
+    * context sums, and the train-vocabulary size. `table` set means the
+    * counts live in a saved table (restart reuse — the model outlives
+    * the stream that built it). */
+  final case class LmIndex(bgc: DataFrame, v: Long, table: Option[String] = None) {
+    def content: DataFrame = table match {
+      case Some(t) => bgc.sparkSession.table(t)
+      case None => bgc
+    }
+  }
+
+  /** Train the capped LM from a corpus snapshot: ONE word-count-shaped
+    * (prev, w) shuffle with map-side partials, a driver-merged top-K
+    * (TakeOrdered — O(K) per partition, K rows total), and a bounded
+    * 1-row vocabulary scalar. */
+  def trainLm(corpusDocs: DataFrame): LmIndex = {
+    val bgc = bigramRows(corpusDocs)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+      .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
+      .localCheckpoint(true)
+    val v = corpusDocs.select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    LmIndex(bgc, v)
+  }
+
+  /** Train and persist the LM as a saved table (+ the vocabulary size
+    * as a 1-row side table), then read it back — the restartable form:
+    * a later stream (or a different session) mounts the same frozen
+    * model without retraining. */
+  def trainLmDisk(corpusDocs: DataFrame, table: String): LmIndex = {
+    val s = corpusDocs.sparkSession
+    val mem = trainLm(corpusDocs)
+    graft.sources.Writers.replaceTable(s, mem.bgc, table)
+    import s.implicits._
+    graft.sources.Writers.replaceTable(s, Seq(mem.v).toDF("v"), s"${table}_v")
+    DedupGate.unpersistCheckpoints(mem.bgc)
+    LmIndex(s.table(table), s.table(s"${table}_v").head().getLong(0), Some(table))
+  }
+
+  /** Verify stage: per new doc with >= 2 tokens, the bigram total,
+    * unseen count, fixed-point surprisal, nats/token, and the admit
+    * verdict (integer cross-multiply against [[AdmitMaxNatsX1e6]]).
+    * Documents shorter than one bigram carry no evidence and are
+    * admitted by omission (no verdict row), the span-gate convention. */
+  def score(newDocs: DataFrame, lm: LmIndex): DataFrame = {
+    val ctx = lm.content.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
+    def lnX1e6(k: org.apache.spark.sql.Column) =
+      round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+    val term =
+      lnX1e6(coalesce(col("c_ctx"), lit(0L)) + lit(lm.v)) -
+        lnX1e6(coalesce(col("c_pair"), lit(0L)) + lit(1L))
+    bigramRows(newDocs)
+      .join(broadcast(lm.content), Seq("prev", "w"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_pair").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(term).as("surprisal_x1e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("surprisal_x1e6"),
+        round(col("surprisal_x1e6") / lit(1e6) / col("n_bigrams"), 4)
+          .as("avg_nats"),
+        when(col("surprisal_x1e6") <= lit(AdmitMaxNatsX1e6) * col("n_bigrams"),
+          1L).otherwise(0L).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Start the gate: the frozen LM is trained once, then each
+    * micro-batch is scored against it and the verdicts handed to the
+    * sink. Stateless per batch — verdict rows are replay-stable. */
+  def start(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      lmTable: Option[String] = None): StreamingQuery = {
+    val lm = lmTable.map(t => trainLmDisk(corpusDocs, t))
+      .getOrElse(trainLm(corpusDocs))
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint(true)
+        val verdicts = score(batch, lm).localCheckpoint(true)
+        sink(verdicts, id)
+        DedupGate.unpersistCheckpoints(batch, verdicts)
+      }
+      .start()
+  }
+
+  /** Batch analog for the oracle gate: every doc_id % 4 == 0 document
+    * as ONE "new" batch scored against the LM trained on the rest. */
+  def qQualityGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    score(docs.filter(col("doc_id") % 4 === 0),
+      trainLm(docs.filter(col("doc_id") % 4 =!= 0)))
+  }
+
+  /** [[qQualityGate]] through the persisted-LM path — same result set
+    * (same oracle SQL): the proof that the saved model is the model. */
+  def qQualityGateDisk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    score(docs.filter(col("doc_id") % 4 === 0),
+      trainLmDisk(docs.filter(col("doc_id") % 4 =!= 0),
+        DedupGate.gateTableName("qlm", d)))
+  }
+}

@@ -189,4 +189,28 @@ class CurationOpsSpec extends SparkSpec {
       budgetPlan.contains("windowspecdefinition(bucket"),
       s"token-budget cumulative sum lost its bucket partitioning:\n$budgetPlan")
   }
+
+  test("mixture weights match the sqrt-temperature reference and normalize") {
+    val got = TextAnalysis.qMixtureWeights(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.length > 1, "needs several sources to mean anything")
+    // driver-side reference: per-source doc counts -> fixed-point sqrt
+    val counts = Tables.documents(spark, d).groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sqrt6 = counts.view.mapValues(n =>
+      Math.round(Math.sqrt(n.toDouble) * 1e6)).toMap
+    val tot = sqrt6.values.sum
+    for ((src, nDocs, s6, w) <- got) {
+      assert(nDocs == counts(src) && s6 == sqrt6(src))
+      assert(w == s6.toDouble / tot)
+    }
+    // weights normalize (exactly, up to the final-division ulps)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+    // the temperature does its job: the weight RATIO between the
+    // biggest and smallest source is compressed vs the doc-count ratio
+    val (minN, maxN) = (counts.values.min, counts.values.max)
+    val (minW, maxW) = (got.map(_._4).min, got.map(_._4).max)
+    assert(maxW / minW <= maxN.toDouble / minN + 1e-9,
+      "sqrt temperature must compress the domain imbalance")
+  }
 }

@@ -66,4 +66,39 @@ class MultimodalSpec extends SparkSpec {
     val r = f.filter(col("frame_idx") % 2 =!= 0).count()
     assert(r == 0)
   }
+
+  test("frame decode: window boundaries, energy, and silence verdicts") {
+    // 100 loud samples + 60 near-midpoint samples = 160 total at frame
+    // size 64 -> frames of 64, 64, 32: frame 0 all-loud, frame 1
+    // straddles (36 loud + 28 quiet), frame 2 a quiet partial tail
+    val loud = Array.fill(100)(200.toByte)
+    val quiet = Array.fill(60)(130.toByte)
+    val wav = Multimodal.WavCodec.write(loud ++ quiet, 8000)
+    val frames = Multimodal.WavCodec
+      .decodeFrames(9L, wav, Multimodal.AudioFrameSize, Multimodal.AudioSilencePeak)
+      .toSeq
+    assert(frames.map(_.frame_idx) == Seq(0L, 1L, 2L))
+    assert(frames.map(_.n_samples) == Seq(64L, 64L, 32L))
+    // frame 0: 64 samples at dev 72 -> 64*72^2; loud -> not silent
+    assert(frames(0).sum_sq_dev == 64L * 72 * 72 && frames(0).silent == 0L)
+    // frame 1: 36 loud (dev 72) + 28 quiet (dev 2)
+    assert(frames(1).sum_sq_dev == 36L * 72 * 72 + 28L * 2 * 2)
+    assert(frames(1).peak_dev == 72L && frames(1).silent == 0L)
+    // frame 2: all quiet, peak dev 2 < 16 -> silent
+    assert(frames(2).sum_sq_dev == 32L * 2 * 2 && frames(2).silent == 1L)
+
+    // the frame path shares the strict parser: corrupt header fails
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decodeFrames(9L, bad, 64, 16).toSeq)
+  }
+
+  test("qAudioFeatures: empty docs emit no frames, counts line up") {
+    val out = Multimodal.qAudioFeatures(spark, "/root/testdata/sf0.001")
+    val n = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(sum(ceil(length(col("text")).cast("double") /
+        Multimodal.AudioFrameSize).cast("long"))).collect().head.getLong(0)
+    assert(out.count() == n, "frame count must equal sum(ceil(len/frameSize))")
+    assert(out.filter(col("n_samples") <= 0).count() == 0)
+  }
 }
