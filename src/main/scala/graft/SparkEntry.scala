@@ -120,6 +120,7 @@ object SparkEntry {
     "q_span_gate_disk" -> (graft.streaming.SpanGate.qSpanGateDisk _),
     "q_quality_gate" -> (graft.streaming.QualityGate.qQualityGate _),
     "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
+    "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
     "q_embed_gate_strict" -> (graft.streaming.DedupGate.qEmbedGateStrict _),
@@ -212,6 +213,54 @@ object SparkEntry {
        |  CAST(CASE WHEN surprisal_x1e6 <= ${graft.streaming.QualityGate.AdmitMaxNatsX1e6} * n_bigrams
        |       THEN 1 ELSE 0 END AS BIGINT) AS admit
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Mirror of IngestPipeline.qIngestFunnel: the quality-gate and
+    * span-gate verdict chains composed over the SAME %4 split, rolled
+    * into the sequential stage-attrition report (span drops counted
+    * among quality survivors only). Bypass convention: a doc too short
+    * for a stage's verdict passes that stage (COALESCE(admit, 1)). */
+  private val ingestFunnelSql =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM t WHERE len(toks) >= 2),
+       |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
+       |  FROM bg WHERE doc_id % 4 <> 0 GROUP BY 1, 2
+       |  ORDER BY c_pair DESC, prev, w LIMIT ${graft.operators.TextAnalysis.LmMaxBigrams}),
+       |ctx AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 4 <> 0)),
+       |qa AS (SELECT b.doc_id,
+       |    CASE WHEN CAST(sum(CAST(round(ln(CAST(COALESCE(ctx.c_ctx, 0) + vv.v AS DOUBLE))*1e6) AS BIGINT)
+       |           - CAST(round(ln(CAST(COALESCE(bgc.c_pair, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)) AS BIGINT)
+       |         <= ${graft.streaming.QualityGate.AdmitMaxNatsX1e6} * count(*)
+       |         THEN 1 ELSE 0 END AS q_admit
+       |  FROM bg b CROSS JOIN vv
+       |  LEFT JOIN bgc ON b.prev = bgc.prev AND b.w = bgc.w
+       |  LEFT JOIN ctx ON b.prev = ctx.prev
+       |  WHERE b.doc_id % 4 = 0 GROUP BY 1),
+       |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7),
+       |    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+       |  FROM t WHERE len(toks) >= 8),
+       |corp AS (SELECT DISTINCT h FROM sp WHERE doc_id % 4 <> 0),
+       |sa AS (SELECT n.doc_id,
+       |    CASE WHEN count(c.h) * 2 <= count(*) THEN 1 ELSE 0 END AS s_admit
+       |  FROM sp n LEFT JOIN corp c ON n.h = c.h
+       |  WHERE n.doc_id % 4 = 0 GROUP BY n.doc_id),
+       |j AS (SELECT b.doc_id, COALESCE(qa.q_admit, 1) AS q, COALESCE(sa.s_admit, 1) AS sn
+       |  FROM (SELECT doc_id FROM t WHERE doc_id % 4 = 0) b
+       |  LEFT JOIN qa ON b.doc_id = qa.doc_id
+       |  LEFT JOIN sa ON b.doc_id = sa.doc_id),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN q = 1 AND sn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+       |  FROM j)
+       |SELECT CAST(1 AS BIGINT) AS stage, 'quality_lm' AS rule,
+       |  total AS n_in, d1 AS n_dropped, total - d1 AS n_out FROM a
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'span_novelty', total - d1, d2, total - d1 - d2 FROM a
+       |ORDER BY stage""".stripMargin
 
   private val spanGateSql =
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
@@ -1387,6 +1436,7 @@ object SparkEntry {
     "q_span_gate_disk" -> spanGateSql,
     "q_quality_gate" -> qualityGateSql,
     "q_quality_gate_disk" -> qualityGateSql,
+    "q_ingest_funnel" -> ingestFunnelSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
