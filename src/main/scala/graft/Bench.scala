@@ -247,7 +247,7 @@ object Bench {
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_perplexity", "q_bloom_decontam", "q_audio_features",
           "q_quality_gate",
-          "q_semdedup", "q_seq_pack", "q_simhash", "q_simhash_md5",
+          "q_semdedup", "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_subtoken_count" -> (TextAnalysis.qSubTokenCount _),
     "q_doc_chunks" -> (TextAnalysis.qDocChunks _),
     "q_seq_pack" -> (TextAnalysis.qSeqPack _),
+    "q_pack_shards" -> (TextAnalysis.qPackShards _),
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_contamination" -> (TextAnalysis.qContamination _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
@@ -261,6 +262,41 @@ object SparkEntry {
        |UNION ALL
        |SELECT CAST(2 AS BIGINT), 'span_novelty', total - d1, d2, total - d1 - d2 FROM a
        |ORDER BY stage""".stripMargin
+
+  /** Shared chunk→bucket→pack CTE chain (mirror of TextAnalysis
+    * qDocChunks + qSeqPack), ending in `packs(bucket, pack_id,
+    * n_chunks, n_tokens, n_docs)` — ONE definition consumed by both
+    * the pack oracle and the shard-manifest oracle so the bucket and
+    * prefix-sum arithmetic cannot drift between them. */
+  private val seqPackCtes =
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, CAST(floor((len(toks)-1)/40.0) AS INT))) AS chunk_id
+       |  FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok
+       |  FROM c),
+       |nb AS (SELECT greatest(COALESCE(CAST(ceil(sum(n_tok)
+       |      / ${graft.operators.TextAnalysis.TargetBucketTokens}.0) AS BIGINT), 1), 1)
+       |    AS n_buckets FROM ch),
+       |b AS (SELECT ch.*, (
+       |    (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+       |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+       |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+       |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+       |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+       |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 6, 1)) - 1)
+       |  ) % nb.n_buckets AS bucket
+       |  FROM ch, nb),
+       |p AS (SELECT bucket, doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM b),
+       |packs AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+       |    CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+       |    count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT doc_id) AS n_docs
+       |  FROM p GROUP BY 1, 2)""".stripMargin
 
   private val spanGateSql =
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
@@ -1730,34 +1766,26 @@ object SparkEntry {
          |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats
          |FROM sc ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |    unnest(generate_series(0, CAST(floor((len(toks)-1)/40.0) AS INT))) AS chunk_id
-         |  FROM t WHERE len(toks) > 0),
-         |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |    CAST(least(50, len(toks) - chunk_id*40) AS BIGINT) AS n_tok
-         |  FROM c),
-         |nb AS (SELECT greatest(COALESCE(CAST(ceil(sum(n_tok)
-         |      / ${graft.operators.TextAnalysis.TargetBucketTokens}.0) AS BIGINT), 1), 1)
-         |    AS n_buckets FROM ch),
-         |b AS (SELECT ch.*, (
-         |    (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
-         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
-         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
-         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 4, 1)) - 1) * 256
-         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 5, 1)) - 1) * 16
-         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch.doc_id AS VARCHAR)), 6, 1)) - 1)
-         |  ) % nb.n_buckets AS bucket
-         |  FROM ch, nb),
-         |p AS (SELECT bucket, doc_id, n_tok,
-         |    COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM b)
-         |SELECT CAST(bucket AS BIGINT) AS bucket,
-         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
-         |  count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |  count(DISTINCT doc_id) AS n_docs
-         |FROM p GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin,
+      s"""WITH $seqPackCtes
+         |SELECT bucket, pack_id, n_chunks, n_tokens, n_docs
+         |FROM packs ORDER BY bucket, pack_id""".stripMargin,
+    // The manifest digest is a MULTISET hash (bit_xor of 60-bit md5
+    // prefixes) — deliberately order-free, so neither engine's
+    // aggregation order can matter, and agg state is O(1) per shard.
+    "q_pack_shards" ->
+      s"""WITH $seqPackCtes,
+         |k AS (SELECT (bucket * 31 + pack_id) % ${graft.operators.TextAnalysis.NumShards} AS shard,
+         |    n_chunks, n_tokens,
+         |    CAST(('0x' || substr(md5(
+         |      CAST(bucket AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR) || ':' ||
+         |      CAST(n_chunks AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' ||
+         |      CAST(n_docs AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM packs)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(h) AS digest
+         |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_data_split" ->
       """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM (

@@ -397,6 +397,36 @@ object TextAnalysis {
       .orderBy(col("bucket"), col("pack_id"))
   }
 
+  /** Export shards for the packed stream. 8 here; production sizes
+    * this to target shard bytes. */
+  val NumShards = 8L
+
+  /** Shard-export manifest — the artifact a training job actually
+    * consumes (the WebDataset/Megatron shard-list shape): packs
+    * ([[qSeqPack]]) are assigned round-robin-by-arithmetic to shards,
+    * and each shard row carries its pack/chunk/token totals plus a
+    * CONTENT DIGEST the reader can re-verify. The digest is the XOR of
+    * a 60-bit md5 prefix per pack row — a multiset hash, so it is
+    * aggregation-ORDER-FREE (no sort, no collect_list whose buffer
+    * grows with shard size: agg state is O(1) per shard at any scale)
+    * and any dropped/duplicated/altered pack flips it.
+    *
+    * Scale shape: one hash agg over the (already bounded) pack frame;
+    * output is |shards| rows. */
+  def qPackShards(s: SparkSession, d: String): DataFrame = {
+    val key = concat_ws(":", col("bucket"), col("pack_id"),
+      col("n_chunks"), col("n_tokens"), col("n_docs"))
+    qSeqPack(s, d)
+      .withColumn("shard", pmod(col("bucket") * 31 + col("pack_id"), lit(NumShards)))
+      .withColumn("h", conv(substring(md5(key), 1, 15), 16, 10).cast(LongType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(h)").as("digest"))
+      .orderBy(col("shard"))
+  }
+
   /** Target mixture rates per language, in 256ths — the domain
     * reweighting a pretraining mix applies (e.g. upsample English,
     * downsample the long tail). 256 buckets give 1/256 granularity

@@ -190,6 +190,37 @@ class CurationOpsSpec extends SparkSpec {
       s"token-budget cumulative sum lost its bucket partitioning:\n$budgetPlan")
   }
 
+  test("shard manifest reconciles with packs and digests exactly") {
+    val packs = TextAnalysis.qSeqPack(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = TextAnalysis.qPackShards(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // reference manifest from the pack rows, md5+xor recomputed from
+    // scratch on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = packs.groupBy { case (b, p, _, _, _) =>
+      (b * 31 + p) % TextAnalysis.NumShards
+    }.map { case (shard, rows) =>
+      (shard, rows.length.toLong, rows.map(_._3).sum, rows.map(_._4).sum,
+        rows.map { case (b, p, c, t, n) => h60(s"$b:$p:$c:$t:$n") }
+          .reduce(_ ^ _))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, "manifest diverged from the pack frame")
+    assert(got.length > 1, "several shards expected")
+    // a single altered pack row must flip its shard's digest
+    val (b0, p0, c0, t0, n0) = packs.head
+    val tampered = want.map { case row @ (sh, np, nc, nt, dg) =>
+      if (sh == (b0 * 31 + p0) % TextAnalysis.NumShards)
+        (sh, np, nc, nt, dg ^ h60(s"$b0:$p0:$c0:$t0:$n0") ^ h60(s"$b0:$p0:${c0 + 1}:$t0:$n0"))
+      else row
+    }
+    assert(tampered != want, "digest must be sensitive to a pack edit")
+  }
+
   test("mixture weights match the sqrt-temperature reference and normalize") {
     val got = TextAnalysis.qMixtureWeights(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))

@@ -68,6 +68,23 @@ class PerplexitySpec extends SparkSpec {
     assert(got == want, "perplexity diverged from the reference LM")
   }
 
+  test("scoring plan: LM broadcasts, token side never hash-shuffles") {
+    val plan = TextAnalysis.qPerplexity(spark, d)
+      .queryExecution.executedPlan.toString
+    // both LM joins must be broadcast hash joins building on the
+    // (bounded, capped) model side — a sort-merge join here would mean
+    // the token stream is being shuffled by key, the exact cost the
+    // cap exists to avoid
+    assert(!plan.contains("SortMergeJoin"),
+      s"LM scoring join degraded to a shuffle join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected two broadcast LM joins:\n$plan")
+    // the per-doc re-agg must partial-aggregate before its exchange
+    // (shuffle O(docs), not O(tokens))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-doc aggregation lost its map-side partial:\n$plan")
+  }
+
   test("output is non-vacuous: all splits scored, scores discriminate") {
     val rows = TextAnalysis.qPerplexity(spark, d).collect()
     assert(rows.length > 10)
