@@ -46,6 +46,7 @@ object SparkEntry {
     "q_case_agg" -> (Relational.qCaseAgg _),
     "q_lead_lag" -> (Relational.qLeadLag _),
     "q_sessionize" -> (Relational.qSessionize _),
+    "q_event_funnel" -> (Relational.qEventFunnel _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_profile" -> (Relational.qProfile _),
@@ -916,6 +917,33 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Strictly-ordered stage times: each CTE joins the previous
+    // stage's first-reach and keeps only later events — the carried t1
+    // makes sum_delta_us exact integer microseconds.
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |a1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |a2 AS (SELECT e.user_id, min(e.us) AS t_click, min(a1.t1) AS t1
+        |       FROM e JOIN a1 ON e.user_id = a1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > a1.t1 GROUP BY 1),
+        |a3 AS (SELECT e.user_id, min(e.us) AS t_signup, min(a2.t1) AS t1
+        |       FROM e JOIN a2 ON e.user_id = a2.user_id
+        |       WHERE e.event_type = 'signup' AND e.us > a2.t_click GROUP BY 1),
+        |a4 AS (SELECT e.user_id, min(e.us) AS t_purchase, min(a3.t1) AS t1
+        |       FROM e JOIN a3 ON e.user_id = a3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > a3.t_signup GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_delta_us FROM a1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(t_click - t1), 0) AS BIGINT) FROM a2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'signup', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(t_signup - t1), 0) AS BIGINT) FROM a3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(t_purchase - t1), 0) AS BIGINT) FROM a4
+        |ORDER BY stage""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events

@@ -336,6 +336,64 @@ object Relational {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Ordered conversion funnel over the event stream: per user, the
+    * FIRST time each stage is reached STRICTLY AFTER the previous
+    * stage (view -> click -> signup -> purchase) — the product-
+    * analytics primitive behind every activation dashboard, and a
+    * different beast from the unordered per-doc rule funnel
+    * (`TextAnalysis.qFilterFunnel`): here order matters, so a click
+    * before the first view does not count.
+    *
+    * Formulated as FOUR SEQUENTIAL AGGREGATIONS joined on user_id —
+    * min(ts) past the previous stage's time — rather than a per-user
+    * event-sequence window sort: each stage is one equi-join + one
+    * partial-aggregated hash agg on user_id, so the heaviest user
+    * (a bot with millions of events) costs its map-side partials, not
+    * a single-task sort. Time-to-stage is summed in integer epoch
+    * MICROSECONDS (exact; consumers derive averages). */
+  def qEventFunnel(s: SparkSession, d: String): DataFrame =
+    eventFunnel(Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** [[qEventFunnel]]'s core over any (user_id, event_type, us) frame
+    * — separated so the ordered semantics are testable on constructed
+    * event sequences. */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    val e = events.localCheckpoint(false) // feeds all four stage subtrees
+    // each stage: events of the step type, strictly after the user's
+    // previous-stage time, first reach + the carried funnel-entry time
+    def stage(of: String, prev: DataFrame, prevT: String, outT: String): DataFrame =
+      e.filter(col("event_type") === of)
+        .join(prev.select(col("user_id"), col("t1"), col(prevT).as("t_prev")),
+          Seq("user_id"))
+        .filter(col("us") > col("t_prev"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as(outT), min(col("t1")).as("t1"))
+    val a1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val a2 = stage("click", a1.withColumn("t0", col("t1")), "t0", "t_click")
+    val a3 = stage("signup", a2, "t_click", "t_signup")
+    val a4 = stage("purchase", a3, "t_signup", "t_purchase")
+    def roll(df: DataFrame, tCol: String) =
+      df.agg(count(lit(1)).as("n"), sum(col(tCol) - col("t1")).as("d"))
+    def row(st: Long, step: String, n: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) =
+      struct(lit(st).as("stage"), lit(step).as("step"),
+        n.as("n_users"), d.as("sum_delta_us"))
+    roll(a1, "t1").select(col("n").as("n1"), col("d").as("d1"))
+      .crossJoin(broadcast(roll(a2, "t_click").select(col("n").as("n2"), col("d").as("d2"))))
+      .crossJoin(broadcast(roll(a3, "t_signup").select(col("n").as("n3"), col("d").as("d3"))))
+      .crossJoin(broadcast(roll(a4, "t_purchase").select(col("n").as("n4"), col("d").as("d4"))))
+      .select(explode(array(
+        row(1L, "view", col("n1"), coalesce(col("d1"), lit(0L))),
+        row(2L, "click", col("n2"), coalesce(col("d2"), lit(0L))),
+        row(3L, "signup", col("n3"), coalesce(col("d3"), lit(0L))),
+        row(4L, "purchase", col("n4"), coalesce(col("d4"), lit(0L))))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"), col("r.sum_delta_us").as("sum_delta_us"))
+      .orderBy(col("stage"))
+  }
+
   /** Column profiling (ANALYZE-style data quality pass): per column,
     * row/null/distinct counts and min/max — the first query any
     * pipeline runs against a new 100 TB table. Four single-column

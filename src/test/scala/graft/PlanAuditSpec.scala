@@ -41,8 +41,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_late_split" -> "scalar subquery: single-row watermark (max ts) broadcast",
     "q11_important_stock" -> "scalar subquery: single-row stock-value total broadcast",
     "q_seq_pack" -> "scalar subquery: single-row data-sized bucket-count broadcast",
+    "q_pack_shards" -> "inherits q_seq_pack's single-row bucket-count broadcast",
     "q_perplexity" -> "scalar subquery: single-row vocabulary-size (V) broadcast",
-    "q_mixture_weights" -> "scalar subquery: single-row weight-total broadcast")
+    "q_mixture_weights" -> "scalar subquery: single-row weight-total broadcast",
+    "q_event_funnel" -> "four single-row stage-rollup scalars crossed into the report row")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
