@@ -149,6 +149,9 @@ object SparkEntry {
     "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
     "q_ivf_recall" -> (Similarity.qIvfRecall _),
     "q_ivf_int8_recall" -> (Similarity.qIvfInt8Recall _),
+    "q_pq_codes" -> (Similarity.qPqCodes _),
+    "q_knn_pq" -> (Similarity.qKnnPq _),
+    "q_pq_recall" -> (Similarity.qPqRecall _),
     "q_embed_classify" -> (Similarity.qEmbedClassify _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
@@ -602,6 +605,117 @@ object SparkEntry {
          |$kmeansChainSql
          |SELECT cent_id, CAST(pos AS BIGINT) AS pos, x AS val
          |FROM c${KmIters + 1} ORDER BY cent_id, pos""".stripMargin
+  /** Per-subspace PQ chain mirror (Similarity.pqTrain/pqAssign): L2
+    * Lloyd rounds where assignment ranks the ALL-INTEGER score
+    * 2*dot_fx - ||c||²_fx (ties -> lowest cent_id) and the update is
+    * the shared fixed-point mean. Emits pd{m}_{F} (final raw-integer
+    * dots, the LUT source) and pa{m}_{F} (final codes), F = iters+1. */
+  private def pqChainCtes(m: Int): String = {
+    val lo = m * Similarity.PqSubDim
+    val hi = lo + Similarity.PqSubDim
+    val sb = new StringBuilder(
+      s"""sve$m AS (SELECT vec_id, pos - $lo AS pos, x FROM ve WHERE pos >= $lo AND pos < $hi),
+         |pc${m}_1 AS (SELECT vec_id AS cent_id, pos, x FROM sve$m
+         |  WHERE vec_id % (SELECT greatest(1, count(*) // ${Similarity.PqK}) FROM embeddings) = 0)""".stripMargin)
+    for (i <- 1 to KmIters + 1) {
+      sb ++= s""",
+         |pcn${m}_$i AS (SELECT cent_id, CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS n2fx
+         |  FROM pc${m}_$i GROUP BY 1),
+         |pd${m}_$i AS (SELECT v.vec_id, c.cent_id,
+         |    CAST(sum(CAST(floor(v.x*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+         |  FROM sve$m v JOIN pc${m}_$i c ON v.pos = c.pos GROUP BY 1, 2),
+         |pa${m}_$i AS (SELECT vec_id, cent_id AS code FROM (
+         |    SELECT d.vec_id, d.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY 2*d.dfx - cn.n2fx DESC, d.cent_id) AS rn
+         |    FROM pd${m}_$i d JOIN pcn${m}_$i cn ON d.cent_id = cn.cent_id) t
+         |  WHERE rn = 1)""".stripMargin
+      if (i <= KmIters) sb ++= s""",
+         |pc${m}_${i + 1} AS (SELECT a.code AS cent_id, v.pos,
+         |    CAST(CAST(CAST(sum(CAST(floor(v.x*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1e6) AS REAL) AS DOUBLE) AS x
+         |  FROM pa${m}_$i a JOIN sve$m v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Shared PQ CTE prefix: the subspace view + all four chains +
+    * unioned code and LUT frames — ONE definition for the encode,
+    * search, and recall oracles. */
+  private def pqCtes: String = {
+    val f = KmIters + 1
+    val codes = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS m, code FROM pa${m}_$f")
+      .mkString(" UNION ALL ")
+    val lut = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id AS qid, CAST($m AS BIGINT) AS m, cent_id AS code, dfx " +
+        s"FROM pd${m}_$f WHERE vec_id < ${Similarity.NumQueries}")
+      .mkString(" UNION ALL ")
+    s"""$veSql,
+       |${(0 until Similarity.PqM).map(pqChainCtes).mkString(",\n")},
+       |pqcodes AS ($codes),
+       |pqlut AS ($lut)""".stripMargin
+  }
+
+  private def pqAdcCtes: String =
+    s"""adc AS (SELECT l.qid, c.vec_id AS cid, CAST(sum(l.dfx) AS BIGINT) AS adc_fx
+       |  FROM pqcodes c JOIN pqlut l ON c.m = l.m AND c.code = l.code
+       |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |prk AS (SELECT qid, cid, adc_fx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
+       |  FROM adc)""".stripMargin
+
+  private def pqCodesSql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, m, code FROM pqcodes ORDER BY vec_id, m""".stripMargin
+
+  /** ADC shortlist (rn <= K*PqRerankFactor) -> exact-dot rerank over
+    * the survivors only — the mirror of qKnnPq's two stages. */
+  private def knnPqSql: String =
+    s"""WITH $pqCtes,
+       |$pqAdcCtes,
+       |short AS (SELECT qid, cid FROM prk
+       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |rer AS (SELECT s.qid, s.cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM short s JOIN ve a ON s.qid = a.vec_id
+       |  JOIN ve b ON s.cid = b.vec_id AND a.pos = b.pos
+       |  GROUP BY 1, 2),
+       |rrk AS (SELECT qid, cid, dfx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM rer)
+       |SELECT qid, cid, CAST(dfx AS DOUBLE)/1e12 AS dot, CAST(rn AS BIGINT) AS rn
+       |FROM rrk WHERE rn <= ${Similarity.K} ORDER BY qid, rn""".stripMargin
+
+  private def pqRecallSql: String =
+    s"""WITH $pqCtes,
+       |$pqAdcCtes,
+       |short AS (SELECT qid, cid FROM prk
+       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |rer AS (SELECT s.qid, s.cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM short s JOIN ve a ON s.qid = a.vec_id
+       |  JOIN ve b ON s.cid = b.vec_id AND a.pos = b.pos
+       |  GROUP BY 1, 2),
+       |rrk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM rer),
+       |pqr AS (SELECT qid, cid FROM rrk WHERE rn <= ${Similarity.K}),
+       |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM ve a JOIN ve b ON a.pos = b.pos
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |brk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM bd),
+       |br AS (SELECT qid, cid FROM brk WHERE rn <= ${Similarity.K})
+       |SELECT br.qid, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM br LEFT JOIN pqr p ON br.qid = p.qid AND br.cid = p.cid
+       |GROUP BY 1 ORDER BY br.qid""".stripMargin
+
   /** Final-centroid nearest-cell assignment CTEs (expects `n`, `ve`,
     * and the kmeans chain upstream; emits `assign(vec_id, cell)`) —
     * the mirror of Similarity.assignCells over trainedCentroids,
@@ -1912,6 +2026,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_ivf_int8" -> knnIvfInt8Sql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_knn_pq" -> knnPqSql,
+    "q_pq_recall" -> pqRecallSql,
     "q_ivf_int8_recall" ->
       s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
          |  SELECT b.qid, count(*) AS k,

@@ -35,6 +35,11 @@ object VectorFunctions {
   /** Exact squared L2 norm. */
   def norm2Exact(a: Column): Column = float_dot_fixed(a, a)
 
+  /** Raw integer numerator of the fixed-point dot (see
+    * FloatDotFixedRaw): for consumers that sum several dots exactly
+    * before the single final division. */
+  def rawDot(a: Column, b: Column): Column = float_dot_fixed_raw(a, b)
+
   /** Fast cosine from precomputed squared norms. */
   def cosineFromParts(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol / (sqrt(n2a) * sqrt(n2b))

@@ -107,9 +107,56 @@ case class FloatDotFixed(left: Expression, right: Expression) extends FloatVecto
     copy(left = l, right = r)
 }
 
+/** [[FloatDotFixed]] without the final division: the RAW integer
+  * numerator (sum of floor(p*1e12 + 0.5) in a long). For consumers
+  * that must SUM several dot products exactly (PQ's ADC score adds one
+  * per subspace): k/1e12 is not a dyadic rational, so summing the
+  * divided doubles would round per term — summing the integer
+  * numerators and dividing ONCE stays bit-exact in any engine. */
+case class FloatDotFixedRaw(left: Expression, right: Expression) extends FloatVectorBinary {
+  override def prettyName: String = "float_dot_fixed_raw"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += java.lang.Math.floor(p * 1.0e12 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += (long) java.lang.Math.floor($p * 1.0e12 + 0.5);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object FloatVectorExpressions {
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
   def float_dot_fixed(a: Column, b: Column): Column =
     Bridge.column(FloatDotFixed(Bridge.expression(a), Bridge.expression(b)))
+  def float_dot_fixed_raw(a: Column, b: Column): Column =
+    Bridge.column(FloatDotFixedRaw(Bridge.expression(a), Bridge.expression(b)))
 }

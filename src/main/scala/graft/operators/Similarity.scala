@@ -394,4 +394,162 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("cosine"))
     topK(scored, K)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry: 4 subspaces x 16 dims, 16 codes per subspace — one
+    * BYTE of codes per 256-byte vector (a 64x compression, the step
+    * past int8's 4x). Production sizes these to the memory budget;
+    * the pipeline shape is identical. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16L
+
+  private def pqSub(e: DataFrame, m: Int): DataFrame =
+    e.select(col("vec_id"),
+      expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("sub"))
+
+  /** One-row broadcastable codebook array with the raw-integer squared
+    * norm per centroid (precomputed once, not per assigned row). */
+  private def pqCentArr(cent: DataFrame): DataFrame =
+    cent.select(col("cent_id"), col("cent_e"),
+        rawDot(col("cent_e"), col("cent_e")).as("n2fx"))
+      .agg(array_sort(collect_list(
+        struct(col("cent_id"), col("cent_e"), col("n2fx")))).as("cents"))
+
+  /** L2 argmin over the broadcast codebook as an INTEGER argmax of
+    * 2*dot_fx - ||c||²_fx (monotone in -||x-c||²; the ||x||² term is
+    * constant per row, and doubling clears the /2 without any rounded
+    * division); ties -> lowest cent_id. All-integer, so assignment is
+    * bit-identical in any engine. */
+  private def pqNearestCode: Column = {
+    val best = array_max(transform(col("cents"), cen =>
+      struct(
+        (lit(2L) * rawDot(col("sub"), cen.getField("cent_e")) -
+          cen.getField("n2fx")).as("s"),
+        (-cen.getField("cent_id")).as("neg_id"))))
+    coalesce(-best.getField("neg_id"), lit(-1L))
+  }
+
+  private def pqAssign(sub: DataFrame, centArr: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(centArr))
+      .withColumn("code", pqNearestCode)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** Per-subspace codebook: ~PqK modulo-stride seeds, KMeansIters L2
+    * Lloyd rounds through the shared fixed-point mean update (the mean
+    * IS the L2 update; only the assignment criterion differs from the
+    * cosine chain). */
+  private def pqTrain(sub: DataFrame): DataFrame = {
+    val stride = math.max(1L, sub.count() / PqK)
+    var cent = sub.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("sub").as("cent_e"))
+    for (_ <- 1 to KMeansIters)
+      cent = fixedPointMeans(
+        pqAssign(sub, pqCentArr(cent))
+          .select(col("code").as("cell"), col("sub").as("ce")),
+        "cell", "ce").select(col("cent_id"), col("cent_e"))
+        .localCheckpoint(false)
+    cent
+  }
+
+  /** Codebooks are deterministic -> memoized per (path, subspace),
+    * like the IVF coarse quantizer: train offline, reuse across
+    * queries. At most PqK rows of PqSubDim floats each. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+
+  private[graft] def pqCodebook(s: SparkSession, d: String, m: Int): DataFrame = {
+    val rows = pqCache.computeIfAbsent((d, m), _ =>
+      pqTrain(pqSub(Tables.embeddings(s, d), m)).collect())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id", LongType),
+        org.apache.spark.sql.types.StructField("cent_e", ArrayType(FloatType)))))
+  }
+
+  /** PQ encode — the oracle-checkable code surface: (vec_id, m, code).
+    * Assignment is the zero-shuffle broadcast-codebook argmax; at
+    * 100 TB this is one map pass emitting 4 small ints per vector. */
+  def qPqCodes(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    (0 until PqM).map { m =>
+      pqAssign(pqSub(e, m), pqCentArr(pqCodebook(s, d, m)))
+        .select(col("vec_id"), lit(m.toLong).as("m"), col("code"))
+    }.reduce(_ unionAll _).orderBy(col("vec_id"), col("m"))
+  }
+
+  /** PQ-ADC search: per query, a 4x16 look-up table of raw-integer
+    * subspace dots against the codebooks; a candidate's approximate
+    * inner product is the SUM of its codes' LUT entries — summed as
+    * INTEGER numerators (k/1e12 is not dyadic, so summing divided
+    * doubles would round per term) with ONE final division. The
+    * vector table itself never joins: only the 4-codes-per-vector
+    * frame does, against a |queries| x 64-entry broadcast LUT — at
+    * 100 TB the scan side is the code table (1 byte of payload per
+    * vector), which is the entire point of PQ. Top-k through the
+    * bounded partial aggregator; integer scores make ranks
+    * engine-exact. */
+  /** ADC shortlist width: like the int8 path's RerankFactor, but wider
+    * — at 64x compression the approximate ranking is coarser, so the
+    * exact rerank gets a deeper shortlist to recover from. */
+  val PqRerankFactor = 5
+
+  def qKnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val parts = (0 until PqM).map { m =>
+      val cb = pqCodebook(s, d, m)
+      val codes = pqAssign(pqSub(e, m), pqCentArr(cb))
+        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
+      val lut = pqSub(e.filter(col("vec_id") < NumQueries), m)
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
+          col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val lut = parts.map(_._2).reduce(_ unionAll _)
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dfx")).as("adc_fx"))
+      // exact: |adc_fx| << 2^53, so the double cast preserves order
+      .select(col("qid"), col("cid"), col("adc_fx").cast(DoubleType).as("cosine"))
+    // exact-dot rerank of the ADC shortlist — the FAISS production
+    // shape: codes prune, originals re-score the survivors only
+    val shortlist = topK(scored, K * PqRerankFactor)
+      .select(col("qid"), col("cid"))
+    val rer = shortlist
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
+    topK(rer, K)
+      .select(col("qid"), col("cid"),
+        (col("cosine") / lit(1e12)).as("dot"), col("rn"))
+  }
+
+  /** PQ recall vs the exact INNER-PRODUCT top-K (what ADC
+    * approximates — cosine would change the ground truth). */
+  def qPqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
+    val brute = topK(scored, K).select(col("qid"), col("cid"))
+    val pq = qKnnPq(s, d).select(col("qid").as("pqid"), col("cid").as("pcid"))
+    brute
+      .join(pq, col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("pcid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).as("recall"))
+      .orderBy(col("qid"))
+  }
 }

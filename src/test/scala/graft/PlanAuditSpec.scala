@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_pack_shards" -> "inherits q_seq_pack's single-row bucket-count broadcast",
     "q_perplexity" -> "scalar subquery: single-row vocabulary-size (V) broadcast",
     "q_mixture_weights" -> "scalar subquery: single-row weight-total broadcast",
-    "q_event_funnel" -> "four single-row stage-rollup scalars crossed into the report row")
+    "q_event_funnel" -> "four single-row stage-rollup scalars crossed into the report row",
+    "q_pq_codes" -> "broadcast side is the fixed 16-row per-subspace PQ codebook",
+    "q_knn_pq" -> "broadcast sides are the fixed codebooks and the |queries|x64 LUT",
+    "q_pq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
