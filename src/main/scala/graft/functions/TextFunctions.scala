@@ -36,6 +36,19 @@ object TextFunctions {
       .distinct()
   }
 
+  /** Ordered-bigram fan-out: one (idCol, prev, w) row per adjacent
+    * token pair, pipelining inside the scan stage — the ONE definition
+    * behind both the perplexity scorer and the quality gate, so their
+    * LM arithmetic reads the same pairs by construction. */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS w))"))
+          .as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.w").as("w"))
+
   /** Canonical-form document fingerprint: md5 of the
     * whitespace-normalized lowercased text. Exact-dup detection key. */
   def fingerprint(text: Column): Column =

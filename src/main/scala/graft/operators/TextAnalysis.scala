@@ -664,18 +664,10 @@ object TextAnalysis {
     * volume is O(docs), not O(tokens). V is a 1-row bounded scalar. */
   def qPerplexity(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // split derives from doc_id alone, so it recomputes on the bigram
+    // fan-out directly (the contamShingles convention)
+    val bg = bigramRows(docs, "doc_id", "text")
       .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
-    // ordered bigrams, one row per adjacent token pair
-    def bigrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("split"),
-          explode(expr(
-            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS w))"))
-            .as("bg"))
-        .select(col("doc_id"), col("split"),
-          col("bg.prev").as("prev"), col("bg.w").as("w"))
-    val bg = bigrams(docs)
     // train-split LM: capped bigram counts + context sums over the kept rows
     val bgc = bg.filter(col("split") === "train")
       .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
@@ -683,7 +675,8 @@ object TextAnalysis {
       .localCheckpoint(false) // feeds ctx AND the scoring join
     val ctx = bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
     // V: train-split unigram vocabulary size (smoothing denominator)
-    val vRow = docs.filter(col("split") === "train")
+    val vRow = docs
+      .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     def lnX1e6(k: Column): Column =

@@ -44,16 +44,10 @@ object QualityGate {
     * every test SF. */
   val AdmitMaxNatsX1e6 = 3420000L
 
-  /** Ordered-bigram fan-out: one (doc_id, prev, w) row per adjacent
-    * token pair — pipelines inside the scan stage. */
+  /** Ordered-bigram fan-out — the shared TextFunctions definition, so
+    * the gate and the perplexity scorer read identical pairs. */
   private[streaming] def bigramRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS prev, toks[i+1] AS w))"))
-          .as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+    graft.functions.TextFunctions.bigramRows(docs, "doc_id", "text")
 
   /** The frozen LM: capped bigram counts (the broadcast side), their
     * context sums, and the train-vocabulary size. `table` set means the
