@@ -318,6 +318,25 @@ object Bench {
           System.err.println(s"[bench] sgate steady probe failed: ${e.getMessage}")
           Seq.empty
         }
+        // QUALITY gate at 10x: the frozen-LM modality — train cost
+        // (the one corpus-sized stage: the (prev,w) word-count shuffle
+        // + capped top-K) vs one-batch verify (broadcast-LM scoring,
+        // O(batch tokens)). The only gate whose state does not grow.
+        val qgateSteady: Seq[(String, Double)] = try {
+          val docs = Tables.documents(spark, sf1Dir)
+          val q0 = System.nanoTime()
+          val lm = graft.streaming.QualityGate.trainLm(
+            docs.filter(col("doc_id") % 4 =!= 0))
+          val q1 = System.nanoTime()
+          graft.streaming.QualityGate
+            .score(docs.filter(col("doc_id") % 4 === 0), lm).count()
+          val q2 = System.nanoTime()
+          Seq("qgate_lm_train" -> (q1 - q0) / 1e9,
+            "qgate_verify_steady" -> (q2 - q1) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] qgate steady probe failed: ${e.getMessage}")
+          Seq.empty
+        }
         // EMBED gate at 10x, STRICT config (EmbedBanding.Strict: 8-bit
         // wide bands x 2 layouts, cosine 0.7 — the production
         // operating point, oracle-pinned by q_embed_gate_strict).
@@ -429,7 +448,7 @@ object Bench {
               s"[bench] $tag violated: $rec/$planted < $RecallFloor")
             tag
         }
-        val times = (sf1Times ++ gateSteady ++ sgateSteady ++
+        val times = (sf1Times ++ gateSteady ++ sgateSteady ++ qgateSteady ++
             egateSteady ++ egateDeepSteady)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")

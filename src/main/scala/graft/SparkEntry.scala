@@ -47,6 +47,7 @@ object SparkEntry {
     "q_lead_lag" -> (Relational.qLeadLag _),
     "q_sessionize" -> (Relational.qSessionize _),
     "q_event_funnel" -> (Relational.qEventFunnel _),
+    "q_retention" -> (Relational.qRetention _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_profile" -> (Relational.qProfile _),
@@ -1031,6 +1032,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fc AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1),
+        |a AS (SELECT f.cohort, CAST(ud.day - f.cohort AS BIGINT) AS day_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ud JOIN fc f ON ud.user_id = f.user_id GROUP BY 1, 2),
+        |c0 AS (SELECT cohort, n_users AS cohort_size FROM a WHERE day_offset = 0)
+        |SELECT a.cohort AS cohort_date, a.day_offset, a.n_users, c0.cohort_size,
+        |  CAST(a.n_users AS DOUBLE) / c0.cohort_size AS retention
+        |FROM a JOIN c0 ON a.cohort = c0.cohort
+        |ORDER BY cohort_date, day_offset""".stripMargin,
     // Strictly-ordered stage times: each CTE joins the previous
     // stage's first-reach and keeps only later events — the carried t1
     // makes sum_delta_us exact integer microseconds.

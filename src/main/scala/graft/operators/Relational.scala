@@ -394,6 +394,35 @@ object Relational {
       .orderBy(col("stage"))
   }
 
+  /** Cohort retention triangle: cohort = a user's first active DATE;
+    * for every (cohort, day offset) the count of cohort users active
+    * that day and the retention ratio vs the cohort's day-0 size — the
+    * other canonical product-analytics report next to the conversion
+    * funnel. Output is bounded by days² regardless of event volume.
+    *
+    * Scale shape: one (user, day) distinct shuffle, one per-user min
+    * agg, one user-keyed equi-join, then a days²-bounded agg — all
+    * hash equi operations with map-side partials; a bot user's rows
+    * collapse to at most |days| distinct user-days before any join.
+    * All arithmetic is integer dates and one exact division. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(false) // feeds the cohort agg AND the activity join
+    val fc = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val a = ud.join(fc, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // user-days are distinct by construction
+    val c0 = a.filter(col("day_offset") === 0L)
+      .select(col("cohort"), col("n_users").as("cohort_size"))
+    a.join(c0, Seq("cohort"))
+      .select(col("cohort").as("cohort_date"), col("day_offset"),
+        col("n_users"), col("cohort_size"),
+        (col("n_users").cast(DoubleType) / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
   /** Column profiling (ANALYZE-style data quality pass): per column,
     * row/null/distinct counts and min/max — the first query any
     * pipeline runs against a new 100 TB table. Four single-column

@@ -40,6 +40,29 @@ class EventFunnelSpec extends SparkSpec {
     assert(got(1) == ((2L, "click", 1L, 1L)), s"got $got")
   }
 
+  test("retention triangle matches a driver-side reference") {
+    val d = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, d)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val firstDay = events.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def off(day: String, cohort: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(cohort), java.time.LocalDate.parse(day))
+    val tri = events.groupBy { case (u, day) => (firstDay(u), off(day, firstDay(u))) }
+      .view.mapValues(_.length.toLong).toMap
+    val want = tri.toSeq.map { case ((c, o), n) =>
+      (c, o, n, tri((c, 0L)), n.toDouble / tri((c, 0L)))
+    }.sortBy(r => (r._1, r._2))
+    val got = Relational.qRetention(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, "retention diverged from the reference triangle")
+    assert(got.map(_._2).max > 5, "triangle should span multiple offsets")
+    assert(got.forall { case (_, o, n, sz, _) => o == 0L || n <= sz },
+      "no offset may exceed its cohort size")
+  }
+
   test("real table: attrition is monotone and stages populated") {
     val rows = Relational.qEventFunnel(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
