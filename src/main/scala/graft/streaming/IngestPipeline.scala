@@ -90,11 +90,13 @@ object IngestPipeline {
     * Only docs admitted by BOTH stages absorb (exactly-once per batch
     * id, the span gate's replay guard). */
   final class IngestState(corpusDocs: DataFrame,
-      spanTable: Option[String] = None) {
+      spanTable: Option[String] = None,
+      collapseEvery: Int = DedupGate.CollapseEvery) {
     private val lm = QualityGate.trainLm(corpusDocs)
     @volatile private var spans = spanTable
       .map(t => SpanGate.indexSpansDisk(corpusDocs, t))
       .getOrElse(SpanGate.indexSpans(corpusDocs))
+    private var absorbsSinceCollapse = 0
     private val absorbedBatches =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
@@ -114,6 +116,20 @@ object IngestPipeline {
           v.filter(col("admit") === 1L).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
         spans = spans.absorb(admitted)
+        // union-arm growth bound, the SpanGateState cadence: collapse
+        // the accumulated absorb arms (and compact the disk table)
+        // so the verify plan never widens without bound
+        absorbsSinceCollapse += 1
+        if (absorbsSinceCollapse >= collapseEvery) {
+          val old = spans
+          spans = old.collapsed
+          DedupGate.unpersistCheckpoints(old.hs)
+          spanTable.foreach { t =>
+            graft.sources.Writers.compactBucketed(df.sparkSession, t)
+            spans = spans.copy(hs = df.sparkSession.table(t))
+          }
+          absorbsSinceCollapse = 0
+        }
       }
       DedupGate.unpersistCheckpoints(batch, v)
     }

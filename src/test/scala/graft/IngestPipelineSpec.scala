@@ -49,6 +49,22 @@ class IngestPipelineSpec extends SparkSpec {
       "sequential funnel: stage 2 input must be stage 1 output")
   }
 
+  test("collapse cadence: index survives collapse with content intact") {
+    val state = new IngestPipeline.IngestState(corpus, collapseEvery = 2)
+    var verdicts = Map.empty[Long, Long]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      verdicts ++= df.collect().map(r => r.getLong(0) -> r.getLong(3))
+    val novel1 = "t1 t2 t1 t2 t1 t2 t1 t2 t1"
+    val novel2 = "t3 t4 t3 t4 t3 t4 t3 t4 t3"
+    state.process(Seq((100L, novel1)).toDF("doc_id", "text"), 0L, sink)
+    state.process(Seq((200L, novel2)).toDF("doc_id", "text"), 1L, sink) // collapse fires
+    // both batches' content must still be visible after the collapse
+    state.process(Seq((300L, novel1), (301L, novel2)).toDF("doc_id", "text"), 2L, sink)
+    assert(verdicts(100L) == 1L && verdicts(200L) == 1L)
+    assert(verdicts(300L) == 0L && verdicts(301L) == 0L,
+      s"collapse lost absorbed content: $verdicts")
+  }
+
   test("streaming: only docs admitted by BOTH stages absorb") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
