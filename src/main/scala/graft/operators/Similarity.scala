@@ -397,10 +397,11 @@ object Similarity {
 
   // ------------------------------------------------ product quantization
 
-  /** PQ geometry: 4 subspaces x 16 dims, 16 codes per subspace — one
-    * BYTE of codes per 256-byte vector (a 64x compression, the step
-    * past int8's 4x). Production sizes these to the memory budget;
-    * the pipeline shape is identical. */
+  /** PQ geometry: 4 subspaces x 16 dims, 16 codes per subspace — four
+    * 4-bit codes per 256-byte vector (4 bytes byte-packed = 64x
+    * compression, 2 bytes nibble-packed = 128x; the step past int8's
+    * 4x). Production sizes these to the memory budget; the pipeline
+    * shape is identical. */
   val PqM = 4
   val PqSubDim = 16
   val PqK = 16L
@@ -486,7 +487,7 @@ object Similarity {
     * doubles would round per term) with ONE final division. The
     * vector table itself never joins: only the 4-codes-per-vector
     * frame does, against a |queries| x 64-entry broadcast LUT — at
-    * 100 TB the scan side is the code table (1 byte of payload per
+    * 100 TB the scan side is the code table (4 bytes of payload per
     * vector), which is the entire point of PQ. Top-k through the
     * bounded partial aggregator; integer scores make ranks
     * engine-exact. */
