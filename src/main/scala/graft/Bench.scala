@@ -251,6 +251,7 @@ object Bench {
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
+          "q_bpe_pairs",
           // relational at 10x: the four original headliners, the full
           // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
           // derives — one distinct-shuffle charged to q9, their own
@@ -262,7 +263,11 @@ object Bench {
           "q2_min_cost_supplier", "q11_important_stock",
           "q16_parts_supplier", "q20_potential_promo",
           "q3_top_orders", "q5_region_revenue", "q18_large_orders",
-          "q10_returned_items")
+          "q10_returned_items",
+          // iterative graph shape: 5 integer PageRank rounds over the
+          // 10x symmetric trade graph — the per-round join+shuffle
+          // must scale with edges, not blow up with iterations
+          "q_pagerank")
         val errsBeforeSf1 = errors.toSet
         val sf1Times = sf1Queries.flatMap(n => SparkEntry.queries.get(n)
           .map { fn =>

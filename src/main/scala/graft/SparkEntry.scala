@@ -49,6 +49,8 @@ object SparkEntry {
     "q_event_funnel" -> (Relational.qEventFunnel _),
     "q_retention" -> (Relational.qRetention _),
     "q_session_window" -> (Relational.qSessionWindow _),
+    "q_event_anomaly" -> (Relational.qEventAnomaly _),
+    "q_pagerank" -> (graft.operators.Graph.qPageRank _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_profile" -> (Relational.qProfile _),
     "q_pivot" -> (Relational.qPivot _),
@@ -91,6 +93,7 @@ object SparkEntry {
     // --- text analysis (north-star extensions) ---
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
+    "q_bpe_pairs" -> (TextAnalysis.qBpePairs _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
@@ -267,6 +270,37 @@ object SparkEntry {
        |UNION ALL
        |SELECT CAST(2 AS BIGINT), 'span_novelty', total - d1, d2, total - d1 - d2 FROM a
        |ORDER BY stage""".stripMargin
+
+  /** Fixed-point PageRank oracle (mirror of [[graft.operators.Graph
+    * .qPageRank]]): the same integer micro-unit iterations, unrolled
+    * one CTE per round from the SAME iteration-count and mass
+    * constants so the two sides cannot drift. All arithmetic is
+    * BIGINT `//` — exact in both engines. */
+  private val pageRankSql: String = {
+    val M = graft.operators.Graph.PrMassMicro
+    val rounds = (1 to graft.operators.Graph.PrIterations).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS (SELECT d.src AS node,
+         |    (($M * 15 // 100) // n.n_nodes)
+         |      + ((85 * COALESCE(s.contrib, 0)) // 100) AS pr
+         |  FROM deg d CROSS JOIN n
+         |  LEFT JOIN (SELECT e.dst, sum(r.pr // dg.outdeg) AS contrib
+         |      FROM edges e JOIN $prev r ON e.src = r.node
+         |      JOIN deg dg ON e.src = dg.src
+         |      GROUP BY e.dst) s ON d.src = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS sup
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, sup AS dst FROM e0
+       |  UNION ALL SELECT sup AS src, c AS dst FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) AS n_nodes FROM deg),
+       |r0 AS (SELECT src AS node, $M // n_nodes AS pr FROM deg, n),
+       |$rounds
+       |SELECT node, substring(node, 1, 1) AS kind, CAST(pr AS BIGINT) AS pr_micro
+       |FROM it${graft.operators.Graph.PrIterations}
+       |ORDER BY pr_micro DESC, node LIMIT ${graft.operators.Graph.PrTopK}""".stripMargin
+  }
 
   /** Shared chunk→bucket→pack CTE chain (mirror of TextAnalysis
     * qDocChunks + qSeqPack), ending in `packs(bucket, pack_id,
@@ -1043,6 +1077,20 @@ object SparkEntry {
         |  CAST(a.n_users AS DOUBLE) / c0.cohort_size AS retention
         |FROM a JOIN c0 ON a.cohort = c0.cohort
         |ORDER BY cohort_date, day_offset""".stripMargin,
+    // Mean/variance from decimal-exact sums; the z chain is then a
+    // fixed IEEE op sequence both engines evaluate identically.
+    "q_event_anomaly" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
+        |ORDER BY e.event_id""".stripMargin,
+    "q_pagerank" -> pageRankSql,
     // Strictly-ordered stage times: each CTE joins the previous
     // stage's first-reach and keeps only later events — the carried t1
     // makes sum_delta_us exact integer microseconds.
@@ -1509,6 +1557,15 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS cnt
          |FROM (SELECT unnest($tokSql) AS tok FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, tok""".stripMargin,
+    // Pair counting over the word-frequency table (the BPE trainer
+    // shape) — integer-exact end to end.
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+         |w AS (SELECT w, count(*) AS wcnt FROM toks WHERE length(w) >= 2 GROUP BY 1),
+         |p AS (SELECT substr(w, i, 2) AS pair, wcnt
+         |  FROM (SELECT w, wcnt, unnest(generate_series(1, length(w)-1)) AS i FROM w))
+         |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p GROUP BY 1
+         |ORDER BY cnt DESC, pair LIMIT ${graft.operators.TextAnalysis.BpeTopK}""".stripMargin,
     "q_text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id, lang, n_chars,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Graph centrality over the order graph — the capability class next
+  * to connected components ([[Dedup.qDedupClusters]]): iterative
+  * message-passing where each round is a plain shuffle-join, the shape
+  * GraphX/Pregel compiles to and the one that scales to billion-edge
+  * graphs on any Spark cluster.
+  *
+  * The graph: customers and suppliers are nodes, and every distinct
+  * (customer, supplier) trading pair from `orders ⋈ lineitem`
+  * contributes one edge in each direction (the symmetric closure).
+  * PageRank over it ranks "who sits at the center of the trade
+  * network" — a supplier serving many well-connected customers
+  * outranks one with the same order count from peripheral buyers,
+  * which is exactly what raw in-degree cannot express.
+  *
+  * Cross-engine exactness: PageRank in IEEE doubles is order-sensitive
+  * (per-node contribution sums run in partition order), so ranks are
+  * kept in FIXED-POINT integer micro-units — total mass
+  * [[PrMassMicro]], damping 85/100, every division an integer `div`.
+  * Every iteration is then EXACT integer arithmetic: order-independent
+  * under any partitioning, bit-identical in any engine, stable across
+  * retries. The floor losses (at most 1 micro-unit per edge per
+  * round, ~1e-6 relative here) are the documented price; classic
+  * float PageRank carries the same magnitude of error, just
+  * non-deterministically.
+  *
+  * Scale shape: the edge frame (with out-degrees attached) is built
+  * once and checkpointed; each of the [[PrIterations]] rounds is one
+  * equi-join (ranks ⋈ edges on src — co-partitioned after round 1
+  * because both sides hash on the same key) plus one shuffle of
+  * per-edge contributions keyed by dst with map-side partial sums.
+  * Per-round cost is O(|E|/cores); rank state is O(|V|). The node
+  * count enters as a ONE-ROW broadcast scalar (the late-split window
+  * pattern), not a driver constant, so the plan stays fully
+  * distributed at any graph size.
+  */
+object Graph {
+
+  /** Fixed-point iterations. PageRank's error decays as damping^k;
+    * 5 rounds ranks a diameter-2 bipartite graph to well under the
+    * fixed-point resolution. */
+  val PrIterations = 5
+
+  /** Total rank mass in micro-units: 1e12 gives ~6 significant
+    * digits per node at |V| ~ 1e6 and keeps 85 * mass far inside
+    * Long range. */
+  val PrMassMicro: Long = 1000000000000L
+
+  /** Top-K rows the report emits. */
+  val PrTopK = 20
+
+  /** Symmetric trading edges: distinct (customer, supplier) pairs
+    * from the order fact, both directions. Node ids are prefixed
+    * (`c:`/`s:`) so the two key spaces cannot collide. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("c"),
+        concat(lit("s:"), col("l_suppkey")).as("sup"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .unionAll(pairs.select(col("sup").as("src"), col("c").as("dst")))
+  }
+
+  /** Fixed-point PageRank top-[[PrTopK]] (see object doc). Output:
+    * (node, kind, pr_micro) — integer micro-units, exact. */
+  def qPageRank(s: SparkSession, d: String): DataFrame =
+    pageRank(edges(s, d))
+
+  /** [[qPageRank]]'s core over any (src, dst) edge frame whose edge
+    * set is symmetric (every node must have at least one out-edge —
+    * the no-dangling precondition the symmetric closure guarantees). */
+  private[graft] def pageRank(e: DataFrame): DataFrame = {
+    // (src, dst, outdeg), built ONCE into the checkpoint — the node
+    // set, node count, and all five rounds derive from it, so the
+    // upstream edge build (a fact-table join at 100 TB) is never
+    // re-executed
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint(false)
+    // node count as a one-row broadcast scalar, kept IN the plan
+    val n = ed.agg(count_distinct(col("src")).as("n_nodes"))
+    val init = ed.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("node"), col("n_nodes"),
+        expr(s"${PrMassMicro}L div n_nodes").as("pr"))
+    val last = (1 to PrIterations).foldLeft(init) { (ranks, _) =>
+      val contrib = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("contrib"))
+      ranks.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("n_nodes"),
+          (expr(s"(${PrMassMicro}L * 15 div 100) div n_nodes") +
+            expr("85 * coalesce(contrib, 0L) div 100")).as("pr"))
+    }
+    last
+      .select(col("node"), substring(col("node"), 1, 1).as("kind"),
+        col("pr").cast(LongType).as("pr_micro"))
+      .orderBy(col("pr_micro").desc, col("node"))
+      .limit(PrTopK)
+  }
+}

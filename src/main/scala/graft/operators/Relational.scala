@@ -423,6 +423,41 @@ object Relational {
       .orderBy(col("cohort_date"), col("day_offset"))
   }
 
+  /** Absolute z-score above which an event is reported as an
+    * anomaly. */
+  val AnomalyZ = 3.0
+
+  /** Metric anomaly detection — the data-quality monitor a pipeline
+    * runs over its own telemetry: per event type, flag events whose
+    * value sits more than [[AnomalyZ]] standard deviations from that
+    * type's mean. One grouped-aggregate pass (count / sum / sum of
+    * squares, all with map-side partials) produces a TYPE-count-sized
+    * stats frame; the broadcast join back against the fact means the
+    * event stream is scanned exactly twice and never shuffled on a
+    * grouping key wider than event_type.
+    *
+    * Cross-engine exactness: the two sums are decimal-exact
+    * ([[graft.functions.Deterministic]]); mean, variance (the
+    * E[x²]−E[x]² form), sqrt, and the z ratio are then a FIXED chain
+    * of IEEE operations on identical inputs — sqrt is correctly
+    * rounded by the standard, so every engine lands on the same bits
+    * and the |z| > 3 cut admits identical rows. */
+  def qEventAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type")).agg(
+      dsum(col("value")).as("s1"),
+      dsum(col("value") * col("value")).as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - mean) / sd)
+      .filter(abs(col("z")) > lit(AnomalyZ))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Column profiling (ANALYZE-style data quality pass): per column,
     * row/null/distinct counts and min/max — the first query any
     * pipeline runs against a new 100 TB table. Four single-column

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_perplexity" -> "scalar subquery: single-row vocabulary-size (V) broadcast",
     "q_mixture_weights" -> "scalar subquery: single-row weight-total broadcast",
     "q_event_funnel" -> "four single-row stage-rollup scalars crossed into the report row",
+    "q_pagerank" -> "scalar subquery: single-row node-count broadcast",
     "q_pq_codes" -> "broadcast side is the fixed 16-row per-subspace PQ codebook",
     "q_knn_pq" -> "broadcast sides are the fixed codebooks and the |queries|x64 LUT",
     "q_pq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
