@@ -94,6 +94,8 @@ object SparkEntry {
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
     "q_bpe_pairs" -> (TextAnalysis.qBpePairs _),
+    "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
+    "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
@@ -1566,6 +1568,35 @@ object SparkEntry {
          |  FROM (SELECT w, wcnt, unnest(generate_series(1, length(w)-1)) AS i FROM w))
          |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT ${graft.operators.TextAnalysis.BpeTopK}""".stripMargin,
+    // SymSpell deletion-neighborhood candidates + exact levenshtein
+    // verify — the oracle runs the same blocked join, not the naive
+    // |vocab|^2 form, so the blocking's completeness is itself under test
+    "q_typo_pairs" ->
+      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+         |v AS (SELECT w, count(*) AS cnt FROM toks
+         |  WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen} GROUP BY 1),
+         |k AS (SELECT w, cnt,
+         |    CASE WHEN i = 0 THEN w ELSE substr(w, 1, i-1) || substr(w, i+1) END AS k
+         |  FROM (SELECT w, cnt, unnest(generate_series(0, length(w))) AS i FROM v)),
+         |cand AS (SELECT DISTINCT a.w AS w1, b.w AS w2, a.cnt AS cnt1, b.cnt AS cnt2
+         |  FROM k a JOIN k b ON a.k = b.k WHERE a.w < b.w)
+         |SELECT w1, w2, cnt1, cnt2 FROM cand
+         |WHERE levenshtein(w1, w2) = 1
+         |ORDER BY w1, w2""".stripMargin,
+    // NAIVE vocab x vocab scan on purpose: matching the Spark side's
+    // SymSpell-blocked join proves the depth-2 deletion blocking is
+    // COMPLETE over the real corpus, not just internally consistent
+    "q_fuzzy_link" ->
+      s"""WITH dt AS (SELECT unnest($tokSql) AS w FROM documents),
+         |dv AS (SELECT w AS dw, count(*) AS doc_cnt FROM dt
+         |  WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen} GROUP BY 1),
+         |pt AS (SELECT unnest(${tokSql.replace("text", "p_name")}) AS w FROM part),
+         |pv AS (SELECT DISTINCT w AS pw FROM pt
+         |  WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen})
+         |SELECT pw AS cat_word, dw AS doc_word,
+         |  CAST(levenshtein(pw, dw) AS BIGINT) AS dist, doc_cnt
+         |FROM pv JOIN dv ON levenshtein(pw, dw) <= ${graft.operators.TextAnalysis.FuzzyMaxEdit}
+         |ORDER BY cat_word, doc_word""".stripMargin,
     "q_text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id, lang, n_chars,

@@ -729,4 +729,99 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(BpeTopK)
+
+  /** Minimum word length the typo miner considers: below this,
+    * distance-1 neighbors are mostly legitimate distinct words (cat/
+    * car), not typos. */
+  val TypoMinLen = 4
+
+  /** Vocabulary typo-pair mining — the normalization pass a corpus
+    * cleanup runs before token statistics: every pair of in-vocabulary
+    * words at edit distance exactly 1, with both corpus frequencies
+    * (a 1000:1 frequency skew is the classic typo signature).
+    *
+    * The scale trick is SymSpell's deletion-neighborhood blocking —
+    * the string analog of the LSH band join used everywhere else in
+    * this engine: two words are within edit distance 1 only if they
+    * share a key in {w} ∪ del1(w) (equal; one is a deletion of the
+    * other; or a substitution — same-position deletions collide).
+    * Candidate generation is an EQUI-join on those keys — |w|+1 rows
+    * per VOCABULARY entry (not per token occurrence), so the blocked
+    * join is vocabulary-bounded and essentially flat in corpus size,
+    * where the naive form is |vocab|² levenshtein calls. A same-key
+    * collision can also be distance 2 (different-position deletions),
+    * so `levenshtein(w1, w2) = 1` is verified EXACTLY on candidates
+    * only — the candidate/verify split of the MinHash pipeline,
+    * specialized to strings.
+    *
+    * Output: (w1, w2, cnt1, cnt2), w1 < w2, ordered. */
+  def qTypoPairs(s: SparkSession, d: String): DataFrame =
+    typoPairs(Tables.documents(s, d))
+
+  /** One deletion round: every row of `df` fanned out to the word
+    * itself (i = 0) plus each single-character deletion of `kCol` —
+    * applied once per edit-distance level, SymSpell's key generator. */
+  private def delRound(df: DataFrame, kCol: String): DataFrame =
+    df.withColumn("i", explode(sequence(lit(0), length(col(kCol)))))
+      .withColumn(kCol,
+        expr(s"case when i = 0 then $kCol else concat(substr($kCol, 1, i-1), substr($kCol, i+1)) end"))
+      .drop("i")
+
+  /** [[qTypoPairs]]'s core over any frame with a `text` column. */
+  private[graft] def typoPairs(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= TypoMinLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // vocabulary feeds both key fan-outs
+    val keys = delRound(vocab.withColumn("k", col("w")), "k")
+    val o = keys.select(col("k"), col("w").as("w2"), col("cnt").as("cnt2"))
+    keys.join(o, "k")
+      .filter(col("w") < col("w2"))
+      .select(col("w").as("w1"), col("w2"), col("cnt").as("cnt1"), col("cnt2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  /** Edit-distance ceiling for the cross-catalog linker. */
+  val FuzzyMaxEdit = 2
+
+  /** Cross-catalog fuzzy linkage — the record-linkage shape: link
+    * every catalog term (part-name words) to the corpus words within
+    * edit distance [[FuzzyMaxEdit]], carrying the corpus frequency.
+    * This is how a pipeline reconciles free text against a controlled
+    * vocabulary (product catalogs, ontologies, known-entity lists).
+    *
+    * Blocking is the depth-2 SymSpell key set ({w} ∪ del1 ∪ del2,
+    * O(L²) keys per VOCABULARY entry on each side) with an equi-join
+    * on the key; `levenshtein ≤ 2` is verified exactly on candidates
+    * only. The DuckDB oracle intentionally runs the NAIVE vocab×vocab
+    * scan instead — an oracle match is therefore a completeness proof
+    * of the blocking over the real corpus, not just an
+    * implementation echo.
+    *
+    * Output: (cat_word, doc_word, dist, doc_cnt), ordered. */
+  def qFuzzyLink(s: SparkSession, d: String): DataFrame = {
+    val dv = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("dw"))
+      .filter(length(col("dw")) >= TypoMinLen)
+      .groupBy(col("dw")).agg(count(lit(1)).as("doc_cnt"))
+    val pv = Tables.part(s, d)
+      .select(explode(tokens(col("p_name"))).as("pw"))
+      .filter(length(col("pw")) >= TypoMinLen)
+      .distinct()
+    def keys2(df: DataFrame, c: String) = {
+      val d1 = delRound(df.withColumn("k", col(c)), "k")
+      delRound(d1, "k").distinct()
+    }
+    keys2(pv, "pw").join(keys2(dv.select(col("dw")), "dw"), "k")
+      .select(col("pw"), col("dw")).distinct()
+      .withColumn("dist", levenshtein(col("pw"), col("dw")))
+      .filter(col("dist") <= FuzzyMaxEdit)
+      .join(dv, "dw")
+      .select(col("pw").as("cat_word"), col("dw").as("doc_word"),
+        col("dist").cast(LongType).as("dist"), col("doc_cnt"))
+      .orderBy(col("cat_word"), col("doc_word"))
+  }
 }
