@@ -56,6 +56,11 @@ object Graph {
   /** Top-K rows the report emits. */
   val PrTopK = 20
 
+  /** Rank-lineage cut cadence: without it, round k's plan embeds all
+    * k-1 predecessors (O(rounds²) analysis cost); a cut stores |V|
+    * integer rows and is bit-invisible to the exact arithmetic. */
+  val CheckpointEvery = 3
+
   /** Symmetric trading edges: distinct (customer, supplier) pairs
     * from the order fact, both directions. Node ids are prefixed
     * (`c:`/`s:`) so the two key spaces cannot collide. */
@@ -91,14 +96,22 @@ object Graph {
       .crossJoin(broadcast(n))
       .select(col("node"), col("n_nodes"),
         expr(s"${PrMassMicro}L div n_nodes").as("pr"))
-    val last = (1 to PrIterations).foldLeft(init) { (ranks, _) =>
+    val last = (1 to PrIterations).foldLeft(init) { (ranks, i) =>
       val contrib = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("contrib"))
-      ranks.join(contrib, col("node") === col("dst"), "left")
+      val next = ranks.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("n_nodes"),
           (expr(s"(${PrMassMicro}L * 15 div 100) div n_nodes") +
             expr("85 * coalesce(contrib, 0L) div 100")).as("pr"))
+      // each round's plan embeds the previous one — cut the lineage
+      // every CheckpointEvery rounds (the gate-state collapse cadence)
+      // so plan size stays linear in rounds at ANY iteration count;
+      // the cut stores |V| integer rows and, because every round is
+      // exact integer arithmetic, cannot change a single bit
+      if (i % CheckpointEvery == 0 && i < PrIterations)
+        next.localCheckpoint(false)
+      else next
     }
     last
       .select(col("node"), substring(col("node"), 1, 1).as("kind"),
