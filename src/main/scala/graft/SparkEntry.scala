@@ -165,6 +165,7 @@ object SparkEntry {
     "q_frame_sample" -> (Multimodal.qFrameSample _),
     "q_media_decode" -> (Multimodal.qMediaDecode _),
     "q_audio_features" -> (Multimodal.qAudioFeatures _),
+    "q_media_resample" -> (Multimodal.qMediaResample _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -2195,5 +2196,28 @@ object SparkEntry {
          |  CAST(CASE WHEN list_max(list_transform(fb, v -> abs(v-128)))
          |       < ${graft.operators.Multimodal.AudioSilencePeak} THEN 1 ELSE 0 END AS BIGINT) AS silent
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    // The resampled stream recomputed from source bytes: pair mean
+    // with integer floor, odd tail passes through, rate halves — a
+    // match proves decode, transform, re-encode, and re-parse at once.
+    "q_media_resample" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    8000 + (doc_id % 8) * 1000 AS rate
+        |  FROM documents),
+        |r AS (SELECT doc_id, rate // 2 AS rate2,
+        |    list_transform(generate_series(0, (len(bs)+1)//2 - 1),
+        |      j -> CASE WHEN 2*j+2 <= len(bs) THEN (bs[2*j+1]+bs[2*j+2])//2
+        |           ELSE bs[2*j+1] END) AS rs
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(44 + len(rs) AS BIGINT) AS n_bytes,
+        |  CAST(rate2 AS BIGINT) AS sample_rate,
+        |  CAST(len(rs) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_sum(rs), 0) AS BIGINT) AS sum_samples,
+        |  CAST(COALESCE(list_max(rs), 0) AS BIGINT) AS peak_sample,
+        |  CASE WHEN len(rs) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(rs) AS DOUBLE) / len(rs) END AS mean_sample,
+        |  CAST(len(rs) * 1000 // rate2 AS BIGINT) AS duration_ms
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -166,6 +166,32 @@ object Multimodal {
         len.toLong * 1000L / rate)
     }
 
+    /** Strict parse + raw sample access: (rate, samples copy) — the
+      * input side of any decode → transform → re-encode stage. */
+    def samples(wav: Array[Byte]): (Int, Array[Byte]) = {
+      val (rate, off, len) = parseHeader(wav)
+      (rate, java.util.Arrays.copyOfRange(wav, off, off + len))
+    }
+
+    /** 2:1 decimation with pair averaging (integer floor; an odd tail
+      * sample passes through) — the audio analog of an image resize:
+      * the transform every media pipeline runs between decode and
+      * re-encode. Exact integer arithmetic, so the oracle recomputes
+      * it from source bytes bit-for-bit. */
+    def resample2(samples: Array[Byte]): Array[Byte] = {
+      val n = samples.length
+      val out = new Array[Byte]((n + 1) / 2)
+      var j = 0
+      while (j < out.length) {
+        val i = 2 * j
+        out(j) =
+          if (i + 1 < n) (((samples(i) & 0xff) + (samples(i + 1) & 0xff)) / 2).toByte
+          else samples(i)
+        j += 1
+      }
+      out
+    }
+
     /** Strict parse + per-frame features: non-overlapping
       * `frameSize`-sample windows over the data chunk (last frame
       * partial), each with its squared-deviation energy and peak
@@ -258,5 +284,26 @@ object Multimodal {
       it.flatMap(m =>
         decoder.decodeFrames(m.doc_id, m.payload, AudioFrameSize, AudioSilencePeak))
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** The full media TRANSFORM pipeline — decode → resample (2:1
+    * decimation, the audio analog of an image resize) → RE-ENCODE at
+    * half the rate → strict re-parse of the new artifact. The report
+    * row is the re-decoded features of the re-encoded WAV, so a match
+    * proves all four stages: source parse, exact-integer transform,
+    * header re-write at the new rate, and the round trip's validity
+    * as a real container. One mapPartitions pass, one codec init per
+    * partition, payloads never leave the executor. */
+  def qMediaResample(s: SparkSession, d: String): DataFrame = {
+    val media = wavTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = WavCodec.init()
+      it.map { m =>
+        val (rate, raw) = codec.samples(m.payload)
+        val out = codec.write(codec.resample2(raw), rate / 2)
+        codec.decode(m.doc_id, out)
+      }
+    }.toDF().orderBy(col("doc_id"))
   }
 }

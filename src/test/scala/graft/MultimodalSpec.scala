@@ -101,4 +101,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == n, "frame count must equal sum(ceil(len/frameSize))")
     assert(out.filter(col("n_samples") <= 0).count() == 0)
   }
+
+  test("resample2: pair means floor, odd tail passes through") {
+    import Multimodal.WavCodec
+    assert(WavCodec.resample2(Array[Byte](10, 11, 20, 21, 30)).toSeq ==
+      Seq[Byte](10, 20, 30)) // (10+11)/2=10 floor, tail 30 verbatim
+    assert(WavCodec.resample2(Array[Byte](200.toByte, 100)).toSeq ==
+      Seq[Byte](150.toByte)) // UNSIGNED mean: (200+100)/2, not signed
+    assert(WavCodec.resample2(Array.empty[Byte]).isEmpty)
+  }
+
+  test("resample round trip re-encodes a valid container at half rate") {
+    import Multimodal.WavCodec
+    val src = WavCodec.write(Array[Byte](10, 20, 30, 40, 50), 9000)
+    val (rate, raw) = WavCodec.samples(src)
+    assert(rate == 9000 && raw.toSeq == Seq[Byte](10, 20, 30, 40, 50))
+    val out = WavCodec.write(WavCodec.resample2(raw), rate / 2)
+    val f = WavCodec.decode(7L, out) // STRICT parse of the new artifact
+    assert(f.sample_rate == 4500L && f.n_samples == 3L)
+    assert(f.sum_samples == 15L + 35L + 50L)
+    // corrupting one byte of the re-encoded header must fail the parse
+    val bad = out.clone(); bad(22) = 2 // channels field -> stereo
+    intercept[IllegalArgumentException](WavCodec.decode(7L, bad))
+  }
 }
