@@ -128,6 +128,8 @@ object SparkEntry {
     "q_span_gate_disk" -> (graft.streaming.SpanGate.qSpanGateDisk _),
     "q_quality_gate" -> (graft.streaming.QualityGate.qQualityGate _),
     "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
+    "q_telemetry" -> (graft.streaming.TelemetryMonitor.qTelemetry _),
+    "q_telemetry_disk" -> (graft.streaming.TelemetryMonitor.qTelemetryDisk _),
     "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
     "q_embed_gate" -> (graft.streaming.DedupGate.qEmbedGate _),
     "q_embed_gate_disk" -> (graft.streaming.DedupGate.qEmbedGateDisk _),
@@ -198,6 +200,23 @@ object SparkEntry {
   /** Mirror of QualityGate.score over the %4 batch/corpus split: the
     * q_perplexity fixed-point LM arithmetic (capped add-one bigram
     * model) with the integer cross-multiplied admit verdict. */
+  /** Telemetry-monitor batch analog: frozen per-type stats from the
+    * 3/4 corpus, z verdicts over the 1/4 "stream" — the same
+    * decimal-exact-sums + fixed IEEE chain as q_event_anomaly, so the
+    * mem and disk paths share one ground truth. */
+  private val telemetrySql =
+    """WITH st AS (SELECT event_type,
+      |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+      |    count(*) AS n
+      |  FROM events WHERE event_id % 4 <> 0 GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n) AS z
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE e.event_id % 4 = 0
+      |  AND abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
+      |ORDER BY e.event_id""".stripMargin
+
   private val qualityGateSql =
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |bg AS (SELECT doc_id,
@@ -1715,6 +1734,8 @@ object SparkEntry {
     "q_span_gate_disk" -> spanGateSql,
     "q_quality_gate" -> qualityGateSql,
     "q_quality_gate_disk" -> qualityGateSql,
+    "q_telemetry" -> telemetrySql,
+    "q_telemetry_disk" -> telemetrySql,
     "q_ingest_funnel" -> ingestFunnelSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
