@@ -506,7 +506,8 @@ object Bench {
         // so every ratio >15 is explained inside this JSON instead of
         // needing the round-N verdict as a decoder ring.
         val memoizedBuildPayers =
-          Seq("q_kmeans_centroids", "q_clean_corpus", "q9_product_profit")
+          Seq("q_kmeans_centroids", "q_clean_corpus", "q9_product_profit",
+            "q_pagerank") // edge+degree checkpoint memoized per dir
             .filter(n => sf1Times.exists(_._1 == n))
         val memoizedJson = memoizedBuildPayers
           .map("\"" + _ + "\"").mkString("[", ",", "]")
