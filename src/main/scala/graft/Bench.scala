@@ -520,12 +520,21 @@ object Bench {
         val superlinear = sf1Times.filterNot(t => sf1Failed(t._1)).collect {
           case (n, t) if maxSamples.get(n).exists(m => m > 0 && t / m > 15.0) => n }
         val superJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+        // documented-quadratic on THIS harness corpus (see the block
+        // comment above and SCALE.md's strict-SRP note): emitted so a
+        // firing flag self-explains inside the JSON, the same way
+        // memoized_build explains large build-paying ratios. Whether
+        // the flag actually fires for these depends on machine speed
+        // that run — the quadratic growth is the constant, the 15x
+        // threshold crossing is not.
+        val superExpectedJson = Seq("q_embed_neardup_strict")
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
         val failedJson = (sf1Failed.toSeq.sorted ++ floorFailures)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
