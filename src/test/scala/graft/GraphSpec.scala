@@ -53,6 +53,18 @@ class GraphSpec extends SparkSpec {
     assert(got == top, s"got $got want $top")
   }
 
+  test("rounds read the edge checkpoint, never the fact tables") {
+    // the memoized eager checkpoint means the executed plan's scans
+    // are ExistingRDD only — at 100 TB, re-reading orders⋈lineitem
+    // per round would be the difference between hours and minutes
+    val plan = Graph.qPageRank(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "a PageRank round re-read the fact tables")
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the edge checkpoint scan in the plan")
+  }
+
   test("mass is conserved up to documented floor loss") {
     val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
     val sym = (pairs ++ pairs.map(_.swap)).distinct
