@@ -50,6 +50,7 @@ object SparkEntry {
     "q_retention" -> (Relational.qRetention _),
     "q_session_window" -> (Relational.qSessionWindow _),
     "q_event_anomaly" -> (Relational.qEventAnomaly _),
+    "q_event_transitions" -> (Relational.qEventTransitions _),
     "q_pagerank" -> (graft.operators.Graph.qPageRank _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_profile" -> (Relational.qProfile _),
@@ -1113,6 +1114,21 @@ object SparkEntry {
         |WHERE abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
         |ORDER BY e.event_id""".stripMargin,
     "q_pagerank" -> pageRankSql,
+    // lag window per user, session-gap filter, |types|^2 matrix; the
+    // probability is one IEEE division of exact integer counts
+    "q_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |l AS (SELECT event_type, lag(event_type) OVER w AS prev_type,
+         |    us - lag(us) OVER w AS gap
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |c AS (SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+         |  FROM l WHERE prev_type IS NOT NULL AND gap <= ${graft.operators.Relational.SessionGapUs}
+         |  GROUP BY 1, 2),
+         |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+         |  CAST(c.n AS DOUBLE) / t.n_from AS p
+         |FROM c JOIN t ON c.from_type = t.from_type
+         |ORDER BY 1, 2""".stripMargin,
     // Strictly-ordered stage times: each CTE joins the previous
     // stage's first-reach and keeps only later events — the carried t1
     // makes sum_delta_us exact integer microseconds.

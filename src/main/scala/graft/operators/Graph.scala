@@ -12,6 +12,10 @@ import graft.Tables
   * GraphX/Pregel compiles to and the one that scales to billion-edge
   * graphs on any Spark cluster.
   *
+  * PageRank per Page/Brin/Motwani/Winograd (1999, "The PageRank
+  * Citation Ranking"); the fixed-point integer formulation is this
+  * engine's cross-engine-exactness discipline applied to it.
+  *
   * The graph: customers and suppliers are nodes, and every distinct
   * (customer, supplier) trading pair from `orders ⋈ lineitem`
   * contributes one edge in each direction (the symmetric closure).

@@ -320,7 +320,7 @@ object Relational {
   def qSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
-    val gapUs = 30L * 60 * 1000000
+    val gapUs = SessionGapUs
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
@@ -334,6 +334,48 @@ object Relational {
         ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast(LongType).as("duration_sec"),
         countDistinct(col("event_type")).as("n_types"))
       .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Session gap shared by [[qSessionize]] and [[qEventTransitions]]:
+    * >30 min of user inactivity breaks the behavioral sequence. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Markov transition table over sessionized behavior — the
+    * generalized flow graph next to the fixed-stage funnel
+    * ([[qEventFunnel]]): for every (from, to) event-type pair, how
+    * often `to` directly follows `from` within a session, with the
+    * conditional probability P(to | from). The table IS the "users
+    * who did X next did Y" report, and a first-order behavior model.
+    *
+    * One lag window per user (the sessionize shuffle), transitions
+    * filtered at the session gap, then a |types|²-bounded count agg —
+    * the heavy stream collapses to a tiny matrix via map-side
+    * partials. Counts are exact integers; each probability is ONE
+    * IEEE division of exactly-represented integers, so the oracle
+    * hashes match bit-for-bit. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame =
+    eventTransitions(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** [[qEventTransitions]]'s core over any (user_id, event_id,
+    * event_type, us) frame. */
+  private[graft] def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val steps = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull && col("gap") <= SessionGapUs)
+    val cnt = steps
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** Ordered conversion funnel over the event stream: per user, the

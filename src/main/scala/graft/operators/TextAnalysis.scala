@@ -700,8 +700,9 @@ object TextAnalysis {
   /** Pairs the BPE report emits. */
   val BpeTopK = 30
 
-  /** BPE merge statistics — the counting pass a subword-tokenizer
-    * trainer (SentencePiece/HuggingFace `tokenizers`) runs every merge
+  /** BPE merge statistics (Sennrich et al. 2016, arXiv:1508.07909) —
+    * the counting pass a subword-tokenizer trainer
+    * (SentencePiece/HuggingFace `tokenizers`) runs every merge
     * round: for each adjacent symbol pair inside a word, the total
     * corpus frequency; the argmax is the next merge rule. This is the
     * first round over the raw character alphabet, reported as the
@@ -740,7 +741,8 @@ object TextAnalysis {
     * words at edit distance exactly 1, with both corpus frequencies
     * (a 1000:1 frequency skew is the classic typo signature).
     *
-    * The scale trick is SymSpell's deletion-neighborhood blocking —
+    * The scale trick is SymSpell's deletion-neighborhood blocking
+    * (Garbe's public symmetric-delete algorithm) —
     * the string analog of the LSH band join used everywhere else in
     * this engine: two words are within edit distance 1 only if they
     * share a key in {w} ∪ del1(w) (equal; one is a deletion of the

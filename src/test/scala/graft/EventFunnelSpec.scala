@@ -33,6 +33,28 @@ class EventFunnelSpec extends SparkSpec {
       (4L, "purchase", 1L, 60L)), s"got $got")
   }
 
+  test("transition matrix: session gap excludes, probabilities exact") {
+    val gap = Relational.SessionGapUs
+    val rows = Seq(
+      // user 1, one session: view->click, click->view, view->click
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 10L),
+      (1L, 3L, "view", 20L), (1L, 4L, "click", 30L),
+      // user 1, NEW session after the gap: view->purchase; the
+      // click->view step across the gap must NOT count
+      (1L, 5L, "view", 30L + gap + 1), (1L, 6L, "purchase", 40L + gap),
+      // user 2: single event — no transition
+      (2L, 7L, "view", 0L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val got = Relational.eventTransitions(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      ("click", "view", 1L, 1.0),            // 1 of 1 from click
+      ("view", "click", 2L, 2.0 / 3.0),      // 2 of 3 from view
+      ("view", "purchase", 1L, 1.0 / 3.0)),  // 1 of 3 from view
+      s"got $got")
+  }
+
   test("same-timestamp events do not satisfy strictly-after") {
     val got = funnel(Seq(
       (1L, "view", 100L), (1L, "click", 100L), (1L, "click", 101L)))
