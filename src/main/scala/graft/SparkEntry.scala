@@ -215,6 +215,7 @@ object SparkEntry {
       |  (e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n) AS z
       |FROM events e JOIN st ON e.event_type = st.event_type
       |WHERE e.event_id % 4 = 0
+      |  AND st.n >= 2 AND (st.s2 - st.s1 * st.s1 / st.n) / st.n > 0
       |  AND abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
       |ORDER BY e.event_id""".stripMargin
 
@@ -1111,7 +1112,8 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, e.value,
         |  (e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n) AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
+        |WHERE st.n >= 2 AND (st.s2 - st.s1 * st.s1 / st.n) / st.n > 0
+        |  AND abs((e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / st.n)) > 3
         |ORDER BY e.event_id""".stripMargin,
     "q_pagerank" -> pageRankSql,
     // lag window per user, session-gap filter, |types|^2 matrix; the

@@ -84,17 +84,40 @@ object Graph {
     * builds the graph once and iterates/queries it repeatedly, so
     * repeat calls in one JVM reuse the checkpointed (src, dst, outdeg)
     * frame instead of re-running the fact-table edge build. A frame
-    * from a stopped/replaced session is rebuilt, not trusted. */
-  private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * from a stopped/replaced session is rebuilt, not trusted, and a
+    * rebuilt/evicted entry's checkpoint blocks are unpersisted so a
+    * long-lived JVM serving many corpus dirs does not accrete pinned
+    * storage. Staleness: alongside the frame we memoize a filesystem
+    * fingerprint (name, length, mtime of the two fact tables' files);
+    * a regenerated directory changes the fingerprint and forces a
+    * rebuild instead of returning ranks over vanished data. */
+  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  /** Fingerprint of the fact-table files feeding [[edges]] — driver
+    * filesystem metadata only, no Spark job. */
+  private def factFingerprint(d: String): String = {
+    def ls(sub: String): Seq[String] = {
+      val f = new java.io.File(d, sub)
+      val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+      fs.filter(_.isFile).sortBy(_.getName)
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+    }
+    (ls("orders.parquet") ++ ls("lineitem.parquet")).mkString(",")
+  }
 
   /** Fixed-point PageRank top-[[PrTopK]] (see object doc). Output:
     * (node, kind, pr_micro) — integer micro-units, exact. */
   def qPageRank(s: SparkSession, d: String): DataFrame = {
+    val fp = factFingerprint(d)
     val ed = edgeMemo.compute(d, (_, cur) =>
-      if (cur != null && (cur.sparkSession eq s)) cur
-      else prepare(edges(s, d)).localCheckpoint(true))
-    iterate(ed)
+      if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
+      else {
+        if (cur != null && (cur._2.sparkSession eq s))
+          graft.streaming.DedupGate.unpersistCheckpoints(cur._2)
+        (fp, prepare(edges(s, d)).localCheckpoint(true))
+      })
+    iterate(ed._2)
   }
 
   /** (src, dst, outdeg), built ONCE into a checkpoint — the node set,

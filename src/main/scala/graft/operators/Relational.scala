@@ -483,17 +483,30 @@ object Relational {
     * E[x²]−E[x]² form), sqrt, and the z ratio are then a FIXED chain
     * of IEEE operations on identical inputs — sqrt is correctly
     * rounded by the standard, so every engine lands on the same bits
-    * and the |z| > 3 cut admits identical rows. */
-  def qEventAnomaly(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    * and the |z| > 3 cut admits identical rows.
+    *
+    * Degenerate types carry NO verdict: with n < 2 or a non-positive
+    * E[x²]−E[x]² variance (a single observation, a constant-valued
+    * metric, or catastrophic cancellation on a high-mean/low-variance
+    * one) there is no reference distribution — sd would be 0 or NaN,
+    * z would be ±Inf/NaN, and SQL engines treat NaN > 3 as TRUE, so
+    * without the guard every event of such a type is "anomalous".
+    * Same admit-by-omission convention as a type with no stats row. */
+  def qEventAnomaly(s: SparkSession, d: String): DataFrame =
+    eventAnomaly(Tables.events(s, d))
+
+  /** Frame-level core of [[qEventAnomaly]]: any (event_id, event_type,
+    * value) frame in, flagged rows out. */
+  def eventAnomaly(ev: DataFrame): DataFrame = {
     val stats = ev.groupBy(col("event_type")).agg(
       dsum(col("value")).as("s1"),
       dsum(col("value") * col("value")).as("s2"),
       count(lit(1)).as("n"))
     val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+    val variance = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
     ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", (col("value") - mean) / sd)
+      .filter(col("n") >= 2L && variance > lit(0.0))
+      .withColumn("z", (col("value") - mean) / sqrt(variance))
       .filter(abs(col("z")) > lit(AnomalyZ))
       .select(col("event_id"), col("event_type"), col("value"),
         col("z"))

@@ -804,12 +804,17 @@ object TextAnalysis {
     * implementation echo.
     *
     * Output: (cat_word, doc_word, dist, doc_cnt), ordered. */
-  def qFuzzyLink(s: SparkSession, d: String): DataFrame = {
-    val dv = Tables.documents(s, d)
+  def qFuzzyLink(s: SparkSession, d: String): DataFrame =
+    fuzzyLink(Tables.documents(s, d), Tables.part(s, d).select(col("p_name")))
+
+  /** [[qFuzzyLink]]'s core over any (text) corpus and (p_name)
+    * catalog frame. */
+  private[graft] def fuzzyLink(docs: DataFrame, catalog: DataFrame): DataFrame = {
+    val dv = docs
       .select(explode(tokens(col("text"))).as("dw"))
       .filter(length(col("dw")) >= TypoMinLen)
       .groupBy(col("dw")).agg(count(lit(1)).as("doc_cnt"))
-    val pv = Tables.part(s, d)
+    val pv = catalog
       .select(explode(tokens(col("p_name"))).as("pw"))
       .filter(length(col("pw")) >= TypoMinLen)
       .distinct()

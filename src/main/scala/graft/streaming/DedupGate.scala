@@ -117,7 +117,7 @@ object DedupGate {
     * none and is untouched. Callers must pass only frames whose
     * content is no longer reachable from any live plan — a local
     * checkpoint has no lineage to recompute from. */
-  private[streaming] def unpersistCheckpoints(dfs: DataFrame*): Unit =
+  private[graft] def unpersistCheckpoints(dfs: DataFrame*): Unit =
     dfs.foreach(_.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)

@@ -70,12 +70,18 @@ object TelemetryMonitor {
   /** Verify stage: flagged events only — (event_id, event_type,
     * value, z) for |z| > [[FlagZ]]. An event whose type has no frozen
     * stats row carries no reference distribution and passes without a
-    * verdict (the quality gate's admit-by-omission convention). */
+    * verdict (the quality gate's admit-by-omission convention) — and
+    * so does one whose stats are degenerate (n < 2 or variance ≤ 0:
+    * single observation, constant metric, or cancellation in the
+    * E[x²]−E[x]² form). Without that guard sd is 0/NaN, z is
+    * ±Inf/NaN, SQL's NaN > 3 is TRUE, and the DriftMonitor would
+    * trip permanently on a constant-valued type. */
   def score(newEvents: DataFrame, st: StatsIndex): DataFrame = {
     val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+    val variance = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
     newEvents.join(broadcast(st.content), Seq("event_type"))
-      .withColumn("z", (col("value") - mean) / sd)
+      .filter(col("n") >= 2L && variance > lit(0.0))
+      .withColumn("z", (col("value") - mean) / sqrt(variance))
       .filter(abs(col("z")) > lit(FlagZ))
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id"))

@@ -32,6 +32,26 @@ class TelemetrySpec extends SparkSpec {
     assert(got == Seq((100L, "m", 20.0, 5.0)), s"got $got")
   }
 
+  test("constant-valued and single-event types carry no verdict") {
+    // heartbeat: constant 1.0 (variance exactly 0); lone: one event.
+    // Without the degenerate-stats guard z is NaN, SQL's NaN > 3 is
+    // TRUE, and every heartbeat event would flag -> permanent drift.
+    val st = TelemetryMonitor.trainStats(corpus.unionByName(Seq(
+      (20L, "heartbeat", 1.0), (21L, "heartbeat", 1.0),
+      (22L, "heartbeat", 1.0), (23L, "lone", 7.0))
+      .toDF("event_id", "event_type", "value")))
+    val batch = Seq(
+      (100L, "heartbeat", 1.0),  // matches the constant exactly
+      (101L, "heartbeat", 50.0), // wildly off, but no distribution
+      (102L, "lone", 0.0),       // n = 1 -> no distribution
+      (103L, "m", 20.0)          // healthy type still flags, z = 5
+    ).toDF("event_id", "event_type", "value")
+    val got = TelemetryMonitor.score(batch, st).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((103L, "m", 20.0, 5.0)), s"got $got")
+  }
+
   test("batch analogs: disk-persisted stats score identically to memory") {
     val d = "/root/testdata/sf0.001"
     val mem = TelemetryMonitor.qTelemetry(spark, d).collect().toSeq

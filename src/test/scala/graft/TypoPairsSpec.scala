@@ -22,8 +22,15 @@ class TypoPairsSpec extends SparkSpec {
   }
 
   test("blocked join equals the naive all-pairs distance-1 scan at sf0.001") {
+    import spark.implicits._
     val d = "/root/testdata/sf0.001"
-    val vocab = Tables.documents(spark, d)
+    // The real sf0.001 corpus alone yields ZERO distance-1 pairs, so a
+    // match there would prove completeness vacuously; a planted typo
+    // doc makes the equality claim falsifiable while the naive side
+    // still ranges over the REAL corpus vocabulary.
+    val docs = Tables.documents(spark, d).select(col("text")).unionByName(
+      Seq("scann the tabel for the quary").toDF("text")) // scan/table/query typos
+    val vocab = docs
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) >= TextAnalysis.TypoMinLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -33,31 +40,44 @@ class TypoPairsSpec extends SparkSpec {
       (w2, c2) <- vocab.drop(i + 1)
       if lev(w1, w2) == 1
     } yield (w1, w2, c1, c2)).toSeq
-    val got = TextAnalysis.qTypoPairs(spark, d).collect()
+    val got = TextAnalysis.typoPairs(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == want, s"got ${got.size} pairs, want ${want.size}:\n" +
       s"missing ${want.toSet -- got.toSet}\nextra ${got.toSet -- want.toSet}")
+    assert(got.nonEmpty,
+      "the planted morel/<corpus word> pair must surface — an empty " +
+        "result would make the completeness claim vacuous")
   }
 
   test("fuzzy linker equals the naive cross scan at sf0.001") {
+    import spark.implicits._
     val d = "/root/testdata/sf0.001"
+    // Plant one catalog term at edit distance 1-2 from corpus words so
+    // the dist >= 1 assertion below cannot be satisfied by dist-0
+    // self-matches alone.
+    val catalog = Tables.part(spark, d).select(col("p_name")).unionByName(
+      Seq("quary").toDF("p_name")) // dist 1 from corpus "query"
+    val docsDf = Tables.documents(spark, d).select(col("text"))
     def vocab(df: org.apache.spark.sql.DataFrame, c: String) = df
       .select(explode(split(trim(lower(col(c))), "\\s+")).as("w"))
       .filter(length(col("w")) >= TextAnalysis.TypoMinLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val dv = vocab(Tables.documents(spark, d), "text")
-    val pv = vocab(Tables.part(spark, d), "p_name").map(_._1).distinct
+    val dv = vocab(docsDf, "text")
+    val pv = vocab(catalog, "p_name").map(_._1).distinct
     val want = (for {
       pw <- pv; (dw, cnt) <- dv
       dist = lev(pw, dw) if dist <= TextAnalysis.FuzzyMaxEdit
     } yield (pw, dw, dist.toLong, cnt)).sortBy(t => (t._1, t._2))
-    val got = TextAnalysis.qFuzzyLink(spark, d).collect()
+    val got = TextAnalysis.fuzzyLink(docsDf, catalog).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == want, s"got $got\nwant $want")
     assert(got.nonEmpty, "catalog and corpus share at least one word")
+    assert(got.exists(_._3 >= 1L),
+      "at least one genuine fuzzy (dist >= 1) link must surface — " +
+        "dist-0 self-matches alone would validate nothing")
   }
 
   test("substitution, insertion, and deletion neighbors are all found") {
