@@ -151,6 +151,10 @@ object Bench {
       else try {
         val sf1Path = java.nio.file.Files.createTempDirectory("graft-sf1")
         val sf1Dir = sf1Path.toString
+        // probe tables use the shared digest naming scheme — no
+        // hardcoded table literals, and build/cleanup cannot drift
+        def gateTbl(kind: String): String =
+          graft.streaming.DedupGate.gateTableName(kind, sf1Dir)
         try {
         val reps10 = spark.range(10).select(col("id").as("rep"))
         val docs = Tables.documents(spark, sfDir)
@@ -294,7 +298,7 @@ object Bench {
           val docs = Tables.documents(spark, sf1Dir)
           val t0 = System.nanoTime()
           val idx = graft.streaming.DedupGate.indexCorpusDisk(
-            docs.filter(col("doc_id") % 4 =!= 0), "graft_bench_gate_sf1")
+            docs.filter(col("doc_id") % 4 =!= 0), gateTbl("bench_sh"))
           val t1 = System.nanoTime()
           graft.streaming.DedupGate
             .duplicates(docs.filter(col("doc_id") % 4 === 0), idx).count()
@@ -312,7 +316,7 @@ object Bench {
           val docs = Tables.documents(spark, sf1Dir)
           val g0 = System.nanoTime()
           val sidx = graft.streaming.SpanGate.indexSpansDisk(
-            docs.filter(col("doc_id") % 4 =!= 0), "graft_bench_sgate_sf1")
+            docs.filter(col("doc_id") % 4 =!= 0), gateTbl("bench_span"))
           val g1 = System.nanoTime()
           graft.streaming.SpanGate
             .novelty(docs.filter(col("doc_id") % 4 === 0), sidx).count()
@@ -358,7 +362,7 @@ object Bench {
           val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
           val e0 = System.nanoTime()
           val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
-            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_sf1",
+            vecs.filter(col("vec_id") % 4 =!= 0), gateTbl("bench_emb"),
             graft.streaming.DedupGate.EmbedBanding.Strict)
           val e1 = System.nanoTime()
           graft.streaming.DedupGate
@@ -383,7 +387,7 @@ object Bench {
           val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
           val e0 = System.nanoTime()
           val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
-            vecs.filter(col("vec_id") % 4 =!= 0), "graft_bench_egate_deep_sf1",
+            vecs.filter(col("vec_id") % 4 =!= 0), gateTbl("bench_emb_deep"),
             graft.streaming.DedupGate.EmbedBanding.Deep)
           val e1 = System.nanoTime()
           graft.streaming.DedupGate
@@ -517,9 +521,16 @@ object Bench {
         val ratiosVsMaxJson = ratiosVsMax
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
-        val superlinear = sf1Times.filterNot(t => sf1Failed(t._1)).collect {
+        val overThreshold = sf1Times.filterNot(t => sf1Failed(t._1)).collect {
           case (n, t) if maxSamples.get(n).exists(m => m > 0 && t / m > 15.0) => n }
+        // a memoized-build payer over the line is build-vs-steady
+        // pricing, not scaling — report it under `superlinear_build`
+        // so `superlinear` is empty-or-genuinely-bad on its own,
+        // without this JSON needing a verdict as a decoder ring
+        val (superBuild, superlinear) =
+          overThreshold.partition(memoizedBuildPayers.contains)
         val superJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val superBuildJson = superBuild.map("\"" + _ + "\"").mkString("[", ",", "]")
         // documented-quadratic on THIS harness corpus (see the block
         // comment above and SCALE.md's strict-SRP note): emitted so a
         // firing flag self-explains inside the JSON, the same way
@@ -534,7 +545,7 @@ object Bench {
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
@@ -545,8 +556,8 @@ object Bench {
           // so a new table per run) would otherwise accrete one
           // warehouse dir per run
           val digest = graft.sources.Writers.tableDigest(sf1Dir)
-          for (t <- Seq("graft_bench_gate_sf1", "graft_bench_sgate_sf1",
-              "graft_bench_egate_sf1", "graft_bench_egate_deep_sf1",
+          for (t <- Seq(gateTbl("bench_sh"), gateTbl("bench_span"),
+              gateTbl("bench_emb"), gateTbl("bench_emb_deep"),
               s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
             try spark.sql(s"DROP TABLE IF EXISTS $t")
             catch { case _: Throwable => () }
