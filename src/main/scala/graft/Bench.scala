@@ -561,6 +561,9 @@ object Bench {
               s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
             try spark.sql(s"DROP TABLE IF EXISTS $t")
             catch { case _: Throwable => () }
+          // saved ANN artifacts (IVF centroids, PQ codebooks) are
+          // digest-keyed by the temp dir name too
+          graft.operators.Similarity.dropArtifacts(spark, sf1Dir)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")

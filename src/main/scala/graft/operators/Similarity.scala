@@ -198,23 +198,92 @@ object Similarity {
 
   /** Index-build-once, search-many: the trained centroid set for a
     * given table is deterministic (fixed seed, fixed rounds, fixed-
-    * point math), so it is memoized per (path, iters) as collected
-    * rows — exactly how a production ANN index treats its coarse
-    * quantizer (train offline, reuse across queries). The cache holds
-    * at most ~[[TargetCells]] rows of dim floats — O(k), independent
-    * of corpus size — rebuilt as a local DataFrame on use. */
-  private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+    * point math), so it is memoized per (path, iters, corpus
+    * fingerprint) as collected rows — exactly how a production ANN
+    * index treats its coarse quantizer (train offline, reuse across
+    * queries). The cache holds at most ~[[TargetCells]] rows of dim
+    * floats — O(k), independent of corpus size — rebuilt as a local
+    * DataFrame on use.
+    *
+    * RESTART PERSISTENCE (the [[graft.streaming.QualityGate.trainLmDisk]]
+    * convention): behind the JVM memo sits a digest-keyed saved table.
+    * A miss first tries to MOUNT the table — valid when its embedded
+    * corpus fingerprint matches the filesystem — and only trains when
+    * no valid artifact exists, writing one for the next session. At
+    * 100 TB the codebook/centroid build is exactly the work a restart
+    * must never redo; floats round-trip parquet bit-exactly, so the
+    * mounted artifact IS the trained one ([[AnnPersistSpec]] proves
+    * mount-without-retrain and fingerprint invalidation). */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), Array[org.apache.spark.sql.Row]]()
+
+  /** Digest-keyed saved-table name for a trained ANN artifact. */
+  private[graft] def annTableName(kind: String, d: String): String =
+    s"graft_ann_${kind}_${graft.sources.Writers.tableDigest(d)}"
+
+  /** Filesystem fingerprint (name:length:mtime per file) of the
+    * embeddings table — driver metadata only, no Spark job. A
+    * regenerated corpus changes it and invalidates saved artifacts. */
+  private[graft] def embFingerprint(d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    fs.filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+  }
+
+  /** Mount a saved artifact if present AND its embedded fingerprint
+    * matches; the `fp` column is stripped from the result. */
+  private def mountArtifact(s: SparkSession, table: String,
+      fp: String): Option[Array[org.apache.spark.sql.Row]] =
+    if (!s.catalog.tableExists(table)) None
+    else {
+      val rows = s.table(table).collect()
+      if (rows.nonEmpty &&
+          rows.head.getString(rows.head.fieldIndex("fp")) == fp)
+        Some(s.table(table).drop("fp").collect())
+      else None // stale (or empty) artifact: retrain and overwrite
+    }
+
+  /** Save a trained artifact with the fingerprint embedded per row,
+    * then read it back — what the memo holds is by construction what
+    * any later session will mount. */
+  private def saveArtifact(s: SparkSession, art: DataFrame, table: String,
+      fp: String): Array[org.apache.spark.sql.Row] = {
+    graft.sources.Writers.replaceTable(s, art.withColumn("fp", lit(fp)), table)
+    s.table(table).drop("fp").collect()
+  }
 
   private[graft] def trainedCentroids(s: SparkSession, d: String, iters: Int = KMeansIters): DataFrame = {
-    val rows = centCache.computeIfAbsent((d, iters), _ =>
-      trainCentroids(withNorm(Tables.embeddings(s, d)), iters).collect())
+    val fp = embFingerprint(d)
+    val rows = centCache.computeIfAbsent((d, iters, fp), _ => {
+      val table = annTableName(s"ivf$iters", d)
+      mountArtifact(s, table, fp).getOrElse {
+        val cent = trainCentroids(withNorm(Tables.embeddings(s, d)), iters)
+        val got = saveArtifact(s, cent, table, fp)
+        graft.streaming.DedupGate.unpersistCheckpoints(cent)
+        got
+      }
+    })
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cent_id", LongType),
         org.apache.spark.sql.types.StructField("cent_e", ArrayType(FloatType)),
         org.apache.spark.sql.types.StructField("cent_n2", DoubleType))))
   }
+
+  /** Test hook: forget the in-JVM artifact memos, simulating a process
+    * restart — the next call must mount from the saved tables. */
+  private[graft] def clearArtifactMemos(): Unit = {
+    centCache.clear(); pqCache.clear()
+  }
+
+  /** Drop the saved ANN artifact tables for a corpus dir (bench/temp
+    * hygiene — a temp-named sf1 dir would otherwise accrete one
+    * warehouse dir per run). */
+  private[graft] def dropArtifacts(s: SparkSession, d: String): Unit =
+    for (k <- Seq(s"ivf$KMeansIters", s"pq0", s"pq1", s"pq2", s"pq3"))
+      try s.sql(s"DROP TABLE IF EXISTS ${annTableName(k, d)}")
+      catch { case _: Throwable => () }
 
   /** Final trained centroids in long form — the oracle-checkable
     * k-means surface: (cent_id, pos, val). */
@@ -454,15 +523,26 @@ object Similarity {
     cent
   }
 
-  /** Codebooks are deterministic -> memoized per (path, subspace),
-    * like the IVF coarse quantizer: train offline, reuse across
-    * queries. At most PqK rows of PqSubDim floats each. */
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+  /** Codebooks are deterministic -> memoized per (path, subspace,
+    * corpus fingerprint), like the IVF coarse quantizer: train
+    * offline, reuse across queries. At most PqK rows of PqSubDim
+    * floats each. Behind the memo sits the same digest-keyed saved
+    * table as [[trainedCentroids]] — a restart mounts the codebook
+    * instead of retraining it. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), Array[org.apache.spark.sql.Row]]()
 
   private[graft] def pqCodebook(s: SparkSession, d: String, m: Int): DataFrame = {
-    val rows = pqCache.computeIfAbsent((d, m), _ =>
-      pqTrain(pqSub(Tables.embeddings(s, d), m)).collect())
+    val fp = embFingerprint(d)
+    val rows = pqCache.computeIfAbsent((d, m, fp), _ => {
+      val table = annTableName(s"pq$m", d)
+      mountArtifact(s, table, fp).getOrElse {
+        val cb = pqTrain(pqSub(Tables.embeddings(s, d), m))
+        val got = saveArtifact(s, cb, table, fp)
+        graft.streaming.DedupGate.unpersistCheckpoints(cb)
+        got
+      }
+    })
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cent_id", LongType),
