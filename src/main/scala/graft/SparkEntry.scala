@@ -161,6 +161,8 @@ object SparkEntry {
     "q_pq_codes" -> (Similarity.qPqCodes _),
     "q_knn_pq" -> (Similarity.qKnnPq _),
     "q_pq_recall" -> (Similarity.qPqRecall _),
+    "q_knn_ivfpq" -> (Similarity.qKnnIvfPq _),
+    "q_ivfpq_recall" -> (Similarity.qIvfPqRecall _),
     "q_embed_classify" -> (Similarity.qEmbedClassify _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
@@ -701,7 +703,10 @@ object SparkEntry {
   /** Shared PQ CTE prefix: the subspace view + all four chains +
     * unioned code and LUT frames — ONE definition for the encode,
     * search, and recall oracles. */
-  private def pqCtes: String = {
+  /** The four PQ chains + unioned code/LUT frames WITHOUT the `ve`
+    * view — composable after a chain that already defines `ve` (the
+    * IVF-PQ oracle). */
+  private def pqChainsCtes: String = {
     val f = KmIters + 1
     val codes = (0 until Similarity.PqM)
       .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS m, code FROM pa${m}_$f")
@@ -710,11 +715,14 @@ object SparkEntry {
       .map(m => s"SELECT vec_id AS qid, CAST($m AS BIGINT) AS m, cent_id AS code, dfx " +
         s"FROM pd${m}_$f WHERE vec_id < ${Similarity.NumQueries}")
       .mkString(" UNION ALL ")
-    s"""$veSql,
-       |${(0 until Similarity.PqM).map(pqChainCtes).mkString(",\n")},
+    s"""${(0 until Similarity.PqM).map(pqChainCtes).mkString(",\n")},
        |pqcodes AS ($codes),
        |pqlut AS ($lut)""".stripMargin
   }
+
+  private def pqCtes: String =
+    s"""$veSql,
+       |$pqChainsCtes""".stripMargin
 
   private def pqAdcCtes: String =
     s"""adc AS (SELECT l.qid, c.vec_id AS cid, CAST(sum(l.dfx) AS BIGINT) AS adc_fx
@@ -759,6 +767,63 @@ object SparkEntry {
        |rrk AS (SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
        |  FROM rer),
+       |pqr AS (SELECT qid, cid FROM rrk WHERE rn <= ${Similarity.K}),
+       |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM ve a JOIN ve b ON a.pos = b.pos
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |brk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM bd),
+       |br AS (SELECT qid, cid FROM brk WHERE rn <= ${Similarity.K})
+       |SELECT br.qid, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM br LEFT JOIN pqr p ON br.qid = p.qid AND br.cid = p.cid
+       |GROUP BY 1 ORDER BY br.qid""".stripMargin
+
+  /** Composed IVF-PQ chain: the knnIvfSql coarse stages (kmeans,
+    * assignment, probes), the PQ chains, then ADC restricted to the
+    * PRUNED candidate set and the exact-dot rerank — the mirror of
+    * Similarity.qKnnIvfPq stage for stage. Emits `rrk`. */
+  private def ivfPqChain: String =
+    s"""n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+       |$veSql,
+       |$kmeansChainSql,
+       |$ivfAssignCtes,
+       |probes AS (SELECT qid, cell FROM (
+       |    SELECT vec_id AS qid, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+       |    FROM adots WHERE vec_id < ${Similarity.NumQueries}) t WHERE rn <= ${Similarity.NProbe}),
+       |$pqChainsCtes,
+       |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
+       |         WHERE a.vec_id <> p.qid),
+       |adc AS (SELECT x.qid, x.cid, CAST(sum(l.dfx) AS BIGINT) AS adc_fx
+       |  FROM cand x JOIN pqcodes c ON x.cid = c.vec_id
+       |  JOIN pqlut l ON l.qid = x.qid AND l.m = c.m AND l.code = c.code
+       |  GROUP BY 1, 2),
+       |prk AS (SELECT qid, cid, adc_fx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
+       |  FROM adc),
+       |short AS (SELECT qid, cid FROM prk
+       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |rer AS (SELECT s.qid, s.cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM short s JOIN ve a ON s.qid = a.vec_id
+       |  JOIN ve b ON s.cid = b.vec_id AND a.pos = b.pos
+       |  GROUP BY 1, 2),
+       |rrk AS (SELECT qid, cid, dfx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM rer)""".stripMargin
+
+  private def knnIvfPqSql: String =
+    s"""WITH $ivfPqChain
+       |SELECT qid, cid, CAST(dfx AS DOUBLE)/1e12 AS dot, CAST(rn AS BIGINT) AS rn
+       |FROM rrk WHERE rn <= ${Similarity.K} ORDER BY qid, rn""".stripMargin
+
+  private def ivfPqRecallSql: String =
+    s"""WITH $ivfPqChain,
        |pqr AS (SELECT qid, cid FROM rrk WHERE rn <= ${Similarity.K}),
        |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
@@ -2169,6 +2234,8 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_knn_pq" -> knnPqSql,
     "q_pq_recall" -> pqRecallSql,
+    "q_knn_ivfpq" -> knnIvfPqSql,
+    "q_ivfpq_recall" -> ivfPqRecallSql,
     "q_ivf_int8_recall" ->
       s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
          |  SELECT b.qid, count(*) AS k,

@@ -611,10 +611,10 @@ object Similarity {
         (col("cosine") / lit(1e12)).as("dot"), col("rn"))
   }
 
-  /** PQ recall vs the exact INNER-PRODUCT top-K (what ADC
-    * approximates — cosine would change the ground truth). */
-  def qPqRecall(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  /** Recall of an approximate search result against the exact
+    * INNER-PRODUCT top-K (what ADC approximates — cosine would change
+    * the ground truth). */
+  private def recallVsBruteDot(e: DataFrame, ann: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = broadcast(q)
@@ -623,9 +623,9 @@ object Similarity {
       .select(col("qid"), col("cid"),
         rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
     val brute = topK(scored, K).select(col("qid"), col("cid"))
-    val pq = qKnnPq(s, d).select(col("qid").as("pqid"), col("cid").as("pcid"))
+    val approx = ann.select(col("qid").as("pqid"), col("cid").as("pcid"))
     brute
-      .join(pq, col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
+      .join(approx, col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("k"),
         sum(when(col("pcid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
@@ -633,4 +633,94 @@ object Similarity {
         (col("n_hit").cast("double") / col("k")).as("recall"))
       .orderBy(col("qid"))
   }
+
+  /** PQ recall vs the exact INNER-PRODUCT top-K. */
+  def qPqRecall(s: SparkSession, d: String): DataFrame =
+    recallVsBruteDot(Tables.embeddings(s, d), qKnnPq(s, d))
+
+  // ------------------------------------------------ composed IVF-PQ
+
+  /** IVF-PQ composed search — the FAISS IVFPQ production shape
+    * (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+    * Neighbor Search"): the coarse quantizer prunes to NProbe cells,
+    * PQ-ADC ranks ONLY the pruned candidates from their 4-byte codes,
+    * and the exact rerank re-scores the ADC shortlist from the
+    * original vectors. Both trained artifacts are reused as-is: the
+    * IVF centroids ([[trainedCentroids]]) and the per-subspace
+    * codebooks ([[pqCodebook]]) — each behind its saved-table restart
+    * path.
+    *
+    * Scale shape, stage by stage:
+    *  - cell assignment and PQ encode are map-only passes against
+    *    broadcast artifacts (zero vector-table shuffle);
+    *  - the candidate list (probes ⋈ assign on cell) is bounded by
+    *    |queries| x NProbe x cell size and BROADCASTS onto the
+    *    4-byte-payload code table — the scan side at 100 TB is codes,
+    *    never vectors, which is the entire point of IVFPQ;
+    *  - ADC is an integer LUT sum grouped (qid, cid) with map-side
+    *    partials; only the K x [[PqRerankFactor]] shortlist ever
+    *    touches a full vector again.
+    * All-integer scores end-to-end make ranks engine-exact, so the
+    * composition stays DuckDB-oracle-checkable. */
+  def qKnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val en = withNorm(Tables.embeddings(s, d))
+    val cent = trainedCentroids(s, d)
+    val assign = assignCells(en, centroidArray(cent))
+
+    // coarse probe list: NProbe nearest cells per query (cosine — the
+    // same criterion the IVF-flat path uses, so the pruned universe is
+    // identical and recall differences isolate the ADC approximation)
+    val q = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val probeScored = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe"), col("cent_e")), col("qn2"), col("cent_n2")))
+      .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
+    val cand = assign.join(broadcast(topK(probeScored, NProbe)
+        .select(col("qid"), col("cid").as("cell"))), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+
+    // PQ codes + per-query LUTs from the trained codebooks
+    val e = Tables.embeddings(s, d)
+    val parts = (0 until PqM).map { m =>
+      val cb = pqCodebook(s, d, m)
+      val codes = pqAssign(pqSub(e, m), pqCentArr(cb))
+        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
+      val lut = pqSub(e.filter(col("vec_id") < NumQueries), m)
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
+          col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val lut = parts.map(_._2).reduce(_ unionAll _)
+
+    // ADC over the PRUNED candidates only: integer LUT-entry sums
+    val scored = codes.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dfx")).as("adc_fx"))
+      .select(col("qid"), col("cid"), col("adc_fx").cast(DoubleType).as("cosine"))
+
+    // exact-dot rerank of the ADC shortlist
+    val shortlist = topK(scored, K * PqRerankFactor)
+      .select(col("qid"), col("cid"))
+    val rer = shortlist
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
+    topK(rer, K)
+      .select(col("qid"), col("cid"),
+        (col("cosine") / lit(1e12)).as("dot"), col("rn"))
+  }
+
+  /** IVF-PQ recall vs the exact INNER-PRODUCT top-K — the composed
+    * index's quality row next to [[qPqRecall]] (full-corpus ADC) and
+    * [[qIvfRecall]] (cell prune with exact scoring), so all three
+    * approximation sources are measured separately and composed. */
+  def qIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPq(s, d))
 }

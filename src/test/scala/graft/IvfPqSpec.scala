@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Composed IVF-PQ search: the coarse prune must bound the candidate
+  * universe (results only ever come from probed cells), the final
+  * scores must be the EXACT fixed-point dot of the original vectors
+  * (the rerank contract — ADC is allowed to rank, never to score),
+  * and the recall surface must be well-formed. */
+class IvfPqSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("shape: K ranked rows per query, ranks contiguous") {
+    val rows = Similarity.qKnnIvfPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == Similarity.NumQueries * Similarity.K)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to Similarity.K), s"ranks for $qid")
+      val dots = rs.sortBy(_._4).map(_._3)
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        s"dots not descending for $qid")
+    }
+  }
+
+  test("results come only from probed cells; dots are the exact fixed-point dot") {
+    val emb = Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def rawDot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong }.sum
+
+    val cent = Similarity.trainedCentroids(spark, d)
+    val assign = Similarity.assignCells(
+      Similarity.withNorm(Tables.embeddings(spark, d)),
+      Similarity.centroidArray(cent))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val got = Similarity.qKnnIvfPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (qid, cid, dot) =>
+      // the exact-rerank contract: the reported dot is the fixed-point
+      // dot of the ORIGINAL vectors, not an ADC approximation
+      assert(math.abs(dot - rawDot(emb(qid), emb(cid)) / 1e12) < 1e-12,
+        s"($qid,$cid) dot is not the exact rerank value")
+    }
+    // coarse-prune contract: every returned neighbor lives in one of
+    // its query's NProbe probed cells
+    val probedCells = got.map(_._1).distinct.map { qid =>
+      qid -> got.filter(_._1 == qid).map(t => assign(t._2)).toSet
+    }.toMap
+    probedCells.foreach { case (qid, cells) =>
+      assert(cells.size <= Similarity.NProbe,
+        s"query $qid drew results from ${cells.size} cells — more than NProbe")
+    }
+  }
+
+  test("recall surface is well-formed and matches a driver-side recount") {
+    val rec = Similarity.qIvfPqRecall(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rec.map(_._1).toSeq == (0L until Similarity.NumQueries).toSeq)
+    rec.foreach { case (qid, k, hit, r) =>
+      assert(k == Similarity.K && hit >= 0 && hit <= k)
+      assert(math.abs(r - hit.toDouble / k) < 1e-15, s"recall arithmetic $qid")
+    }
+  }
+}
