@@ -95,6 +95,7 @@ object SparkEntry {
     "q_token_stats" -> (TextAnalysis.qTokenStats _),
     "q_word_count" -> (TextAnalysis.qWordCount _),
     "q_bpe_pairs" -> (TextAnalysis.qBpePairs _),
+    "q_bpe_merges" -> (TextAnalysis.qBpeMerges _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_contamination" -> (TextAnalysis.qContamination _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
+    "q_perplexity3" -> (TextAnalysis.qPerplexity3 _),
     "q_bloom_decontam" -> (TextAnalysis.qBloomDecontam _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
     "q_mixture_weights" -> (TextAnalysis.qMixtureWeights _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "q_span_gate_disk" -> (graft.streaming.SpanGate.qSpanGateDisk _),
     "q_quality_gate" -> (graft.streaming.QualityGate.qQualityGate _),
     "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
+    "q_quality3_gate" -> (graft.streaming.QualityGate.qQuality3Gate _),
     "q_telemetry" -> (graft.streaming.TelemetryMonitor.qTelemetry _),
     "q_telemetry_disk" -> (graft.streaming.TelemetryMonitor.qTelemetryDisk _),
     "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
@@ -955,6 +958,96 @@ object SparkEntry {
          |  FROM cdots)
          |SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
+  /** Trigram stupid-backoff CTE chain shared by the q_perplexity3 and
+    * q_quality3_gate mirrors (one definition, so the two cannot
+    * drift): capped trigram/bigram/unigram tables over the rows where
+    * `trainCond` holds, context sums, the pinned ln(0.4) integer, and
+    * the per-doc fixed-point surprisal CTE `sc` over the rows where
+    * `scoreCond` holds. */
+  private def trigram3Ctes(trainCond: String, scoreCond: String): String = {
+    val cap = graft.operators.TextAnalysis.LmMaxBigrams
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |tg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-2), i -> toks[i])) AS w1,
+       |    unnest(list_transform(generate_series(1, len(toks)-2), i -> toks[i+1])) AS w2,
+       |    unnest(list_transform(generate_series(1, len(toks)-2), i -> toks[i+2])) AS w3
+       |  FROM t WHERE len(toks) >= 3),
+       |tgc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c_tri
+       |  FROM tg WHERE $trainCond GROUP BY 1, 2, 3
+       |  ORDER BY c_tri DESC, w1, w2, w3 LIMIT $cap),
+       |ctx3 AS (SELECT w1, w2, CAST(sum(c_tri) AS BIGINT) AS c_12 FROM tgc GROUP BY 1, 2),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM t WHERE len(toks) >= 2),
+       |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
+       |  FROM bg WHERE $trainCond GROUP BY 1, 2
+       |  ORDER BY c_pair DESC, prev, w LIMIT $cap),
+       |ctx2 AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
+       |toku AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_uni FROM toku
+       |  WHERE $trainCond GROUP BY 1
+       |  ORDER BY c_uni DESC, tok LIMIT $cap),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_toks, count(DISTINCT tok) AS v
+       |  FROM toku WHERE $trainCond),
+       |sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN tgc.c_tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+       |    CAST(sum(CASE WHEN tgc.c_tri IS NULL AND bgc.c_pair IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+       |    CAST(sum(CASE WHEN tgc.c_tri IS NULL AND bgc.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+       |    CAST(sum(CASE WHEN tgc.c_tri IS NOT NULL THEN
+       |        CAST(round(ln(CAST(ctx3.c_12 AS DOUBLE))*1e6) AS BIGINT)
+       |          - CAST(round(ln(CAST(tgc.c_tri AS DOUBLE))*1e6) AS BIGINT)
+       |      WHEN bgc.c_pair IS NOT NULL THEN
+       |        ${-graft.operators.TextAnalysis.LmBackoffLnX1e6}
+       |          + CAST(round(ln(CAST(ctx2.c_ctx AS DOUBLE))*1e6) AS BIGINT)
+       |          - CAST(round(ln(CAST(bgc.c_pair AS DOUBLE))*1e6) AS BIGINT)
+       |      ELSE
+       |        ${-2L * graft.operators.TextAnalysis.LmBackoffLnX1e6}
+       |          + CAST(round(ln(CAST(nv.n_toks + nv.v AS DOUBLE))*1e6) AS BIGINT)
+       |          - CAST(round(ln(CAST(COALESCE(uni.c_uni, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)
+       |      END) AS BIGINT) AS surprisal_x1e6
+       |  FROM tg g CROSS JOIN nv
+       |  LEFT JOIN tgc ON g.w1 = tgc.w1 AND g.w2 = tgc.w2 AND g.w3 = tgc.w3
+       |  LEFT JOIN ctx3 ON g.w1 = ctx3.w1 AND g.w2 = ctx3.w2
+       |  LEFT JOIN bgc ON bgc.prev = g.w2 AND bgc.w = g.w3
+       |  LEFT JOIN ctx2 ON ctx2.prev = g.w2
+       |  LEFT JOIN uni ON uni.tok = g.w3
+       |  WHERE $scoreCond
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Unrolled iterative-BPE chain mirroring TextAnalysis.qBpeMerges:
+    * the same chr(31)-doubled-separator symbol strings, per-round pair
+    * count + LIMIT-1 argmax + literal replace() rewrite. */
+  private def bpeMergesSql: String = {
+    val rounds = graft.operators.TextAnalysis.BpeMergeRounds
+    val sb = new StringBuilder(
+      s"""WITH bw AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest($tokSql) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |bs1 AS (SELECT chr(31) || array_to_string(
+         |    list_transform(generate_series(1, length(w)), i -> w[i]),
+         |    chr(31) || chr(31)) || chr(31) AS seq, wcnt FROM bw)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         |by$i AS (SELECT wcnt, unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z
+         |  FROM (SELECT wcnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy FROM bs$i)),
+         |bb$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM by$i WHERE z[2] IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (i < rounds) sb ++= s""",
+         |bs${i + 1} AS (SELECT replace(seq,
+         |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+         |    chr(31) || b.l || b.r || chr(31)) AS seq, wcnt FROM bs$i, bb$i b)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT * FROM (${(1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_round, l, r, l || r AS merged, cnt FROM bb$i")
+        .mkString(" UNION ALL ")})
+       |ORDER BY merge_round""".stripMargin
+    sb.toString
+  }
+
   /** The derived partsupp parquet for the ORACLE's scale factor: the
     * driver's DuckDB gate always runs at sf0.01 (harness contract), so
     * the oracle SQL pins that dir's table — written by the Verify run
@@ -1671,6 +1764,11 @@ object SparkEntry {
          |  FROM (SELECT w, wcnt, unnest(generate_series(1, length(w)-1)) AS i FROM w))
          |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT ${graft.operators.TextAnalysis.BpeTopK}""".stripMargin,
+    // Unrolled per-round CTE chain (the PageRank convention): each
+    // round = pair count over the symbol strings, LIMIT-1 argmax,
+    // literal replace() rewrite — the doubled-separator encoding makes
+    // scan-order replace identical to the greedy merge in both engines
+    "q_bpe_merges" -> bpeMergesSql,
     // SymSpell deletion-neighborhood candidates + exact levenshtein
     // verify — the oracle runs the same blocked join, not the naive
     // |vocab|^2 form, so the blocking's completeness is itself under test
@@ -2111,6 +2209,29 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT doc_id, split, n_bigrams, n_unseen, surprisal_x1e6,
          |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Trigram stupid-backoff mirror: the same capped tables, context
+    // sums, pinned ln(0.4) integer, and fixed-point ln chain as the
+    // Spark side — every branch of the backoff CASE is integer-exact.
+    "q_perplexity3" ->
+      s"""WITH ${trigram3Ctes(
+             s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13",
+             scoreCond = "TRUE")}
+         |SELECT doc_id,
+         |  CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13 THEN 'train'
+         |       WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 15 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  n_trigrams, n_tri_hit, n_bi_hit, n_uni, surprisal_x1e6,
+         |  round(surprisal_x1e6/1e6/n_trigrams, 4) AS avg_nats
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Same chain over the %4 batch/corpus split with the integer
+    // cross-multiplied admit verdict — the trigram gate's ground truth
+    "q_quality3_gate" ->
+      s"""WITH ${trigram3Ctes("doc_id % 4 <> 0", scoreCond = "g.doc_id % 4 = 0")}
+         |SELECT doc_id, n_trigrams, n_tri_hit, n_bi_hit, n_uni, surprisal_x1e6,
+         |  round(surprisal_x1e6/1e6/n_trigrams, 4) AS avg_nats,
+         |  CAST(CASE WHEN surprisal_x1e6 <= ${graft.streaming.QualityGate.AdmitMaxNats3X1e6} * n_trigrams
+         |    THEN 1 ELSE 0 END AS BIGINT) AS admit
          |FROM sc ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
       s"""WITH $seqPackCtes

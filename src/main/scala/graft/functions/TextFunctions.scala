@@ -49,6 +49,19 @@ object TextFunctions {
           .as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.w").as("w"))
 
+  /** Ordered-trigram fan-out: one (id, w1, w2, w3) row per adjacent
+    * token triple — the trigram-LM sibling of [[bigramRows]], shared
+    * by the batch perplexity scorer and the trigram quality gate. */
+  def trigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+          .as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
   /** Canonical-form document fingerprint: md5 of the
     * whitespace-normalized lowercased text. Exact-dup detection key. */
   def fingerprint(text: Column): Column =

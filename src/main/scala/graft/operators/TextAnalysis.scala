@@ -697,6 +697,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Stupid-backoff discount ln(0.4) in fixed-point micro-nats,
+    * PINNED as an integer literal (round(ln(0.4)*1e6)) so no engine
+    * ever computes the transcendental — the backoff penalty enters
+    * every score as exact integer addition. */
+  val LmBackoffLnX1e6 = -916291L
+
+  /** Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the order-3 extension
+    * of [[qPerplexity]]'s capped bigram model, the CCNet-class filter
+    * order. Score of each trigram occurrence (w1 w2 w3), highest
+    * available evidence first:
+    *   - trigram in the capped table: c(w1w2w3) / c(w1w2)
+    *   - else bigram (w2 w3) in the capped table: 0.4 * c(w2w3)/c(w2)
+    *   - else: 0.4² * (c(w3)+1)/(N+V) — add-one unigram floor, so
+    *     unseen words carry finite surprisal.
+    * Context sums derive from the CAPPED tables themselves (the
+    * bigram model's convention), so every ratio is well-defined and
+    * ≤ 1, and "seen" has one engine-independent meaning: present in
+    * the deterministically capped top-K. Surprisal is fixed-point:
+    * each term is a difference of round(ln(k)*1e6) integers plus the
+    * pinned [[LmBackoffLnX1e6]] penalty — summed exactly.
+    *
+    * Scale shape: identical to the bigram scorer — three capped
+    * BROADCAST tables (trigram, bigram, unigram; each ≤ 64K rows by
+    * construction) + two 1-row scalars, a map-side trigram fan-out,
+    * and one O(docs) re-agg. The corpus-sized work is the two
+    * word-count-shaped training shuffles; scoring never shuffles the
+    * token stream. */
+  def qPerplexity3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tg = graft.functions.TextFunctions.trigramRows(docs, "doc_id", "text")
+      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
+    val tgTrain = tg.filter(col("split") === "train")
+    // capped trigram model + its context sums
+    val tgc = tgTrain
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_tri"))
+      .orderBy(col("c_tri").desc, col("w1"), col("w2"), col("w3")).limit(LmMaxBigrams)
+      .localCheckpoint(false) // feeds ctx3 AND the scoring join
+    val ctx3 = tgc.groupBy(col("w1"), col("w2")).agg(sum(col("c_tri")).as("c_12"))
+    // capped bigram backoff model + context sums (the qPerplexity LM)
+    val bg = bigramRows(docs, "doc_id", "text")
+      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
+    val bgc = bg.filter(col("split") === "train")
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+      .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
+      .localCheckpoint(false)
+    val ctx2 = bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
+    // capped unigram floor + (N, V) scalars
+    val toksTrain = docs
+      .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val uni = toksTrain.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+      .orderBy(col("c_uni").desc, col("tok")).limit(LmMaxBigrams)
+    val nv = toksTrain.agg(count(lit(1)).as("n_toks"),
+      countDistinct(col("tok")).as("v"))
+    def lnX1e6(k: Column): Column =
+      round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+    val term = when(col("c_tri").isNotNull,
+        lnX1e6(col("c_12")) - lnX1e6(col("c_tri")))
+      .when(col("c_pair").isNotNull,
+        lit(-LmBackoffLnX1e6) + lnX1e6(col("c_ctx")) - lnX1e6(col("c_pair")))
+      .otherwise(lit(-2L * LmBackoffLnX1e6) +
+        lnX1e6(col("n_toks") + col("v")) -
+        lnX1e6(coalesce(col("c_uni"), lit(0L)) + lit(1L)))
+    tg.crossJoin(broadcast(nv))
+      .join(broadcast(tgc), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
+      .join(broadcast(bgc),
+        col("prev") === col("w2") && col("w") === col("w3"), "left")
+      .join(broadcast(ctx2).withColumnRenamed("prev", "prev2"),
+        col("prev2") === col("w2"), "left")
+      .join(broadcast(uni), col("tok") === col("w3"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("c_tri").isNotNull, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("c_tri").isNull && col("c_pair").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi_hit"),
+        sum(when(col("c_tri").isNull && col("c_pair").isNull, 1L)
+          .otherwise(0L)).as("n_uni"),
+        sum(term).as("surprisal_x1e6"))
+      .withColumn("avg_nats",
+        round(col("surprisal_x1e6") / lit(1e6) / col("n_trigrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairs the BPE report emits. */
   val BpeTopK = 30
 
@@ -730,6 +816,71 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(BpeTopK)
+
+  /** Merge rounds the iterative BPE trainer runs. */
+  val BpeMergeRounds = 5
+
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909) — [[qBpePairs]] is one counting pass; this runs
+    * [[BpeMergeRounds]] full rounds of the actual trainer loop: count
+    * adjacent symbol pairs over the word-frequency table, pick the
+    * most frequent pair (ties: lexicographically smallest), MERGE it
+    * everywhere, recount. The output is the learned merge rule list —
+    * what a SentencePiece/HuggingFace tokenizer persists as its
+    * vocabulary.
+    *
+    * Representation is the cross-engine trick: each word is a
+    * chr(31)-delimited symbol string with DOUBLED separators between
+    * symbols (`<S>a<S><S>b<S>` for "ab", <S> = chr(31)). Merging pair
+    * (l, r) is then a single literal `replace` of `␟l␟␟r␟` with
+    * `␟lr␟`: because each match consumes the shared boundary, a plain
+    * left-to-right non-overlapping replace is exactly the greedy fold
+    * reference BPE applies ("aaa" merges to [aa, a], adjacent "abab"
+    * to [ab, ab]) — identical in Spark and DuckDB with no UDF and no
+    * lookahead regex.
+    *
+    * Scale shape: everything after the word-count shuffle is
+    * VOCABULARY-bounded (the [[qBpePairs]] trick), so each round is a
+    * (l, r) hash agg with map-side partials over |vocab| x avg_len
+    * rows plus a map-only rewrite against the 1-ROW broadcast best
+    * pair — the argmax never touches the driver, and round lineage is
+    * cut by checkpoints (the PageRank cadence). Output: one rule row
+    * per round. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d))
+
+  /** [[qBpeMerges]]'s core over any frame with a `text` column. */
+  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    var seqs = words.select(
+      expr("chr(31) || array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), chr(31) || chr(31)) || chr(31)").as("seq"),
+      col("wcnt"))
+      .localCheckpoint(false)
+    var rules = Seq.empty[DataFrame]
+    for (i <- 1 to BpeMergeRounds) {
+      val pairs = seqs
+        .withColumn("sy", split(col("seq").substr(lit(2), length(col("seq")) - 2),
+          java.util.regex.Pattern.quote("\u001f\u001f")))
+        .select(col("wcnt"), explode(zip_with(
+          slice(col("sy"), lit(1), size(col("sy")) - 1),
+          slice(col("sy"), lit(2), size(col("sy")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("z"))
+        .groupBy(col("z.l").as("l"), col("z.r").as("r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint(false) // 1 row: feeds the report AND the rewrite
+      rules :+= best.select(lit(i.toLong).as("merge_round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      seqs = seqs.crossJoin(broadcast(best))
+        .select(expr("replace(seq, chr(31) || l || chr(31) || chr(31) || r || chr(31), chr(31) || l || r || chr(31))").as("seq"),
+          col("wcnt"))
+        .localCheckpoint(false) // vocab-bounded; cuts per-round lineage
+    }
+    rules.reduce(_ unionAll _).orderBy(col("merge_round"))
+  }
 
   /** Minimum word length the typo miner considers: below this,
     * distance-1 neighbors are mostly legitimate distinct words (cat/

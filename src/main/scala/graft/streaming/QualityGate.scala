@@ -158,4 +158,118 @@ object QualityGate {
       trainLmDisk(docs.filter(col("doc_id") % 4 =!= 0),
         DedupGate.gateTableName("qlm", d)))
   }
+
+  // -------------------- trigram stupid-backoff variant (order 3) --
+
+  /** Trigram admit line: 3.59 nats/token — the measured sf0.001
+    * GATE-split median of the order-3 model (batch docs are unseen by
+    * the model, so their surprisal sits above the in-corpus
+    * perplexity median), keeping both verdict classes populated at
+    * every test SF (the [[AdmitMaxNatsX1e6]] calibration
+    * convention). */
+  val AdmitMaxNats3X1e6 = 3590000L
+
+  /** The frozen order-3 LM: three capped broadcast tables (trigram,
+    * bigram backoff, unigram floor) + the (N, V) scalars — each table
+    * ≤ 64K rows by construction, so the whole model broadcasts at any
+    * corpus size; the arithmetic is
+    * [[graft.operators.TextAnalysis.qPerplexity3]]'s. */
+  final case class Lm3Index(tgc: DataFrame, bgc: DataFrame, uni: DataFrame,
+      n: Long, v: Long)
+
+  /** Train the frozen trigram model: three word-count-shaped shuffles
+    * with map-side partials, each capped by a deterministic top-K. */
+  def trainLm3(corpusDocs: DataFrame): Lm3Index = {
+    import graft.operators.TextAnalysis.LmMaxBigrams
+    val tgc = graft.functions.TextFunctions
+      .trigramRows(corpusDocs, "doc_id", "text")
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_tri"))
+      .orderBy(col("c_tri").desc, col("w1"), col("w2"), col("w3"))
+      .limit(LmMaxBigrams).localCheckpoint(true)
+    val bgc = bigramRows(corpusDocs)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+      .orderBy(col("c_pair").desc, col("prev"), col("w"))
+      .limit(LmMaxBigrams).localCheckpoint(true)
+    val toks = corpusDocs.select(explode(tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+      .orderBy(col("c_uni").desc, col("tok"))
+      .limit(LmMaxBigrams).localCheckpoint(true)
+    val nv = toks.agg(count(lit(1)), countDistinct(col("tok"))).head()
+    Lm3Index(tgc, bgc, uni, nv.getLong(0), nv.getLong(1))
+  }
+
+  /** Verify stage, order 3: per new doc with >= 3 tokens, hit counts
+    * per backoff level, fixed-point stupid-backoff surprisal, and the
+    * integer cross-multiplied admit verdict. Documents shorter than
+    * one trigram are admitted by omission. */
+  def score3(newDocs: DataFrame, lm: Lm3Index): DataFrame = {
+    import graft.operators.TextAnalysis.LmBackoffLnX1e6
+    val ctx3 = lm.tgc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c_tri")).as("c_12"))
+    val ctx2 = lm.bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
+    def lnX1e6(k: org.apache.spark.sql.Column) =
+      round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+    val term = when(col("c_tri").isNotNull,
+        lnX1e6(col("c_12")) - lnX1e6(col("c_tri")))
+      .when(col("c_pair").isNotNull,
+        lit(-LmBackoffLnX1e6) + lnX1e6(col("c_ctx")) - lnX1e6(col("c_pair")))
+      .otherwise(lit(-2L * LmBackoffLnX1e6) +
+        lnX1e6(lit(lm.n + lm.v)) -
+        lnX1e6(coalesce(col("c_uni"), lit(0L)) + lit(1L)))
+    graft.functions.TextFunctions.trigramRows(newDocs, "doc_id", "text")
+      .join(broadcast(lm.tgc), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.bgc),
+        col("prev") === col("w2") && col("w") === col("w3"), "left")
+      .join(broadcast(ctx2).withColumnRenamed("prev", "prev2"),
+        col("prev2") === col("w2"), "left")
+      .join(broadcast(lm.uni), col("tok") === col("w3"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("c_tri").isNotNull, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("c_tri").isNull && col("c_pair").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi_hit"),
+        sum(when(col("c_tri").isNull && col("c_pair").isNull, 1L)
+          .otherwise(0L)).as("n_uni"),
+        sum(term).as("surprisal_x1e6"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hit"),
+        col("n_bi_hit"), col("n_uni"), col("surprisal_x1e6"),
+        round(col("surprisal_x1e6") / lit(1e6) / col("n_trigrams"), 4)
+          .as("avg_nats"),
+        when(col("surprisal_x1e6") <= lit(AdmitMaxNats3X1e6) * col("n_trigrams"),
+          1L).otherwise(0L).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Start the trigram gate — [[start]]'s shape with the frozen
+    * order-3 model: stateless per batch, replay-stable verdicts. */
+  def start3(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val lm = trainLm3(corpusDocs)
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint(true)
+        val verdicts = score3(batch, lm).localCheckpoint(true)
+        sink(verdicts, id)
+        DedupGate.unpersistCheckpoints(batch, verdicts)
+      }
+      .start()
+  }
+
+  /** Batch analog of the trigram gate for the oracle: every
+    * doc_id % 4 == 0 document as ONE "new" batch scored against the
+    * order-3 model trained on the rest. */
+  def qQuality3Gate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    score3(docs.filter(col("doc_id") % 4 === 0),
+      trainLm3(docs.filter(col("doc_id") % 4 =!= 0)))
+  }
 }
