@@ -248,7 +248,8 @@ object Bench {
           "q_frame_sample",
           "q_knn_ivf", "q_knn_ivf_int8", "q_knn_pq", "q_knn_ivfpq",
           "q_lang_id", "q_lang_id_eval",
-          "q_media_decode", "q_media_resample", "q_media_meta", "q_minhash_lsh",
+          "q_media_decode", "q_media_resample", "q_media_meta",
+          "q_image_decode", "q_image_resize", "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_perplexity", "q_bloom_decontam", "q_audio_features",
           "q_quality_gate",

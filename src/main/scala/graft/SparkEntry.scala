@@ -174,6 +174,8 @@ object SparkEntry {
     "q_media_decode" -> (Multimodal.qMediaDecode _),
     "q_audio_features" -> (Multimodal.qAudioFeatures _),
     "q_media_resample" -> (Multimodal.qMediaResample _),
+    "q_image_decode" -> (Multimodal.qImageDecode _),
+    "q_image_resize" -> (Multimodal.qImageResize _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -2446,5 +2448,52 @@ object SparkEntry {
         |       ELSE CAST(list_sum(rs) AS DOUBLE) / len(rs) END AS mean_sample,
         |  CAST(len(rs) * 1000 // rate2 AS BIGINT) AS duration_ms
         |FROM r ORDER BY doc_id""".stripMargin,
+    // BMP image decode: the oracle recomputes width/height geometry,
+    // header size (54 + padded rows), and pixel stats straight from
+    // the source text bytes — only the strict codec round trip matches
+    "q_image_decode" ->
+      """WITH s AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    CAST(doc_id % 29 + 3 AS BIGINT) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, nb // w AS h, bs FROM s WHERE nb // w >= 1)
+        |SELECT doc_id,
+        |  CAST(54 + ((w*3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        |  w AS width, h AS height, CAST(w*h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(bs[1:w*h]) AS BIGINT) AS sum_lum,
+        |  CAST(list_max(bs[1:w*h]) AS BIGINT) AS peak_lum,
+        |  CAST(list_sum(bs[1:w*h]) AS DOUBLE) / (w*h) AS mean_lum
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // 2:2 box-filter mirror in image space: per output pixel the
+    // integer-floor mean of its (clamped) 2x2 source block, then the
+    // re-encoded artifact's stats — bottom-up recovery, the exact
+    // filter, and the re-written header all under one hash
+    "q_image_resize" ->
+      """WITH s AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    CAST(doc_id % 29 + 3 AS BIGINT) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, nb // w AS h, bs FROM s WHERE nb // w >= 1),
+        |d2 AS (SELECT doc_id, w, h, (w+1)//2 AS w2, (h+1)//2 AS h2, bs FROM g),
+        |yy AS (SELECT doc_id, w, h, w2, h2, bs,
+        |    unnest(generate_series(0, h2-1)) AS y2 FROM d2),
+        |xx AS (SELECT doc_id, w, h, w2, h2, bs, y2,
+        |    unnest(generate_series(0, w2-1)) AS x2 FROM yy),
+        |v AS (SELECT doc_id, w2, h2,
+        |    ( bs[(2*y2)*w + 2*x2 + 1]
+        |      + (CASE WHEN 2*x2+1 < w THEN bs[(2*y2)*w + 2*x2 + 2] ELSE 0 END)
+        |      + (CASE WHEN 2*y2+1 < h THEN bs[(2*y2+1)*w + 2*x2 + 1] ELSE 0 END)
+        |      + (CASE WHEN 2*x2+1 < w AND 2*y2+1 < h THEN bs[(2*y2+1)*w + 2*x2 + 2] ELSE 0 END) )
+        |    // (1 + (CASE WHEN 2*x2+1 < w THEN 1 ELSE 0 END)
+        |       + (CASE WHEN 2*y2+1 < h THEN 1 ELSE 0 END)
+        |       + (CASE WHEN 2*x2+1 < w AND 2*y2+1 < h THEN 1 ELSE 0 END)) AS val
+        |  FROM xx)
+        |SELECT doc_id,
+        |  CAST(54 + ((w2*3 + 3) // 4) * 4 * h2 AS BIGINT) AS n_bytes,
+        |  w2 AS width, h2 AS height, CAST(w2*h2 AS BIGINT) AS n_pixels,
+        |  CAST(sum(val) AS BIGINT) AS sum_lum,
+        |  CAST(max(val) AS BIGINT) AS peak_lum,
+        |  CAST(sum(val) AS DOUBLE) / (w2*h2) AS mean_lum
+        |FROM v GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
   )
 }

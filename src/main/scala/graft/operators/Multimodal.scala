@@ -306,4 +306,225 @@ object Multimodal {
       }
     }.toDF().orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------ image (BMP) pipeline
+
+  case class ImageRecord(doc_id: Long, payload: Array[Byte])
+
+  case class ImageFeatures(doc_id: Long, n_bytes: Long, width: Long,
+    height: Long, n_pixels: Long, sum_lum: Long, peak_lum: Long,
+    mean_lum: Double)
+
+  /** Real Windows BMP codec, pure JVM — the second media modality next
+    * to [[WavCodec]], same discipline: `write` emits a canonical
+    * 24-bit uncompressed BMP (14-byte file header + 40-byte
+    * BITMAPINFOHEADER, BOTTOM-UP rows, 4-byte row padding — the layout
+    * any image viewer opens); `decode` is a STRICT parser (magic, file
+    * size field, DIB size, planes/bpp/compression, image-size field,
+    * pixel-array bounds) that walks rows bottom-up and skips the pad
+    * bytes. The bottom-up walk and pad arithmetic are load-bearing:
+    * the resize pipeline's block membership depends on recovering the
+    * TOP-DOWN pixel order exactly, so a row-order or padding slip
+    * breaks the oracle hash. */
+  object BmpCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def init(): BmpCodec.type = this // per-partition init point
+
+    private def rowSize(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    /** Canonical 24-bit BMP around row-major TOP-DOWN gray pixels
+      * (each written as equal B=G=R channels). */
+    def write(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(pixels.length == w * h, s"${pixels.length} != ${w}x$h")
+      val rs = rowSize(w)
+      val size = 54 + rs * h
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0)            // BI_RGB, uncompressed
+        .putInt(rs * h)       // biSizeImage
+        .putInt(2835).putInt(2835) // 72 DPI in px/metre
+        .putInt(0).putInt(0)
+      var y = h - 1 // bottom-up storage, the format's default
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = pixels(y * w + x)
+          b.put(v).put(v).put(v) // B, G, R
+          x += 1
+        }
+        var p = rs - w * 3
+        while (p > 0) { b.put(0.toByte); p -= 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a 24-bit BMP: $msg")
+
+    /** Strict header parse: returns (w, h, pixel-array offset). */
+    private def parseHeader(bmp: Array[Byte]): (Int, Int, Int) = {
+      if (bmp.length < 54) fail(s"${bmp.length} bytes < minimal headers")
+      val b = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+      if (b.get() != 'B'.toByte || b.get() != 'M'.toByte) fail("missing BM magic")
+      if (b.getInt() != bmp.length) fail("file size field mismatch")
+      b.getInt() // reserved
+      val off = b.getInt()
+      if (off < 54 || off > bmp.length) fail(s"pixel offset $off out of range")
+      if (b.getInt() != 40) fail("DIB header size != 40 (BITMAPINFOHEADER)")
+      val w = b.getInt(); val h = b.getInt()
+      if (w <= 0 || h <= 0) fail(s"dimensions ${w}x$h")
+      if (b.getShort() != 1) fail("planes != 1")
+      if (b.getShort() != 24) fail("bits per pixel != 24")
+      if (b.getInt() != 0) fail("compression != BI_RGB")
+      if (b.getInt() != rowSize(w) * h) fail("biSizeImage inconsistent")
+      if (off.toLong + rowSize(w).toLong * h > bmp.length)
+        fail("pixel array overruns file")
+      (w, h, off)
+    }
+
+    /** Strict parse + integer luminance stats ((B+G+R) div 3 — exact
+      * for the gray images this pipeline writes, honest for any). */
+    def decode(docId: Long, bmp: Array[Byte]): ImageFeatures = {
+      val (w, h, off) = parseHeader(bmp)
+      val rs = rowSize(w)
+      var sum = 0L
+      var peak = 0L
+      var y = 0
+      while (y < h) {
+        val ro = off + (h - 1 - y) * rs // bottom-up -> top-down
+        var x = 0
+        while (x < w) {
+          val base = ro + x * 3
+          val lum = ((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
+            (bmp(base + 2) & 0xff)).toLong / 3
+          sum += lum
+          if (lum > peak) peak = lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageFeatures(docId, bmp.length.toLong, w.toLong, h.toLong, n,
+        sum, peak, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** Strict parse + TOP-DOWN row-major gray recovery — the input
+      * side of the decode → transform → re-encode stage. */
+    def pixels(bmp: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, off) = parseHeader(bmp)
+      val rs = rowSize(w)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val ro = off + (h - 1 - y) * rs
+        var x = 0
+        while (x < w) {
+          val base = ro + x * 3
+          out(y * w + x) = (((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
+            (bmp(base + 2) & 0xff)) / 3).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    /** 2:1 box downsample: each output pixel is the integer-floor mean
+      * of its 2x2 source block (edge blocks average the 1-2 pixels
+      * they actually cover). Exact integer arithmetic, so the oracle
+      * recomputes the resized stats from source bytes bit-for-bit. */
+    def resize2(pixels: Array[Byte], w: Int, h: Int): (Array[Byte], Int, Int) = {
+      val w2 = (w + 1) / 2
+      val h2 = (h + 1) / 2
+      val out = new Array[Byte](w2 * h2)
+      var y2 = 0
+      while (y2 < h2) {
+        var x2 = 0
+        while (x2 < w2) {
+          var sum = 0
+          var cnt = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val x = 2 * x2 + dx
+              val y = 2 * y2 + dy
+              if (x < w && y < h) { sum += pixels(y * w + x) & 0xff; cnt += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y2 * w2 + x2) = (sum / cnt).toByte
+          x2 += 1
+        }
+        y2 += 1
+      }
+      (out, w2, h2)
+    }
+  }
+
+  /** Image geometry per doc — written into the BMP header and read
+    * back by the decoder; varying width per row makes the header parse
+    * and the row-padding arithmetic load-bearing (pad length changes
+    * with width % 4). */
+  private def imgWidth(docId: Long): Int = (docId % 29 + 3).toInt
+
+  /** BMP view over `documents`: each doc's first width*height utf-8
+    * bytes as the gray pixels of a real 24-bit BMP (height = as many
+    * full rows as the text fills; docs too short for one row are
+    * skipped — admit-by-omission). mapPartitions: one encoder init per
+    * partition, the decoder's mount shape. */
+  def imageTable(docs: DataFrame): Dataset[ImageRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = BmpCodec.init()
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = imgWidth(id)
+          val h = bytes.length / w
+          if (h < 1) Iterator.empty
+          else Iterator.single(ImageRecord(id,
+            codec.write(java.util.Arrays.copyOfRange(bytes, 0, w * h), w, h)))
+        }
+      }
+  }
+
+  /** Full encode → strict-parse → stats round trip over real BMP
+    * binaries — [[qMediaDecode]]'s image sibling. The oracle
+    * recomputes every column from the source text (ASCII: byte = code
+    * point), which only matches if the 54 header bytes written, the
+    * bottom-up row order, and the pad skips are all exactly right. */
+  def qImageDecode(s: SparkSession, d: String): DataFrame = {
+    val media = imageTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = BmpCodec.init()
+      it.map(m => codec.decode(m.doc_id, m.payload))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** The image TRANSFORM pipeline — decode → 2:1 box resize →
+    * RE-ENCODE at the new geometry → strict re-parse, reporting the
+    * re-decoded artifact's stats ([[qMediaResample]]'s image sibling).
+    * A match proves source parse, top-down recovery from bottom-up
+    * storage, the exact-integer box filter, and the re-written
+    * header/padding — one mapPartitions pass, payloads never leave
+    * the executor. */
+  def qImageResize(s: SparkSession, d: String): DataFrame = {
+    val media = imageTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = BmpCodec.init()
+      it.map { m =>
+        val (w, h, px) = codec.pixels(m.payload)
+        val (out, w2, h2) = codec.resize2(px, w, h)
+        codec.decode(m.doc_id, codec.write(out, w2, h2))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
 }
