@@ -96,6 +96,7 @@ object SparkEntry {
     "q_word_count" -> (TextAnalysis.qWordCount _),
     "q_bpe_pairs" -> (TextAnalysis.qBpePairs _),
     "q_bpe_merges" -> (TextAnalysis.qBpeMerges _),
+    "q_bpe_vocab" -> (TextAnalysis.qBpeVocab _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
@@ -1018,13 +1019,16 @@ object SparkEntry {
        |  GROUP BY 1)""".stripMargin
   }
 
-  /** Unrolled iterative-BPE chain mirroring TextAnalysis.qBpeMerges:
+  /** Unrolled iterative-BPE chain mirroring TextAnalysis.bpeTrain:
     * the same chr(31)-doubled-separator symbol strings, per-round pair
-    * count + LIMIT-1 argmax + literal replace() rewrite. */
-  private def bpeMergesSql: String = {
+    * count + LIMIT-1 argmax + literal replace() rewrite. Emits bb1..R
+    * (the rules) and bs{R+1} (the fully-rewritten table); DuckDB
+    * prunes CTEs a query never references, so the shared chain costs
+    * each consumer only what it reads. */
+  private def bpeChainCtes: String = {
     val rounds = graft.operators.TextAnalysis.BpeMergeRounds
     val sb = new StringBuilder(
-      s"""WITH bw AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+      s"""bw AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
          |  FROM (SELECT unnest($tokSql) AS w FROM documents)
          |  WHERE length(w) >= 2 GROUP BY 1),
          |bs1 AS (SELECT chr(31) || array_to_string(
@@ -1036,18 +1040,31 @@ object SparkEntry {
          |  FROM (SELECT wcnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy FROM bs$i)),
          |bb$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(wcnt) AS BIGINT) AS cnt
          |  FROM by$i WHERE z[2] IS NOT NULL GROUP BY 1, 2
-         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-      if (i < rounds) sb ++= s""",
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
          |bs${i + 1} AS (SELECT replace(seq,
          |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
          |    chr(31) || b.l || b.r || chr(31)) AS seq, wcnt FROM bs$i, bb$i b)""".stripMargin
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  private def bpeMergesSql: String = {
+    val rounds = graft.operators.TextAnalysis.BpeMergeRounds
+    s"""WITH $bpeChainCtes
        |SELECT * FROM (${(1 to rounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_round, l, r, l || r AS merged, cnt FROM bb$i")
         .mkString(" UNION ALL ")})
        |ORDER BY merge_round""".stripMargin
-    sb.toString
+  }
+
+  private def bpeVocabSql: String = {
+    val rounds = graft.operators.TextAnalysis.BpeMergeRounds
+    s"""WITH $bpeChainCtes,
+       |fin AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy, wcnt
+       |  FROM bs${rounds + 1}),
+       |sw AS (SELECT unnest(sy) AS subword, wcnt FROM fin)
+       |SELECT subword, CAST(sum(wcnt) AS BIGINT) AS cnt FROM sw GROUP BY 1
+       |ORDER BY cnt DESC, subword LIMIT ${graft.operators.TextAnalysis.BpeVocabTopK}""".stripMargin
   }
 
   /** The derived partsupp parquet for the ORACLE's scale factor: the
@@ -1771,6 +1788,9 @@ object SparkEntry {
     // literal replace() rewrite — the doubled-separator encoding makes
     // scan-order replace identical to the greedy merge in both engines
     "q_bpe_merges" -> bpeMergesSql,
+    // Same chain, read at bs{R+1}: the segmented corpus's subword
+    // frequency table — the vocabulary the trained tokenizer uses
+    "q_bpe_vocab" -> bpeVocabSql,
     // SymSpell deletion-neighborhood candidates + exact levenshtein
     // verify — the oracle runs the same blocked join, not the naive
     // |vocab|^2 form, so the blocking's completeness is itself under test

@@ -850,7 +850,13 @@ object TextAnalysis {
     bpeMerges(Tables.documents(s, d))
 
   /** [[qBpeMerges]]'s core over any frame with a `text` column. */
-  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+  private[graft] def bpeMerges(docs: DataFrame): DataFrame =
+    bpeTrain(docs)._1.reduce(_ unionAll _).orderBy(col("merge_round"))
+
+  /** The trainer loop itself: returns (one 1-row rule frame per round,
+    * the fully-rewritten symbol-string table) — shared by the rule
+    * report and the learned-vocabulary report. */
+  private def bpeTrain(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
@@ -879,8 +885,31 @@ object TextAnalysis {
           col("wcnt"))
         .localCheckpoint(false) // vocab-bounded; cuts per-round lineage
     }
-    rules.reduce(_ unionAll _).orderBy(col("merge_round"))
+    (rules, seqs)
   }
+
+  /** Subword rows the learned-vocabulary report emits. */
+  val BpeVocabTopK = 50
+
+  /** The learned subword VOCABULARY — the other half of the tokenizer
+    * trainer: apply all [[BpeMergeRounds]] learned merges to the
+    * word-frequency table (the same rewrite chain the trainer ran) and
+    * report the top-[[BpeVocabTopK]] resulting subword units by corpus
+    * frequency. This is what the trained tokenizer SEGMENTS WITH —
+    * multi-character units surface exactly where the merge rules
+    * created them, everything else stays single characters.
+    * Vocabulary-bounded end to end like the trainer itself. */
+  def qBpeVocab(s: SparkSession, d: String): DataFrame =
+    bpeVocab(Tables.documents(s, d))
+
+  private[graft] def bpeVocab(docs: DataFrame): DataFrame =
+    bpeTrain(docs)._2
+      .withColumn("sy", split(col("seq").substr(lit(2), length(col("seq")) - 2),
+        java.util.regex.Pattern.quote("\u001f\u001f")))
+      .select(explode(col("sy")).as("subword"), col("wcnt"))
+      .groupBy(col("subword")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("subword"))
+      .limit(BpeVocabTopK)
 
   /** Minimum word length the typo miner considers: below this,
     * distance-1 neighbors are mostly legitimate distinct words (cat/

@@ -10,11 +10,13 @@ import graft.operators.TextAnalysis
   * overlap semantics the doubled-separator replace encodes. */
 class BpeMergesSpec extends SparkSpec {
 
-  /** Plain-Scala reference BPE trainer over a word-frequency map. */
-  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+  /** Plain-Scala reference BPE trainer over a word-frequency map;
+    * also returns the final segmented sequences for the vocab check. */
+  private def refBpeFull(words: Map[String, Long], rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], Map[Vector[String], Long]) = {
     var seqs: Map[Vector[String], Long] =
       words.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
-    (1 to rounds).map { i =>
+    val rules = (1 to rounds).map { i =>
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((syms, cnt) <- seqs; j <- 0 until syms.size - 1)
         counts((syms(j), syms(j + 1))) = counts.getOrElse((syms(j), syms(j + 1)), 0L) + cnt
@@ -31,7 +33,11 @@ class BpeMergesSpec extends SparkSpec {
       }(_._2)(_ + _)
       (i.toLong, l, r, l + r, c)
     }
+    (rules, seqs)
   }
+
+  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] =
+    refBpeFull(words, rounds)._1
 
   private def run(texts: Seq[String], rounds: Int = TextAnalysis.BpeMergeRounds) = {
     import spark.implicits._
@@ -64,6 +70,25 @@ class BpeMergesSpec extends SparkSpec {
     val (got, want) = run(Seq("zy zy zy xw xw xw"), rounds = 1)
     assert(got == want, s"got $got\nwant $want")
     assert(got.head._4 == "xw", s"lexicographic tie-break: $got")
+  }
+
+  test("learned vocabulary matches the driver-side segmentation at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, d).select(col("text"))
+      .collect().map(_.getString(0)).toSeq
+    val words = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (_, seqs) = refBpeFull(words, TextAnalysis.BpeMergeRounds)
+    val want = seqs.toSeq
+      .flatMap { case (syms, cnt) => syms.map(_ -> cnt) }
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      .sortBy { case (sw, cnt) => (-cnt, sw) }
+      .take(TextAnalysis.BpeVocabTopK)
+    val got = TextAnalysis.qBpeVocab(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(got.exists(_._1.length >= 2),
+      "the learned vocabulary must contain at least one MERGED unit")
   }
 
   test("sf0.001 corpus matches the driver-side trainer for all rounds") {
