@@ -97,6 +97,8 @@ object SparkEntry {
     "q_bpe_pairs" -> (TextAnalysis.qBpePairs _),
     "q_bpe_merges" -> (TextAnalysis.qBpeMerges _),
     "q_bpe_vocab" -> (TextAnalysis.qBpeVocab _),
+    "q_bm25" -> (Retrieval.qBm25 _),
+    "q_hybrid_search" -> (Retrieval.qHybridSearch _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
@@ -1067,6 +1069,55 @@ object SparkEntry {
        |ORDER BY cnt DESC, subword LIMIT ${graft.operators.TextAnalysis.BpeVocabTopK}""".stripMargin
   }
 
+  /** BM25 mirror (Retrieval.qBm25): inverted-index aggregates, the
+    * Lucene positive-idf ln-of-integer form, and the 10·T-cleared
+    * integer saturation division — exact in both engines. */
+  private def bm25Sql: String = {
+    import graft.operators.Retrieval.{NumTextQueries, QueryLen, TopK}
+    s"""WITH dt AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY 1),
+       |bdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dt GROUP BY 1),
+       |bnt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS t_toks FROM dt),
+       |bq AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:$QueryLen]) AS term
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+       |  WHERE doc_id < $NumTextQueries),
+       |bsc AS (SELECT bq.qid, btf.doc_id,
+       |    CAST(sum(((CAST(round(ln(CAST(2*bnt.n_docs + 2 AS DOUBLE))*1e6) AS BIGINT)
+       |             - CAST(round(ln(CAST(2*bdf.df + 1 AS DOUBLE))*1e6) AS BIGINT))
+       |          * 22 * btf.tf * bnt.t_toks)
+       |        // (10 * bnt.t_toks * btf.tf + 3 * bnt.t_toks + 9 * bdl.dl * bnt.n_docs)) AS BIGINT)
+       |      AS score_x1e6
+       |  FROM btf JOIN bq ON btf.term = bq.term
+       |  JOIN bdl ON btf.doc_id = bdl.doc_id
+       |  JOIN bdf ON btf.term = bdf.term
+       |  CROSS JOIN bnt
+       |  GROUP BY 1, 2),
+       |brnk AS (SELECT qid, doc_id, score_x1e6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, doc_id) AS rn
+       |  FROM bsc)
+       |SELECT qid, doc_id, score_x1e6, CAST(rn AS BIGINT) AS rn
+       |FROM brnk WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
+  /** RRF fusion mirror: 1e6 // (60 + rank) per list entry, summed per
+    * (query, doc) over the BM25 and exact-cosine lists. */
+  private def hybridSearchSql: String = {
+    import graft.operators.Retrieval.{RrfK, TopK}
+    s"""WITH hb AS (SELECT qid, doc_id AS id, rn FROM ($bm25Sql)),
+       |ha AS (SELECT qid, cid AS id, rn FROM ($knnBruteSql)),
+       |hu AS (SELECT qid, id, 1000000 // ($RrfK + rn) AS fx
+       |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM ha)),
+       |hf AS (SELECT qid, id, CAST(sum(fx) AS BIGINT) AS rrf_x1e6,
+       |    CAST(count(*) AS BIGINT) AS n_lists FROM hu GROUP BY 1, 2),
+       |hr AS (SELECT qid, id, rrf_x1e6, n_lists,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf_x1e6 DESC, id) AS rn
+       |  FROM hf)
+       |SELECT qid, id AS doc_id, rrf_x1e6, n_lists, CAST(rn AS BIGINT) AS rn
+       |FROM hr WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   /** The derived partsupp parquet for the ORACLE's scale factor: the
     * driver's DuckDB gate always runs at sf0.01 (harness contract), so
     * the oracle SQL pins that dir's table — written by the Verify run
@@ -1791,6 +1842,8 @@ object SparkEntry {
     // Same chain, read at bs{R+1}: the segmented corpus's subword
     // frequency table — the vocabulary the trained tokenizer uses
     "q_bpe_vocab" -> bpeVocabSql,
+    "q_bm25" -> bm25Sql,
+    "q_hybrid_search" -> hybridSearchSql,
     // SymSpell deletion-neighborhood candidates + exact levenshtein
     // verify — the oracle runs the same blocked join, not the naive
     // |vocab|^2 form, so the blocking's completeness is itself under test

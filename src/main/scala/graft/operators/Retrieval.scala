@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.functions.TopKAggregator
+
+/** Text retrieval over the corpus — the query-side capability a
+  * training-data engine grows into a RAG/data-curation stack: BM25
+  * lexical ranking (Robertson/Spärck Jones probabilistic relevance,
+  * the Okapi BM25 form) and reciprocal-rank fusion of the lexical list
+  * with the embedding ANN list (Cormack/Clarke/Büttcher 2009) — the
+  * standard hybrid-search recipe.
+  *
+  * Cross-engine exactness: BM25 is float-hostile (idf · saturated-tf
+  * ratios), so every score here is FIXED-POINT INTEGER end to end:
+  *  - idf_x1e6 = round(ln(2N+2)·1e6) − round(ln(2df+1)·1e6) — Lucene's
+  *    always-positive idf ln(1 + (N−df+0.5)/(df+0.5)) in the engine's
+  *    ln-of-integer convention (never ln of a quotient, never a
+  *    negative numerator under the integer division);
+  *  - the k1=1.2 / b=0.75 saturation term is cleared of decimals by
+  *    multiplying numerator and denominator by 10·T (T = corpus token
+  *    count): per-term score = (idf_x1e6 · 22 · tf · T)
+  *    div (10·T·tf + 3·T + 9·dl·N) — one INTEGER division, summed
+  *    exactly, order-independent under any partitioning;
+  *  - RRF contributions are 1e6 div (60 + rank) — integer again.
+  *
+  * Scale shape: the corpus-sized work is the two word-count-shaped
+  * aggregations (tf per (doc, term); df per term) every search engine
+  * builds as its inverted index. The query side joins a ~|queries|·4
+  * term list (broadcast) against the tf table on term — candidates are
+  * exactly the postings of the query terms, the inverted-index access
+  * pattern — then one (qid, doc) hash agg with map-side partials and a
+  * bounded [[TopKAggregator]] top-k. N, T, and avgdl enter as 1-row
+  * broadcast scalars, never driver constants. */
+object Retrieval {
+
+  /** Results per query. */
+  val TopK = 10
+
+  /** Text queries: the first [[QueryLen]] distinct tokens of docs
+    * 0..[[NumTextQueries]]-1 — id-aligned with the ANN query set
+    * (vec_id < 5), which is what makes the fusion principled. */
+  val NumTextQueries = 5
+  val QueryLen = 4
+
+  /** RRF smoothing constant (the paper's k = 60). */
+  val RrfK = 60L
+
+  private def lnX1e6(k: Column): Column =
+    round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+
+  /** Per-query top-k via the bounded partial-aggregating accumulator
+    * ([[graft.operators.Similarity]]'s convention): ranks 1..k by
+    * (score desc, id asc). Integer scores ride through the double
+    * slot exactly (|score| << 2^53). */
+  private def topK(scored: DataFrame, k: Int, idName: String,
+      scoreName: String): DataFrame = {
+    val tk = udaf(new TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col(scoreName).cast(DoubleType), col(idName)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col._2").as(idName),
+        col("col._1").cast(LongType).as(scoreName),
+        (col("pos") + 1).cast(LongType).as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** BM25 top-[[TopK]] per text query. Output:
+    * (qid, doc_id, score_x1e6, rn). */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val docTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(false) // feeds tf, dl, df, and the scalars
+    val tf = docTok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = docTok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N docs and T total tokens as a 1-row broadcast scalar
+    val nt = docTok.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("t_toks"))
+    val q = docs.filter(col("doc_id") < NumTextQueries)
+      .select(col("doc_id").as("qid"),
+        explode(slice(tokens(col("text")), 1, QueryLen)).as("term"))
+      .distinct()
+    // Lucene's positive idf form ln(1 + (N-df+0.5)/(df+0.5)) =
+    // ln(2N+2) - ln(2df+1): always > 0 (so the integer div below is
+    // floor==trunc in both engines), two ln-of-INTEGER calls per the
+    // exactness convention
+    val idf = lnX1e6(lit(2L) * col("n_docs") + lit(2L)) -
+      lnX1e6(lit(2L) * col("df") + lit(1L))
+    val scored = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nt))
+      .withColumn("idf_x1e6", idf)
+      .withColumn("score_t", expr(
+        "(idf_x1e6 * 22 * tf * t_toks) div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_t")).as("score_x1e6"))
+    topK(scored, TopK, "doc_id", "score_x1e6")
+  }
+
+  /** Reciprocal-rank fusion of the BM25 list and the exact-cosine
+    * embedding list (id-aligned corpora): contribution of a rank-r
+    * entry is 1e6 div (60 + r); a doc found by BOTH modalities sums
+    * both. Output: (qid, doc_id, rrf_x1e6, n_lists, rn) — the hybrid
+    * search result. Purely rank-based, so it composes ANY two ranked
+    * lists without score calibration, which is why it is the
+    * production default. */
+  def qHybridSearch(s: SparkSession, d: String): DataFrame =
+    rrfFuse(
+      qBm25(s, d).select(col("qid"), col("doc_id").as("id"), col("rn")),
+      Similarity.qKnnBrute(s, d)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+
+  /** The fusion core over any two (qid, id, rn) ranked lists —
+    * separated so the both-lists sum path is testable with planted
+    * overlap (the harness corpus's lexical and embedding lists are
+    * naturally disjoint: word-soup text, isotropic vectors). */
+  private[graft] def rrfFuse(bm: DataFrame, ann: DataFrame): DataFrame = {
+    val fused = bm.unionAll(ann)
+      .select(col("qid"), col("id"),
+        expr(s"${1000000L} div (${RrfK} + rn)").cast(LongType).as("fx"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("fx")).as("rrf_x1e6"), count(lit(1)).as("n_lists"))
+    topK(fused, TopK, "id", "rrf_x1e6")
+      .join(fused.select(col("qid"), col("id"), col("n_lists")), Seq("qid", "id"))
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_x1e6"),
+        col("n_lists"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+}
