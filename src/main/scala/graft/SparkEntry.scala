@@ -99,6 +99,8 @@ object SparkEntry {
     "q_bpe_vocab" -> (TextAnalysis.qBpeVocab _),
     "q_bm25" -> (Retrieval.qBm25 _),
     "q_hybrid_search" -> (Retrieval.qHybridSearch _),
+    "q_hybrid_ivfpq" -> (Retrieval.qHybridIvfPq _),
+    "q_bpe_encode" -> (TextAnalysis.qBpeEncode _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
@@ -1033,7 +1035,7 @@ object SparkEntry {
       s"""bw AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
          |  FROM (SELECT unnest($tokSql) AS w FROM documents)
          |  WHERE length(w) >= 2 GROUP BY 1),
-         |bs1 AS (SELECT chr(31) || array_to_string(
+         |bs1 AS (SELECT w, chr(31) || array_to_string(
          |    list_transform(generate_series(1, length(w)), i -> w[i]),
          |    chr(31) || chr(31)) || chr(31) AS seq, wcnt FROM bw)""".stripMargin)
     for (i <- 1 to rounds) {
@@ -1043,7 +1045,7 @@ object SparkEntry {
          |bb$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(wcnt) AS BIGINT) AS cnt
          |  FROM by$i WHERE z[2] IS NOT NULL GROUP BY 1, 2
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |bs${i + 1} AS (SELECT replace(seq,
+         |bs${i + 1} AS (SELECT w, replace(seq,
          |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
          |    chr(31) || b.l || b.r || chr(31)) AS seq, wcnt FROM bs$i, bb$i b)""".stripMargin
     }
@@ -1067,6 +1069,18 @@ object SparkEntry {
        |sw AS (SELECT unnest(sy) AS subword, wcnt FROM fin)
        |SELECT subword, CAST(sum(wcnt) AS BIGINT) AS cnt FROM sw GROUP BY 1
        |ORDER BY cnt DESC, subword LIMIT ${graft.operators.TextAnalysis.BpeVocabTopK}""".stripMargin
+  }
+
+  private def bpeEncodeSql: String = {
+    val rounds = graft.operators.TextAnalysis.BpeMergeRounds
+    s"""WITH $bpeChainCtes,
+       |enc AS (SELECT w, CAST(len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_sub
+       |  FROM bs${rounds + 1}),
+       |edt AS (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(enc.n_sub, 1)) AS BIGINT) AS n_subwords
+       |FROM edt LEFT JOIN enc ON edt.w = enc.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** BM25 mirror (Retrieval.qBm25): inverted-index aggregates, the
@@ -1103,10 +1117,15 @@ object SparkEntry {
 
   /** RRF fusion mirror: 1e6 // (60 + rank) per list entry, summed per
     * (query, doc) over the BM25 and exact-cosine lists. */
-  private def hybridSearchSql: String = {
+  private def hybridSearchSql: String = hybridSqlWith(knnBruteSql)
+
+  /** Same fusion chain over any ANN list SQL (exact-cosine for the
+    * reference point, the composed IVF-PQ index for the
+    * production-index variant). */
+  private def hybridSqlWith(annSql: String): String = {
     import graft.operators.Retrieval.{RrfK, TopK}
     s"""WITH hb AS (SELECT qid, doc_id AS id, rn FROM ($bm25Sql)),
-       |ha AS (SELECT qid, cid AS id, rn FROM ($knnBruteSql)),
+       |ha AS (SELECT qid, cid AS id, rn FROM ($annSql)),
        |hu AS (SELECT qid, id, 1000000 // ($RrfK + rn) AS fx
        |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM ha)),
        |hf AS (SELECT qid, id, CAST(sum(fx) AS BIGINT) AS rrf_x1e6,
@@ -1844,6 +1863,8 @@ object SparkEntry {
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bm25" -> bm25Sql,
     "q_hybrid_search" -> hybridSearchSql,
+    "q_hybrid_ivfpq" -> hybridSqlWith(knnIvfPqSql),
+    "q_bpe_encode" -> bpeEncodeSql,
     // SymSpell deletion-neighborhood candidates + exact levenshtein
     // verify — the oracle runs the same blocked join, not the naive
     // |vocab|^2 form, so the blocking's completeness is itself under test

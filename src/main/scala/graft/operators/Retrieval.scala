@@ -121,6 +121,16 @@ object Retrieval {
       Similarity.qKnnBrute(s, d)
         .select(col("qid"), col("cid").as("id"), col("rn")))
 
+  /** The production-index variant: the same fusion with the composed
+    * IVF-PQ list in place of the exact-cosine scan — what a deployed
+    * hybrid stack actually runs (inverted index + ANN index, neither
+    * side touching the full corpus per query). */
+  def qHybridIvfPq(s: SparkSession, d: String): DataFrame =
+    rrfFuse(
+      qBm25(s, d).select(col("qid"), col("doc_id").as("id"), col("rn")),
+      Similarity.qKnnIvfPq(s, d)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+
   /** The fusion core over any two (qid, id, rn) ranked lists —
     * separated so the both-lists sum path is testable with planted
     * overlap (the harness corpus's lexical and embedding lists are

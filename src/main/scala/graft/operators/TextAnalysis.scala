@@ -861,7 +861,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-    var seqs = words.select(
+    var seqs = words.select(col("w"),
       expr("chr(31) || array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), chr(31) || chr(31)) || chr(31)").as("seq"),
       col("wcnt"))
       .localCheckpoint(false)
@@ -881,7 +881,8 @@ object TextAnalysis {
       rules :+= best.select(lit(i.toLong).as("merge_round"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("cnt"))
       seqs = seqs.crossJoin(broadcast(best))
-        .select(expr("replace(seq, chr(31) || l || chr(31) || chr(31) || r || chr(31), chr(31) || l || r || chr(31))").as("seq"),
+        .select(col("w"),
+          expr("replace(seq, chr(31) || l || chr(31) || chr(31) || r || chr(31), chr(31) || l || r || chr(31))").as("seq"),
           col("wcnt"))
         .localCheckpoint(false) // vocab-bounded; cuts per-round lineage
     }
@@ -903,13 +904,38 @@ object TextAnalysis {
     bpeVocab(Tables.documents(s, d))
 
   private[graft] def bpeVocab(docs: DataFrame): DataFrame =
-    bpeTrain(docs)._2
+    bpeTrain(docs)._2.drop("w")
       .withColumn("sy", split(col("seq").substr(lit(2), length(col("seq")) - 2),
         java.util.regex.Pattern.quote("\u001f\u001f")))
       .select(explode(col("sy")).as("subword"), col("wcnt"))
       .groupBy(col("subword")).agg(sum(col("wcnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("subword"))
       .limit(BpeVocabTopK)
+
+  /** ENCODE with the trained tokenizer — the deployment half of
+    * [[qBpeMerges]]: per document, the whitespace word count and the
+    * subword token count after applying all learned merges. This is
+    * the number that actually matters downstream (context windows,
+    * token budgets, and training cost are all measured in TOKENIZER
+    * tokens, not words). The per-word subword arity comes from the
+    * trainer's fully-rewritten vocabulary table — a |vocab|-bounded
+    * frame the document token stream equi-joins (AQE broadcasts it at
+    * any realistic vocabulary size); words below the trainer's length
+    * floor encode as themselves (arity 1). */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val arity = bpeTrain(docs)._2
+      .select(col("w"), size(split(
+        col("seq").substr(lit(2), length(col("seq")) - 2),
+        java.util.regex.Pattern.quote("\u001f\u001f")))
+        .cast(LongType).as("n_sub"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(arity, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), lit(1L))).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Minimum word length the typo miner considers: below this,
     * distance-1 neighbors are mostly legitimate distinct words (cat/

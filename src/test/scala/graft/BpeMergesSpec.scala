@@ -91,6 +91,27 @@ class BpeMergesSpec extends SparkSpec {
       "the learned vocabulary must contain at least one MERGED unit")
   }
 
+  test("per-doc subword encoding matches the driver-side tokenizer") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val words = rows.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (_, seqs) = refBpeFull(words, TextAnalysis.BpeMergeRounds)
+    // symbol concatenation is invariant under merging, so the final
+    // vector recovers its word exactly; arity = |vector|
+    val arity = seqs.keys.map(v => v.mkString -> v.size.toLong).toMap
+    val want = rows.map { case (id, t) =>
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      (id, ws.size.toLong, ws.map(w => arity.getOrElse(w, 1L)).sum)
+    }.sortBy(_._1)
+    val got = TextAnalysis.qBpeEncode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(got.exists(r => r._3 < r._2 * 6),
+      "merges must compress at least some docs below the char count")
+  }
+
   test("sf0.001 corpus matches the driver-side trainer for all rounds") {
     val d = "/root/testdata/sf0.001"
     val texts = Tables.documents(spark, d).select(col("text"))
