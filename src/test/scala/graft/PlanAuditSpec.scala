@@ -48,7 +48,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_pagerank" -> "scalar subquery: single-row node-count broadcast",
     "q_pq_codes" -> "broadcast side is the fixed 16-row per-subspace PQ codebook",
     "q_knn_pq" -> "broadcast sides are the fixed codebooks and the |queries|x64 LUT",
-    "q_pq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
+    "q_pq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
+    "q_knn_ivfpq" -> "broadcast sides are the fixed centroid set, codebooks, and the |queries|x64 LUT",
+    "q_ivfpq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
+    "q_perplexity3" -> "scalar subquery: single-row (N, V) broadcast",
+    "q_bm25" -> "scalar subquery: single-row (N docs, T tokens) broadcast",
+    "q_hybrid_search" -> "inherits q_bm25's scalar broadcast and q_knn_brute's documented all-pairs baseline",
+    "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
