@@ -137,6 +137,7 @@ object SparkEntry {
     "q_quality_gate" -> (graft.streaming.QualityGate.qQualityGate _),
     "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
     "q_quality3_gate" -> (graft.streaming.QualityGate.qQuality3Gate _),
+    "q_ann_ingest" -> (graft.streaming.AnnIngest.qAnnIngest _),
     "q_telemetry" -> (graft.streaming.TelemetryMonitor.qTelemetry _),
     "q_telemetry_disk" -> (graft.streaming.TelemetryMonitor.qTelemetryDisk _),
     "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
@@ -2451,6 +2452,15 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_knn_pq" -> knnPqSql,
     "q_pq_recall" -> pqRecallSql,
+    // streaming ANN-ingest batch analog: the full-corpus kmeans chain
+    // + the shared assignment CTEs, restricted to the %4 "stream"
+    "q_ann_ingest" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |$ivfAssignCtes
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+         |WHERE vec_id % 4 = 0 ORDER BY vec_id""".stripMargin,
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_ivfpq_recall" -> ivfPqRecallSql,
     "q_ivf_int8_recall" ->

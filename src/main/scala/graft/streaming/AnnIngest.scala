@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Streaming ANN INDEX MAINTENANCE — the ingest side of the similarity
+  * stack: new vectors arriving on a stream are assigned to their
+  * nearest coarse-quantizer cell (the zero-shuffle broadcast argmax
+  * the batch IVF search uses) and appended to a CELL-BUCKETED index
+  * table, so a search restarted at any point probes an index that
+  * already contains everything ingested so far.
+  *
+  * The quantizer is the MOUNTED production artifact
+  * ([[Similarity.trainedCentroids]]'s digest-keyed saved table): a
+  * restarted stream — or a different session — assigns against
+  * bit-identical geometry without retraining, which is exactly why the
+  * artifacts were made restart-persistent. Like the quality gate's
+  * frozen LM (and unlike the absorbing dedup gates), the quantizer
+  * NEVER moves mid-stream: cell ids only mean something against fixed
+  * centroids, so re-centering is an offline rebuild + index rewrite,
+  * not an online mutation.
+  *
+  * Exactly-once: appends are idempotent per batch id via the pair-index
+  * convention — an anti-join against the table's current vec_ids
+  * drops rows a replayed batch already wrote (vec_id is the identity;
+  * a re-delivered vector re-assigns to the same cell by determinism,
+  * so the anti-join is a correctness no-op and purely a replay guard).
+  *
+  * Scale shape: per trigger, assignment is one map pass over the
+  * batch against the broadcast centroid array; the append shuffles
+  * only the batch on cell (bucketBy) — corpus size appears nowhere in
+  * the per-trigger cost, and the bucketed layout keeps the search-side
+  * cell probe a pruned scan. */
+object AnnIngest {
+
+  /** Buckets for the cell-keyed index (aligned with the shared
+    * pair-index convention). */
+  val IndexBuckets = 8
+
+  /** Map-side assignment of a vector batch against a centroid set:
+    * (vec_id, cell). */
+  def assignBatch(vecs: DataFrame, cent: DataFrame): DataFrame =
+    Similarity.assignCells(Similarity.withNorm(vecs),
+        Similarity.centroidArray(cent))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+
+  /** Start the ingest: mount (or train once) the coarse quantizer for
+    * corpus dir `d`, then per micro-batch assign and append to the
+    * bucketed index `table` (created empty if absent), handing each
+    * batch's assignments to `sink`. */
+  def start(
+      newVecs: DataFrame,
+      d: String,
+      checkpointDir: String,
+      table: String,
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val s = newVecs.sparkSession
+    val cent = Similarity.trainedCentroids(s, d).localCheckpoint(true)
+    if (!s.catalog.tableExists(table))
+      graft.sources.Writers.replaceBucketed(s,
+        s.emptyDataFrame
+          .select(lit(0L).as("vec_id"), lit(0L).as("cell")).limit(0),
+        "cell", IndexBuckets, table)
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val batch = df.localCheckpoint(true)
+        val sb = batch.sparkSession // the micro-batch session
+        val assigned = assignBatch(batch, cent).localCheckpoint(true)
+        // relation-cache hygiene: a session caches a table's file
+        // listing at first resolution, so BOTH reads around an append
+        // from another session go stale — refresh the replay-guard
+        // read before the anti-join, and the caller's session after
+        // the write (else a restarted guard re-appends and external
+        // readers see an empty index)
+        sb.catalog.refreshTable(table)
+        assigned
+          .join(sb.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .write.mode("append").bucketBy(IndexBuckets, "cell").sortBy("cell")
+          .saveAsTable(table)
+        s.catalog.refreshTable(table)
+        sink(assigned, id)
+        DedupGate.unpersistCheckpoints(batch, assigned)
+      }
+      .start()
+  }
+
+  /** Batch analog for the oracle: the vec_id % 4 == 0 vectors as one
+    * ingest batch, assigned under the FULL-corpus quantizer — the
+    * production topology (index trained offline on the corpus, the
+    * stream only assigns). Output: (vec_id, cell). */
+  def qAnnIngest(s: SparkSession, d: String): DataFrame =
+    assignBatch(Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0),
+      Similarity.trainedCentroids(s, d))
+      .orderBy(col("vec_id"))
+}
