@@ -84,7 +84,16 @@ object SpanGate {
           hNew.write.mode("append")
             .bucketBy(GateCorpusBuckets, "h").sortBy("h")
             .saveAsTable(t)
-          val next = SpanIndex(hs.sparkSession.table(t), table)
+          // Re-chain to the WRITING session's table frame (the
+          // TextIndex/EmbedIndex convention): a session caches a
+          // table's file listing at first resolution and only its OWN
+          // writes invalidate it, so chaining to the old session after
+          // a foreachBatch-clone write leaves every later novelty read
+          // (and this anti-join) blind to the rows just absorbed —
+          // wrong verdicts AND duplicate re-appends. The old chained
+          // session is refreshed too, for any reader still holding it.
+          hs.sparkSession.catalog.refreshTable(t)
+          val next = SpanIndex(hNew.sparkSession.table(t), table)
           unpersistCheckpoints(hNew) // content now lives in the table
           next
         case None => SpanIndex(hs.unionAll(hNew), table)

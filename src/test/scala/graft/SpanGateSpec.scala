@@ -94,4 +94,36 @@ class SpanGateSpec extends SparkSpec {
     val after2 = idx.absorb(docs).content.count()
     assert(after2 == after1, "re-absorbing the same docs must add nothing")
   }
+
+  test("disk index absorbed via ANOTHER session is seen immediately (no stale listing)") {
+    import spark.implicits._
+    // the real streaming topology: foreachBatch hands frames bound to
+    // a CLONED session, whose table appends do NOT invalidate other
+    // sessions' cached file listings — absorb must re-chain to the
+    // writing session so the next batch's novelty read (and its own
+    // anti-join) see the rows just written
+    val table = "graft_test_sgate_xsession"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val corpus = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx0 = SpanGate.indexSpansDisk(corpus, table)
+    val doc2 = Seq((2L, (20 to 29).map(i => s"x$i").mkString(" ")))
+    val clone = spark.newSession()
+    val doc2clone = {
+      import clone.implicits._
+      doc2.toDF("doc_id", "text")
+    }
+    val idx1 = idx0.absorb(doc2clone)
+    // the SAME doc again: every span must now be known -> rejected
+    val nov = SpanGate.novelty(doc2.toDF("doc_id", "text"), idx1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(nov.toSeq == Seq((2L, 3L, 3L, 0L)),
+      s"absorbed spans invisible to the re-chained index: ${nov.toSeq}")
+    // and the duplicate-append guard held: another cross-session
+    // absorb of the same doc adds nothing
+    val n1 = idx1.content.count()
+    assert(idx1.absorb(doc2clone).content.count() == n1,
+      "stale anti-join re-appended known hashes")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
