@@ -233,6 +233,9 @@ object DedupGate {
           shA.write.mode("append")
             .bucketBy(GateCorpusBuckets, "doc_id").sortBy("doc_id")
             .saveAsTable(t)
+          // refresh the previously-chained session too: its cached
+          // file listing does not see this (other-session) append
+          sh.sparkSession.catalog.refreshTable(t)
           shA.sparkSession.table(t)
         case None => sh.unionAll(shA)
       }
@@ -662,6 +665,8 @@ object DedupGate {
           vA.write.mode("append")
             .bucketBy(GateCorpusBuckets, "vec_id").sortBy("vec_id")
             .saveAsTable(t)
+          // see TextIndex.absorb: keep the old chained session fresh
+          vecs.sparkSession.catalog.refreshTable(t)
           vA.sparkSession.table(t)
         case None => vecs.unionAll(vA)
       }
