@@ -257,8 +257,9 @@ object Bench {
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
-          "q_bpe_pairs", "q_typo_pairs", "q_fuzzy_link",
-          "q_bm25", "q_hybrid_search",
+          "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode", "q_typo_pairs",
+          "q_fuzzy_link", "q_bm25", "q_hybrid_search", "q_hybrid_ivfpq",
+          "q_perplexity3", "q_quality3_gate", "q_ann_ingest",
           // relational at 10x: the four original headliners, the full
           // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
           // derives — one distinct-shuffle charged to q9, their own

@@ -180,6 +180,7 @@ object SparkEntry {
     "q_media_decode" -> (Multimodal.qMediaDecode _),
     "q_audio_features" -> (Multimodal.qAudioFeatures _),
     "q_media_resample" -> (Multimodal.qMediaResample _),
+    "q_media_quarantine" -> (Multimodal.qMediaQuarantine _),
     "q_image_decode" -> (Multimodal.qImageDecode _),
     "q_image_resize" -> (Multimodal.qImageResize _),
   )
@@ -2552,6 +2553,23 @@ object SparkEntry {
         |       ELSE CAST(list_sum(rs) AS DOUBLE) / len(rs) END AS mean_sample,
         |  CAST(len(rs) * 1000 // rate2 AS BIGINT) AS duration_ms
         |FROM r ORDER BY doc_id""".stripMargin,
+    // quarantine mirror: the planted-corruption split plus the strict
+    // parser's static reason string; ok rows reuse the decode stats
+    "q_media_quarantine" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    octet_length(encode(text)) AS n,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % ${graft.operators.Multimodal.CorruptEvery} = 0
+        |    THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % ${graft.operators.Multimodal.CorruptEvery} = 0
+        |    THEN 0 ELSE n END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % ${graft.operators.Multimodal.CorruptEvery} = 0
+        |    THEN 0 ELSE COALESCE(list_sum(bs), 0) END AS BIGINT) AS sum_samples,
+        |  CASE WHEN doc_id % ${graft.operators.Multimodal.CorruptEvery} = 0
+        |    THEN 'not a PCM WAV: missing RIFF magic' ELSE '' END AS reason
+        |FROM s ORDER BY doc_id""".stripMargin,
     // BMP image decode: the oracle recomputes width/height geometry,
     // header size (54 + padded rows), and pixel stats straight from
     // the source text bytes — only the strict codec round trip matches

@@ -508,6 +508,46 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** Per-payload decode verdict row: ok rows carry stats, quarantined
+    * rows carry the parse failure's (static) reason. */
+  case class MediaVerdict(doc_id: Long, status: String, n_samples: Long,
+    sum_samples: Long, reason: String)
+
+  /** Corruption stride for the quarantine query's planted faults. */
+  val CorruptEvery = 97L
+
+  /** CORRUPT-INPUT QUARANTINE — the error-handling posture a 100 TB
+    * media pipeline needs: real corpora contain malformed payloads,
+    * and one bad record must neither kill the job (the naive decode
+    * throws) nor silently vanish (swallowing hides data loss). Every
+    * payload decodes under a per-record guard; failures emit a
+    * QUARANTINED verdict row with the strict parser's reason while
+    * good rows carry their stats — one pass, same mapPartitions mount,
+    * and the quarantine table is itself an auditable output.
+    *
+    * The query plants deterministic corruption (first header byte
+    * zeroed on every [[CorruptEvery]]-th doc) so the guard path is
+    * exercised and ORACLE-CHECKED: DuckDB recomputes which ids must
+    * quarantine (with the parser's static reason string) and the
+    * stats of everything else — a swallowed failure or a wrong reason
+    * breaks the hash. */
+  def qMediaQuarantine(s: SparkSession, d: String): DataFrame = {
+    val media = wavTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = WavCodec.init()
+      it.map { m =>
+        if (m.doc_id % CorruptEvery == 0L) m.payload(0) = 0 // planted fault
+        try {
+          val f = decoder.decode(m.doc_id, m.payload)
+          MediaVerdict(m.doc_id, "ok", f.n_samples, f.sum_samples, "")
+        } catch { case e: IllegalArgumentException =>
+          MediaVerdict(m.doc_id, "quarantined", 0L, 0L, e.getMessage)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   /** The image TRANSFORM pipeline — decode → 2:1 box resize →
     * RE-ENCODE at the new geometry → strict re-parse, reporting the
     * re-decoded artifact's stats ([[qMediaResample]]'s image sibling).

@@ -124,4 +124,21 @@ class MultimodalSpec extends SparkSpec {
     val bad = out.clone(); bad(22) = 2 // channels field -> stereo
     intercept[IllegalArgumentException](WavCodec.decode(7L, bad))
   }
+
+  test("quarantine: planted corruption is isolated, good rows keep exact stats") {
+    val d = "/root/testdata/sf0.001"
+    val got = Multimodal.qMediaQuarantine(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val (bad, ok) = got.partition(_._2 == "quarantined")
+    // every CorruptEvery-th doc quarantines with the strict parser's
+    // reason; nothing else does, and the job survives the faults
+    assert(bad.nonEmpty && bad.forall(_._1 % Multimodal.CorruptEvery == 0))
+    assert(ok.forall(_._1 % Multimodal.CorruptEvery != 0))
+    assert(bad.forall(r => r._3 == 0L && r._4 == 0L &&
+      r._5 == "not a PCM WAV: missing RIFF magic"), s"${bad.take(2).toSeq}")
+    // good rows carry the same stats the clean decode reports
+    val clean = Multimodal.qMediaDecode(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(ok.forall(r => clean(r._1) == ((r._3, r._4))))
+  }
 }
