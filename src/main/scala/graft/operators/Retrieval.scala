@@ -141,6 +141,10 @@ object Retrieval {
         expr(s"${1000000L} div (${RrfK} + rn)").cast(LongType).as("fx"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("fx")).as("rrf_x1e6"), count(lit(1)).as("n_lists"))
+      // feeds the top-k AND the n_lists join-back: without the cut,
+      // BOTH source retrieval queries run twice (measured 4.0 s vs
+      // ~2.1 s on q_hybrid_ivfpq at sf0.1)
+      .localCheckpoint(false)
     topK(fused, TopK, "id", "rrf_x1e6")
       .join(fused.select(col("qid"), col("id"), col("n_lists")), Seq("qid", "id"))
       .select(col("qid"), col("id").as("doc_id"), col("rrf_x1e6"),
