@@ -42,6 +42,12 @@ object AnnIngest {
     * pair-index convention). */
   val IndexBuckets = 8
 
+  /** Append batches between in-place compactions: every append leaves
+    * one file set per bucket (the streaming-maintenance tax the gates
+    * pay too), so the index is folded back to one file per bucket on
+    * the shared cadence. */
+  val CompactEvery = 64
+
   /** Map-side assignment of a vector batch against a centroid set:
     * (vec_id, cell). */
   def assignBatch(vecs: DataFrame, cent: DataFrame): DataFrame =
@@ -86,6 +92,11 @@ object AnnIngest {
           .join(sb.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
           .write.mode("append").bucketBy(IndexBuckets, "cell").sortBy("cell")
           .saveAsTable(table)
+        // fold append accretion back to one file per bucket on the
+        // shared gate cadence (compaction preserves the bucket spec,
+        // so search-side pruned reads keep planning pruned)
+        if (id > 0 && id % CompactEvery == 0)
+          graft.sources.Writers.compactBucketed(sb, table)
         s.catalog.refreshTable(table)
         sink(assigned, id)
         DedupGate.unpersistCheckpoints(batch, assigned)
