@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_perplexity3" -> "scalar subquery: single-row (N, V) broadcast",
     "q_bm25" -> "scalar subquery: single-row (N docs, T tokens) broadcast",
     "q_hybrid_search" -> "inherits q_bm25's scalar broadcast and q_knn_brute's documented all-pairs baseline",
-    "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts")
+    "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
+    "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
