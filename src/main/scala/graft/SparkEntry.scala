@@ -172,6 +172,8 @@ object SparkEntry {
     "q_pq_recall" -> (Similarity.qPqRecall _),
     "q_knn_ivfpq" -> (Similarity.qKnnIvfPq _),
     "q_ivfpq_recall" -> (Similarity.qIvfPqRecall _),
+    "q_knn_ivfpq_res" -> (Similarity.qKnnIvfPqR _),
+    "q_ivfpq_res_recall" -> (Similarity.qIvfPqRRecall _),
     "q_embed_classify" -> (Similarity.qEmbedClassify _),
     "q_clean_corpus" -> (Dedup.qCleanCorpus _),
     // --- multimodal ---
@@ -683,31 +685,36 @@ object SparkEntry {
     * 2*dot_fx - ||c||²_fx (ties -> lowest cent_id) and the update is
     * the shared fixed-point mean. Emits pd{m}_{F} (final raw-integer
     * dots, the LUT source) and pa{m}_{F} (final codes), F = iters+1. */
-  private def pqChainCtes(m: Int): String = {
+  private def pqChainCtes(m: Int): String = pqChainCtesOver(m, "ve", "")
+
+  /** The per-subspace chain over any (vec_id, pos, x) source view,
+    * with a CTE-name prefix so the raw and RESIDUAL chains coexist in
+    * one query. */
+  private def pqChainCtesOver(m: Int, src: String, p: String): String = {
     val lo = m * Similarity.PqSubDim
     val hi = lo + Similarity.PqSubDim
     val sb = new StringBuilder(
-      s"""sve$m AS (SELECT vec_id, pos - $lo AS pos, x FROM ve WHERE pos >= $lo AND pos < $hi),
-         |pc${m}_1 AS (SELECT vec_id AS cent_id, pos, x FROM sve$m
+      s"""${p}sve$m AS (SELECT vec_id, pos - $lo AS pos, x FROM $src WHERE pos >= $lo AND pos < $hi),
+         |${p}pc${m}_1 AS (SELECT vec_id AS cent_id, pos, x FROM ${p}sve$m
          |  WHERE vec_id % (SELECT greatest(1, count(*) // ${Similarity.PqK}) FROM embeddings) = 0)""".stripMargin)
     for (i <- 1 to KmIters + 1) {
       sb ++= s""",
-         |pcn${m}_$i AS (SELECT cent_id, CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS n2fx
-         |  FROM pc${m}_$i GROUP BY 1),
-         |pd${m}_$i AS (SELECT v.vec_id, c.cent_id,
+         |${p}pcn${m}_$i AS (SELECT cent_id, CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS n2fx
+         |  FROM ${p}pc${m}_$i GROUP BY 1),
+         |${p}pd${m}_$i AS (SELECT v.vec_id, c.cent_id,
          |    CAST(sum(CAST(floor(v.x*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
-         |  FROM sve$m v JOIN pc${m}_$i c ON v.pos = c.pos GROUP BY 1, 2),
-         |pa${m}_$i AS (SELECT vec_id, cent_id AS code FROM (
+         |  FROM ${p}sve$m v JOIN ${p}pc${m}_$i c ON v.pos = c.pos GROUP BY 1, 2),
+         |${p}pa${m}_$i AS (SELECT vec_id, cent_id AS code FROM (
          |    SELECT d.vec_id, d.cent_id,
          |      row_number() OVER (PARTITION BY d.vec_id
          |        ORDER BY 2*d.dfx - cn.n2fx DESC, d.cent_id) AS rn
-         |    FROM pd${m}_$i d JOIN pcn${m}_$i cn ON d.cent_id = cn.cent_id) t
+         |    FROM ${p}pd${m}_$i d JOIN ${p}pcn${m}_$i cn ON d.cent_id = cn.cent_id) t
          |  WHERE rn = 1)""".stripMargin
       if (i <= KmIters) sb ++= s""",
-         |pc${m}_${i + 1} AS (SELECT a.code AS cent_id, v.pos,
+         |${p}pc${m}_${i + 1} AS (SELECT a.code AS cent_id, v.pos,
          |    CAST(CAST(CAST(sum(CAST(floor(v.x*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / (count(*) * 1e6) AS REAL) AS DOUBLE) AS x
-         |  FROM pa${m}_$i a JOIN sve$m v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+         |  FROM ${p}pa${m}_$i a JOIN ${p}sve$m v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
     }
     sb.toString
   }
@@ -833,6 +840,88 @@ object SparkEntry {
     s"""WITH $ivfPqChain
        |SELECT qid, cid, CAST(dfx AS DOUBLE)/1e12 AS dot, CAST(rn AS BIGINT) AS rn
        |FROM rrk WHERE rn <= ${Similarity.K} ORDER BY qid, rn""".stripMargin
+
+  /** RESIDUAL IVF-PQ chain (Similarity.qKnnIvfPqR): the same coarse
+    * stages, the residual view rve (float-rounded v − centroid, in
+    * doubles), prefix-r PQ chains trained over rve, raw-query LUTs
+    * against the residual codebooks, the exact integer ⟨q,c⟩ base
+    * term per probed cell, and the shared shortlist/rerank tail. */
+  private def ivfPqRChain: String = {
+    val f = KmIters + 1
+    val rcodes = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS m, code FROM rpa${m}_$f")
+      .mkString(" UNION ALL ")
+    val rlut = (0 until Similarity.PqM).map { m =>
+      val lo = m * Similarity.PqSubDim
+      val hi = lo + Similarity.PqSubDim
+      s"""SELECT v.vec_id AS qid, CAST($m AS BIGINT) AS m, c.cent_id AS code,
+         |    CAST(sum(CAST(floor((v.x)*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+         |  FROM (SELECT vec_id, pos - $lo AS pos, x FROM ve
+         |        WHERE vec_id < ${Similarity.NumQueries} AND pos >= $lo AND pos < $hi) v
+         |  JOIN rpc${m}_$f c ON v.pos = c.pos GROUP BY 1, 3""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+       |$veSql,
+       |$kmeansChainSql,
+       |$ivfAssignCtes,
+       |probes AS (SELECT qid, cell FROM (
+       |    SELECT vec_id AS qid, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+       |    FROM adots WHERE vec_id < ${Similarity.NumQueries}) t WHERE rn <= ${Similarity.NProbe}),
+       |rve AS MATERIALIZED (SELECT ve.vec_id, ve.pos, CAST(CAST(ve.x - c.x AS REAL) AS DOUBLE) AS x
+       |  FROM ve JOIN assign a ON ve.vec_id = a.vec_id
+       |  JOIN c$f c ON a.cell = c.cent_id AND ve.pos = c.pos),
+       |${(0 until Similarity.PqM).map(m => pqChainCtesOver(m, "rve", "r")).mkString(",\n")},
+       |rcodes AS ($rcodes),
+       |rlut AS ($rlut),
+       |qcfx AS (SELECT ve.vec_id AS qid, c.cent_id AS cell,
+       |    CAST(sum(CAST(floor(ve.x*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS base_fx
+       |  FROM ve JOIN c$f c ON ve.pos = c.pos
+       |  WHERE ve.vec_id < ${Similarity.NumQueries} GROUP BY 1, 2),
+       |cand AS (SELECT p.qid, a.vec_id AS cid, a.cell FROM probes p JOIN assign a ON p.cell = a.cell
+       |         WHERE a.vec_id <> p.qid),
+       |adc AS (SELECT x.qid, x.cid, qc.base_fx + CAST(sum(l.dfx) AS BIGINT) AS adc_fx
+       |  FROM cand x JOIN rcodes c ON x.cid = c.vec_id
+       |  JOIN rlut l ON l.qid = x.qid AND l.m = c.m AND l.code = c.code
+       |  JOIN qcfx qc ON qc.qid = x.qid AND qc.cell = x.cell
+       |  GROUP BY 1, 2, qc.base_fx),
+       |prk AS (SELECT qid, cid, adc_fx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
+       |  FROM adc),
+       |short AS (SELECT qid, cid FROM prk
+       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |rer AS (SELECT s.qid, s.cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM short s JOIN ve a ON s.qid = a.vec_id
+       |  JOIN ve b ON s.cid = b.vec_id AND a.pos = b.pos
+       |  GROUP BY 1, 2),
+       |rrk AS (SELECT qid, cid, dfx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM rer)""".stripMargin
+  }
+
+  private def knnIvfPqRSql: String =
+    s"""WITH $ivfPqRChain
+       |SELECT qid, cid, CAST(dfx AS DOUBLE)/1e12 AS dot, CAST(rn AS BIGINT) AS rn
+       |FROM rrk WHERE rn <= ${Similarity.K} ORDER BY qid, rn""".stripMargin
+
+  private def ivfPqRRecallSql: String =
+    s"""WITH $ivfPqRChain,
+       |pqr AS (SELECT qid, cid FROM rrk WHERE rn <= ${Similarity.K}),
+       |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM ve a JOIN ve b ON a.pos = b.pos
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |brk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM bd),
+       |br AS (SELECT qid, cid FROM brk WHERE rn <= ${Similarity.K})
+       |SELECT br.qid, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM br LEFT JOIN pqr p ON br.qid = p.qid AND br.cid = p.cid
+       |GROUP BY 1 ORDER BY br.qid""".stripMargin
 
   private def ivfPqRecallSql: String =
     s"""WITH $ivfPqChain,
@@ -2464,6 +2553,8 @@ object SparkEntry {
          |WHERE vec_id % 4 = 0 ORDER BY vec_id""".stripMargin,
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_ivfpq_recall" -> ivfPqRecallSql,
+    "q_knn_ivfpq_res" -> knnIvfPqRSql,
+    "q_ivfpq_res_recall" -> ivfPqRRecallSql,
     "q_ivf_int8_recall" ->
       s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
          |  SELECT b.qid, count(*) AS k,

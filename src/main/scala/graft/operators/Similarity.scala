@@ -281,7 +281,8 @@ object Similarity {
     * hygiene — a temp-named sf1 dir would otherwise accrete one
     * warehouse dir per run). */
   private[graft] def dropArtifacts(s: SparkSession, d: String): Unit =
-    for (k <- Seq(s"ivf$KMeansIters", s"pq0", s"pq1", s"pq2", s"pq3"))
+    for (k <- Seq(s"ivf$KMeansIters") ++
+        (0 until PqM).flatMap(m => Seq(s"pq$m", s"pqr$m")))
       try s.sql(s"DROP TABLE IF EXISTS ${annTableName(k, d)}")
       catch { case _: Throwable => () }
 
@@ -723,4 +724,115 @@ object Similarity {
     * approximation sources are measured separately and composed. */
   def qIvfPqRecall(s: SparkSession, d: String): DataFrame =
     recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPq(s, d))
+
+  // --------------------------------------- residual-encoded IVF-PQ
+
+  /** Per-vector RESIDUAL against its assigned coarse centroid, kept
+    * as ARRAY<FLOAT>: each component is the double difference of two
+    * float-valued doubles (exactly rounded) cast back to float
+    * (exactly rounded) — deterministic in any IEEE engine, and float
+    * arrays keep the codegen'd fixed-point dot on the hot path. */
+  private def residualFrame(en: DataFrame, cent: DataFrame): DataFrame =
+    assignCells(en, centroidArray(cent))
+      .join(broadcast(cent.select(col("cent_id").as("cell"), col("cent_e"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ce"), col("cent_e"), (x, c) =>
+          (x.cast(DoubleType) - c.cast(DoubleType)).cast(FloatType)).as("embedding"))
+
+  /** Residual PQ codebooks — trained on (v − centroid) slices, saved
+    * behind the same digest-keyed restart path as the plain codebooks
+    * (kind `pqr<m>`). */
+  private[graft] def pqrCodebook(s: SparkSession, d: String, m: Int): DataFrame = {
+    val fp = embFingerprint(d)
+    val rows = pqCache.computeIfAbsent((d + "#res", m, fp), _ => {
+      val table = annTableName(s"pqr$m", d)
+      mountArtifact(s, table, fp).getOrElse {
+        val en = withNorm(Tables.embeddings(s, d))
+        val res = residualFrame(en, trainedCentroids(s, d)).localCheckpoint(false)
+        val cb = pqTrain(pqSub(res, m))
+        val got = saveArtifact(s, cb, table, fp)
+        graft.streaming.DedupGate.unpersistCheckpoints(cb, res)
+        got
+      }
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id", LongType),
+        org.apache.spark.sql.types.StructField("cent_e", ArrayType(FloatType)))))
+  }
+
+  /** RESIDUAL-encoded IVF-PQ — the full FAISS IVFPQ construction
+    * (Jégou et al. 2011 §IV): PQ quantizes (v − centroid), whose
+    * spread is much tighter than raw vectors, so the same code budget
+    * carries more information. Scoring uses the exact decomposition
+    * ⟨q,v⟩ ≈ ⟨q,c⟩ + ⟨q,r_v⟩: the base term is ONE exact
+    * fixed-point dot per (query, probed cell) — |q|×nprobe values —
+    * and the residual term is the usual integer ADC LUT sum, so the
+    * whole approximate score stays an exact integer. Same plan shape
+    * as [[qKnnIvfPq]] (map-only assign/encode, bounded candidate
+    * broadcast onto the code table, shortlist-only rerank). */
+  def qKnnIvfPqR(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val en = withNorm(e)
+    val cent = trainedCentroids(s, d)
+    val assign = assignCells(en, centroidArray(cent))
+    val res = residualFrame(en, cent).localCheckpoint(false)
+
+    // probe list: identical coarse stage to qKnnIvfPq
+    val q = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val probeScored = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe"), col("cent_e")), col("qn2"), col("cent_n2")))
+      .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
+    val probes = topK(probeScored, NProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = assign.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("cell"))
+
+    // base term: exact integer <q, c> per (query, probed cell)
+    val baseFx = probes
+      .join(broadcast(q.select(col("qid"), col("qe"))), Seq("qid"))
+      .join(broadcast(cent.select(col("cent_id").as("cell"), col("cent_e"))), Seq("cell"))
+      .select(col("qid"), col("cell"), rawDot(col("qe"), col("cent_e")).as("base_fx"))
+
+    // residual codes + RAW-query LUTs against the residual codebooks
+    val parts = (0 until PqM).map { m =>
+      val cb = pqrCodebook(s, d, m)
+      val codes = pqAssign(pqSub(res, m), pqCentArr(cb))
+        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
+      val lut = pqSub(e.filter(col("vec_id") < NumQueries), m)
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
+          col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val lut = parts.map(_._2).reduce(_ unionAll _)
+
+    val scored = codes.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("cid"), col("cell"))
+      .agg(sum(col("dfx")).as("lut_fx"))
+      .join(broadcast(baseFx), Seq("qid", "cell"))
+      .select(col("qid"), col("cid"),
+        (col("lut_fx") + col("base_fx")).cast(DoubleType).as("cosine"))
+
+    val shortlist = topK(scored, K * PqRerankFactor)
+      .select(col("qid"), col("cid"))
+    val rer = shortlist
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
+    topK(rer, K)
+      .select(col("qid"), col("cid"),
+        (col("cosine") / lit(1e12)).as("dot"), col("rn"))
+  }
+
+  /** Residual IVF-PQ recall vs the exact inner-product top-K. */
+  def qIvfPqRRecall(s: SparkSession, d: String): DataFrame =
+    recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPqR(s, d))
 }

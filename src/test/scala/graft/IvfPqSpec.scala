@@ -58,6 +58,30 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual variant: same contracts (probed cells only, exact rerank dots)") {
+    val emb = Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def rawDot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong }.sum
+    val got = Similarity.qKnnIvfPqR(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == Similarity.NumQueries * Similarity.K)
+    got.foreach { case (qid, cid, dot, _) =>
+      assert(math.abs(dot - rawDot(emb(qid), emb(cid)) / 1e12) < 1e-12,
+        s"($qid,$cid) residual-path dot is not the exact rerank value")
+    }
+    // restart path: the residual codebooks live behind saved tables too
+    assert(spark.catalog.tableExists(Similarity.annTableName("pqr0", d)),
+      "residual training must leave saved codebook tables behind")
+    Similarity.clearArtifactMemos()
+    val s2 = spark.newSession()
+    assert(Similarity.qKnnIvfPqR(s2, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      == got.toSeq,
+      "mounted residual codebooks must reproduce the search bit-for-bit")
+  }
+
   test("recall surface is well-formed and matches a driver-side recount") {
     val rec = Similarity.qIvfPqRecall(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25" -> "scalar subquery: single-row (N docs, T tokens) broadcast",
     "q_hybrid_search" -> "inherits q_bm25's scalar broadcast and q_knn_brute's documented all-pairs baseline",
     "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
-    "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)")
+    "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)",
+    "q_knn_ivfpq_res" -> "broadcast sides are the fixed centroid set, residual codebooks, and the |queries|x64 LUT",
+    "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
