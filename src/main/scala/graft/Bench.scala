@@ -363,18 +363,30 @@ object Bench {
         // true dup density, so build/verify scale like the text gate.
         // Own try block: an embed-side failure must not discard the
         // text gate's already-measured numbers (or vice versa).
+        // Both embed-gate probes emit (round-13 attribution, VERDICT
+        // r12 #3/#6): the build split (norm_ckpt / bucket_write /
+        // band_build stages, seconds) and — alongside the verify
+        // timing — `*_candidates` and `*_batch_rows` (COUNTS, not
+        // seconds): the O(candidates) verify claim is only checkable
+        // when the candidate count rides with the number, and a
+        // trigger-budget statement needs the batch size it priced.
         val egateSteady: Seq[(String, Double)] = try {
           val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
+          val batch = vecs.filter(col("vec_id") % 4 === 0)
           val e0 = System.nanoTime()
-          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
+          val (eidx, stages) = graft.streaming.DedupGate.indexEmbedCorpusDiskTimed(
             vecs.filter(col("vec_id") % 4 =!= 0), gateTbl("bench_emb"),
             graft.streaming.DedupGate.EmbedBanding.Strict)
           val e1 = System.nanoTime()
-          graft.streaming.DedupGate
-            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
+          val (dups, candCount) = graft.streaming.DedupGate
+            .embedDuplicatesCounted(batch, eidx)
+          dups.count()
           val e2 = System.nanoTime()
-          Seq("egate_index_build" -> (e1 - e0) / 1e9,
-            "egate_verify_steady" -> (e2 - e1) / 1e9)
+          Seq("egate_index_build" -> (e1 - e0) / 1e9) ++
+            stages.map { case (k, v) => s"egate_build_$k" -> v } ++
+            Seq("egate_verify_steady" -> (e2 - e1) / 1e9,
+              "egate_candidates" -> candCount().toDouble,
+              "egate_batch_rows" -> batch.count().toDouble)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] egate steady probe failed: ${e.getMessage}")
           Seq.empty
@@ -390,16 +402,21 @@ object Bench {
         // two orders of magnitude sparser.
         val egateDeepSteady: Seq[(String, Double)] = try {
           val vecs = graft.operators.Dedup.augmentedEmbeddings(spark, sf1Dir)
+          val batch = vecs.filter(col("vec_id") % 4 === 0)
           val e0 = System.nanoTime()
-          val eidx = graft.streaming.DedupGate.indexEmbedCorpusDisk(
+          val (eidx, stages) = graft.streaming.DedupGate.indexEmbedCorpusDiskTimed(
             vecs.filter(col("vec_id") % 4 =!= 0), gateTbl("bench_emb_deep"),
             graft.streaming.DedupGate.EmbedBanding.Deep)
           val e1 = System.nanoTime()
-          graft.streaming.DedupGate
-            .embedDuplicates(vecs.filter(col("vec_id") % 4 === 0), eidx).count()
+          val (dups, candCount) = graft.streaming.DedupGate
+            .embedDuplicatesCounted(batch, eidx)
+          dups.count()
           val e2 = System.nanoTime()
-          Seq("egate_deep_index_build" -> (e1 - e0) / 1e9,
-            "egate_deep_verify_steady" -> (e2 - e1) / 1e9)
+          Seq("egate_deep_index_build" -> (e1 - e0) / 1e9) ++
+            stages.map { case (k, v) => s"egate_deep_build_$k" -> v } ++
+            Seq("egate_deep_verify_steady" -> (e2 - e1) / 1e9,
+              "egate_deep_candidates" -> candCount().toDouble,
+              "egate_deep_batch_rows" -> batch.count().toDouble)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] egate deep steady probe failed: ${e.getMessage}")
           Seq.empty
@@ -649,11 +666,28 @@ object Bench {
     // in the first rep, so the max preserves what the median drops
     val qsMax = maxSamples.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    // Main-SF attribution twin of the sf1 probe's `memoized_build`
+    // (round-13, VERDICT r12 #1a): these queries pay a one-time
+    // memoized build (centroid training, LSH/SRP pair index, derived
+    // partsupp, edge checkpoint) in their FIRST rep. With reps>1 the
+    // median drops it and `build_cost` = max − median is the measured
+    // price; a per-query delta on a payer that build_cost covers is
+    // build pricing, not a plan regression. (reps=1: the single shot
+    // includes the build and build_cost reads 0 — the max/median
+    // split needs repetitions to attribute.)
+    val memoPayers = Seq("q_kmeans_centroids", "q_clean_corpus",
+      "q_embed_clusters", "q9_product_profit", "q_pagerank")
+      .filter(results.contains)
+    val memoJson = memoPayers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val buildCostJson = memoPayers.map(n =>
+      "\"" + n + "\":" + jnum(
+        (maxSamples.getOrElse(n, results(n)) - results(n)).max(0.0)))
+      .mkString("{", ",", "}")
     // baseline_file: which baseline delta_vs_baseline was graded
     // against — BASELINE.md declares BENCH_BASELINE.json (median-of-3
     // re-capture) the operative one; the emitted path makes every
     // BENCH_r{N} self-describing about it
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"srp_deep":$srpDeep,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"memoized_build":$memoJson,"build_cost":$buildCostJson,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"srp_deep":$srpDeep,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
     // the driver's 2 KB output-tail capture truncates this line (only
     // ~27 of 95 per-query deltas survived in BENCH_r07) — persist the
     // FULL line so every regression is auditable from the repo

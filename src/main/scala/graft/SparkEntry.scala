@@ -1189,10 +1189,10 @@ object SparkEntry {
        |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
        |  WHERE doc_id < $NumTextQueries),
        |bsc AS (SELECT bq.qid, btf.doc_id,
-       |    CAST(sum(((CAST(round(ln(CAST(2*bnt.n_docs + 2 AS DOUBLE))*1e6) AS BIGINT)
-       |             - CAST(round(ln(CAST(2*bdf.df + 1 AS DOUBLE))*1e6) AS BIGINT))
+       |    CAST(sum((CAST(CAST(round(ln(CAST(2*bnt.n_docs + 2 AS DOUBLE))*1e6) AS BIGINT)
+       |             - CAST(round(ln(CAST(2*bdf.df + 1 AS DOUBLE))*1e6) AS BIGINT) AS HUGEINT)
        |          * 22 * btf.tf * bnt.t_toks)
-       |        // (10 * bnt.t_toks * btf.tf + 3 * bnt.t_toks + 9 * bdl.dl * bnt.n_docs)) AS BIGINT)
+       |        // (CAST(10 AS HUGEINT) * bnt.t_toks * btf.tf + 3 * bnt.t_toks + 9 * bdl.dl * bnt.n_docs)) AS BIGINT)
        |      AS score_x1e6
        |  FROM btf JOIN bq ON btf.term = bq.term
        |  JOIN bdl ON btf.doc_id = bdl.doc_id
@@ -1960,7 +1960,12 @@ object SparkEntry {
     // verify — the oracle runs the same blocked join, not the naive
     // |vocab|^2 form, so the blocking's completeness is itself under test
     "q_typo_pairs" ->
-      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+      s"""WITH toks0 AS (SELECT unnest($tokSql) AS w FROM documents),
+         |can AS (SELECT substr(w, 2) AS w FROM
+         |  (SELECT w, count(*) AS cnt FROM toks0
+         |   WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen + 1}
+         |   GROUP BY 1 ORDER BY cnt DESC, w LIMIT 1)),
+         |toks AS (SELECT w FROM toks0 UNION ALL SELECT w FROM can),
          |v AS (SELECT w, count(*) AS cnt FROM toks
          |  WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen} GROUP BY 1),
          |k AS (SELECT w, cnt,

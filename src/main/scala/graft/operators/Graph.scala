@@ -84,10 +84,12 @@ object Graph {
     * builds the graph once and iterates/queries it repeatedly, so
     * repeat calls in one JVM reuse the checkpointed (src, dst, outdeg)
     * frame instead of re-running the fact-table edge build. A frame
-    * from a stopped/replaced session is rebuilt, not trusted, and a
-    * rebuilt/evicted entry's checkpoint blocks are unpersisted so a
-    * long-lived JVM serving many corpus dirs does not accrete pinned
-    * storage. Staleness: alongside the frame we memoize a filesystem
+    * from a stopped/replaced session is rebuilt, not trusted; a
+    * replaced entry's checkpoint blocks are reclaimed DEFERRED (memo
+    * reference dropped, ContextCleaner unpersists on GC) — never
+    * eagerly, because a concurrent caller may still be iterating the
+    * stale lineage-free frame. Staleness: alongside the frame we
+    * memoize a filesystem
     * fingerprint (name, length, mtime of the two fact tables' files);
     * a regenerated directory changes the fingerprint and forces a
     * rebuild instead of returning ranks over vanished data. */
@@ -112,11 +114,17 @@ object Graph {
     val fp = factFingerprint(d)
     val ed = edgeMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
-      else {
-        if (cur != null && (cur._2.sparkSession eq s))
-          graft.streaming.DedupGate.unpersistCheckpoints(cur._2)
-        (fp, prepare(edges(s, d)).localCheckpoint(true))
-      })
+      else
+        // the stale frame is NOT eagerly unpersisted: a concurrent
+        // qPageRank on another thread may still be iterating it, and
+        // a local checkpoint has no lineage to recompute from — an
+        // eager unpersist fails that in-flight job with lost-block
+        // errors (round-12 advice). Dropping the memo reference is
+        // enough: running jobs keep the RDD strongly referenced until
+        // they finish, after which the ContextCleaner reclaims the
+        // blocks on GC (the deferred-reclaim mechanism the bench's
+        // per-query System.gc() already leans on).
+        (fp, prepare(edges(s, d)).localCheckpoint(true)))
     iterate(ed._2)
   }
 

@@ -25,8 +25,10 @@ import graft.functions.TopKAggregator
   *  - the k1=1.2 / b=0.75 saturation term is cleared of decimals by
   *    multiplying numerator and denominator by 10·T (T = corpus token
   *    count): per-term score = (idf_x1e6 · 22 · tf · T)
-  *    div (10·T·tf + 3·T + 9·dl·N) — one INTEGER division, summed
-  *    exactly, order-independent under any partitioning;
+  *    div (10·T·tf + 3·T + 9·dl·N) — one INTEGER division over
+  *    128-bit intermediates (Spark Decimal(38,0) / DuckDB HUGEINT;
+  *    the products pass Int64 around T ~ 1e13), summed exactly,
+  *    order-independent under any partitioning;
   *  - RRF contributions are 1e6 div (60 + rank) — integer again.
   *
   * Scale shape: the corpus-sized work is the two word-count-shaped
@@ -75,9 +77,15 @@ object Retrieval {
     * (qid, doc_id, score_x1e6, rn). */
   def qBm25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // feeds tf, dl, df, and the scalars. Per-call checkpoint, no
+    // unpersist hook (same for rrfFuse's cut): blocks are reclaimed by
+    // the ContextCleaner once the returned plan's refs are GC'd — a
+    // call site holding many results alive holds their checkpoints
+    // alive too (the bench's per-query System.gc() cadence exists for
+    // exactly this).
     val docTok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(false) // feeds tf, dl, df, and the scalars
+      .localCheckpoint(false)
     val tf = docTok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -90,19 +98,35 @@ object Retrieval {
       .select(col("doc_id").as("qid"),
         explode(slice(tokens(col("text")), 1, QueryLen)).as("term"))
       .distinct()
+    // df restricted to the query terms BEFORE the broadcast: the
+    // corpus vocabulary is unbounded (O(1e8-1e9) noisy terms at web
+    // scale), so broadcasting the full df table is an OOM; the
+    // restricted frame is <= |queries|*QueryLen rows at ANY corpus
+    // size — that bound, not the table it came from, is what makes
+    // it broadcastable (the repo's bounded-broadcast convention,
+    // pinned by RetrievalSpec's plan assertion).
+    val dfq = df.join(broadcast(q.select(col("term")).distinct()), "term")
     // Lucene's positive idf form ln(1 + (N-df+0.5)/(df+0.5)) =
     // ln(2N+2) - ln(2df+1): always > 0 (so the integer div below is
     // floor==trunc in both engines), two ln-of-INTEGER calls per the
     // exactness convention
     val idf = lnX1e6(lit(2L) * col("n_docs") + lit(2L)) -
       lnX1e6(lit(2L) * col("df") + lit(1L))
+    // 128-bit intermediates (Decimal(38,0) here, HUGEINT in the
+    // oracle): the cleared-of-decimals numerator idf*22*tf*T and
+    // denominator 10*T*tf reach ~1e31 / ~1e21 at a 100 TB corpus
+    // (T ~ 1e14, tf ~ 1e6) — past Int64, where Spark would wrap
+    // silently while DuckDB raises. `div` (IntegralDivide) accepts
+    // decimals and returns the Long quotient, which always fits:
+    // the score is bounded by idf_x1e6 * 2.2.
     val scored = tf.join(broadcast(q), "term")
       .join(dl, "doc_id")
-      .join(broadcast(df), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(nt))
       .withColumn("idf_x1e6", idf)
       .withColumn("score_t", expr(
-        "(idf_x1e6 * 22 * tf * t_toks) div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+        "(cast(idf_x1e6 as decimal(38,0)) * 22 * tf * t_toks) div " +
+          "(cast(10 as decimal(38,0)) * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("score_t")).as("score_x1e6"))
     topK(scored, TopK, "doc_id", "score_x1e6")

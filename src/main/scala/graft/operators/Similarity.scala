@@ -232,16 +232,28 @@ object Similarity {
   }
 
   /** Mount a saved artifact if present AND its embedded fingerprint
-    * matches; the `fp` column is stripped from the result. */
+    * matches; the `fp` column is stripped from the result.
+    *
+    * EVERY row's fingerprint is checked, not just the head's: the
+    * drop-then-write [[graft.sources.Writers.replaceTable]] is not
+    * atomic, so two concurrent sessions racing the replace can leave
+    * interleaved-writer rows with mixed fps — a head-only check would
+    * mount that torn artifact as valid (round-12 advice). One
+    * collect; fp is stripped from the rows already in hand instead of
+    * re-reading a table that could have changed under us. */
   private def mountArtifact(s: SparkSession, table: String,
       fp: String): Option[Array[org.apache.spark.sql.Row]] =
     if (!s.catalog.tableExists(table)) None
     else {
       val rows = s.table(table).collect()
-      if (rows.nonEmpty &&
-          rows.head.getString(rows.head.fieldIndex("fp")) == fp)
-        Some(s.table(table).drop("fp").collect())
-      else None // stale (or empty) artifact: retrain and overwrite
+      if (rows.isEmpty) None // empty artifact: retrain and overwrite
+      else {
+        val fpIdx = rows.head.fieldIndex("fp")
+        if (rows.forall(_.getString(fpIdx) == fp))
+          Some(rows.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(fpIdx, Nil, 1))))
+        else None // stale or mixed-writer artifact: retrain, overwrite
+      }
     }
 
   /** Save a trained artifact with the fingerprint embedded per row,

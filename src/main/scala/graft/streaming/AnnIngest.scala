@@ -73,7 +73,7 @@ object AnnIngest {
         s.emptyDataFrame
           .select(lit(0L).as("vec_id"), lit(0L).as("cell")).limit(0),
         "cell", IndexBuckets, table)
-    newVecs.writeStream
+    val query = newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -102,6 +102,30 @@ object AnnIngest {
         DedupGate.unpersistCheckpoints(batch, assigned)
       }
       .start()
+    // The centroid checkpoint must stay pinned for the query's
+    // lifetime (frozen geometry, see object doc) but a long-lived
+    // session must not accrete one pinned artifact per started stream
+    // (round-12 advice): release it when THIS query terminates, via a
+    // self-detaching listener. The isActive re-check covers the
+    // add-after-terminate race (events posted before registration are
+    // not replayed); unpersist is idempotent, so the belt-and-braces
+    // double release is safe.
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          DedupGate.unpersistCheckpoints(cent)
+          s.streams.removeListener(this)
+        }
+    }
+    s.streams.addListener(listener)
+    if (!query.isActive) {
+      DedupGate.unpersistCheckpoints(cent)
+      s.streams.removeListener(listener)
+    }
+    query
   }
 
   /** Batch analog for the oracle: the vec_id % 4 == 0 vectors as one

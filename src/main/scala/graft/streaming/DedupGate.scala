@@ -737,17 +737,31 @@ object DedupGate {
     * precomputed norms) land in a vec_id-bucketed catalog table; see
     * [[indexCorpusDisk]]. */
   def indexEmbedCorpusDisk(corpusVecs: DataFrame, table: String,
-      banding: EmbedBanding = EmbedBanding.Narrow): EmbedIndex = {
+      banding: EmbedBanding = EmbedBanding.Narrow): EmbedIndex =
+    indexEmbedCorpusDiskTimed(corpusVecs, table, banding)._1
+
+  /** [[indexEmbedCorpusDisk]] plus per-stage wall timings (seconds):
+    * `norm_ckpt` (norm compute + vector materialization),
+    * `bucket_write` (the bucketed corpus table), `band_build` (SRP
+    * banding + checkpoint). Bench instrumentation — a build-probe
+    * regression decomposes inside the emitted JSON instead of needing
+    * a round-over-round guess at which stage moved. */
+  private[graft] def indexEmbedCorpusDiskTimed(corpusVecs: DataFrame, table: String,
+      banding: EmbedBanding): (EmbedIndex, Seq[(String, Double)]) = {
     import graft.functions.VectorFunctions.norm2Exact
     val s = corpusVecs.sparkSession
+    val t0 = System.nanoTime()
     val vecs = corpusVecs.select(col("vec_id"), col("embedding"),
       norm2Exact(col("embedding")).as("n2")).localCheckpoint(true)
+    val t1 = System.nanoTime()
     graft.sources.Writers.replaceBucketed(s, vecs, "vec_id", GateCorpusBuckets, table)
-    val idx = EmbedIndex(
-      embedBands(vecs, banding).localCheckpoint(true),
-      s.table(table), Some(table), banding)
+    val t2 = System.nanoTime()
+    val bands = embedBands(vecs, banding).localCheckpoint(true)
+    val t3 = System.nanoTime()
+    val idx = EmbedIndex(bands, s.table(table), Some(table), banding)
     unpersistCheckpoints(vecs)
-    idx
+    (idx, Seq("norm_ckpt" -> (t1 - t0) / 1e9,
+      "bucket_write" -> (t2 - t1) / 1e9, "band_build" -> (t3 - t2) / 1e9))
   }
 
   /** New embeddings vs the index AND vs each other: semantic near-dup
@@ -761,6 +775,18 @@ object DedupGate {
     * re-ingested ids, batch content covers intra-batch-only ids. */
   def embedDuplicates(newVecs: DataFrame, corpus: EmbedIndex): DataFrame =
     embedDuplicatesWithScratch(newVecs, corpus)._1
+
+  /** [[embedDuplicates]] plus the candidate-pair count thunk
+    * ([[BandingMonitor]]'s input, surfaced for the bench): the
+    * O(candidates) verify claim is only checkable when the candidate
+    * count rides alongside the timing. The thunk is cache-local on the
+    * already-checkpointed candidate frame — run it AFTER consuming the
+    * result, before anything unpersists. */
+  private[graft] def embedDuplicatesCounted(newVecs: DataFrame,
+      corpus: EmbedIndex): (DataFrame, () => Long) = {
+    val (result, _, candCount) = embedDuplicatesWithScratch(newVecs, corpus)
+    (result, candCount)
+  }
 
   /** See [[duplicatesWithScratch]] — same per-call cleanup contract.
     * Banding (layout/joins) and verify threshold both come from

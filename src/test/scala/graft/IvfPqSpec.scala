@@ -48,13 +48,29 @@ class IvfPqSpec extends SparkSpec {
         s"($qid,$cid) dot is not the exact rerank value")
     }
     // coarse-prune contract: every returned neighbor lives in one of
-    // its query's NProbe probed cells
-    val probedCells = got.map(_._1).distinct.map { qid =>
-      qid -> got.filter(_._1 == qid).map(t => assign(t._2)).toSet
+    // its query's ACTUAL NProbe probe cells, where the probe list is
+    // recomputed here exactly as the query side computes it (cosine
+    // top-NProbe over the trained centroids, ties toward the lower
+    // cent_id). Deriving the "probed" set from the results themselves
+    // (the round-12 form) only bounded its SIZE — a bug scoring
+    // candidates from un-probed cells could pass whenever the winners
+    // happened to cluster in <= NProbe cells.
+    val centRows = cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def n2(a: Array[Float]): Double = rawDot(a, a) / 1e12
+    val probeList: Map[Long, Set[Long]] = got.map(_._1).distinct.map { qid =>
+      val qe = emb(qid)
+      val qn2 = n2(qe)
+      qid -> centRows
+        .map { case (cellId, ce, cn2) =>
+          (cellId, (rawDot(qe, ce) / 1e12) / (math.sqrt(qn2) * math.sqrt(cn2))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.NProbe).map(_._1).toSet
     }.toMap
-    probedCells.foreach { case (qid, cells) =>
-      assert(cells.size <= Similarity.NProbe,
-        s"query $qid drew results from ${cells.size} cells — more than NProbe")
+    got.foreach { case (qid, cid, _) =>
+      assert(probeList(qid).contains(assign(cid)),
+        s"query $qid returned $cid from cell ${assign(cid)}, " +
+          s"outside its probe list ${probeList(qid)}")
     }
   }
 

@@ -50,6 +50,38 @@ class RetrievalSpec extends SparkSpec {
     // the real contract
   }
 
+  test("BM25 broadcast sides are bounded: query-restricted or 1-row scalar") {
+    // The round-12 hazard: broadcasting the full-vocabulary df table
+    // (O(1e8-1e9) terms at web scale). Pin: every BroadcastExchange in
+    // the BM25 plan is either the 1-row (N, T) scalar (global agg,
+    // keys=[]) or derives from the doc_id < NumTextQueries query
+    // restriction (visible as the pushed parquet filter) — i.e. its
+    // row count is bounded by |queries|*QueryLen at ANY corpus size.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan, exchanges visible
+    // size-based AUTO broadcasts (e.g. the dl side at a tiny SF) are
+    // statistics-driven and revert to shuffle joins at scale — the pin
+    // is about the broadcasts the CODE forces, so suppress the rest
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Retrieval.qBm25(spark, d).queryExecution.executedPlan
+      val ex = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(ex.size >= 3, s"expected q/df-restriction/scalar broadcasts, got ${ex.size}")
+      ex.foreach { b =>
+        val sub = b.child.toString
+        val scalar = sub.contains("keys=[]")
+        val restricted = sub.contains(s"LessThan(doc_id,${Retrieval.NumTextQueries})")
+        assert(scalar || restricted,
+          s"unbounded broadcast side (grows with the corpus):\n$sub")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("RRF fusion sums both lists on overlap, integer-exact") {
     import spark.implicits._
     val bm = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
