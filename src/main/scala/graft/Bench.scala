@@ -260,7 +260,7 @@ object Bench {
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
           "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode", "q_typo_pairs",
           "q_fuzzy_link", "q_bm25", "q_hybrid_search", "q_hybrid_ivfpq",
-          "q_perplexity3", "q_quality3_gate", "q_ann_ingest",
+          "q_perplexity3", "q_quality3_gate", "q_ann_ingest", "q_ann_rebuild",
           // relational at 10x: the four original headliners, the full
           // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
           // derives — one distinct-shuffle charged to q9, their own
@@ -583,9 +583,11 @@ object Bench {
               s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
             try spark.sql(s"DROP TABLE IF EXISTS $t")
             catch { case _: Throwable => () }
-          // saved ANN artifacts (IVF centroids, PQ codebooks) are
-          // digest-keyed by the temp dir name too
+          // saved ANN artifacts (IVF centroids, PQ codebooks) and the
+          // rebuild surface's serving/quantizer tables are digest-keyed
+          // by the temp dir name too
           graft.operators.Similarity.dropArtifacts(spark, sf1Dir)
+          graft.streaming.AnnIngest.dropRebuild(spark, sf1Dir)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_bm25" -> (Retrieval.qBm25 _),
     "q_hybrid_search" -> (Retrieval.qHybridSearch _),
     "q_hybrid_ivfpq" -> (Retrieval.qHybridIvfPq _),
+    "q_hybrid_recall" -> (Retrieval.qHybridRecall _),
     "q_bpe_encode" -> (TextAnalysis.qBpeEncode _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_quality_gate_disk" -> (graft.streaming.QualityGate.qQualityGateDisk _),
     "q_quality3_gate" -> (graft.streaming.QualityGate.qQuality3Gate _),
     "q_ann_ingest" -> (graft.streaming.AnnIngest.qAnnIngest _),
+    "q_ann_rebuild" -> (graft.streaming.AnnIngest.qAnnRebuild _),
     "q_telemetry" -> (graft.streaming.TelemetryMonitor.qTelemetry _),
     "q_telemetry_disk" -> (graft.streaming.TelemetryMonitor.qTelemetryDisk _),
     "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
@@ -184,6 +186,7 @@ object SparkEntry {
     "q_media_resample" -> (Multimodal.qMediaResample _),
     "q_media_quarantine" -> (Multimodal.qMediaQuarantine _),
     "q_image_decode" -> (Multimodal.qImageDecode _),
+    "q_image_features" -> (Multimodal.qImageFeatures _),
     "q_image_resize" -> (Multimodal.qImageResize _),
   )
 
@@ -1955,6 +1958,18 @@ object SparkEntry {
     "q_bm25" -> bm25Sql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_ivfpq" -> hybridSqlWith(knnIvfPqSql),
+    // composed-stack recall: the production hybrid (IVF-PQ leg)
+    // scored against the exact fusion, the q_ivf_int8_recall pattern
+    // one level up the stack
+    "q_hybrid_recall" ->
+      s"""SELECT qid, k, n_hit, CAST(n_hit AS DOUBLE)/k AS recall FROM (
+         |  SELECT e.qid, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CASE WHEN a.adoc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM ($hybridSearchSql) e
+         |  LEFT JOIN (SELECT qid AS aqid, doc_id AS adoc
+         |             FROM (${hybridSqlWith(knnIvfPqSql)})) a
+         |    ON e.qid = a.aqid AND e.doc_id = a.adoc
+         |  GROUP BY 1) t ORDER BY qid""".stripMargin,
     "q_bpe_encode" -> bpeEncodeSql,
     // SymSpell deletion-neighborhood candidates + exact levenshtein
     // verify — the oracle runs the same blocked join, not the naive
@@ -2556,6 +2571,29 @@ object SparkEntry {
          |$ivfAssignCtes
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
          |WHERE vec_id % 4 = 0 ORDER BY vec_id""".stripMargin,
+    // The rebuild twin retrains the SAME fixed-point k-means over the
+    // drift construction (base ∪ rotated copies) and assigns every
+    // drifted vector — mirroring AnnIngest.rebuild's output table.
+    // The chain CTEs are the q_ann_ingest ones re-rooted at `drift`
+    // (textual FROM-substitution: n/ve/seed-stride all range over the
+    // grown corpus, exactly like the Spark side's trainCentroids over
+    // the drifted frame).
+    "q_ann_rebuild" -> {
+      val off = graft.streaming.AnnIngest.DriftIdOffset
+      val sh = graft.streaming.AnnIngest.DriftShift
+      s"""WITH drift AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $off,
+         |    list_concat(embedding[${sh + 1}:], embedding[1:$sh])
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM drift),
+         |${veSql.replace("FROM embeddings", "FROM drift")},
+         |${kmeansChainSql.replace("FROM embeddings", "FROM drift")},
+         |$ivfAssignCtes
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+         |ORDER BY vec_id""".stripMargin
+    },
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_ivfpq_recall" -> ivfPqRecallSql,
     "q_knn_ivfpq_res" -> knnIvfPqRSql,
@@ -2682,6 +2720,30 @@ object SparkEntry {
         |  CAST(list_max(bs[1:w*h]) AS BIGINT) AS peak_lum,
         |  CAST(list_sum(bs[1:w*h]) AS DOUBLE) / (w*h) AS mean_lum
         |FROM g ORDER BY doc_id""".stripMargin,
+    // histogram/entropy mirror: 16-bucket luminance histogram over the
+    // same byte=codepoint pixels, entropy in the fixed-point ln-of-
+    // integer convention (sum c_b*(lnx(n)-lnx(c_b)) // n), peak ties
+    // toward the lower bucket
+    "q_image_features" ->
+      """WITH s AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    CAST(doc_id % 29 + 3 AS BIGINT) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, nb // w AS h, bs FROM s WHERE nb // w >= 1),
+        |px AS (SELECT doc_id, w*h AS n, unnest(bs[1:w*h]) AS v FROM g),
+        |hist AS (SELECT doc_id, any_value(n) AS n, v * 16 // 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM px GROUP BY doc_id, v * 16 // 256),
+        |hr AS (SELECT doc_id, n, bucket, cnt,
+        |    max(cnt) OVER (PARTITION BY doc_id) AS mx FROM hist)
+        |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_pixels,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(min(CASE WHEN cnt = mx THEN bucket END) AS BIGINT) AS peak_bucket,
+        |  CAST(any_value(mx) AS BIGINT) AS peak_cnt,
+        |  CAST(sum(cnt * (CAST(round(ln(CAST(n AS DOUBLE))*1e6) AS BIGINT)
+        |                - CAST(round(ln(CAST(cnt AS DOUBLE))*1e6) AS BIGINT)))
+        |    // any_value(n) AS BIGINT) AS entropy_x1e6
+        |FROM hr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 2:2 box-filter mirror in image space: per output pixel the
     // integer-floor mean of its (clamped) 2x2 source block, then the
     // re-encoded artifact's stats — bottom-up recovery, the exact

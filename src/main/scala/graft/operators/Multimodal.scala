@@ -315,6 +315,10 @@ object Multimodal {
     height: Long, n_pixels: Long, sum_lum: Long, peak_lum: Long,
     mean_lum: Double)
 
+  case class ImageHistFeatures(doc_id: Long, n_pixels: Long,
+    n_buckets: Long, peak_bucket: Long, peak_cnt: Long,
+    entropy_x1e6: Long)
+
   /** Real Windows BMP codec, pure JVM — the second media modality next
     * to [[WavCodec]], same discipline: `write` emits a canonical
     * 24-bit uncompressed BMP (14-byte file header + 40-byte
@@ -410,6 +414,56 @@ object Multimodal {
       val n = w.toLong * h
       ImageFeatures(docId, bmp.length.toLong, w.toLong, h.toLong, n,
         sum, peak, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** Luminance histogram width for [[decodeHist]]: 16 buckets of 16
+      * levels — the coarse exposure signature an image-quality filter
+      * bins on. */
+    val HistBuckets = 16
+
+    /** Strict parse + per-image HISTOGRAM/ENTROPY features, emitted
+      * inside the decoder like [[WavCodec.decodeFrames]]'s frame
+      * stats: one pass over the pixel array accumulating the
+      * [[HistBuckets]]-bucket luminance histogram, then integer
+      * summary features. Entropy follows the engine's fixed-point
+      * convention — H·1e6 = Σ c_b·(ln(n)_x1e6 − ln(c_b)_x1e6) div n,
+      * ln-of-INTEGER only — so the DuckDB oracle recomputes it
+      * bit-identically from the source bytes. peak_bucket ties break
+      * toward the lower bucket (the deterministic-top-K convention). */
+    def decodeHist(docId: Long, bmp: Array[Byte]): ImageHistFeatures = {
+      val (w, h, off) = parseHeader(bmp)
+      val rs = rowSize(w)
+      val hist = new Array[Long](HistBuckets)
+      var y = 0
+      while (y < h) {
+        val ro = off + (h - 1 - y) * rs
+        var x = 0
+        while (x < w) {
+          val base = ro + x * 3
+          val lum = ((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
+            (bmp(base + 2) & 0xff)) / 3
+          hist(lum * HistBuckets / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var nb = 0L
+      var peakBucket = 0L
+      var peakCnt = 0L
+      var entAcc = 0L
+      def lnx(k: Long): Long = Math.round(Math.log(k.toDouble) * 1e6)
+      var b = 0
+      while (b < HistBuckets) {
+        val c = hist(b)
+        if (c > 0) {
+          nb += 1
+          if (c > peakCnt) { peakCnt = c; peakBucket = b }
+          entAcc += c * (lnx(n) - lnx(c))
+        }
+        b += 1
+      }
+      ImageHistFeatures(docId, n, nb, peakBucket, peakCnt, entAcc / n)
     }
 
     /** Strict parse + TOP-DOWN row-major gray recovery — the input
@@ -545,6 +599,21 @@ object Multimodal {
           MediaVerdict(m.doc_id, "quarantined", 0L, 0L, e.getMessage)
         }
       }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Per-image histogram/entropy features through the real decode
+    * path — [[qAudioFeatures]]'s image sibling (the exposure/contrast
+    * signature an image-quality filter gates on before the expensive
+    * model sees the pixels). All columns are fixed-point integers, so
+    * the oracle recomputes them exactly from the source bytes: a
+    * header-offset or bucketing slip breaks the hash. */
+  def qImageFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = imageTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = BmpCodec.init()
+      it.map(m => codec.decodeHist(m.doc_id, m.payload))
     }.toDF().orderBy(col("doc_id"))
   }
 

@@ -155,6 +155,28 @@ object Retrieval {
       Similarity.qKnnIvfPq(s, d)
         .select(col("qid"), col("cid").as("id"), col("rn")))
 
+  /** Recall@[[TopK]] of the PRODUCTION hybrid stack
+    * ([[qHybridIvfPq]] — BM25 + composed IVF-PQ) against the exact
+    * fusion ([[qHybridSearch]] — BM25 + brute cosine): the composed-
+    * stack analog of the per-index recall rows, measuring what the
+    * ADC approximation costs the END product a user actually queries,
+    * not just the ANN leg in isolation. Output:
+    * (qid, k, n_hit, recall). */
+  def qHybridRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = qHybridSearch(s, d).select(col("qid"), col("doc_id"))
+    val approx = qHybridIvfPq(s, d)
+      .select(col("qid").as("aqid"), col("doc_id").as("adoc"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("doc_id") === col("adoc"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("adoc").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("k")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** The fusion core over any two (qid, id, rn) ranked lists —
     * separated so the both-lists sum path is testable with planted
     * overlap (the harness corpus's lexical and embedding lists are

@@ -67,8 +67,12 @@ object Writers {
   }
 
   /** Drop the catalog entry AND its (possibly orphaned) warehouse
-    * directory. */
-  private def dropWithLocation(
+    * directory. Package-visible: rename-swap maintenance (e.g. the ANN
+    * rebuild) must clear a PREVIOUS JVM's orphaned target location —
+    * this session's in-memory catalog has no entry for it, so a bare
+    * DROP TABLE IF EXISTS is a no-op while ALTER ... RENAME still
+    * validates the location as free. */
+  private[graft] def dropWithLocation(
       s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     val whUri = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))

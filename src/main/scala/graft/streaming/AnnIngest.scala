@@ -136,4 +136,108 @@ object AnnIngest {
     assignBatch(Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0),
       Similarity.trainedCentroids(s, d))
       .orderBy(col("vec_id"))
+
+  // --------------------------------------- offline re-center REBUILD
+
+  /** Id offset and rotation shift for the oracle-checkable drift
+    * construction ([[driftedCorpus]]). */
+  val DriftIdOffset = 1000000L
+  val DriftShift = 5
+
+  /** The "grown/drifted corpus" the rebuild surface is graded on:
+    * base embeddings plus a circularly-rotated copy of each under new
+    * ids — the bench's replica construction (cosine between a vector
+    * and its rotated copy ~ 0 on this corpus), i.e. mass in directions
+    * the frozen quantizer never trained on. Deterministic, so the
+    * DuckDB oracle constructs it bit-identically. */
+  def driftedCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionAll(e.select(
+      (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
+      expr(s"concat(slice(embedding, ${DriftShift + 1}, " +
+        s"size(embedding) - $DriftShift), slice(embedding, 1, $DriftShift))")
+        .as("embedding")))
+  }
+
+  /** Serving-index table name for the rebuild surface of corpus `d`
+    * (digest-keyed like every saved artifact). */
+  def rebuildTableName(d: String): String =
+    "graft_ann_rebuild_" + graft.sources.Writers.tableDigest(d)
+
+  /** The quantizer table paired with a serving index — rebuilt and
+    * swapped TOGETHER, so a search session always mounts the geometry
+    * its cell ids were assigned under. */
+  def quantTableName(table: String): String = table + "_quant"
+
+  /** Offline re-center rebuild — the lifecycle third of the ANN stack
+    * (train/persist: [[Similarity.trainedCentroids]]; streaming
+    * append: [[start]]; and THIS, the op the object doc promises:
+    * cell ids only mean something against fixed centroids, so
+    * re-centering rewrites the index rather than mutating it online).
+    *
+    *  1. RETRAIN: fresh Lloyd rounds over the grown corpus
+    *     (`vectors` — base plus everything ingested since the last
+    *     build; at 100 TB this is the one corpus-sized pass, the same
+    *     train cost the original build paid).
+    *  2. REWRITE: every vector re-assigned under the new geometry
+    *     (the zero-shuffle broadcast argmax) into a FRESH
+    *     cell-bucketed table under a scratch name — the serving index
+    *     keeps answering queries off the old generation throughout.
+    *  3. SWAP: the [[graft.sources.Writers.compactBucketed]] rename
+    *     dance — each rename is catalog-atomic; index flips first,
+    *     then its quantizer. A crash between the renames is recovered
+    *     by re-running the rebuild (idempotent: scratch tables are
+    *     replaceBucketed, renames re-apply); batch readers resolve
+    *     both names at plan time, so a mixed-generation read window is
+    *     one plan's width.
+    *  4. INVALIDATE: the previous generation's index and quantizer
+    *     tables are dropped — no stale-digest artifacts accrete.
+    *
+    * Returns the retrained quantizer frame (cent_id, cent_e, cent_n2)
+    * as mounted from the swapped table. */
+  def rebuild(vectors: DataFrame, table: String,
+      iters: Int = Similarity.KMeansIters): DataFrame = {
+    val s = vectors.sparkSession
+    val en = Similarity.withNorm(vectors).localCheckpoint(true)
+    val cent = Similarity.trainCentroids(en, iters).localCheckpoint(true)
+    val assigned = Similarity.assignCells(en, Similarity.centroidArray(cent))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+    val scratch = table + "_next"
+    graft.sources.Writers.replaceBucketed(s, assigned, "cell", IndexBuckets, scratch)
+    graft.sources.Writers.replaceTable(s, cent, quantTableName(scratch))
+    def swapIn(from: String, to: String): Unit = {
+      // dropWithLocation, not bare DROP: a previous JVM's serving
+      // table survives as an orphaned warehouse dir this session's
+      // catalog knows nothing about, and RENAME validates the target
+      // location as free
+      graft.sources.Writers.dropWithLocation(s, to)
+      s.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+    }
+    swapIn(scratch, table)
+    swapIn(quantTableName(scratch), quantTableName(table))
+    DedupGate.unpersistCheckpoints(en, cent)
+    s.table(quantTableName(table))
+  }
+
+  /** Drop the rebuild surface's tables for a corpus dir (bench/temp
+    * hygiene, the [[Similarity.dropArtifacts]] convention). */
+  def dropRebuild(s: SparkSession, d: String): Unit = {
+    val t = rebuildTableName(d)
+    for (n <- Seq(t, quantTableName(t), t + "_next", quantTableName(t + "_next")))
+      try graft.sources.Writers.dropWithLocation(s, n)
+      catch { case _: Throwable => () }
+  }
+
+  /** Oracle surface for the rebuild: run the REAL op ([[rebuild]] —
+    * retrain, rewrite, swap, invalidate) on the drifted corpus, then
+    * read the swapped serving index back. Output: (vec_id, cell) for
+    * every drifted vector — the DuckDB twin retrains the same
+    * fixed-point k-means over the same drift construction, so a hash
+    * match proves the rebuilt index's full contents, not just its
+    * shape. */
+  def qAnnRebuild(s: SparkSession, d: String): DataFrame = {
+    val table = rebuildTableName(d)
+    rebuild(driftedCorpus(s, d), table)
+    s.table(table).select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+  }
 }

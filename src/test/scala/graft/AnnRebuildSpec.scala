@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.AnnIngest
+
+/** Offline ANN re-center rebuild — the lifecycle third of the ANN
+  * stack (train/persist, streaming append, rebuild): the serving index
+  * must equal a full re-assignment under the retrained quantizer, the
+  * swap must leave no scratch/old-generation tables behind and be
+  * re-runnable (crash recovery), and on a drifted corpus the rebuilt
+  * geometry must search at least as well as the frozen one. */
+class AnnRebuildSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("rebuild: retrain + rewrite + swap + invalidate, idempotent") {
+    val table = AnnIngest.rebuildTableName(d)
+    AnnIngest.dropRebuild(spark, d)
+    val quant = AnnIngest.rebuild(AnnIngest.driftedCorpus(spark, d), table)
+    val got = spark.table(table).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // serving index = re-assignment of the WHOLE drifted corpus under
+    // the swapped-in (mounted) quantizer — geometry and index moved
+    // together
+    val expected = Similarity.assignCells(
+        Similarity.withNorm(AnnIngest.driftedCorpus(spark, d)),
+        Similarity.centroidArray(quant))
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected)
+    assert(got.size == 1000, "every drifted vector must be indexed")
+    // no scratch generation left behind; the paired quantizer table is
+    // the serving one
+    assert(!spark.catalog.tableExists(table + "_next"))
+    assert(!spark.catalog.tableExists(AnnIngest.quantTableName(table + "_next")))
+    assert(spark.catalog.tableExists(AnnIngest.quantTableName(table)))
+    // crash-recovery contract: re-running the rebuild (e.g. after a
+    // crash between the two renames) converges to the same serving
+    // index — replaceBucketed + rename are re-appliable
+    AnnIngest.rebuild(AnnIngest.driftedCorpus(spark, d), table)
+    val again = spark.table(table).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == got, "re-run must reproduce the serving index")
+    AnnIngest.dropRebuild(spark, d)
+  }
+
+  test("re-centered quantizer searches a drifted corpus at least as well as the frozen one") {
+    import spark.implicits._
+    // Drift with STRUCTURE the frozen quantizer never saw: five wide
+    // clusters around orthogonal anchors (cos(member, anchor) ~ 0.7 —
+    // wide enough that members straddle cells), noise drawn from the
+    // real corpus vectors so nothing here is random across runs.
+    // Cluster members take the low ids (knnIvfWith queries are
+    // vec_id < NumQueries, so the five queries are one member of each
+    // cluster); the base corpus rides along at ids >= 1000.
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val meanNorm = base.map(v =>
+      math.sqrt(v._2.map(x => x.toDouble * x).sum)).sum / base.length
+    val members = for (k <- 0 until 5; j <- 0 until 40) yield {
+      val v = base((k * 40 + j) % base.length)._2.clone()
+      v(8 * k) = (v(8 * k) + meanNorm).toFloat // anchor mass at dim 8k
+      ((j * 5 + k).toLong, v)
+    }
+    val all = members ++ base.map { case (id, v) => (id + 1000L, v) }
+    val corpus = all.toSeq.toDF("vec_id", "embedding")
+    val baseOnly = base.map { case (id, v) => (id + 1000L, v) }
+      .toSeq.toDF("vec_id", "embedding")
+
+    // ground truth: exact cosine top-K, independent double math
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val truth: Map[Long, Set[Long]] =
+      (0L until Similarity.NumQueries).map { qid =>
+        val qv = all.find(_._1 == qid).get._2
+        qid -> all.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(Similarity.K).map(_._1).toSet
+      }.toMap
+    def recall(results: Array[(Long, Long)]): Double = {
+      val byQ = results.groupBy(_._1)
+      truth.map { case (q, t) =>
+        byQ.getOrElse(q, Array.empty).map(_._2).count(t).toDouble / t.size
+      }.sum / truth.size
+    }
+
+    val en = Similarity.withNorm(corpus).localCheckpoint(true)
+    val frozen = Similarity.trainCentroids(Similarity.withNorm(baseOnly))
+    val rebuilt = Similarity.trainCentroids(en)
+    def ivf(cent: org.apache.spark.sql.DataFrame) =
+      Similarity.knnIvfWith(en, cent).select(col("qid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recallFrozen = recall(ivf(frozen))
+    val recallRebuilt = recall(ivf(rebuilt))
+    info(s"recall@${Similarity.K}: frozen=$recallFrozen rebuilt=$recallRebuilt")
+    assert(recallRebuilt >= recallFrozen,
+      s"re-centering must not lose recall: $recallRebuilt < $recallFrozen")
+    assert(recallRebuilt >= 0.75, // measured 0.80 vs frozen 0.26
+      s"rebuilt recall floor: $recallRebuilt (deterministic corpus — " +
+        "a drop is a code regression, not noise)")
+  }
+}

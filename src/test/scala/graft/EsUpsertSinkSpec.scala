@@ -72,4 +72,69 @@ class EsUpsertSinkSpec extends SparkSpec {
     assert(body.startsWith("""{"index":{"_index":"idx","_id":"a\"b\\c"}}"""),
       s"unescaped action line:\n$body")
   }
+
+  /** Minimal embedded `_bulk` endpoint over a REAL socket (JDK
+    * com.sun.net.httpserver) — the round-12 gap: the NDJSON client
+    * path had only ever run against an in-process fake seam. This
+    * exercises the actual HttpClient request construction, headers,
+    * status handling and backoff over TCP. */
+  private def withBulkServer[A](failFirst: Int = 0, errorsTrue: Boolean = false)(
+      f: (String, scala.collection.concurrent.TrieMap[String, String], () => Int) => A): A = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val store = scala.collection.concurrent.TrieMap[String, String]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val (code, resp) =
+          if (failures.getAndDecrement() > 0) (503, """{"error":"unavailable"}""")
+          else if (errorsTrue)
+            (200, """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}""")
+          else {
+            body.split("\n").grouped(2).foreach {
+              case Array(action, source) =>
+                val id = """"_id":"([^"]+)"""".r.findFirstMatchIn(action).get.group(1)
+                store(id) = source
+              case _ => ()
+            }
+            (200, """{"took":1,"errors":false,"items":[]}""")
+          }
+        val bytes = resp.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", store, () => requests.get())
+    finally server.stop(0)
+  }
+
+  test("httpTransport round-trips over a real socket, retrying through a 503") {
+    withBulkServer(failFirst = 1) { (endpoint, store, requests) =>
+      val sink = new EsUpsertSink.Sink("auditindex",
+        EsUpsertSink.httpTransport(endpoint))
+      sink.write(batch("t-a" -> """{"count":1}""", "t-b" -> """{"count":2}"""), 0L)
+      assert(requests() >= 2, "the 503 backoff-retry path was never exercised")
+      assert(store.size == 2 && store("t-a") == """{"count":1}""",
+        s"docs lost over the wire: ${store.keys}")
+      // replayed batch over the same socket: keyed overwrite, no growth
+      sink.write(batch("t-a" -> """{"count":9}""", "t-b" -> """{"count":2}"""), 0L)
+      assert(store.size == 2 && store("t-a") == """{"count":9}""",
+        "replay must overwrite by id, never duplicate")
+    }
+  }
+
+  test("httpTransport surfaces _bulk item failures reported inside a 2xx") {
+    withBulkServer(errorsTrue = true) { (endpoint, _, _) =>
+      val sink = new EsUpsertSink.Sink("idx", EsUpsertSink.httpTransport(endpoint))
+      val e = intercept[java.io.IOException] { sink.write(batch("a" -> "{}"), 0L) }
+      assert(e.getMessage.contains("item failures"),
+        s"partial failure must throw for Spark's batch retry, got: ${e.getMessage}")
+    }
+  }
 }
