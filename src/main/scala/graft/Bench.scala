@@ -678,7 +678,8 @@ object Bench {
     // includes the build and build_cost reads 0 — the max/median
     // split needs repetitions to attribute.)
     val memoPayers = Seq("q_kmeans_centroids", "q_clean_corpus",
-      "q_embed_clusters", "q9_product_profit", "q_pagerank")
+      "q_embed_clusters", "q9_product_profit", "q_pagerank",
+      "q_bm25") // inverted-index memo; hybrids reuse (Retrieval.bm25Index)
       .filter(results.contains)
     val memoJson = memoPayers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildCostJson = memoPayers.map(n =>

@@ -73,27 +73,63 @@ object Retrieval {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The inverted index behind [[qBm25]]: tf per (doc, term), dl per
+    * doc, df per term, and the (N, T) scalar. */
+  private[graft] final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+    df: DataFrame, nt: DataFrame)
+
+  /** Build-once memo for the inverted index, keyed by corpus dir —
+    * the [[graft.operators.Dedup]] pair-index convention: a search
+    * deployment builds its inverted index once and serves every query
+    * against it, so the three hybrid consumers (and repeat qBm25
+    * calls) reuse one checkpointed build; q_bm25's FIRST call is the
+    * measured builder (bench memoized_build/build_cost attribution).
+    * Fingerprint + session guards and deferred reclamation follow
+    * [[graft.operators.Graph]]'s edge memo. At 100 TB the index
+    * belongs in bucketed tables (the gate-corpus pattern), not
+    * checkpoint blocks — the memo shape is the local-mode analog. */
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Bm25Index)]()
+
+  /** Filesystem fingerprint of the documents table (driver metadata
+    * only — the [[graft.operators.Similarity.embFingerprint]]
+    * convention): a regenerated corpus forces an index rebuild. */
+  private def docFingerprint(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    fs.filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+  }
+
+  private def bm25Index(s: SparkSession, d: String): Bm25Index = {
+    val fp = docFingerprint(d)
+    indexMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && (cur._2.tf.sparkSession eq s)) cur
+      else {
+        // stale entry reclaimed DEFERRED (ContextCleaner on GC), never
+        // eagerly — the Graph edge-memo race rationale
+        val docTok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .localCheckpoint(false)
+        val tf = docTok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+        val dl = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .localCheckpoint(false)
+        val df = docTok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(false)
+        // N docs and T total tokens as a 1-row broadcast scalar
+        val nt = docTok.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("t_toks")).localCheckpoint(false)
+        (fp, Bm25Index(tf, dl, df, nt))
+      })._2
+  }
+
   /** BM25 top-[[TopK]] per text query. Output:
     * (qid, doc_id, score_x1e6, rn). */
   def qBm25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // feeds tf, dl, df, and the scalars. Per-call checkpoint, no
-    // unpersist hook (same for rrfFuse's cut): blocks are reclaimed by
-    // the ContextCleaner once the returned plan's refs are GC'd — a
-    // call site holding many results alive holds their checkpoints
-    // alive too (the bench's per-query System.gc() cadence exists for
-    // exactly this).
-    val docTok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(false)
-    val tf = docTok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = docTok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // N docs and T total tokens as a 1-row broadcast scalar
-    val nt = docTok.agg(countDistinct(col("doc_id")).as("n_docs"),
-      count(lit(1)).as("t_toks"))
+    val Bm25Index(tf, dl, df, nt) = bm25Index(s, d)
     val q = docs.filter(col("doc_id") < NumTextQueries)
       .select(col("doc_id").as("qid"),
         explode(slice(tokens(col("text")), 1, QueryLen)).as("term"))
@@ -163,8 +199,19 @@ object Retrieval {
     * not just the ANN leg in isolation. Output:
     * (qid, k, n_hit, recall). */
   def qHybridRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = qHybridSearch(s, d).select(col("qid"), col("doc_id"))
-    val approx = qHybridIvfPq(s, d)
+    // ONE BM25 computation feeds both fusion legs (they share the
+    // lexical list by construction — recomputing it per leg doubled
+    // the query's dominant cost; measured 5.1 s → 3.7 s at sf0.1)
+    val bm = qBm25(s, d)
+      .select(col("qid"), col("doc_id").as("id"), col("rn"))
+      .localCheckpoint(false)
+    val exact = rrfFuse(bm,
+      Similarity.qKnnBrute(s, d)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+      .select(col("qid"), col("doc_id"))
+    val approx = rrfFuse(bm,
+      Similarity.qKnnIvfPq(s, d)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
       .select(col("qid").as("aqid"), col("doc_id").as("adoc"))
     exact
       .join(approx, col("qid") === col("aqid") && col("doc_id") === col("adoc"),

@@ -114,10 +114,27 @@ object Similarity {
     coalesce(-best.getField("neg_id"), lit(-1L))
   }
 
+  /** The winning cosine itself (quantization FIT): how well the
+    * nearest centroid represents the row's vector — the per-row signal
+    * drift monitoring aggregates ([[graft.streaming.AnnIngest]]'s
+    * DriftMonitor). Same zero-shuffle broadcast-argmax shape as
+    * [[nearestCell]]. */
+  private[graft] def nearestFit: Column =
+    coalesce(array_max(transform(col("cents"), cen =>
+      cosineFromParts(dotExact(col("embedding"), cen.getField("cent_e")),
+        col("n2"), cen.getField("cent_n2")))), lit(0.0))
+
   private[graft] def assignCells(e: DataFrame, centArr: DataFrame): DataFrame =
     e.crossJoin(broadcast(centArr))
       .withColumn("cell", nearestCell)
       .select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+
+  /** [[assignCells]] plus the fit column: (vec_id, cell, fit). */
+  private[graft] def assignCellsFit(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr))
+      .withColumn("cell", nearestCell)
+      .withColumn("fit", nearestFit)
+      .select(col("vec_id"), col("cell"), col("fit"))
 
   val KMeansIters = 3
 

@@ -137,6 +137,62 @@ object AnnIngest {
       Similarity.trainedCentroids(s, d))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------------ drift DETECTION
+
+  /** Rebuild-advice thresholds: the wire trips when a batch's mean
+    * quantization fit falls below [[DriftFraction]] of the index's
+    * baseline fit for [[DriftPatience]] consecutive batches. */
+  val DriftFraction = 0.8
+  val DriftPatience = 3
+
+  /** Mean quantization fit (mean cosine between each vector and its
+    * nearest centroid) — ONE map pass + one scalar aggregate. At
+    * index-build time this is the BASELINE the monitor compares
+    * against; per batch it is the observation. */
+  def meanFit(vecs: DataFrame, cent: DataFrame): Double = {
+    import org.apache.spark.sql.functions.avg
+    val r = Similarity.assignCellsFit(Similarity.withNorm(vecs),
+        Similarity.centroidArray(cent))
+      .agg(avg(col("fit"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The DETECT half of the re-center lifecycle ([[rebuild]] is the
+    * ACT half) — [[DedupGate.BandingMonitor]]'s pattern applied to the
+    * quantizer: a frozen coarse quantizer serves a drifting stream
+    * with silently degrading cell locality (recall decays with no
+    * error anywhere), so the ingest measures each batch's mean
+    * assignment cosine against the index-build baseline and trips a
+    * standing rebuild recommendation when it stays below
+    * `fraction × baseline` for `patience` consecutive batches. The
+    * ingest does NOT hot-swap (cell ids only mean something against
+    * fixed centroids — object doc); the operator runs [[rebuild]] on
+    * the advice, which is the cheap part of the decision. */
+  final class DriftMonitor(baselineFit: Double,
+      fraction: Double = DriftFraction, patience: Int = DriftPatience) {
+    private var hot = 0
+    @volatile private var tripped = false
+
+    /** Standing recommendation: true once the wire has tripped. */
+    def advice: Boolean = tripped
+
+    /** Record one batch's mean fit; returns true exactly when this
+      * observation trips the wire. */
+    def observe(batchMeanFit: Double): Boolean = {
+      hot = if (batchMeanFit < fraction * baselineFit) hot + 1 else 0
+      if (hot >= patience && !tripped) {
+        tripped = true
+        System.err.println(
+          f"[graft.ann] drift: batch fit $batchMeanFit%.4f < " +
+            f"$fraction%.2f x baseline $baselineFit%.4f for $hot " +
+            "consecutive batches - the frozen quantizer no longer " +
+            "represents the stream; schedule AnnIngest.rebuild on the " +
+            "grown corpus")
+        true
+      } else false
+    }
+  }
+
   // --------------------------------------- offline re-center REBUILD
 
   /** Id offset and rotation shift for the oracle-checkable drift

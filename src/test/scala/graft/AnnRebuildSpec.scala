@@ -46,15 +46,15 @@ class AnnRebuildSpec extends SparkSpec {
     AnnIngest.dropRebuild(spark, d)
   }
 
-  test("re-centered quantizer searches a drifted corpus at least as well as the frozen one") {
-    import spark.implicits._
-    // Drift with STRUCTURE the frozen quantizer never saw: five wide
-    // clusters around orthogonal anchors (cos(member, anchor) ~ 0.7 —
-    // wide enough that members straddle cells), noise drawn from the
-    // real corpus vectors so nothing here is random across runs.
-    // Cluster members take the low ids (knnIvfWith queries are
-    // vec_id < NumQueries, so the five queries are one member of each
-    // cluster); the base corpus rides along at ids >= 1000.
+  /** Drift with STRUCTURE the frozen quantizer never saw: five wide
+    * clusters around orthogonal anchors (cos(member, anchor) ~ 0.7 —
+    * wide enough that members straddle cells), noise drawn from the
+    * real corpus vectors so nothing here is random across runs.
+    * Cluster members take the low ids (knnIvfWith queries are
+    * vec_id < NumQueries, so the five queries are one member of each
+    * cluster); the base corpus rides along at ids >= 1000. Returns
+    * (base id->vec, cluster members id->vec). */
+  private def clusteredDrift(): (Array[(Long, Array[Float])], Seq[(Long, Array[Float])]) = {
     val base = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -65,6 +65,12 @@ class AnnRebuildSpec extends SparkSpec {
       v(8 * k) = (v(8 * k) + meanNorm).toFloat // anchor mass at dim 8k
       ((j * 5 + k).toLong, v)
     }
+    (base, members)
+  }
+
+  test("re-centered quantizer searches a drifted corpus at least as well as the frozen one") {
+    import spark.implicits._
+    val (base, members) = clusteredDrift()
     val all = members ++ base.map { case (id, v) => (id + 1000L, v) }
     val corpus = all.toSeq.toDF("vec_id", "embedding")
     val baseOnly = base.map { case (id, v) => (id + 1000L, v) }
@@ -108,5 +114,42 @@ class AnnRebuildSpec extends SparkSpec {
     assert(recallRebuilt >= 0.75, // measured 0.80 vs frozen 0.26
       s"rebuilt recall floor: $recallRebuilt (deterministic corpus — " +
         "a drop is a code regression, not noise)")
+  }
+
+  test("drift monitor: in-distribution batches stay quiet, drifted batches trip rebuild advice") {
+    import spark.implicits._
+    val (base, members) = clusteredDrift()
+    val baseDf = base.toSeq.toDF("vec_id", "embedding")
+    val cent = Similarity.trainCentroids(Similarity.withNorm(baseDf))
+    val baseline = AnnIngest.meanFit(baseDf, cent)
+    info(f"baseline fit $baseline%.4f")
+    val mon = new AnnIngest.DriftMonitor(baseline)
+    // in-distribution batches: fit ~ baseline, the wire never warms
+    for (i <- 0 until 4) {
+      val fit = AnnIngest.meanFit(
+        baseDf.filter(col("vec_id") % 4 === i), cent)
+      assert(!mon.observe(fit), f"in-distribution batch tripped at fit $fit%.4f")
+    }
+    assert(!mon.advice)
+    // drifted batches (cluster members — mass on axes the quantizer
+    // never trained on): fit collapses, wire trips exactly at patience
+    val memberDf = members.toDF("vec_id", "embedding")
+    val trips = (0 until AnnIngest.DriftPatience).map { i =>
+      val fit = AnnIngest.meanFit(
+        memberDf.filter(col("vec_id") % AnnIngest.DriftPatience === i), cent)
+      info(f"drifted batch $i fit $fit%.4f")
+      mon.observe(fit)
+    }
+    assert(!trips.init.exists(identity), "must not trip before patience")
+    assert(trips.last && mon.advice, "patience-th drifted batch must trip")
+    // the ACT half: after re-centering on the grown corpus, the same
+    // drifted batches fit the new geometry — the advice loop closes
+    val grown = (members ++ base.map { case (id, v) => (id + 1000L, v) })
+      .toDF("vec_id", "embedding")
+    val rebuilt = Similarity.trainCentroids(Similarity.withNorm(grown))
+    val fitNew = AnnIngest.meanFit(memberDf, rebuilt)
+    info(f"post-rebuild drifted-batch fit $fitNew%.4f")
+    assert(fitNew >= AnnIngest.DriftFraction * baseline,
+      f"rebuilt geometry must fit the drifted stream: $fitNew%.4f")
   }
 }

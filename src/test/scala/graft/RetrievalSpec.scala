@@ -71,7 +71,11 @@ class RetrievalSpec extends SparkSpec {
       assert(ex.size >= 3, s"expected q/df-restriction/scalar broadcasts, got ${ex.size}")
       ex.foreach { b =>
         val sub = b.child.toString
-        val scalar = sub.contains("keys=[]")
+        // the 1-row (N, T) scalar: a global aggregate (keys=[]) or, once
+        // the memoized inverted index holds it, its checkpointed scan —
+        // identified by the scalar's own column names
+        val scalar = sub.contains("keys=[]") ||
+          sub.contains("Scan ExistingRDD[n_docs")
         val restricted = sub.contains(s"LessThan(doc_id,${Retrieval.NumTextQueries})")
         assert(scalar || restricted,
           s"unbounded broadcast side (grows with the corpus):\n$sub")
