@@ -258,7 +258,11 @@ object Bench {
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",
+          // q_hybrid_recall is EXCLUDED like the other recall rows:
+          // its exact-fusion baseline embeds q_knn_brute's documented
+          // all-pairs ground truth (quadratic by design)
           "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode", "q_typo_pairs",
+          "q_heavy_hitters",
           "q_fuzzy_link", "q_bm25", "q_hybrid_search", "q_hybrid_ivfpq",
           "q_perplexity3", "q_quality3_gate", "q_ann_ingest", "q_ann_rebuild",
           // relational at 10x: the four original headliners, the full

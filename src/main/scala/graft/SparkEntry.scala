@@ -103,6 +103,7 @@ object SparkEntry {
     "q_hybrid_recall" -> (Retrieval.qHybridRecall _),
     "q_bpe_encode" -> (TextAnalysis.qBpeEncode _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
+    "q_heavy_hitters" -> (TextAnalysis.qHeavyHitters _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
@@ -1991,6 +1992,16 @@ object SparkEntry {
          |SELECT w1, w2, cnt1, cnt2 FROM cand
          |WHERE levenshtein(w1, w2) = 1
          |ORDER BY w1, w2""".stripMargin,
+    // sketch convention (q_approx_distinct's): exact top-K anchor +
+    // TRUE error-bound verdicts — the estimates themselves are
+    // engine-specific, the guarantees are not
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+         |cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM toks GROUP BY 1)
+         |SELECT w, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
+         |FROM cnts ORDER BY exact_cnt DESC, w
+         |LIMIT ${graft.operators.TextAnalysis.HeavyHittersK}""".stripMargin,
     // NAIVE vocab x vocab scan on purpose: matching the Spark side's
     // SymSpell-blocked join proves the depth-2 deletion blocking is
     // COMPLETE over the real corpus, not just internally consistent

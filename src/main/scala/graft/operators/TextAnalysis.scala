@@ -1055,4 +1055,49 @@ object TextAnalysis {
         col("dist").cast(LongType).as("dist"), col("doc_cnt"))
       .orderBy(col("cat_word"), col("doc_word"))
   }
+
+  /** Count-min sketch geometry for [[qHeavyHitters]]: ±eps·N error at
+    * `confidence`, fixed seed so the estimates — and therefore the
+    * verdicts — are deterministic in any engine. */
+  val CmsEps = 1e-4
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+  val HeavyHittersK = 50
+
+  /** Heavy hitters via COUNT-MIN SKETCH — the fourth sketch family
+    * next to HLL distinct, quantile sketch, and bloom: the frequency
+    * structure a 100 TB token stream is monitored with when an exact
+    * word count per term is not worth a full groupBy state (the
+    * sketch is a fixed depth×width integer grid, mergeable
+    * order-independently across any partitioning). Like the other
+    * sketch surfaces, the OUTPUT hashes only engine-portable values:
+    * the deterministic exact top-[[HeavyHittersK]] anchor plus
+    * boolean error-bound verdicts (CMS guarantees est ≥ exact always,
+    * and est ≤ exact + eps·N with the configured confidence; the
+    * fixed seed makes both checks deterministic rather than
+    * probabilistic per run). The sketch itself is ONE bounded row
+    * (collected under the 1-row-scalar convention); the exact anchor
+    * is the capped top-K, also bounded.
+    * Output: (w, exact_cnt, ge_exact, within_eps). */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .localCheckpoint(false) // feeds the sketch pass AND the exact anchor
+    val skBytes = toks
+      .agg(count_min_sketch(col("w"), lit(CmsEps), lit(CmsConfidence),
+        lit(CmsSeed)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val epsBudget = math.ceil(CmsEps * cms.totalCount()).toLong
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(HeavyHittersK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import s.implicits._
+    top.toSeq.map { case (w, exact) =>
+      val est = cms.estimateCount(w)
+      (w, exact, est >= exact, est <= exact + epsBudget)
+    }.toDF("w", "exact_cnt", "ge_exact", "within_eps")
+      .orderBy(col("exact_cnt").desc, col("w"))
+  }
 }
