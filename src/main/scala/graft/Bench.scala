@@ -265,6 +265,7 @@ object Bench {
           "q_heavy_hitters",
           "q_fuzzy_link", "q_bm25", "q_hybrid_search", "q_hybrid_ivfpq",
           "q_perplexity3", "q_quality3_gate", "q_ann_ingest", "q_ann_rebuild",
+          "q_ann_search_rebuilt", // after the rebuild: measures the mounted serve
           // relational at 10x: the four original headliners, the full
           // partsupp family (q2/q11/q16/q20 reuse the partsupp q9
           // derives — one distinct-shuffle charged to q9, their own

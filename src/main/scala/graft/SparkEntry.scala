@@ -141,6 +141,7 @@ object SparkEntry {
     "q_quality3_gate" -> (graft.streaming.QualityGate.qQuality3Gate _),
     "q_ann_ingest" -> (graft.streaming.AnnIngest.qAnnIngest _),
     "q_ann_rebuild" -> (graft.streaming.AnnIngest.qAnnRebuild _),
+    "q_ann_search_rebuilt" -> (graft.streaming.AnnIngest.qAnnSearchRebuilt _),
     "q_telemetry" -> (graft.streaming.TelemetryMonitor.qTelemetry _),
     "q_telemetry_disk" -> (graft.streaming.TelemetryMonitor.qTelemetryDisk _),
     "q_ingest_funnel" -> (graft.streaming.IngestPipeline.qIngestFunnel _),
@@ -2604,6 +2605,21 @@ object SparkEntry {
          |$ivfAssignCtes
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
          |ORDER BY vec_id""".stripMargin
+    },
+    // the serving read path: the same IVF probe/rerank chain re-rooted
+    // at the drift construction — what the mounted rebuilt index must
+    // reproduce bit-for-bit
+    "q_ann_search_rebuilt" -> {
+      val off = graft.streaming.AnnIngest.DriftIdOffset
+      val sh = graft.streaming.AnnIngest.DriftShift
+      s"""WITH drift AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $off,
+         |    list_concat(embedding[${sh + 1}:], embedding[1:$sh])
+         |  FROM embeddings),
+         |""".stripMargin +
+        knnIvfSql.stripPrefix("WITH ").replace("FROM embeddings", "FROM drift")
     },
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_ivfpq_recall" -> ivfPqRecallSql,

@@ -494,6 +494,41 @@ object Similarity {
     topK(scored, K)
   }
 
+  /** IVF search where the cell assignment comes from a SERVING INDEX
+    * frame (vec_id, cell) instead of being recomputed — the read path
+    * of a maintained/rebuilt index ([[graft.streaming.AnnIngest]]).
+    * The probed cell ids are collected (a bounded |q|·NProbe scalar)
+    * and pushed as an IN filter, so a cell-bucketed index table is
+    * read bucket-PRUNED (the gate-verify read shape); vectors join
+    * back for candidates only. Same probe/rerank arithmetic and tie
+    * order as [[knnIvfWith]], so the result is oracle-exact. */
+  private[graft] def knnIvfIndexed(e: DataFrame, cent: DataFrame,
+      index: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val probeScored = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe"), col("cent_e")), col("qn2"), col("cent_n2")))
+      .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
+    val probes = topK(probeScored, NProbe)
+      .select(col("qid"), col("cid").as("cell"))
+      .localCheckpoint(false) // feeds the cell collect AND the cand join
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = index.filter(col("cell").isin(cells: _*))
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn2")), "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+      .select(col("qid"), col("cid"), col("cosine"))
+    topK(scored, K)
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ geometry: 4 subspaces x 16 dims, 16 codes per subspace — four

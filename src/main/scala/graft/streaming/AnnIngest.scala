@@ -249,10 +249,15 @@ object AnnIngest {
     *  4. INVALIDATE: the previous generation's index and quantizer
     *     tables are dropped — no stale-digest artifacts accrete.
     *
+    * `fp` (optional) is a corpus fingerprint embedded per quantizer
+    * row — the [[Similarity]] saved-artifact convention, so a later
+    * session can tell a current generation from one built against
+    * regenerated data ([[qAnnSearchRebuilt]] checks it).
+    *
     * Returns the retrained quantizer frame (cent_id, cent_e, cent_n2)
     * as mounted from the swapped table. */
   def rebuild(vectors: DataFrame, table: String,
-      iters: Int = Similarity.KMeansIters): DataFrame = {
+      iters: Int = Similarity.KMeansIters, fp: String = ""): DataFrame = {
     val s = vectors.sparkSession
     val en = Similarity.withNorm(vectors).localCheckpoint(true)
     val cent = Similarity.trainCentroids(en, iters).localCheckpoint(true)
@@ -260,7 +265,8 @@ object AnnIngest {
       .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
     val scratch = table + "_next"
     graft.sources.Writers.replaceBucketed(s, assigned, "cell", IndexBuckets, scratch)
-    graft.sources.Writers.replaceTable(s, cent, quantTableName(scratch))
+    graft.sources.Writers.replaceTable(s, cent.withColumn("fp", lit(fp)),
+      quantTableName(scratch))
     def swapIn(from: String, to: String): Unit = {
       // dropWithLocation, not bare DROP: a previous JVM's serving
       // table survives as an orphaned warehouse dir this session's
@@ -272,7 +278,7 @@ object AnnIngest {
     swapIn(scratch, table)
     swapIn(quantTableName(scratch), quantTableName(table))
     DedupGate.unpersistCheckpoints(en, cent)
-    s.table(quantTableName(table))
+    s.table(quantTableName(table)).drop("fp")
   }
 
   /** Drop the rebuild surface's tables for a corpus dir (bench/temp
@@ -293,7 +299,33 @@ object AnnIngest {
     * shape. */
   def qAnnRebuild(s: SparkSession, d: String): DataFrame = {
     val table = rebuildTableName(d)
-    rebuild(driftedCorpus(s, d), table)
+    rebuild(driftedCorpus(s, d), table, fp = Similarity.embFingerprint(d))
     s.table(table).select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+  }
+
+  /** The serving READ path of the rebuild surface: IVF top-K where
+    * cell membership comes from the SWAPPED serving table (a
+    * bucket-pruned IN-scan over the probed cells — the gate-verify
+    * read shape) and the geometry from its paired quantizer table,
+    * both mounted, not recomputed. Rebuilds first only when no
+    * CURRENT generation exists (absent tables, or a quantizer whose
+    * embedded fingerprint does not match the corpus — EVERY row
+    * checked, the mountArtifact torn-artifact rule); a bench rep or a
+    * fresh session after [[qAnnRebuild]] serves straight off the
+    * mounted index. Output: (qid, cid, cosine, rn) — oracle-exact
+    * against the drift-rooted IVF chain. */
+  def qAnnSearchRebuilt(s: SparkSession, d: String): DataFrame = {
+    val table = rebuildTableName(d)
+    val quantT = quantTableName(table)
+    val fp = Similarity.embFingerprint(d)
+    val current = s.catalog.tableExists(table) && s.catalog.tableExists(quantT) && {
+      val rows = s.table(quantT).select(col("fp")).collect()
+      rows.nonEmpty && rows.forall(_.getString(0) == fp)
+    }
+    if (!current) rebuild(driftedCorpus(s, d), table, fp = fp)
+    Similarity.knnIvfIndexed(
+      Similarity.withNorm(driftedCorpus(s, d)),
+      s.table(quantT).drop("fp"),
+      s.table(table))
   }
 }

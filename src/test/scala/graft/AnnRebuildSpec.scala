@@ -116,6 +116,42 @@ class AnnRebuildSpec extends SparkSpec {
         "a drop is a code regression, not noise)")
   }
 
+  test("serving search reads the rebuilt index bucket-pruned and mount-stable") {
+    AnnIngest.dropRebuild(spark, d)
+    val res = AnnIngest.qAnnSearchRebuilt(spark, d)
+    val rows = res.collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.K)
+    // the index read engages bucket pruning (the IN-filter over probed
+    // cells reaches the bucketed scan)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan).isDefined,
+      "serving read did not plan a bucket-pruned scan of the index table")
+    // a single-probe-list-shaped read (2 cells = one query's NProbe)
+    // prunes to at most 2 of the 8 buckets
+    val table = AnnIngest.rebuildTableName(d)
+    val twoCells = spark.table(table).select(col("cell")).distinct()
+      .orderBy(col("cell")).limit(2).collect().map(_.getLong(0)).toSeq
+    // cloned autoBucketedScan=false session — the prunedTableRead
+    // convention: the auto-rewrite may drop the bucketed scan (and its
+    // pruning marker) for a bare filter read
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val read = s2.table(table).filter(col("cell").isin(twoCells: _*))
+    read.collect()
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(read.queryExecution.executedPlan.toString)
+    assert(m.isDefined && m.get.group(1).toInt <= 2 &&
+      m.get.group(2).toInt == AnnIngest.IndexBuckets,
+      s"expected <= 2 of ${AnnIngest.IndexBuckets} buckets, got ${m.map(_.matched)}")
+    // second call finds a CURRENT generation (fingerprint match) and
+    // serves off the mounted tables, reproducing the result exactly
+    val again = AnnIngest.qAnnSearchRebuilt(spark, d).collect()
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq,
+      "mounted serve must reproduce the post-rebuild search bit-for-bit")
+    AnnIngest.dropRebuild(spark, d)
+  }
+
   test("drift monitor: in-distribution batches stay quiet, drifted batches trip rebuild advice") {
     import spark.implicits._
     val (base, members) = clusteredDrift()

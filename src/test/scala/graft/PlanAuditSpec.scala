@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
     "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)",
     "q_ann_rebuild" -> "broadcast sides are the retrained fixed centroid arrays (|cells| rows, train + reassign)",
+    "q_ann_search_rebuilt" -> "broadcast sides are the mounted quantizer (|cells| rows) and the |q|xNProbe probe list",
     "q_hybrid_recall" -> "recall eval re-runs the exact-fusion baseline, which embeds q_knn_brute's documented all-pairs ground truth",
     "q_knn_ivfpq_res" -> "broadcast sides are the fixed centroid set, residual codebooks, and the |queries|x64 LUT",
     "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
