@@ -277,7 +277,7 @@ object Bench {
           "q2_min_cost_supplier", "q11_important_stock",
           "q16_parts_supplier", "q20_potential_promo",
           "q3_top_orders", "q5_region_revenue", "q18_large_orders",
-          "q10_returned_items",
+          "q10_returned_items", "q_join_skew_audit",
           // iterative graph shape: 5 integer PageRank rounds over the
           // 10x symmetric trade graph — the per-round join+shuffle
           // must scale with edges, not blow up with iterations

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_join_skew_audit" -> (Relational.qJoinSkewAudit _),
     "q_scalar_funcs" -> (Relational.qScalarFuncs _),
     "q_date_funcs" -> (Relational.qDateFuncs _),
     "q_json_props" -> (Relational.qJsonProps _),
@@ -1182,6 +1183,19 @@ object SparkEntry {
   /** BM25 mirror (Retrieval.qBm25): inverted-index aggregates, the
     * Lucene positive-idf ln-of-integer form, and the 10·T-cleared
     * integer saturation division — exact in both engines. */
+  /** One per-key block of the join-skew audit mirror: same struct-max
+    * tie order (min key among the heaviest) and the HUGEINT skew
+    * ratio. */
+  private def skewAuditSql(table: String, key: String): String =
+    s"""SELECT '$key' AS key_col, n_rows, n_keys, max_cnt,
+       |  (SELECT min($key) FROM (SELECT $key, count(*) AS cnt FROM $table GROUP BY 1) t2
+       |   WHERE t2.cnt = s.max_cnt) AS top_key,
+       |  CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x1e6
+       |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |        CAST(count(*) AS BIGINT) AS n_keys,
+       |        CAST(max(cnt) AS BIGINT) AS max_cnt
+       |      FROM (SELECT $key, count(*) AS cnt FROM $table GROUP BY 1)) s""".stripMargin
+
   private def bm25Sql: String = {
     import graft.operators.Retrieval.{NumTextQueries, QueryLen, TopK}
     s"""WITH dt AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
@@ -1382,6 +1396,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  count(*) AS cnt, TRUE AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_skew_audit" ->
+      Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+        "lineitem" -> "l_suppkey", "orders" -> "o_custkey",
+        "events" -> "user_id")
+        .map { case (t, k) => skewAuditSql(t, k) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
     "q_approx_quantile" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99

@@ -1268,4 +1268,35 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"))
       .orderBy(col("s_name"), col("s_suppkey"))
   }
+
+  /** Pre-flight JOIN-SKEW AUDIT — the number a 100 TB pipeline checks
+    * before picking a join strategy for each key (nothing / AQE skew
+    * split / salting, [[SkewJoin]]): per join-key column, total rows,
+    * distinct keys, the heaviest key with its count (ties toward the
+    * lowest key — the deterministic-top convention via a struct max,
+    * no second pass), and the skew factor max_cnt/avg_cnt in
+    * fixed-point ×1e6 over Decimal(38,0) intermediates (the BM25
+    * convention: max_cnt·n_keys·1e6 passes Int64 on a 100 TB fact
+    * table). One aggregation pass per audited column, output bounded
+    * at one row each — the cost of a count(*), not a sort.
+    * Output: (key_col, n_rows, n_keys, max_cnt, top_key, skew_x1e6). */
+  def qJoinSkewAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, keyCol: String): DataFrame =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(struct(col("cnt"), (-col("k")).as("nk"))).as("m"))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+          col("m.cnt").as("max_cnt"), (-col("m.nk")).as("top_key"),
+          expr("(cast(m.cnt as decimal(38,0)) * n_keys * 1000000) div n_rows")
+            .as("skew_x1e6"))
+    val li = Tables.lineitem(s, d)
+    audit(li, "l_orderkey")
+      .unionAll(audit(li, "l_partkey"))
+      .unionAll(audit(li, "l_suppkey"))
+      .unionAll(audit(Tables.orders(s, d), "o_custkey"))
+      .unionAll(audit(Tables.events(s, d), "user_id"))
+      .orderBy(col("key_col"))
+  }
 }
