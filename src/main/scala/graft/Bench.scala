@@ -276,8 +276,12 @@ object Bench {
           "q1_pricing", "q7_volume_shipping", "q9_product_profit",
           "q2_min_cost_supplier", "q11_important_stock",
           "q16_parts_supplier", "q20_potential_promo",
+          // q_join_skew_audit is NOT probed at sf1: it audits
+          // events.user_id alongside the star keys, and the generated
+          // 10x dir has no events table (the events-driven queries are
+          // all streaming analogs, excluded from this suite anyway)
           "q3_top_orders", "q5_region_revenue", "q18_large_orders",
-          "q10_returned_items", "q_join_skew_audit",
+          "q10_returned_items",
           // iterative graph shape: 5 integer PageRank rounds over the
           // 10x symmetric trade graph — the per-round join+shuffle
           // must scale with edges, not blow up with iterations
