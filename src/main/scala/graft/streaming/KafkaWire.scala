@@ -1,0 +1,594 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32C
+
+/** K1, narrowed to the wire — the Kafka BINARY PROTOCOL produce path
+  * as code (reference: `DataClean.java:99-109` configures a
+  * transactional EXACTLY_ONCE producer; `kafkaProducer.java:17-41`
+  * the plain one).
+  *
+  * [[KafkaEosSink]] proves the exactly-once LIFECYCLE against an
+  * in-memory fake; this module removes the remaining gap the fake
+  * leaves (round-12 "missing" item 1: no broker in the sandbox, so
+  * the transport was never exercised) the same way the repo narrowed
+  * the Redis and Elasticsearch items: implement the actual public
+  * wire protocol over a real JDK TCP socket and exercise it against
+  * an embedded server speaking the same protocol — real framing,
+  * real RecordBatch v2 encoding with CRC-32C, real producer-epoch
+  * fencing as a wire error, no Kafka jar.
+  *
+  * Protocol surface (public: kafka.apache.org/protocol; KIP-98 for
+  * the transactional fields), deliberately pinned to NON-FLEXIBLE
+  * versions so the classic INT16-length string / INT32-count array
+  * encoding applies throughout:
+  *   - FindCoordinator v1  (api 10) — transaction coordinator lookup
+  *   - InitProducerId v0   (api 22) — PID + epoch; re-init on the
+  *     same transactional.id BUMPS the epoch = zombie fencing
+  *   - AddPartitionsToTxn v0 (api 24) — first send to a partition
+  *     inside a transaction registers it with the coordinator
+  *   - Produce v3          (api 0)  — transactional_id field + a
+  *     RecordBatch v2 (magic 2) record set
+  *   - EndTxn v0           (api 26) — commit/abort
+  *   - Fetch v4            (api 1)  — isolation_level field
+  *     (read_committed) for the restart-time progress-marker read
+  *
+  * RecordBatch v2 layout (KIP-98; the broker re-validates the CRC):
+  * {{{
+  * baseOffset:i64 batchLength:i32 partitionLeaderEpoch:i32 magic:i8=2
+  * crc:u32 (CRC-32C of everything from attributes on)
+  * attributes:i16 (bit 4 = transactional) lastOffsetDelta:i32
+  * baseTimestamp:i64 maxTimestamp:i64
+  * producerId:i64 producerEpoch:i16 baseSequence:i32
+  * recordCount:i32 records*
+  * record := length:zigzag-varint attrs:i8 tsDelta:zigzag-varlong
+  *           offsetDelta:zigzag-varint keyLen:zigzag-varint key
+  *           valLen:zigzag-varint val headerCount:zigzag-varint=0
+  * }}}
+  *
+  * 100 TB posture: identical to the real client's — one
+  * single-writer transactional producer per sink partition
+  * (`transactionalId(ckpt, Some(partition))`), per-partition
+  * monotonic sequences give broker-side idempotent dedup of retried
+  * produce requests, and the epoch bump on `initTransactions` fences
+  * a zombie predecessor at every subsequent request, not just at
+  * init. Timestamps in produced batches are a fixed constant (the
+  * repo-wide determinism rule); Kafka semantics never depend on them
+  * here (LOG_APPEND_TIME brokers overwrite them anyway).
+  */
+object KafkaWire {
+
+  // ---- api keys / error codes (public protocol constants) ----
+  val ApiProduce = 0: Short
+  val ApiFetch = 1: Short
+  val ApiFindCoordinator = 10: Short
+  val ApiInitProducerId = 22: Short
+  val ApiAddPartitionsToTxn = 24: Short
+  val ApiEndTxn = 26: Short
+
+  val ErrNone = 0: Short
+  val ErrCorruptMessage = 2: Short // CRC mismatch
+  val ErrCoordinatorNotAvailable = 15: Short // retriable
+  val ErrOutOfOrderSequence = 45: Short
+  val ErrInvalidProducerEpoch = 47: Short // fenced
+
+  final class FencedException(msg: String) extends RuntimeException(msg)
+  final class WireErrorException(val code: Short, msg: String) extends RuntimeException(msg)
+
+  // ---- primitive codec: Kafka classic (non-flexible) encoding ----
+
+  final class Writer {
+    private var buf = new Array[Byte](256)
+    private var pos = 0
+    private def ensure(n: Int): Unit =
+      if (pos + n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, pos + n))
+    def i8(v: Int): this.type = { ensure(1); buf(pos) = v.toByte; pos += 1; this }
+    def i16(v: Int): this.type = { ensure(2); buf(pos) = (v >> 8).toByte; buf(pos + 1) = v.toByte; pos += 2; this }
+    def i32(v: Int): this.type = { ensure(4); var i = 0; while (i < 4) { buf(pos + i) = (v >> (24 - 8 * i)).toByte; i += 1 }; pos += 4; this }
+    def i64(v: Long): this.type = { ensure(8); var i = 0; while (i < 8) { buf(pos + i) = (v >> (56 - 8 * i)).toByte; i += 1 }; pos += 8; this }
+    def bool(v: Boolean): this.type = i8(if (v) 1 else 0)
+    def str(s: String): this.type = { val b = s.getBytes(UTF_8); i16(b.length); raw(b) }
+    def nstr(s: String): this.type = if (s == null) i16(-1) else str(s)
+    def nbytes(b: Array[Byte]): this.type = if (b == null) i32(-1) else { i32(b.length); raw(b) }
+    def raw(b: Array[Byte]): this.type = { ensure(b.length); System.arraycopy(b, 0, buf, pos, b.length); pos += b.length; this }
+    def varInt(v: Int): this.type = varLong((v.toLong << 1) ^ (v.toLong >> 31))
+    def varLongZig(v: Long): this.type = varLong((v << 1) ^ (v >> 63))
+    private def varLong(u0: Long): this.type = {
+      var u = u0
+      while ((u & ~0x7fL) != 0) { i8(((u & 0x7f) | 0x80).toInt); u >>>= 7 }
+      i8(u.toInt)
+    }
+    def size: Int = pos
+    /** Patch a previously-written big-endian i32 at `at`. */
+    def patchI32(at: Int, v: Int): Unit = { var i = 0; while (i < 4) { buf(at + i) = (v >> (24 - 8 * i)).toByte; i += 1 } }
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+  }
+
+  final class Reader(val buf: Array[Byte], private var pos0: Int = 0) {
+    def pos: Int = pos0
+    def i8(): Byte = { val v = buf(pos0); pos0 += 1; v }
+    def i16(): Short = { val v = (((buf(pos0) & 0xff) << 8) | (buf(pos0 + 1) & 0xff)).toShort; pos0 += 2; v }
+    def i32(): Int = { var v = 0; var i = 0; while (i < 4) { v = (v << 8) | (buf(pos0 + i) & 0xff); i += 1 }; pos0 += 4; v }
+    def i64(): Long = { var v = 0L; var i = 0; while (i < 8) { v = (v << 8) | (buf(pos0 + i) & 0xff); i += 1 }; pos0 += 8; v }
+    def bool(): Boolean = i8() != 0
+    def str(): String = { val n = i16(); require(n >= 0, "null string where non-null expected"); strN(n) }
+    def nstr(): String = { val n = i16(); if (n < 0) null else strN(n) }
+    private def strN(n: Int): String = { val s = new String(buf, pos0, n, UTF_8); pos0 += n; s }
+    def nbytes(): Array[Byte] = { val n = i32(); if (n < 0) null else { val b = java.util.Arrays.copyOfRange(buf, pos0, pos0 + n); pos0 += n; b } }
+    def varInt(): Int = { val u = varLongU(); ((u >>> 1) ^ -(u & 1)).toInt }
+    def varLongZig(): Long = { val u = varLongU(); (u >>> 1) ^ -(u & 1) }
+    def skip(n: Int): Unit = pos0 += n
+    private def varLongU(): Long = {
+      var u = 0L; var shift = 0; var b = 0
+      do { b = buf(pos0) & 0xff; pos0 += 1; u |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      u
+    }
+    def remaining: Int = buf.length - pos0
+  }
+
+  // ---- RecordBatch v2 ----
+
+  /** Fixed batch timestamp (determinism rule; see class doc). */
+  val BatchTimestamp = 1546300800000L // 2019-01-01T00:00:00Z
+
+  val AttrTransactional = 0x10
+
+  case class Batch(producerId: Long, producerEpoch: Short, baseSequence: Int,
+                   transactional: Boolean, records: Seq[(String, String)], crcOk: Boolean)
+
+  def encodeBatch(pid: Long, epoch: Short, baseSeq: Int, transactional: Boolean,
+                  recs: Seq[(String, String)], baseOffset: Long = 0L): Array[Byte] = {
+    val body = new Writer // attributes .. records (the CRC-covered span)
+    body.i16(if (transactional) AttrTransactional else 0)
+    body.i32(recs.size - 1) // lastOffsetDelta
+    body.i64(BatchTimestamp).i64(BatchTimestamp)
+    body.i64(pid).i16(epoch).i32(baseSeq)
+    body.i32(recs.size)
+    recs.zipWithIndex.foreach { case ((k, v), i) =>
+      val r = new Writer
+      r.i8(0) // record attributes
+      r.varLongZig(0L) // timestampDelta
+      r.varInt(i) // offsetDelta
+      val kb = if (k == null) null else k.getBytes(UTF_8)
+      val vb = if (v == null) null else v.getBytes(UTF_8)
+      if (kb == null) r.varInt(-1) else { r.varInt(kb.length); r.raw(kb) }
+      if (vb == null) r.varInt(-1) else { r.varInt(vb.length); r.raw(vb) }
+      r.varInt(0) // headers
+      body.varInt(r.size); body.raw(r.bytes)
+    }
+    val bodyBytes = body.bytes
+    val crc = new CRC32C; crc.update(bodyBytes)
+    val out = new Writer
+    out.i64(baseOffset)
+    out.i32(4 + 1 + 4 + bodyBytes.length) // batchLength: partitionLeaderEpoch..end
+    out.i32(-1) // partitionLeaderEpoch
+    out.i8(2) // magic
+    out.i32(crc.getValue.toInt)
+    out.raw(bodyBytes)
+    out.bytes
+  }
+
+  /** Decodes ONE batch starting at `r`'s position; re-validates CRC. */
+  def decodeBatch(r: Reader): Batch = {
+    r.i64() // baseOffset
+    val batchLen = r.i32()
+    val afterLen = r.pos
+    r.i32() // partitionLeaderEpoch
+    val magic = r.i8(); require(magic == 2, s"unsupported magic $magic")
+    val crcStored = r.i32()
+    val bodyStart = r.pos
+    val bodyLen = batchLen - (bodyStart - afterLen)
+    val crc = new CRC32C; crc.update(r.buf, bodyStart, bodyLen)
+    val crcOk = crc.getValue.toInt == crcStored
+    val attrs = r.i16()
+    r.i32() // lastOffsetDelta
+    r.i64(); r.i64() // timestamps
+    val pid = r.i64(); val epoch = r.i16(); val baseSeq = r.i32()
+    val n = r.i32()
+    val recs = (0 until n).map { _ =>
+      val len = r.varInt(); val end = r.pos + len
+      r.i8(); r.varLongZig(); r.varInt()
+      val kl = r.varInt()
+      val k = if (kl < 0) null else { val s = new String(r.buf, r.pos, kl, UTF_8); r.skip(kl); s }
+      val vl = r.varInt()
+      val v = if (vl < 0) null else { val s = new String(r.buf, r.pos, vl, UTF_8); r.skip(vl); s }
+      r.skip(end - r.pos) // headers (count + any content)
+      (k, v)
+    }
+    Batch(pid, epoch, baseSeq, (attrs & AttrTransactional) != 0, recs, crcOk)
+  }
+
+  // ---- request framing ----
+
+  private def frame(apiKey: Short, apiVersion: Short, correlationId: Int,
+                    clientId: String, body: Writer => Unit): Array[Byte] = {
+    val w = new Writer
+    w.i32(0) // length, patched below
+    w.i16(apiKey).i16(apiVersion).i32(correlationId).nstr(clientId)
+    body(w)
+    w.patchI32(0, w.size - 4)
+    w.bytes
+  }
+
+  private def readFrame(in: DataInputStream): Array[Byte] = {
+    val len = in.readInt()
+    require(len >= 0 && len < 64 * 1024 * 1024, s"bad frame length $len")
+    val b = new Array[Byte](len); in.readFully(b); b
+  }
+
+  // ---- wire client ----
+
+  /** A single connection speaking length-framed request/response. */
+  private final class Conn(host: String, port: Int, clientId: String) {
+    private val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), 5000)
+    sock.setSoTimeout(10000)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    private val in = new DataInputStream(sock.getInputStream)
+    private var corr = 0
+    def request(apiKey: Short, apiVersion: Short)(body: Writer => Unit): Reader = {
+      corr += 1
+      out.write(frame(apiKey, apiVersion, corr, clientId, body)); out.flush()
+      val resp = new Reader(readFrame(in))
+      val gotCorr = resp.i32()
+      require(gotCorr == corr, s"correlation mismatch: $gotCorr vs $corr")
+      resp
+    }
+    def close(): Unit = sock.close()
+  }
+
+  /** The transactional producer over the wire — drop-in
+    * [[KafkaEosSink.TxProducer]], so [[KafkaEosSink.Sink]] runs its
+    * exactly-once lifecycle over real TCP with zero logic changes. */
+  final class WireProducer(host: String, port: Int, transactionalId: String)
+      extends KafkaEosSink.TxProducer {
+    private var conn: Conn = null
+    private var pid = -1L
+    private var epoch: Short = -1
+    private val seqs = scala.collection.mutable.Map[(String, Int), Int]()
+    private val inTxn = scala.collection.mutable.Set[(String, Int)]()
+
+    private def connection: Conn = {
+      if (conn == null) conn = new Conn(host, port, s"graft-wire-$transactionalId")
+      conn
+    }
+    private def check(code: Short, what: String): Unit = code match {
+      case ErrNone => ()
+      case ErrInvalidProducerEpoch =>
+        throw new FencedException(s"$what: fenced by a newer producer with transactional.id=$transactionalId")
+      case c => throw new WireErrorException(c, s"$what failed with error $c")
+    }
+
+    def initTransactions(): Unit = {
+      val c = connection
+      // coordinator lookup (single embedded broker: always self)
+      val fc = c.request(ApiFindCoordinator, 1) { w => w.str(transactionalId); w.i8(1) }
+      fc.i32() // throttle
+      check(fc.i16(), "FindCoordinator")
+      val ip = c.request(ApiInitProducerId, 0) { w => w.nstr(transactionalId); w.i32(60000) }
+      ip.i32() // throttle
+      check(ip.i16(), "InitProducerId")
+      pid = ip.i64(); epoch = ip.i16()
+      seqs.clear() // fresh PID epoch starts sequences at 0
+    }
+
+    def beginTransaction(): Unit = {
+      require(pid >= 0, "initTransactions not called")
+      inTxn.clear()
+    }
+
+    def send(topic: String, key: String, value: String): Unit = {
+      val c = connection
+      val tp = (topic, 0)
+      if (!inTxn.contains(tp)) {
+        val ap = c.request(ApiAddPartitionsToTxn, 0) { w =>
+          w.str(transactionalId).i64(pid).i16(epoch)
+          w.i32(1); w.str(topic); w.i32(1); w.i32(0)
+        }
+        ap.i32() // throttle
+        val nTopics = ap.i32()
+        var err: Short = ErrNone
+        (0 until nTopics).foreach { _ =>
+          ap.str(); val nParts = ap.i32()
+          (0 until nParts).foreach { _ => ap.i32(); val e = ap.i16(); if (e != ErrNone) err = e }
+        }
+        check(err, "AddPartitionsToTxn")
+        inTxn += tp
+      }
+      val seq = seqs.getOrElse(tp, 0)
+      val batch = encodeBatch(pid, epoch, seq, transactional = true, Seq((key, value)))
+      produceRaw(topic, 0, batch)
+      seqs(tp) = seq + 1
+    }
+
+    private[graft] def currentPidEpoch: (Long, Short) = (pid, epoch)
+
+    /** One Produce v3 request with a caller-built record set — the
+      * seam the spec uses to replay an identical request (broker-side
+      * idempotent dedup) and to submit a corrupted batch. */
+    private[graft] def produceRaw(topic: String, partition: Int, recordSet: Array[Byte]): Long = {
+      val pr = connection.request(ApiProduce, 3) { w =>
+        w.nstr(transactionalId).i16(-1 /* acks=all */).i32(30000)
+        w.i32(1); w.str(topic); w.i32(1); w.i32(partition); w.nbytes(recordSet)
+      }
+      val nTopics = pr.i32()
+      var err: Short = ErrNone; var baseOffset = -1L
+      (0 until nTopics).foreach { _ =>
+        pr.str(); val nParts = pr.i32()
+        (0 until nParts).foreach { _ =>
+          pr.i32(); val e = pr.i16(); val off = pr.i64(); pr.i64() // log_append_time
+          if (e != ErrNone) err = e else baseOffset = off
+        }
+      }
+      pr.i32() // throttle
+      check(err, "Produce")
+      baseOffset
+    }
+
+    private def endTxn(committed: Boolean): Unit = {
+      val et = connection.request(ApiEndTxn, 0) { w =>
+        w.str(transactionalId).i64(pid).i16(epoch).bool(committed)
+      }
+      et.i32() // throttle
+      check(et.i16(), "EndTxn")
+    }
+    def commitTransaction(): Unit = endTxn(committed = true)
+    def abortTransaction(): Unit = endTxn(committed = false)
+    def close(): Unit = if (conn != null) { conn.close(); conn = null }
+  }
+
+  /** Restart-time progress-marker read: Fetch v4 with
+    * isolation_level=read_committed over the progress topic, decode
+    * the returned RecordBatches, take the last marker for `txId`.
+    * The real production consumer is exactly this in kafka-clients
+    * form ([[KafkaEosSink.Sink]] doc). */
+  def readLastCommitted(host: String, port: Int, progressTopic: String, txId: String): Long = {
+    val c = new Conn(host, port, s"graft-marker-$txId")
+    try {
+      val f = c.request(ApiFetch, 4) { w =>
+        w.i32(-1) // replica_id (consumer)
+        w.i32(100).i32(1).i32(8 * 1024 * 1024)
+        w.i8(1) // isolation_level = read_committed
+        w.i32(1); w.str(progressTopic); w.i32(1); w.i32(0); w.i64(0L); w.i32(8 * 1024 * 1024)
+      }
+      f.i32() // throttle
+      var last = -1L
+      val nTopics = f.i32()
+      (0 until nTopics).foreach { _ =>
+        f.str(); val nParts = f.i32()
+        (0 until nParts).foreach { _ =>
+          f.i32() // partition
+          val err = f.i16(); require(err == ErrNone, s"Fetch error $err")
+          f.i64(); f.i64() // high_watermark, last_stable_offset
+          val nAborted = f.i32()
+          (0 until math.max(nAborted, 0)).foreach { _ => f.i64(); f.i64() }
+          val recordSet = f.nbytes()
+          if (recordSet != null && recordSet.nonEmpty) {
+            val r = new Reader(recordSet)
+            while (r.remaining > 0) {
+              val b = decodeBatch(r)
+              require(b.crcOk, "corrupt batch in fetch response")
+              b.records.foreach { case (k, v) => if (k == txId) last = v.toLong }
+            }
+          }
+        }
+      }
+      last
+    } finally c.close()
+  }
+
+  // ---- embedded broker ----
+
+  /** A single-node broker speaking the six-API surface above: parses
+    * real frames, RE-VALIDATES every produced batch's CRC-32C,
+    * enforces producer-epoch fencing and per-partition sequence
+    * idempotence, and materializes transactions (pending until
+    * EndTxn; abort drops; a newer InitProducerId on the same
+    * transactional.id bumps the epoch AND aborts the zombie's
+    * pending transaction — Kafka's fencing contract). Fetch serves
+    * only committed data, so read_committed holds by construction. */
+  final class EmbeddedBroker {
+    private val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    def port: Int = server.getLocalPort
+
+    private val lock = new Object
+    private var nextPid = 1000L
+    private val txns = scala.collection.mutable.Map[String, (Long, Short)]() // txId -> (pid, epoch)
+    private val logs = scala.collection.mutable.Map[(String, Int), Vector[(String, String)]]()
+    private val pending = scala.collection.mutable.Map[Long, Vector[(String, Int, String, String)]]()
+    private val seqState = scala.collection.mutable.Map[(Long, String, Int), Int]() // -> next expected baseSequence
+    // test observability
+    @volatile var crcValidated = 0
+    @volatile var crcRejected = 0
+    @volatile var fencedRejections = 0
+    @volatile var dedupedProduces = 0
+    @volatile var failNextEndTxn = false
+
+    def committed(topic: String): Vector[(String, String)] =
+      lock.synchronized(logs.getOrElse((topic, 0), Vector.empty))
+
+    private def epochOf(pid: Long): Option[Short] =
+      txns.values.collectFirst { case (p, e) if p == pid => e }
+
+    @volatile private var running = true
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => serve(s), "graft-broker-conn")
+          t.setDaemon(true); t.start()
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-broker-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def stop(): Unit = { running = false; server.close() }
+
+    private def serve(sock: Socket): Unit = {
+      try {
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        while (true) {
+          val req = new Reader(readFrame(in))
+          val apiKey = req.i16(); val apiVersion = req.i16()
+          val corr = req.i32(); req.nstr() // client_id
+          val resp = new Writer
+          resp.i32(0) // length, patched
+          resp.i32(corr)
+          apiKey match {
+            case ApiFindCoordinator => handleFindCoordinator(req, resp)
+            case ApiInitProducerId => handleInitProducerId(req, resp)
+            case ApiAddPartitionsToTxn => handleAddPartitions(req, resp)
+            case ApiProduce => handleProduce(req, resp)
+            case ApiEndTxn => handleEndTxn(req, resp)
+            case ApiFetch => handleFetch(req, resp)
+            case other => sys.error(s"unsupported api $other v$apiVersion")
+          }
+          resp.patchI32(0, resp.size - 4)
+          out.write(resp.bytes); out.flush()
+        }
+      } catch { case _: Throwable => () } finally sock.close()
+    }
+
+    private def handleFindCoordinator(req: Reader, resp: Writer): Unit = {
+      req.str(); req.i8() // key, key_type
+      resp.i32(0).i16(ErrNone).nstr(null) // throttle, error, error_message
+      resp.i32(0).str("127.0.0.1").i32(port) // node_id, host, port
+    }
+
+    private def handleInitProducerId(req: Reader, resp: Writer): Unit = {
+      val txId = req.nstr(); req.i32() // txn_timeout
+      val (pid, epoch) = lock.synchronized {
+        txns.get(txId) match {
+          case Some((p, e)) =>
+            // fencing: same PID, bumped epoch; the zombie's pending
+            // transaction is aborted by the coordinator
+            pending.remove(p)
+            seqState.filterInPlace { case ((sp, _, _), _) => sp != p }
+            val bumped = (p, (e + 1).toShort)
+            txns(txId) = bumped; bumped
+          case None =>
+            val fresh = (nextPid, 0: Short)
+            nextPid += 1
+            txns(txId) = fresh; fresh
+        }
+      }
+      resp.i32(0).i16(ErrNone).i64(pid).i16(epoch)
+    }
+
+    private def handleAddPartitions(req: Reader, resp: Writer): Unit = {
+      val txId = req.str(); val pid = req.i64(); val epoch = req.i16()
+      val topics = (0 until req.i32()).map { _ =>
+        val t = req.str(); (t, (0 until req.i32()).map(_ => req.i32()))
+      }
+      val err = lock.synchronized {
+        txns.get(txId) match {
+          case Some((p, e)) if p == pid && e == epoch => ErrNone
+          case Some(_) => fencedRejections += 1; ErrInvalidProducerEpoch
+          case None => ErrInvalidProducerEpoch
+        }
+      }
+      resp.i32(0) // throttle
+      resp.i32(topics.size)
+      topics.foreach { case (t, parts) =>
+        resp.str(t); resp.i32(parts.size)
+        parts.foreach { pt => resp.i32(pt).i16(err) }
+      }
+    }
+
+    private def handleProduce(req: Reader, resp: Writer): Unit = {
+      req.nstr() // transactional_id (authz only; identity rides in the batch)
+      req.i16(); req.i32() // acks, timeout
+      val nTopics = req.i32()
+      case class PartResult(topic: String, partition: Int, err: Short, baseOffset: Long)
+      val results = (0 until nTopics).flatMap { _ =>
+        val topic = req.str()
+        (0 until req.i32()).map { _ =>
+          val partition = req.i32()
+          val recordSet = req.nbytes()
+          val batch = decodeBatch(new Reader(recordSet))
+          lock.synchronized {
+            if (!batch.crcOk) { crcRejected += 1; PartResult(topic, partition, ErrCorruptMessage, -1L) }
+            else {
+              crcValidated += 1
+              epochOf(batch.producerId) match {
+                case Some(cur) if cur != batch.producerEpoch =>
+                  fencedRejections += 1
+                  PartResult(topic, partition, ErrInvalidProducerEpoch, -1L)
+                case None =>
+                  PartResult(topic, partition, ErrInvalidProducerEpoch, -1L)
+                case Some(_) =>
+                  val key = (batch.producerId, topic, partition)
+                  val expected = seqState.getOrElse(key, 0)
+                  if (batch.baseSequence < expected) {
+                    // idempotent dedup of a retried request
+                    dedupedProduces += 1
+                    PartResult(topic, partition, ErrNone, 0L)
+                  } else if (batch.baseSequence > expected) {
+                    PartResult(topic, partition, ErrOutOfOrderSequence, -1L)
+                  } else {
+                    pending(batch.producerId) = pending.getOrElse(batch.producerId, Vector.empty) ++
+                      batch.records.map { case (k, v) => (topic, partition, k, v) }
+                    seqState(key) = expected + batch.records.size
+                    PartResult(topic, partition, ErrNone,
+                      logs.getOrElse((topic, partition), Vector.empty).size.toLong)
+                  }
+              }
+            }
+          }
+        }
+      }
+      resp.i32(results.map(_.topic).distinct.size)
+      results.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (t, rs) =>
+        resp.str(t); resp.i32(rs.size)
+        rs.foreach { r => resp.i32(r.partition).i16(r.err).i64(r.baseOffset).i64(-1L) }
+      }
+      resp.i32(0) // throttle
+    }
+
+    private def handleEndTxn(req: Reader, resp: Writer): Unit = {
+      val txId = req.str(); val pid = req.i64(); val epoch = req.i16()
+      val committed = req.bool()
+      val err = lock.synchronized {
+        if (failNextEndTxn) { failNextEndTxn = false; ErrCoordinatorNotAvailable }
+        else txns.get(txId) match {
+          case Some((p, e)) if p == pid && e == epoch =>
+            val buf = pending.remove(pid).getOrElse(Vector.empty)
+            if (committed) buf.foreach { case (t, pt, k, v) =>
+              logs((t, pt)) = logs.getOrElse((t, pt), Vector.empty) :+ (k, v)
+            }
+            ErrNone
+          case _ => fencedRejections += 1; ErrInvalidProducerEpoch
+        }
+      }
+      resp.i32(0).i16(err)
+    }
+
+    private def handleFetch(req: Reader, resp: Writer): Unit = {
+      req.i32(); req.i32(); req.i32(); req.i32() // replica, max_wait, min_bytes, max_bytes
+      req.i8() // isolation_level — committed-only is all this broker stores
+      val topics = (0 until req.i32()).map { _ =>
+        val t = req.str()
+        (t, (0 until req.i32()).map { _ => val p = req.i32(); req.i64(); req.i32(); p })
+      }
+      resp.i32(0) // throttle
+      resp.i32(topics.size)
+      topics.foreach { case (t, parts) =>
+        resp.str(t); resp.i32(parts.size)
+        parts.foreach { pt =>
+          val recs = lock.synchronized(logs.getOrElse((t, pt), Vector.empty))
+          resp.i32(pt).i16(ErrNone)
+          resp.i64(recs.size.toLong).i64(recs.size.toLong) // hwm, last_stable_offset
+          resp.i32(0) // aborted_transactions: none (committed-only log)
+          if (recs.isEmpty) resp.i32(-1) // null record set
+          else resp.nbytes(encodeBatch(-1L, -1, -1, transactional = false, recs))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.streaming.{KafkaEosSink, KafkaWire}
+import graft.streaming.KafkaWire.{EmbeddedBroker, FencedException, WireErrorException, WireProducer}
+
+/** K1 over the WIRE: the exactly-once sink lifecycle running against
+  * an embedded broker that speaks the actual Kafka binary protocol
+  * over a real TCP socket — framing, RecordBatch v2 with CRC-32C,
+  * producer-epoch fencing, sequence idempotence, and the
+  * read_committed Fetch for the restart-time marker. Complements
+  * KafkaEosSinkSpec (the same lifecycle against an in-memory fake):
+  * here nothing is faked below the TxProducer API — every
+  * interaction crosses the socket as protocol bytes the broker
+  * re-parses and re-validates. */
+class KafkaWireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+
+  private def withBroker(f: EmbeddedBroker => Unit): Unit = {
+    val b = new EmbeddedBroker
+    try f(b) finally b.stop()
+  }
+
+  private def wireSink(b: EmbeddedBroker, txId: String): KafkaEosSink.Sink =
+    new KafkaEosSink.Sink("out", "progress", txId,
+      () => new WireProducer("127.0.0.1", b.port, txId),
+      () => KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress", txId))
+
+  test("record batch codec round-trips and CRC-32C detects corruption") {
+    val recs = Seq(("k1", "v1"), (null, "null-key"), ("k3", "longer value é中"))
+    val bytes = KafkaWire.encodeBatch(42L, 3, 7, transactional = true, recs)
+    val dec = KafkaWire.decodeBatch(new KafkaWire.Reader(bytes))
+    assert(dec.crcOk, "fresh batch failed CRC")
+    assert(dec.producerId == 42L && dec.producerEpoch == 3 && dec.baseSequence == 7)
+    assert(dec.transactional)
+    assert(dec.records == recs, s"records mangled: ${dec.records}")
+    // flip one payload byte: CRC must catch it
+    val corrupt = bytes.clone(); corrupt(corrupt.length - 1) = (corrupt.last ^ 0x01).toByte
+    assert(!KafkaWire.decodeBatch(new KafkaWire.Reader(corrupt)).crcOk,
+      "corrupted batch passed CRC")
+  }
+
+  test("sink commits over the socket; broker re-validates CRC; marker rides the txn") {
+    withBroker { b =>
+      val txId = "wire-tx-1"
+      val sink = wireSink(b, txId)
+      sink.write(batch("k1" -> "v1", "k2" -> "v2"), 0L)
+      sink.write(batch("k3" -> "v3"), 1L)
+      sink.close()
+      assert(b.committed("out") == Vector("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"),
+        s"wrong committed log: ${b.committed("out")}")
+      assert(b.committed("progress").map(_._2) == Vector("0", "1"),
+        "progress markers did not commit atomically with their batches")
+      assert(b.crcValidated >= 5, s"broker validated only ${b.crcValidated} batch CRCs")
+      assert(b.crcRejected == 0)
+    }
+  }
+
+  test("restart reads the marker via read_committed Fetch and skips the replayed batch") {
+    withBroker { b =>
+      val txId = "wire-tx-2"
+      val sink = wireSink(b, txId)
+      sink.write(batch("k1" -> "v1"), 0L)
+      sink.close() // crash after commit, before Spark's checkpoint commit
+      assert(KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress", txId) == 0L)
+      val sink2 = wireSink(b, txId) // fresh incarnation, same checkpoint
+      sink2.write(batch("k1" -> "v1"), 0L) // foreachBatch replays batch 0
+      assert(b.committed("out") == Vector("k1" -> "v1"),
+        s"replayed batch re-sent over the wire: ${b.committed("out")}")
+      sink2.write(batch("k2" -> "v2"), 1L)
+      sink2.close()
+      assert(b.committed("out") == Vector("k1" -> "v1", "k2" -> "v2"))
+    }
+  }
+
+  test("failed commit aborts on the broker — nothing visible, retry commits once") {
+    withBroker { b =>
+      val txId = "wire-tx-3"
+      val sink = wireSink(b, txId)
+      sink.write(batch("k0" -> "v0"), 0L)
+      b.failNextEndTxn = true
+      intercept[WireErrorException] { sink.write(batch("k1" -> "v1"), 1L) }
+      assert(b.committed("out") == Vector("k0" -> "v0"),
+        s"torn batch visible after failed commit: ${b.committed("out")}")
+      sink.write(batch("k1" -> "v1"), 1L) // Spark retry, same id
+      sink.close()
+      assert(b.committed("out") == Vector("k0" -> "v0", "k1" -> "v1"),
+        s"retry did not commit exactly once: ${b.committed("out")}")
+    }
+  }
+
+  test("a newer incarnation fences the zombie at the protocol level (error 47)") {
+    withBroker { b =>
+      val txId = "wire-tx-4"
+      val zombie = new WireProducer("127.0.0.1", b.port, txId)
+      zombie.initTransactions()
+      zombie.beginTransaction()
+      zombie.send("out", "z1", "zombie-pending") // pending, never committed
+      val successor = new WireProducer("127.0.0.1", b.port, txId)
+      successor.initTransactions() // bumps the epoch, aborts zombie's pending
+      intercept[FencedException] { zombie.send("out", "z2", "post-fence") }
+      intercept[FencedException] { zombie.commitTransaction() }
+      assert(b.fencedRejections >= 2)
+      // the successor operates normally and the zombie's rows are gone
+      successor.beginTransaction()
+      successor.send("out", "s1", "fresh")
+      successor.commitTransaction()
+      successor.close(); zombie.close()
+      assert(b.committed("out") == Vector("s1" -> "fresh"),
+        s"zombie rows leaked: ${b.committed("out")}")
+    }
+  }
+
+  test("broker dedups a retried produce request by sequence (idempotence)") {
+    withBroker { b =>
+      val txId = "wire-tx-5"
+      val p = new WireProducer("127.0.0.1", b.port, txId)
+      p.initTransactions()
+      p.beginTransaction()
+      p.send("out", "k1", "v1") // consumes baseSequence 0
+      val (pid, epoch) = p.currentPidEpoch
+      // a network retry re-delivers the same request bytes
+      val replay = KafkaWire.encodeBatch(pid, epoch, 0, transactional = true, Seq(("k1", "v1")))
+      p.produceRaw("out", 0, replay)
+      assert(b.dedupedProduces == 1, "duplicate sequence was not deduped")
+      // a gap (sequence from the future) is rejected, not buffered
+      val gap = KafkaWire.encodeBatch(pid, epoch, 5, transactional = true, Seq(("k9", "v9")))
+      val err = intercept[WireErrorException] { p.produceRaw("out", 0, gap) }
+      assert(err.code == KafkaWire.ErrOutOfOrderSequence)
+      // a corrupted batch is rejected with CORRUPT_MESSAGE
+      val good = KafkaWire.encodeBatch(pid, epoch, 1, transactional = true, Seq(("k2", "v2")))
+      good(good.length - 1) = (good.last ^ 0x01).toByte
+      val crcErr = intercept[WireErrorException] { p.produceRaw("out", 0, good) }
+      assert(crcErr.code == KafkaWire.ErrCorruptMessage && b.crcRejected == 1)
+      p.commitTransaction()
+      p.close()
+      assert(b.committed("out") == Vector("k1" -> "v1"),
+        s"dedup/reject produced wrong log: ${b.committed("out")}")
+    }
+  }
+}
