@@ -105,6 +105,7 @@ object SparkEntry {
     "q_bpe_encode" -> (TextAnalysis.qBpeEncode _),
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_heavy_hitters" -> (TextAnalysis.qHeavyHitters _),
+    "q_kmv_overlap" -> (TextAnalysis.qKmvOverlap _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
@@ -2023,6 +2024,77 @@ object SparkEntry {
          |SELECT w, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
          |FROM cnts ORDER BY exact_cnt DESC, w
          |LIMIT ${graft.operators.TextAnalysis.HeavyHittersK}""".stripMargin,
+    // KMV: every column — including the estimates and the bound
+    // verdict — is recomputed from the same md5-hash domain with
+    // HUGEINT floor division, so the WHOLE sketch algebra (not just
+    // its guarantees) is hash-checked cross-engine. The oracle's
+    // one-level bottom-K equals the Spark side's sharded two-level
+    // form by KMV's closure property.
+    "q_kmv_overlap" -> {
+      val K = graft.operators.TextAnalysis.KmvK
+      val space = graft.operators.TextAnalysis.KmvSpace
+      val bound = graft.operators.TextAnalysis.KmvBoundX1e6
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, shingle FROM (
+         |    SELECT source, unnest(list_transform(generate_series(1, len(toks)-2),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+         |    FROM (SELECT source, $tokSql AS toks FROM documents)
+         |    WHERE len(toks) >= 3)),
+         |h AS (SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) + 1 AS h FROM sh),
+         |n AS (SELECT source, count(*) AS n_hashes FROM h GROUP BY 1),
+         |sk AS (SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= $K),
+         |ps AS (SELECT source, max(h) AS h_k, count(*) AS n_sk FROM sk GROUP BY 1),
+         |pse AS (SELECT ps.source, n.n_hashes,
+         |    CASE WHEN n_sk < $K THEN n.n_hashes
+         |         ELSE CAST(CAST(${K - 1} AS HUGEINT) * $space // h_k AS BIGINT)
+         |    END AS est
+         |  FROM ps JOIN n ON ps.source = n.source),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM n a JOIN n b ON a.source < b.source),
+         |tagged AS (
+         |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |    SELECT p.src_a, p.src_b, sk.h, 1 AS in_a, 0 AS in_b
+         |    FROM pairs p JOIN sk ON sk.source = p.src_a
+         |    UNION ALL
+         |    SELECT p.src_a, p.src_b, sk.h, 0, 1
+         |    FROM pairs p JOIN sk ON sk.source = p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |us AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |    FROM tagged)
+         |  WHERE rn <= $K),
+         |pa AS (SELECT src_a, src_b, max(h) AS h_k, count(*) AS n_sk,
+         |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matched
+         |  FROM us GROUP BY 1, 2),
+         |ei AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS exact_inter
+         |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+         |base AS (
+         |  SELECT pa.src_a, pa.src_b, na.n_hashes AS n_a, nb.n_hashes AS n_b,
+         |    COALESCE(ei.exact_inter, 0) AS exact_inter,
+         |    ea.est AS est_a, eb.est AS est_b, pa.matched, pa.n_sk,
+         |    CASE WHEN pa.n_sk < $K THEN pa.n_sk
+         |         ELSE CAST(CAST(${K - 1} AS HUGEINT) * $space // pa.h_k AS BIGINT)
+         |    END AS est_union
+         |  FROM pa
+         |  LEFT JOIN ei ON pa.src_a = ei.src_a AND pa.src_b = ei.src_b
+         |  JOIN n na ON pa.src_a = na.source
+         |  JOIN n nb ON pa.src_b = nb.source
+         |  JOIN pse ea ON pa.src_a = ea.source
+         |  JOIN pse eb ON pa.src_b = eb.source)
+         |SELECT src_a, src_b, n_a, n_b, exact_inter,
+         |  n_a + n_b - exact_inter AS exact_union,
+         |  est_a, est_b, est_union, matched,
+         |  CAST(CAST(matched AS HUGEINT) * est_union // n_sk AS BIGINT) AS est_inter,
+         |  CAST(CAST(matched AS HUGEINT) * 1000000 // n_sk AS BIGINT) AS jaccard_x1e6,
+         |  CAST(abs(est_union - (n_a + n_b - exact_inter)) AS HUGEINT) * 1000000
+         |    <= CAST(n_a + n_b - exact_inter AS HUGEINT) * $bound AS union_ok
+         |FROM base ORDER BY src_a, src_b""".stripMargin
+    },
     // NAIVE vocab x vocab scan on purpose: matching the Spark side's
     // SymSpell-blocked join proves the depth-2 deletion blocking is
     // COMPLETE over the real corpus, not just internally consistent

@@ -29,7 +29,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     // bit-majority SimHash, CC clusters over the shared pair index,
     // int8 quantization
     "q_clean_enrich", "q_late_split", "q_bpe_merges", "q_simhash_md5",
-    "q_dedup_clusters", "q_embed_quantize")
+    "q_dedup_clusters", "q_embed_quantize",
+    // KMV bottom-k sketch algebra (sharded two-level bottom-K)
+    "q_kmv_overlap")
 
   test("results are bit-identical under coprime shuffle-partition counts") {
     val a = spark.newSession()

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_search_rebuilt" -> "broadcast sides are the mounted quantizer (|cells| rows) and the |q|xNProbe probe list",
     "q_hybrid_recall" -> "recall eval re-runs the exact-fusion baseline, which embeds q_knn_brute's documented all-pairs ground truth",
     "q_knn_ivfpq_res" -> "broadcast sides are the fixed centroid set, residual codebooks, and the |queries|x64 LUT",
-    "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth")
+    "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
+    "q_kmv_overlap" -> "source-pair frame: |sources|^2 rows of a bounded dimension (never corpus-sized)")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
