@@ -106,6 +106,7 @@ object SparkEntry {
     "q_typo_pairs" -> (TextAnalysis.qTypoPairs _),
     "q_heavy_hitters" -> (TextAnalysis.qHeavyHitters _),
     "q_kmv_overlap" -> (TextAnalysis.qKmvOverlap _),
+    "q_kmv_stream" -> (graft.streaming.KmvGate.qKmvStream _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
@@ -2094,6 +2095,32 @@ object SparkEntry {
          |  CAST(abs(est_union - (n_a + n_b - exact_inter)) AS HUGEINT) * 1000000
          |    <= CAST(n_a + n_b - exact_inter AS HUGEINT) * $bound AS union_ok
          |FROM base ORDER BY src_a, src_b""".stripMargin
+    },
+    // streaming KMV absorb: the oracle is the ONE-SHOT sketch over
+    // ALL documents — the incremental (init + two absorbs) result
+    // must equal it hash-for-hash by bottom-K closure, which is the
+    // entire claim of the gate
+    "q_kmv_stream" -> {
+      val K = graft.operators.TextAnalysis.KmvK
+      val space = graft.operators.TextAnalysis.KmvSpace
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, shingle FROM (
+         |    SELECT source, unnest(list_transform(generate_series(1, len(toks)-2),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+         |    FROM (SELECT source, $tokSql AS toks FROM documents)
+         |    WHERE len(toks) >= 3)),
+         |h AS (SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) + 1 AS h FROM sh),
+         |sk AS (SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= $K),
+         |ps AS (SELECT source, count(*) AS n_sk, max(h) AS h_k FROM sk GROUP BY 1)
+         |SELECT source, n_sk, h_k,
+         |  CASE WHEN n_sk < $K THEN n_sk
+         |       ELSE CAST(CAST(${K - 1} AS HUGEINT) * $space // h_k AS BIGINT)
+         |  END AS est
+         |FROM ps ORDER BY source""".stripMargin
     },
     // NAIVE vocab x vocab scan on purpose: matching the Spark side's
     // SymSpell-blocked join proves the depth-2 deletion blocking is

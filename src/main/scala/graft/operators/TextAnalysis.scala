@@ -1120,7 +1120,13 @@ object TextAnalysis {
     * BOTH the sketch and the anchor identically, so the comparison
     * stays exact cross-engine). */
   private[graft] def kmvHashes(s: SparkSession, d: String): DataFrame =
-    shingles(Tables.documents(s, d), "source", "text")
+    kmvHashesOf(Tables.documents(s, d))
+
+  /** DataFrame form of the hash fan-out — shared by the batch query
+    * and the streaming absorb ([[graft.streaming.KmvGate]]), so both
+    * surfaces hash the same domain by construction. */
+  private[graft] def kmvHashesOf(docs: DataFrame): DataFrame =
+    shingles(docs, "source", "text")
       .select(col("source"),
         (conv(substring(md5(col("shingle")), 1, 15), 16, 10)
           .cast(LongType) + 1L).as("h"))
