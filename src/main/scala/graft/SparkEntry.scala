@@ -124,6 +124,8 @@ object SparkEntry {
     "q_perplexity3" -> (TextAnalysis.qPerplexity3 _),
     "q_bloom_decontam" -> (TextAnalysis.qBloomDecontam _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
+    "q_priority_sample" -> (TextAnalysis.qPrioritySample _),
+    "q_zorder_prune" -> (Layout.qZorderPrune _),
     "q_mixture_weights" -> (TextAnalysis.qMixtureWeights _),
     "q_data_split" -> (TextAnalysis.qDataSplit _),
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
+    "q_split_leakfree" -> (Dedup.qSplitLeakfree _),
+    "q_split_leakage" -> (Dedup.qSplitLeakage _),
     "q_dedup_stats" -> (Dedup.qDedupStats _),
     "q_span_dedup" -> (Dedup.qSpanDedupScore _),
     "q_span_scrub" -> (Dedup.qSpanScrub _),
@@ -2349,6 +2353,54 @@ object SparkEntry {
          |SELECT m.doc_id, m.cluster_id, b.rep, (b.rep = m.doc_id) AS keep
          |FROM m JOIN best b ON m.cluster_id = b.cluster_id
          |ORDER BY m.doc_id""".stripMargin,
+    // mirror of Dedup.qSplitLeakfree: same closure, split key = the
+    // cluster id (coalesced to self), buckets = the shared md5 13/2/1
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE ${ccCtes(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id")},
+         |asg AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |    strpos('0123456789abcdef',
+         |      substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1 AS b
+         |  FROM asg)
+         |ORDER BY doc_id""".stripMargin,
+    // mirror of Dedup.qSplitLeakage: the `pr` pair CTE from the
+    // closure chain is the pair set; both schemes' cross-split counts
+    // fold into one row, unpivoted per scheme — the cluster_aware row
+    // must be zero and the oracle CHECKS it rather than trusting the
+    // by-construction argument
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE ${ccCtes(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id")},
+         |asg AS (SELECT doc_id,
+         |    CASE WHEN nb < 13 THEN 'train' WHEN nb < 15 THEN 'val'
+         |         ELSE 'test' END AS naive_split,
+         |    CASE WHEN ab < 13 THEN 'train' WHEN ab < 15 THEN 'val'
+         |         ELSE 'test' END AS aware_split
+         |  FROM (SELECT d.doc_id,
+         |      strpos('0123456789abcdef',
+         |        substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 AS nb,
+         |      strpos('0123456789abcdef',
+         |        substring(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+         |          AS VARCHAR)), 1, 1)) - 1 AS ab
+         |    FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id) t),
+         |j AS (SELECT a.naive_split AS na, a.aware_split AS aa,
+         |    b.naive_split AS nb2, b.aware_split AS ab2
+         |  FROM pr JOIN asg a ON pr.doc_a = a.doc_id
+         |          JOIN asg b ON pr.doc_b = b.doc_id),
+         |agg AS (SELECT count(*) AS n_pairs,
+         |    coalesce(CAST(sum(CASE WHEN na <> nb2 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS naive_cross,
+         |    coalesce(CAST(sum(CASE WHEN aa <> ab2 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS aware_cross
+         |  FROM j)
+         |SELECT 'cluster_aware' AS scheme, n_pairs, aware_cross AS cross_pairs
+         |FROM agg
+         |UNION ALL
+         |SELECT 'naive', n_pairs, naive_cross FROM agg
+         |ORDER BY scheme""".stripMargin,
     // mirror of Dedup.qDedupStats: same closure, cluster-size histogram
     "q_dedup_stats" ->
       s"""WITH RECURSIVE ${ccCtes(s"SELECT doc_a, doc_b FROM ($jaccardSql)", "doc_id")},
@@ -2449,6 +2501,57 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS sampled
          |  FROM documents)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    },
+    // mirror of Layout.qZorderPrune: same quantization (// = div),
+    // same generated bit-interleave, same per-file min/max boxes and
+    // box-intersect pruning counts
+    "q_zorder_prune" -> {
+      import graft.operators.Layout._
+      val w = 1L << Bits
+      val zSql = (0 until Bits).map(i =>
+        s"((xq >> $i) & 1) * ${1L << (2 * i)} + ((yq >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      val touch = s"mx_x >= $BoxLo AND mn_x <= $BoxHi AND mx_y >= $BoxLo AND mn_y <= $BoxHi"
+      s"""WITH o AS (SELECT o_custkey AS x,
+         |    CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS y FROM orders),
+         |b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+         |             min(y) AS mny, max(y) AS mxy FROM o),
+         |q AS (SELECT ((x - mnx) * $w) // (mxx - mnx + 1) AS xq,
+         |             ((y - mny) * $w) // (mxy - mny + 1) AS yq FROM o, b),
+         |zv AS (SELECT xq, yq, $zSql AS z FROM q),
+         |t AS (SELECT 'linear_cust' AS layout, xq // ${1L << FileShiftLinear} AS file, xq, yq FROM zv
+         |  UNION ALL SELECT 'linear_date', yq // ${1L << FileShiftLinear}, xq, yq FROM zv
+         |  UNION ALL SELECT 'zorder', z // ${1L << FileShiftZ}, xq, yq FROM zv),
+         |pf AS (SELECT layout, file, count(*) AS cnt,
+         |    min(xq) AS mn_x, max(xq) AS mx_x, min(yq) AS mn_y, max(yq) AS mx_y,
+         |    sum(CASE WHEN xq BETWEEN $BoxLo AND $BoxHi
+         |             AND yq BETWEEN $BoxLo AND $BoxHi THEN 1 ELSE 0 END) AS matched
+         |  FROM t GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN $touch THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |  CAST(sum(CASE WHEN $touch THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(matched) AS BIGINT) AS rows_matched
+         |FROM pf GROUP BY layout ORDER BY layout""".stripMargin
+    },
+    // mirror of TextAnalysis.qPrioritySample: priority = one integer
+    // floor division (DuckDB // = Scala Long / on non-negatives),
+    // u from the 6-hex-digit md5 prefix (+1 so it is never zero),
+    // tau = the (K+1)-th priority, w_hat = max(w, tau) — priority is
+    // w/u in WEIGHT units (the 2^24 cancels against u's denominator)
+    "q_priority_sample" -> {
+      val k = graft.operators.TextAnalysis.SampleK
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |    (n_chars * 16777216) // (CAST(('0x' ||
+         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
+         |      AS priority
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars, priority,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
+         |tau AS (SELECT coalesce(max(CASE WHEN rnk = ${k + 1} THEN priority END), 0)
+         |    AS tau FROM r)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority,
+         |  greatest(n_chars, tau.tau) AS w_hat
+         |FROM r, tau WHERE rnk <= $k ORDER BY rnk""".stripMargin
     },
     "q_repetition" ->
       s"""SELECT doc_id, n_shingles, n_distinct,

@@ -294,6 +294,75 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-FREE train/val/test split: the split key is the near-dup
+    * CLUSTER id (min member id per [[connectedComponents]]; singletons
+    * are their own cluster), not the document id — so every member of
+    * a near-dup cluster lands in the SAME split by construction.
+    * [[TextAnalysis.qContamination]] / [[qSemanticContamination]]
+    * MEASURE the leakage a per-document hash split ships; this op
+    * removes it at assignment time, which is where a training pipeline
+    * wants it fixed (scrubbing after the fact discards data; assigning
+    * by cluster keeps every document and just co-locates kin).
+    * Buckets are the shared [[graft.functions.TextFunctions.md5Bucket16]]
+    * 13/2/1 split, applied to the cluster id, so the assignment stays
+    * reproducible from any engine that can compute md5 — the property
+    * that makes a 100 TB split joinable from outside Spark.
+    *
+    * Scale shape: cluster labels ride the memoized bucketed LSH pair
+    * index (the 100 TB candidate generator) through the convergent CC
+    * propagation; the assignment itself is ONE left equi-join of docs
+    * to labels plus a pure hash of the cluster id. No new index, no
+    * sort, no driver rows. */
+  def qSplitLeakfree(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", splitFromBucket(md5Bucket16(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+
+  /** Split-leakage AUDIT: for each assignment scheme — naive per-doc
+    * hash ([[TextAnalysis.qDataSplit]]'s key) vs cluster-aware
+    * ([[qSplitLeakfree]]'s) — count the near-dup pairs whose endpoints
+    * land in DIFFERENT splits. Each such pair is a train/test
+    * contamination channel; the cluster-aware count is zero BY
+    * CONSTRUCTION (both endpoints share a cluster id, hence a split),
+    * and the naive count is the leakage a hash split silently ships.
+    * The oracle hash-checks both counts, so "zero by construction" is
+    * verified, not asserted.
+    *
+    * Scale shape: one pass over the bounded pair index with two
+    * doc→assignment equi-joins (AQE hash joins; the assignment frame
+    * is corpus-sized but carries 3 narrow columns) folded into a
+    * single 1-row aggregate, unpivoted to one row per scheme. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val asg = Tables.documents(s, d).select(col("doc_id"))
+      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitFromBucket(md5Bucket16(col("doc_id"))).as("naive_split"),
+        splitFromBucket(md5Bucket16(
+          coalesce(col("cluster_id"), col("doc_id")))).as("aware_split"))
+    val a = asg.select(col("doc_id").as("doc_a"),
+      col("naive_split").as("na"), col("aware_split").as("aa"))
+    val b = asg.select(col("doc_id").as("doc_b"),
+      col("naive_split").as("nb"), col("aware_split").as("ab"))
+    lshPairs(s, d).join(a, "doc_a").join(b, "doc_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+          .as("naive_cross"),
+        coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)), lit(0L))
+          .as("aware_cross"))
+      .select(explode(array(
+        struct(lit("cluster_aware").as("scheme"), col("n_pairs"),
+          col("aware_cross").as("cross_pairs")),
+        struct(lit("naive").as("scheme"), col("n_pairs"),
+          col("naive_cross").as("cross_pairs")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_pairs").as("n_pairs"),
+        col("r.cross_pairs").as("cross_pairs"))
+      .orderBy(col("scheme"))
+  }
+
   /** SEMANTIC train/test decontamination: test-split vectors whose
     * embedding is a >= [[CosineThreshold]] near-dup of a train-split
     * vector — the leakage a paraphrased benchmark question produces,

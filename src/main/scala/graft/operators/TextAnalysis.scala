@@ -455,6 +455,64 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Priority-sample size. 32 here; production sizes to the survey
+    * budget (the math is size-independent). */
+  val SampleK = 32
+
+  /** Weight-proportional sampling WITHOUT replacement (priority
+    * sampling, Duffield–Lund–Thorup): each document gets priority
+    * q = w / u with u uniform in (0,1], and the sample is the top-K
+    * priorities. Sampled items carry the unbiased subset-sum weight
+    * estimate w_hat = max(w, tau) where tau is the (K+1)-th priority —
+    * summing w_hat over any sampled subset estimates that subset's
+    * true total weight, the survey primitive behind "how many tokens
+    * does this slice of the corpus hold" answered from a 32-row
+    * sample. Weight = n_chars (the cheap length proxy; swap in token
+    * counts and nothing else changes).
+    *
+    * Exactness: u is the shared md5Value24 hash ((v+1)/2^24, never
+    * zero), so q = w·2^24/(v+1) — which IS w/u, the 2^24 cancels — is
+    * ONE integer floor division both engines compute identically;
+    * priorities stay < 2^48, so the Double leg of [[TopKAggregator]]
+    * is exact. Randomness is the hash, so the sample is reproducible
+    * and joinable from any engine — the same property the
+    * split/mixture ops ride. tau is floored to the same integer
+    * resolution (1 weight unit), a deterministic bias below one char
+    * per sampled row.
+    *
+    * Scale shape: map-side bounded partial top-(K+1) (O(K) state per
+    * partition, merge O(K log K)), ONE bounded frame to the driver
+    * side of nothing — the final merge is an aggregate, not a sort;
+    * the corpus is never shuffled on values. The K-row sample then
+    * broadcast-joins back for the weight columns. */
+  def qPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pri = docs.select(col("doc_id"),
+      ((col("n_chars").cast(LongType) * (1L << 24)) /
+        (md5Value24(col("doc_id")) + 1L)).as("priority"))
+    val tk = udaf(new TopKAggregator(SampleK + 1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val top = pri
+      .agg(tk(col("priority").cast(DoubleType), col("doc_id")).as("tk"))
+      .select(
+        // tau = the (K+1)-th priority: the threshold the estimator
+        // needs; 0 if the corpus is smaller than the sample (then
+        // w_hat = w exactly — the sample IS the corpus)
+        coalesce(element_at(col("tk"), SampleK + 1).getField("_1")
+          .cast(LongType), lit(0L)).as("tau"),
+        posexplode(col("tk")))
+      .filter(col("pos") < SampleK)
+      .select((col("pos") + 1).cast(LongType).as("rnk"),
+        col("col._2").as("doc_id"),
+        col("col._1").cast(LongType).as("priority"),
+        col("tau"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(top), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars").cast(LongType), col("tau")).as("w_hat"))
+      .orderBy(col("rnk"))
+  }
+
   /** Temperature-scaled domain mixture weights (the DoReMi/multilingual-
     * sampling knob at temperature 1/2): per source, weight proportional
     * to sqrt(n_docs) — upweights small domains relative to raw
