@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_recall" -> "recall eval re-runs the exact-fusion baseline, which embeds q_knn_brute's documented all-pairs ground truth",
     "q_knn_ivfpq_res" -> "broadcast sides are the fixed centroid set, residual codebooks, and the |queries|x64 LUT",
     "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
-    "q_kmv_overlap" -> "source-pair frame: |sources|^2 rows of a bounded dimension (never corpus-sized)")
+    "q_kmv_overlap" -> "source-pair frame: |sources|^2 rows of a bounded dimension (never corpus-sized)",
+    "q_zorder_prune" -> "scalar subquery: single-row quantization min/max bounds broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
