@@ -107,6 +107,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (TextAnalysis.qHeavyHitters _),
     "q_kmv_overlap" -> (TextAnalysis.qKmvOverlap _),
     "q_kmv_stream" -> (graft.streaming.KmvGate.qKmvStream _),
+    "q_priority_stream" -> (graft.streaming.SampleGate.qPriorityStream _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
@@ -211,6 +212,29 @@ object SparkEntry {
   /** Exact decimal squared-norm subquery over an embedding list. */
   private def n2Sql(e: String) =
     s"(CAST((SELECT sum(CAST(floor(CAST(u.x AS DOUBLE)*CAST(u.x AS DOUBLE)*1e12 + 0.5) AS BIGINT)) FROM unnest($e) u(x)) AS DOUBLE)/1e12)"
+  /** Mirror of TextAnalysis.qPrioritySample: priority = one integer
+    * floor division (DuckDB // = Scala Long / on non-negatives), u
+    * from the 6-hex-digit md5 prefix (+1 so it is never zero), tau =
+    * the (K+1)-th priority, w_hat = max(w, tau) — priority is w/u in
+    * WEIGHT units (the 2^24 cancels against u's denominator). Shared
+    * verbatim by q_priority_stream: the streaming sketch's closure
+    * makes incremental == one-shot the entire correctness claim. */
+  private val prioritySampleSql: String = {
+    val k = graft.operators.TextAnalysis.SampleK
+    s"""WITH p AS (SELECT doc_id, n_chars,
+       |    (n_chars * 16777216) // (CAST(('0x' ||
+       |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
+       |      AS priority
+       |  FROM documents),
+       |r AS (SELECT doc_id, n_chars, priority,
+       |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
+       |tau AS (SELECT coalesce(max(CASE WHEN rnk = ${k + 1} THEN priority END), 0)
+       |    AS tau FROM r)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority,
+       |  greatest(n_chars, tau.tau) AS w_hat
+       |FROM r, tau WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
   private val jaccardSql =
     s"""WITH $shingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -2533,26 +2557,11 @@ object SparkEntry {
          |  CAST(sum(matched) AS BIGINT) AS rows_matched
          |FROM pf GROUP BY layout ORDER BY layout""".stripMargin
     },
-    // mirror of TextAnalysis.qPrioritySample: priority = one integer
-    // floor division (DuckDB // = Scala Long / on non-negatives),
-    // u from the 6-hex-digit md5 prefix (+1 so it is never zero),
-    // tau = the (K+1)-th priority, w_hat = max(w, tau) — priority is
-    // w/u in WEIGHT units (the 2^24 cancels against u's denominator)
-    "q_priority_sample" -> {
-      val k = graft.operators.TextAnalysis.SampleK
-      s"""WITH p AS (SELECT doc_id, n_chars,
-         |    (n_chars * 16777216) // (CAST(('0x' ||
-         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
-         |      AS priority
-         |  FROM documents),
-         |r AS (SELECT doc_id, n_chars, priority,
-         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
-         |tau AS (SELECT coalesce(max(CASE WHEN rnk = ${k + 1} THEN priority END), 0)
-         |    AS tau FROM r)
-         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority,
-         |  greatest(n_chars, tau.tau) AS w_hat
-         |FROM r, tau WHERE rnk <= $k ORDER BY rnk""".stripMargin
-    },
+    "q_priority_sample" -> prioritySampleSql,
+    // the streaming absorb's entire claim: incremental == one-shot.
+    // The oracle IS q_priority_sample's — the sketch closure makes
+    // the two queries answer-identical by construction.
+    "q_priority_stream" -> prioritySampleSql,
     "q_repetition" ->
       s"""SELECT doc_id, n_shingles, n_distinct,
          |  1.0 - CAST(n_distinct AS DOUBLE) / n_shingles AS rep_ratio

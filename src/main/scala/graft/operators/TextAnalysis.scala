@@ -485,29 +485,50 @@ object TextAnalysis {
     * side of nothing — the final merge is an aggregate, not a sort;
     * the corpus is never shuffled on values. The K-row sample then
     * broadcast-joins back for the weight columns. */
-  def qPrioritySample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pri = docs.select(col("doc_id"),
-      ((col("n_chars").cast(LongType) * (1L << 24)) /
-        (md5Value24(col("doc_id")) + 1L)).as("priority"))
+  def qPrioritySample(s: SparkSession, d: String): DataFrame =
+    prioritySampleFrom(prioritySketchOf(Tables.documents(s, d)))
+
+  /** The bounded top-(K+1) priority SKETCH of a document frame:
+    * (doc_id, n_chars, priority), ≤ K+1 rows. This is the mergeable
+    * state behind both the batch query and the streaming absorb
+    * ([[graft.streaming.SampleGate]]): the top-(K+1) of a union is
+    * the top-(K+1) of the per-part sketches' union (standard top-K
+    * closure), and re-presenting the same documents is a no-op, so
+    * the sketch composes exactly like the KMV bottom-K. The
+    * corpus-sized work — ONE bounded partial aggregation — lives
+    * here; everything downstream is ≤ K+1 rows. */
+  private[graft] def prioritySketchOf(docs: DataFrame): DataFrame = {
+    // SQL `div`, not `/`: exact long floor division at any magnitude
+    // (the double quotient of `/` rounds past 2^53)
+    val pri = docs
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast(LongType) * (1L << 24)).as("num"),
+        (md5Value24(col("doc_id")) + 1L).as("den"))
+      .select(col("doc_id"), col("n_chars"), expr("num div den").as("priority"))
     val tk = udaf(new TopKAggregator(SampleK + 1),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val top = pri
       .agg(tk(col("priority").cast(DoubleType), col("doc_id")).as("tk"))
-      .select(
-        // tau = the (K+1)-th priority: the threshold the estimator
-        // needs; 0 if the corpus is smaller than the sample (then
-        // w_hat = w exactly — the sample IS the corpus)
-        coalesce(element_at(col("tk"), SampleK + 1).getField("_1")
-          .cast(LongType), lit(0L)).as("tau"),
-        posexplode(col("tk")))
-      .filter(col("pos") < SampleK)
-      .select((col("pos") + 1).cast(LongType).as("rnk"),
-        col("col._2").as("doc_id"),
-        col("col._1").cast(LongType).as("priority"),
-        col("tau"))
-    docs.select(col("doc_id"), col("n_chars"))
-      .join(broadcast(top), "doc_id")
+      .select(posexplode(col("tk")))
+      .select(col("col._2").as("doc_id"))
+    // broadcast the ≤K+1 sampled ids back for the weight column
+    pri.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+  }
+
+  /** Serve the sample from a sketch frame (≤ K+1 rows): rank, tau =
+    * the (K+1)-th priority (0 if the corpus is smaller than the
+    * sample — then w_hat = w exactly, the sample IS the corpus), and
+    * the estimator weights. The window runs on ≤ K+1 rows — bounded
+    * by construction, never corpus-sized. */
+  private[graft] def prioritySampleFrom(sketch: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = sketch
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("tau",
+        coalesce(max(when(col("rnk") === SampleK + 1, col("priority")))
+          .over(Window.partitionBy()), lit(0L)))
+    ranked.filter(col("rnk") <= SampleK)
       .select(col("rnk"), col("doc_id"), col("n_chars"), col("priority"),
         greatest(col("n_chars").cast(LongType), col("tau")).as("w_hat"))
       .orderBy(col("rnk"))
