@@ -935,7 +935,7 @@ object TextAnalysis {
   /** The trainer loop itself: returns (one 1-row rule frame per round,
     * the fully-rewritten symbol-string table) — shared by the rule
     * report and the learned-vocabulary report. */
-  private def bpeTrain(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
+  private[graft] def bpeTrain(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)

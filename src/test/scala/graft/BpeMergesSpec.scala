@@ -112,6 +112,16 @@ class BpeMergesSpec extends SparkSpec {
       "merges must compress at least some docs below the char count")
   }
 
+  test("merge rewriting is LOSSLESS: every rewritten symbol string decodes back to its word") {
+    val d = "/root/testdata/sf0.001"
+    val bad = TextAnalysis.bpeTrain(Tables.documents(spark, d))._2
+      .select(col("w"),
+        regexp_replace(col("seq"), "\\u001f", "").as("decoded"))
+      .filter(col("w") =!= col("decoded"))
+    assert(bad.count() == 0,
+      s"round-trip broke for: ${bad.take(3).mkString(", ")}")
+  }
+
   test("sf0.001 corpus matches the driver-side trainer for all rounds") {
     val d = "/root/testdata/sf0.001"
     val texts = Tables.documents(spark, d).select(col("text"))
