@@ -175,6 +175,8 @@ object SparkEntry {
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
+    "q_pca_power" -> (Similarity.qPcaPower _),
+    "q_pca_project" -> (Similarity.qPcaProject _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
     "q_ivf_recall" -> (Similarity.qIvfRecall _),
@@ -233,6 +235,37 @@ object SparkEntry {
        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority,
        |  greatest(n_chars, tau.tau) AS w_hat
        |FROM r, tau WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  /** Mirror of Similarity.qPcaPower: the same unrolled power-iteration
+    * chain in fixed-point — inputs quantized once to millis, per-round
+    * exact integer aggregations (HUGEINT ≡ Decimal(38,0)), signed
+    * truncating shift (both engines truncate on the |y| form), and the
+    * identical double expression for the re-scale. Emits the final
+    * round as `v{PcaRounds}(pos, v, norm_shifted)` over CTEs `xq`,
+    * `v0..`; callers append their SELECT. */
+  private def pcaChainSql: String = {
+    import graft.operators.Similarity.{PcaRounds, PcaQuant, PcaShift}
+    val sb = new StringBuilder(
+      s"""xq AS (SELECT vec_id, pos,
+         |    CAST(floor(CAST(embedding[pos+1] AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding,
+         |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
+         |v0 AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)""".stripMargin)
+    for (i <- 1 to PcaRounds) sb ++= s""",
+         |s$i AS (SELECT x.vec_id, sum(x.xq * v.v) AS s
+         |  FROM xq x JOIN v${i - 1} v ON x.pos = v.pos GROUP BY 1),
+         |y$i AS (SELECT x.pos,
+         |    sum(CAST(s.s AS HUGEINT) * x.xq) AS y
+         |  FROM xq x JOIN s$i s ON x.vec_id = s.vec_id GROUP BY 1),
+         |ys$i AS (SELECT pos, CASE WHEN y < 0 THEN -((-y) // $PcaShift)
+         |    ELSE y // $PcaShift END AS ys FROM y$i),
+         |n$i AS (SELECT sqrt(CAST(sum(CAST(ys AS HUGEINT) * ys) AS DOUBLE)) AS nrm
+         |  FROM ys$i),
+         |v$i AS (SELECT pos,
+         |    CAST(floor(CAST(ys AS DOUBLE) / nrm * 1e6 + 0.5) AS BIGINT) AS v,
+         |    CAST(floor(nrm) AS BIGINT) AS norm_shifted FROM ys$i, n$i)""".stripMargin
+    sb.toString
   }
 
   private val jaccardSql =
@@ -2333,6 +2366,21 @@ object SparkEntry {
     "q_semdedup" -> semDedupSql,
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
+    "q_pca_power" -> {
+      val r = graft.operators.Similarity.PcaRounds
+      s"""WITH $pcaChainSql
+         |SELECT pos, v AS v_x1e6, norm_shifted FROM v$r ORDER BY pos""".stripMargin
+    },
+    "q_pca_project" -> {
+      val r = graft.operators.Similarity.PcaRounds
+      s"""WITH $pcaChainSql,
+         |proj AS (SELECT x.vec_id, sum(x.xq * v.v) AS proj
+         |  FROM xq x JOIN v$r v ON x.pos = v.pos GROUP BY 1),
+         |rk AS (SELECT vec_id, proj,
+         |    row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS rnk FROM proj)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, proj
+         |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    },
     // same fixed-point class-mean + argmax chain as Similarity.qEmbedClassify
     "q_embed_classify" ->
       s"""WITH ve AS (SELECT vec_id, label, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (

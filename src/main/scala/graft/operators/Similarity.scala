@@ -899,4 +899,105 @@ object Similarity {
   /** Residual IVF-PQ recall vs the exact inner-product top-K. */
   def qIvfPqRRecall(s: SparkSession, d: String): DataFrame =
     recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPqR(s, d))
+
+  // ------------------------------------------------------------- PCA
+
+  /** Power-iteration rounds (fixed unroll, the k-means convention:
+    * determinism over adaptive stopping, so the oracle can mirror the
+    * exact chain). */
+  val PcaRounds = 3
+
+  /** Input quantization (millis) and the pre-norm shift. The shift
+    * caps |y'|² · dim under Decimal(38,0): with xq ≤ 1e3·|x| and
+    * v ≤ 1e6, y ≤ dim·1e9·n — at n ≈ 1e8 rows y' = y/1e6 ≈ 6.4e18
+    * and Σy'² ≈ 4e37, still exact. Beyond that, production raises
+    * the shift with log10(n); the math is otherwise size-free. */
+  val PcaQuant = 1000L
+  val PcaShift = 1000000L
+
+  /** Fixed-point TOP PRINCIPAL DIRECTION of the (uncentered) embedding
+    * second moment, by [[PcaRounds]] unrolled power-iteration rounds —
+    * the whitening/outlier axis an embedding pipeline wants next to
+    * its quantizers. Every step is engine-exact by construction:
+    *  - inputs quantize ONCE to integer millis (floor(x·1e3 + 0.5));
+    *  - each round is two exact integer aggregations: s_i = Σ_j
+    *    xq_ij·v_j (long — bounded by dim·1e3·1e6), then y_j = Σ_i
+    *    s_i·xq_ij accumulated as Decimal(38,0);
+    *  - the normalizer shifts y by [[PcaShift]] with SIGNED TRUNCATING
+    *    division (sign(y)·(|y| div shift) — DuckDB `//` floors, Spark
+    *    `div` truncates; they agree only on non-negatives, so the
+    *    shift is computed on |y|), converts to double (round-to-
+    *    nearest of the same integer — identical in both engines),
+    *    and re-scales to micro units v'_j = floor(y'_j/‖y'‖·1e6+0.5).
+    *
+    * Scale shape: per round ONE equi-join against the broadcast d-row
+    * direction + two hash aggs (map-side partials); the vector table
+    * is never shuffled on values and the driver never sees a row.
+    * Output: (pos, v_x1e6) — the direction in micro units — plus the
+    * per-round shifted norm (the eigenvalue proxy, monotone across
+    * rounds when iteration converges). */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        floor(col("col").cast(DoubleType) * PcaQuant + 0.5)
+          .cast(LongType).as("xq"))
+      .localCheckpoint(false) // feeds every round twice
+    // 1-row scalar (the documented bounded-collect class): the width
+    val dim = Tables.embeddings(s, d)
+      .agg(max(size(col("embedding")))).head.getInt(0)
+    var v: DataFrame = s.range(dim).select(col("id").as("pos"),
+      lit(1000000L).as("v"), lit(0L).as("norm_shifted"))
+    for (_ <- 1 to PcaRounds) {
+      val sRow = xq.join(broadcast(v.select(col("pos"), col("v"))), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("v")).as("s"))
+      val y = xq.join(sRow, "vec_id")
+        .groupBy(col("pos"))
+        .agg(sum(col("s").cast(DecimalType(38, 0)) * col("xq")).as("y"))
+        .withColumn("ys",
+          signum(col("y")).cast(DecimalType(38, 0)) *
+            expr(s"abs(y) div ${PcaShift}L"))
+      val nrm = y.agg(
+        sqrt(sum((col("ys") * col("ys")).cast(DecimalType(38, 0)))
+          .cast(DoubleType)).as("nrm"))
+      v = y.crossJoin(broadcast(nrm))
+        .select(col("pos"),
+          floor(col("ys").cast(DoubleType) / col("nrm") * 1e6 + 0.5)
+            .cast(LongType).as("v"),
+          // floor, not cast: double->long casts truncate in Spark but
+          // round in DuckDB; floor agrees everywhere
+          floor(col("nrm")).cast(LongType).as("norm_shifted"))
+        .localCheckpoint(false) // d rows; cuts per-round lineage
+    }
+    val out = v.select(col("pos"), col("v").as("v_x1e6"), col("norm_shifted"))
+      .orderBy(col("pos"))
+    graft.streaming.DedupGate.unpersistCheckpoints(xq)
+    out
+  }
+
+  /** PROJECT onto the learned axis: per-vector fixed-point projection
+    * s = Σ xq·v (the whitening coordinate), reported as the top
+    * [[Similarity.TopKN]]·2 by |projection| — the outlier slice review
+    * queue. One broadcast join + one bounded top-K; never a sort of
+    * the vector table. */
+  def qPcaProject(s: SparkSession, d: String): DataFrame = {
+    val vDir = qPcaPower(s, d).select(col("pos"), col("v_x1e6"))
+    val proj = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        floor(col("col").cast(DoubleType) * PcaQuant + 0.5)
+          .cast(LongType).as("xq"))
+      .join(broadcast(vDir), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xq") * col("v_x1e6")).as("proj"))
+    val tk = udaf(new TopKAggregator(20),
+      ExpressionEncoder[(Double, Long)]())
+    proj.agg(tk(abs(col("proj")).cast(DoubleType), col("vec_id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast(LongType).as("rnk"), col("col._2").as("vec_id"))
+      .join(proj, "vec_id")
+      .select(col("rnk"), col("vec_id"), col("proj"))
+      .orderBy(col("rnk"))
+  }
 }

@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_ivfpq_res" -> "broadcast sides are the fixed centroid set, residual codebooks, and the |queries|x64 LUT",
     "q_ivfpq_res_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
     "q_kmv_overlap" -> "source-pair frame: |sources|^2 rows of a bounded dimension (never corpus-sized)",
-    "q_zorder_prune" -> "scalar subquery: single-row quantization min/max bounds broadcast")
+    "q_zorder_prune" -> "scalar subquery: single-row quantization min/max bounds broadcast",
+    "q_pca_power" -> "scalar subquery: single-row per-round norm broadcast",
+    "q_pca_project" -> "inherits q_pca_power's single-row norm broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
