@@ -236,7 +236,11 @@ object Retrieval {
       .agg(sum(col("fx")).as("rrf_x1e6"), count(lit(1)).as("n_lists"))
       // feeds the top-k AND the n_lists join-back: without the cut,
       // BOTH source retrieval queries run twice (measured 4.0 s vs
-      // ~2.1 s on q_hybrid_ivfpq at sf0.1)
+      // ~2.1 s on q_hybrid_ivfpq at sf0.1). Per-call blocks are
+      // reclaimed by the ContextCleaner when the returned frame's
+      // RDD is GC'd — an eager unpersist here would race consumers
+      // (the frame is returned lazily), so accretion is GC-bounded
+      // by design, not unreleased.
       .localCheckpoint(false)
     topK(fused, TopK, "id", "rrf_x1e6")
       .join(fused.select(col("qid"), col("id"), col("n_lists")), Seq("qid", "id"))
