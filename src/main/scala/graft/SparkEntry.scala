@@ -176,6 +176,7 @@ object SparkEntry {
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_pca_power" -> (Similarity.qPcaPower _),
+    "q_pca_basis" -> (Similarity.qPcaBasis _),
     "q_pca_project" -> (Similarity.qPcaProject _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
@@ -244,27 +245,51 @@ object SparkEntry {
     * identical double expression for the re-scale. Emits the final
     * round as `v{PcaRounds}(pos, v, norm_shifted)` over CTEs `xq`,
     * `v0..`; callers append their SELECT. */
-  private def pcaChainSql: String = {
-    import graft.operators.Similarity.{PcaRounds, PcaQuant, PcaShift}
+  private def pcaChainSql: String = pcaChainSqlFor("", None)
+
+  /** One unrolled power chain with CTE names suffixed by `sfx`;
+    * `deflateAgainst` names the final direction CTE of a previous
+    * chain, mirroring Similarity.powerChain's division-free exact
+    * deflation (y' = y·‖v1‖² − (v1·y)·v1, shifted by the deflated
+    * constant). Emits `v{PcaRounds}{sfx}(pos, v, norm_shifted)`. */
+  private def pcaChainSqlFor(sfx: String, deflateAgainst: Option[String]): String = {
+    import graft.operators.Similarity.{PcaRounds, PcaQuant, PcaShift, PcaShiftDeflated}
+    val shift = if (deflateAgainst.isDefined) PcaShiftDeflated else PcaShift
     val sb = new StringBuilder(
-      s"""xq AS (SELECT vec_id, pos,
-         |    CAST(floor(CAST(embedding[pos+1] AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT) AS xq
-         |  FROM (SELECT vec_id, embedding,
-         |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
-         |v0 AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)""".stripMargin)
-    for (i <- 1 to PcaRounds) sb ++= s""",
-         |s$i AS (SELECT x.vec_id, sum(x.xq * v.v) AS s
-         |  FROM xq x JOIN v${i - 1} v ON x.pos = v.pos GROUP BY 1),
-         |y$i AS (SELECT x.pos,
+      if (sfx.isEmpty)
+        s"""xq AS (SELECT vec_id, pos,
+           |    CAST(floor(CAST(embedding[pos+1] AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT) AS xq
+           |  FROM (SELECT vec_id, embedding,
+           |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
+           |v0 AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)""".stripMargin
+      else s"v0$sfx AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)")
+    for (i <- 1 to PcaRounds) {
+      sb ++= s""",
+         |s$i$sfx AS (SELECT x.vec_id, sum(x.xq * v.v) AS s
+         |  FROM xq x JOIN v${i - 1}$sfx v ON x.pos = v.pos GROUP BY 1),
+         |ya$i$sfx AS (SELECT x.pos,
          |    sum(CAST(s.s AS HUGEINT) * x.xq) AS y
-         |  FROM xq x JOIN s$i s ON x.vec_id = s.vec_id GROUP BY 1),
-         |ys$i AS (SELECT pos, CASE WHEN y < 0 THEN -((-y) // $PcaShift)
-         |    ELSE y // $PcaShift END AS ys FROM y$i),
-         |n$i AS (SELECT sqrt(CAST(sum(CAST(ys AS HUGEINT) * ys) AS DOUBLE)) AS nrm
-         |  FROM ys$i),
-         |v$i AS (SELECT pos,
+         |  FROM xq x JOIN s$i$sfx s ON x.vec_id = s.vec_id GROUP BY 1)""".stripMargin
+      val yIn = deflateAgainst match {
+        case None => s"ya$i$sfx"
+        case Some(v1) =>
+          sb ++= s""",
+             |dp$i$sfx AS (SELECT sum(y.y * CAST(v1.v AS HUGEINT)) AS p,
+             |    (SELECT sum(CAST(v * v AS HUGEINT)) FROM $v1) AS v1sq
+             |  FROM ya$i$sfx y JOIN $v1 v1 ON y.pos = v1.pos),
+             |yd$i$sfx AS (SELECT y.pos, y.y * d.v1sq - d.p * v1.v AS y
+             |  FROM ya$i$sfx y JOIN $v1 v1 ON y.pos = v1.pos, dp$i$sfx d)""".stripMargin
+          s"yd$i$sfx"
+      }
+      sb ++= s""",
+         |ys$i$sfx AS (SELECT pos, CASE WHEN y < 0 THEN -((-y) // $shift)
+         |    ELSE y // $shift END AS ys FROM $yIn),
+         |n$i$sfx AS (SELECT sqrt(CAST(sum(CAST(ys AS HUGEINT) * ys) AS DOUBLE)) AS nrm
+         |  FROM ys$i$sfx),
+         |v$i$sfx AS (SELECT pos,
          |    CAST(floor(CAST(ys AS DOUBLE) / nrm * 1e6 + 0.5) AS BIGINT) AS v,
-         |    CAST(floor(nrm) AS BIGINT) AS norm_shifted FROM ys$i, n$i)""".stripMargin
+         |    CAST(floor(nrm) AS BIGINT) AS norm_shifted FROM ys$i$sfx, n$i$sfx)""".stripMargin
+    }
     sb.toString
   }
 
@@ -2370,6 +2395,15 @@ object SparkEntry {
       val r = graft.operators.Similarity.PcaRounds
       s"""WITH $pcaChainSql
          |SELECT pos, v AS v_x1e6, norm_shifted FROM v$r ORDER BY pos""".stripMargin
+    },
+    "q_pca_basis" -> {
+      val r = graft.operators.Similarity.PcaRounds
+      s"""WITH ${pcaChainSqlFor("", None)},
+         |${pcaChainSqlFor("b", Some(s"v$r"))}
+         |SELECT CAST(1 AS BIGINT) AS comp, pos, v AS v_x1e6, norm_shifted FROM v$r
+         |UNION ALL
+         |SELECT 2, pos, v, norm_shifted FROM v${r}b
+         |ORDER BY comp, pos""".stripMargin
     },
     "q_pca_project" -> {
       val r = graft.operators.Similarity.PcaRounds

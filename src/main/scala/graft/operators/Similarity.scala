@@ -937,31 +937,84 @@ object Similarity {
     * per-round shifted norm (the eigenvalue proxy, monotone across
     * rounds when iteration converges). */
   def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val (xq, dim) = pcaInput(s, d)
+    val out = powerChain(s, xq, dim, None, PcaShift)
+      .select(col("pos"), col("v").as("v_x1e6"), col("norm_shifted"))
+      .orderBy(col("pos"))
+    graft.streaming.DedupGate.unpersistCheckpoints(xq)
+    out
+  }
+
+  /** Deflated-round shift: component-2 rounds carry the extra ·‖v1‖²
+    * (≈1e12) scale from the division-free deflation, so the pre-norm
+    * shift grows by the same factor. */
+  val PcaShiftDeflated: Long = PcaShift * 1000000000000L
+
+  /** TOP-2 ORTHOGONAL BASIS by exact deflation: component 1 is
+    * [[qPcaPower]]'s chain; component 2 re-runs it with every round's
+    * accumulated y DEFLATED against v1 — division-free, so it stays
+    * exact integers: y' = y·‖v1‖² − (v1·y)·v1 (all Decimal(38,0) /
+    * HUGEINT; magnitudes bounded by dim·(1e6)²·|y|). Re-deflating
+    * every round also re-removes the quantization drift the previous
+    * round's micro-unit rounding re-introduced, so the learned v2 is
+    * orthogonal to v1 up to one micro-unit per component. Output:
+    * (comp, pos, v_x1e6, norm_shifted). */
+  def qPcaBasis(s: SparkSession, d: String): DataFrame = {
+    val (xq, dim) = pcaInput(s, d)
+    val v1 = powerChain(s, xq, dim, None, PcaShift)
+    val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
+    val out = v1.select(lit(1L).as("comp"), col("pos"),
+        col("v").as("v_x1e6"), col("norm_shifted"))
+      .unionAll(v2.select(lit(2L).as("comp"), col("pos"),
+        col("v").as("v_x1e6"), col("norm_shifted")))
+      .orderBy(col("comp"), col("pos"))
+    graft.streaming.DedupGate.unpersistCheckpoints(xq)
+    out
+  }
+
+  /** Quantized long-form input + width (1-row scalar collect, the
+    * documented bounded class). */
+  private def pcaInput(s: SparkSession, d: String): (DataFrame, Int) = {
     val xq = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
         floor(col("col").cast(DoubleType) * PcaQuant + 0.5)
           .cast(LongType).as("xq"))
       .localCheckpoint(false) // feeds every round twice
-    // 1-row scalar (the documented bounded-collect class): the width
     val dim = Tables.embeddings(s, d)
       .agg(max(size(col("embedding")))).head.getInt(0)
+    (xq, dim)
+  }
+
+  /** The unrolled power-iteration rounds; `deflate` carries the
+    * already-learned direction to project out of every round's y. */
+  private def powerChain(s: SparkSession, xq: DataFrame, dim: Int,
+      deflate: Option[DataFrame], shift: Long): DataFrame = {
+    val dec = DecimalType(38, 0)
     var v: DataFrame = s.range(dim).select(col("id").as("pos"),
       lit(1000000L).as("v"), lit(0L).as("norm_shifted"))
     for (_ <- 1 to PcaRounds) {
       val sRow = xq.join(broadcast(v.select(col("pos"), col("v"))), "pos")
         .groupBy(col("vec_id"))
         .agg(sum(col("xq") * col("v")).as("s"))
-      val y = xq.join(sRow, "vec_id")
+      var y = xq.join(sRow, "vec_id")
         .groupBy(col("pos"))
-        .agg(sum(col("s").cast(DecimalType(38, 0)) * col("xq")).as("y"))
-        .withColumn("ys",
-          signum(col("y")).cast(DecimalType(38, 0)) *
-            expr(s"abs(y) div ${PcaShift}L"))
-      val nrm = y.agg(
-        sqrt(sum((col("ys") * col("ys")).cast(DecimalType(38, 0)))
-          .cast(DoubleType)).as("nrm"))
-      v = y.crossJoin(broadcast(nrm))
+        .agg(sum(col("s").cast(dec) * col("xq")).as("y"))
+      deflate.foreach { vd =>
+        val v1 = broadcast(vd.select(col("pos"), col("v").as("v1")))
+        // 1-row scalars: v1·y and ‖v1‖², both exact integers
+        val scal = broadcast(y.join(v1, "pos").agg(
+          sum(col("y") * col("v1").cast(dec)).as("p"),
+          sum((col("v1") * col("v1")).cast(dec)).as("v1sq")))
+        y = y.join(v1, "pos").crossJoin(scal)
+          .select(col("pos"),
+            (col("y") * col("v1sq") - col("p") * col("v1").cast(dec)).as("y"))
+      }
+      val ys = y.withColumn("ys",
+        signum(col("y")).cast(dec) * expr(s"abs(y) div ${shift}L"))
+      val nrm = ys.agg(
+        sqrt(sum((col("ys") * col("ys")).cast(dec)).cast(DoubleType)).as("nrm"))
+      v = ys.crossJoin(broadcast(nrm))
         .select(col("pos"),
           floor(col("ys").cast(DoubleType) / col("nrm") * 1e6 + 0.5)
             .cast(LongType).as("v"),
@@ -970,10 +1023,7 @@ object Similarity {
           floor(col("nrm")).cast(LongType).as("norm_shifted"))
         .localCheckpoint(false) // d rows; cuts per-round lineage
     }
-    val out = v.select(col("pos"), col("v").as("v_x1e6"), col("norm_shifted"))
-      .orderBy(col("pos"))
-    graft.streaming.DedupGate.unpersistCheckpoints(xq)
-    out
+    v
   }
 
   /** PROJECT onto the learned axis: per-vector fixed-point projection

@@ -68,6 +68,32 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("deflated basis: v2 orthogonal to v1, strictly weaker axis") {
+    val rows = Similarity.qPcaBasis(spark, d).collect()
+      .groupBy(_.getAs[Long]("comp"))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("v_x1e6"))
+      }
+    assert(rows.keySet == Set(1L, 2L))
+    val (v1, v2) = (rows(1L).map(_.toDouble), rows(2L).map(_.toDouble))
+    def n(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cos = v1.zip(v2).map { case (a, b) => a * b }.sum / (n(v1) * n(v2))
+    assert(math.abs(cos) < 1e-3, s"not orthogonal: cos=$cos")
+    // component 1 is the qPcaPower direction verbatim
+    val p1 = Similarity.qPcaPower(spark, d).collect()
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("v_x1e6"))
+    assert(rows(1L).sameElements(p1))
+    // dominance: the Rayleigh quotient along v1 >= along v2
+    val xq = vectors()
+    def rayleigh(dir: Array[Double]): Double = {
+      val nn = n(dir)
+      xq.map { row =>
+        val p = row.indices.map(j => row(j) * dir(j) / nn).sum; p * p
+      }.sum
+    }
+    assert(rayleigh(v1) >= rayleigh(v2), "component order inverted")
+  }
+
   test("projection query returns the top-|proj| slice, exactly ranked") {
     val xq = vectors()
     val (v, _) = refPower(xq)
