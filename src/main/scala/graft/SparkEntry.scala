@@ -177,6 +177,7 @@ object SparkEntry {
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_pca_power" -> (Similarity.qPcaPower _),
     "q_pca_basis" -> (Similarity.qPcaBasis _),
+    "q_second_moment" -> (Similarity.qSecondMoment _),
     "q_pca_project" -> (Similarity.qPcaProject _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
@@ -2395,6 +2396,20 @@ object SparkEntry {
       val r = graft.operators.Similarity.PcaRounds
       s"""WITH $pcaChainSql
          |SELECT pos, v AS v_x1e6, norm_shifted FROM v$r ORDER BY pos""".stripMargin
+    },
+    // mirror of Similarity.qSecondMoment: same quantization, same
+    // upper-triangle pair fan-out, exact integer sum
+    "q_second_moment" -> {
+      val q = graft.operators.Similarity.PcaQuant
+      s"""SELECT j, k, sum(m) AS m FROM (
+         |  SELECT CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k,
+         |    CAST(floor(CAST(embedding[j+1] AS DOUBLE) * $q + 0.5) AS BIGINT) *
+         |    CAST(floor(CAST(embedding[k+1] AS DOUBLE) * $q + 0.5) AS BIGINT) AS m
+         |  FROM (
+         |    SELECT embedding, j, unnest(generate_series(j, len(embedding)-1)) AS k
+         |    FROM (SELECT embedding, unnest(generate_series(0, len(embedding)-1)) AS j
+         |          FROM embeddings)))
+         |GROUP BY j, k ORDER BY j, k""".stripMargin
     },
     "q_pca_basis" -> {
       val r = graft.operators.Similarity.PcaRounds

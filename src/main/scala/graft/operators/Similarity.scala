@@ -972,6 +972,37 @@ object Similarity {
     out
   }
 
+  /** Exact (uncentered) SECOND-MOMENT matrix M = Σ x·xᵀ over the
+    * quantized embeddings, upper triangle — the d×d building block
+    * every offline PCA/whitening/covariance consumer starts from,
+    * as one exact integer aggregation. Entries are Σ xq_j·xq_k longs
+    * (|xq| ≤ 1e3·|x|, so ~1e9 rows stay inside 2^63 at unit-scale
+    * embeddings).
+    *
+    * Scale shape: the per-row pair fan-out (d²/2 terms) is CPU-only —
+    * hash aggregation combines map-side, so the SHUFFLE carries at
+    * most d²/2 rows per partition regardless of corpus size; nothing
+    * is ever sorted and the driver sees d²/2 rows. The same plan at
+    * d = 1024 shuffles ~0.5M rows/partition — still broadcast-scale;
+    * production would block columns only past that. */
+  def qSecondMoment(s: SparkSession, d: String): DataFrame = {
+    def q(c: Column): Column =
+      floor(c.cast(DoubleType) * PcaQuant + 0.5).cast(LongType)
+    // pair fan-out straight off the array — generate/project only, no
+    // join anywhere; both explodes stay in whole-stage codegen
+    Tables.embeddings(s, d)
+      .select(col("embedding"),
+        explode(sequence(lit(0), size(col("embedding")) - 1)).as("j"))
+      .select(col("embedding"), col("j"),
+        explode(sequence(col("j"), size(col("embedding")) - 1)).as("k"))
+      .select(col("j").cast(LongType).as("j"), col("k").cast(LongType).as("k"),
+        (q(element_at(col("embedding"), col("j") + 1)) *
+          q(element_at(col("embedding"), col("k") + 1))).as("m"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("m")).as("m"))
+      .orderBy(col("j"), col("k"))
+  }
+
   /** Quantized long-form input + width (1-row scalar collect, the
     * documented bounded class). */
   private def pcaInput(s: SparkSession, d: String): (DataFrame, Int) = {

@@ -94,6 +94,19 @@ class PcaSpec extends SparkSpec {
     assert(rayleigh(v1) >= rayleigh(v2), "component order inverted")
   }
 
+  test("second-moment matrix equals the scalar mirror, entry for entry") {
+    val xq = vectors()
+    val dim = xq.head.length
+    val got = Similarity.qSecondMoment(spark, d).collect()
+      .map(r => ((r.getAs[Long]("j"), r.getAs[Long]("k")), r.getAs[Long]("m")))
+      .toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    for (j <- 0 until dim; k <- j until dim) {
+      val want = xq.map(row => row(j) * row(k)).sum
+      assert(got((j.toLong, k.toLong)) == want, s"M[$j,$k]")
+    }
+  }
+
   test("projection query returns the top-|proj| slice, exactly ranked") {
     val xq = vectors()
     val (v, _) = refPower(xq)
