@@ -108,6 +108,7 @@ object SparkEntry {
     "q_kmv_overlap" -> (TextAnalysis.qKmvOverlap _),
     "q_kmv_stream" -> (graft.streaming.KmvGate.qKmvStream _),
     "q_priority_stream" -> (graft.streaming.SampleGate.qPriorityStream _),
+    "q_cms_stream" -> (graft.streaming.CmsGate.qCmsStream _),
     "q_fuzzy_link" -> (TextAnalysis.qFuzzyLink _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_tfidf_topk" -> (TextAnalysis.qTfIdfTopK _),
@@ -293,6 +294,17 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Mirror of TextAnalysis.qHeavyHitters' verdict surface: exact
+    * top-K anchor; the sketch verdicts must both hold (the count-min
+    * one-sided + eps·N guarantees). Shared verbatim by q_cms_stream. */
+  private val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+       |cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM toks GROUP BY 1)
+       |SELECT w, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
+       |FROM cnts ORDER BY exact_cnt DESC, w
+       |LIMIT ${graft.operators.TextAnalysis.HeavyHittersK}""".stripMargin
 
   private val jaccardSql =
     s"""WITH $shingleCte,
@@ -2105,13 +2117,12 @@ object SparkEntry {
     // sketch convention (q_approx_distinct's): exact top-K anchor +
     // TRUE error-bound verdicts — the estimates themselves are
     // engine-specific, the guarantees are not
-    "q_heavy_hitters" ->
-      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
-         |cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
-         |  FROM toks GROUP BY 1)
-         |SELECT w, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
-         |FROM cnts ORDER BY exact_cnt DESC, w
-         |LIMIT ${graft.operators.TextAnalysis.HeavyHittersK}""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersSql,
+    // the additive sketch's streaming absorb: cell-wise additivity
+    // makes incremental == one-shot, and the exactly-once batch-id
+    // marker makes the lifecycle's deliberate replay invisible — so
+    // the oracle is q_heavy_hitters' verbatim
+    "q_cms_stream" -> heavyHittersSql,
     // KMV: every column — including the estimates and the bound
     // verdict — is recomputed from the same md5-hash domain with
     // HUGEINT floor division, so the WHOLE sketch algebra (not just
