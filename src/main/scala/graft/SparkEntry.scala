@@ -179,6 +179,7 @@ object SparkEntry {
     "q_pca_power" -> (Similarity.qPcaPower _),
     "q_pca_basis" -> (Similarity.qPcaBasis _),
     "q_second_moment" -> (Similarity.qSecondMoment _),
+    "q_whiten" -> (Similarity.qWhiten _),
     "q_pca_project" -> (Similarity.qPcaProject _),
     "q_knn_ivf" -> (Similarity.qKnnIvf _),
     "q_knn_ivf_int8" -> (Similarity.qKnnIvfInt8 _),
@@ -259,36 +260,36 @@ object SparkEntry {
     val shift = if (deflateAgainst.isDefined) PcaShiftDeflated else PcaShift
     val sb = new StringBuilder(
       if (sfx.isEmpty)
-        s"""xq AS (SELECT vec_id, pos,
+        s"""xq AS MATERIALIZED (SELECT vec_id, pos,
            |    CAST(floor(CAST(embedding[pos+1] AS DOUBLE) * $PcaQuant + 0.5) AS BIGINT) AS xq
            |  FROM (SELECT vec_id, embedding,
            |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
-           |v0 AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)""".stripMargin
-      else s"v0$sfx AS (SELECT DISTINCT pos, 1000000 AS v FROM xq)")
+           |v0 AS MATERIALIZED (SELECT DISTINCT pos, 1000000 AS v FROM xq)""".stripMargin
+      else s"v0$sfx AS MATERIALIZED (SELECT DISTINCT pos, 1000000 AS v FROM xq)")
     for (i <- 1 to PcaRounds) {
       sb ++= s""",
-         |s$i$sfx AS (SELECT x.vec_id, sum(x.xq * v.v) AS s
+         |s$i$sfx AS MATERIALIZED (SELECT x.vec_id, sum(x.xq * v.v) AS s
          |  FROM xq x JOIN v${i - 1}$sfx v ON x.pos = v.pos GROUP BY 1),
-         |ya$i$sfx AS (SELECT x.pos,
+         |ya$i$sfx AS MATERIALIZED (SELECT x.pos,
          |    sum(CAST(s.s AS HUGEINT) * x.xq) AS y
          |  FROM xq x JOIN s$i$sfx s ON x.vec_id = s.vec_id GROUP BY 1)""".stripMargin
       val yIn = deflateAgainst match {
         case None => s"ya$i$sfx"
         case Some(v1) =>
           sb ++= s""",
-             |dp$i$sfx AS (SELECT sum(y.y * CAST(v1.v AS HUGEINT)) AS p,
+             |dp$i$sfx AS MATERIALIZED (SELECT sum(y.y * CAST(v1.v AS HUGEINT)) AS p,
              |    (SELECT sum(CAST(v * v AS HUGEINT)) FROM $v1) AS v1sq
              |  FROM ya$i$sfx y JOIN $v1 v1 ON y.pos = v1.pos),
-             |yd$i$sfx AS (SELECT y.pos, y.y * d.v1sq - d.p * v1.v AS y
+             |yd$i$sfx AS MATERIALIZED (SELECT y.pos, y.y * d.v1sq - d.p * v1.v AS y
              |  FROM ya$i$sfx y JOIN $v1 v1 ON y.pos = v1.pos, dp$i$sfx d)""".stripMargin
           s"yd$i$sfx"
       }
       sb ++= s""",
-         |ys$i$sfx AS (SELECT pos, CASE WHEN y < 0 THEN -((-y) // $shift)
+         |ys$i$sfx AS MATERIALIZED (SELECT pos, CASE WHEN y < 0 THEN -((-y) // $shift)
          |    ELSE y // $shift END AS ys FROM $yIn),
-         |n$i$sfx AS (SELECT sqrt(CAST(sum(CAST(ys AS HUGEINT) * ys) AS DOUBLE)) AS nrm
+         |n$i$sfx AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(ys AS HUGEINT) * ys) AS DOUBLE)) AS nrm
          |  FROM ys$i$sfx),
-         |v$i$sfx AS (SELECT pos,
+         |v$i$sfx AS MATERIALIZED (SELECT pos,
          |    CAST(floor(CAST(ys AS DOUBLE) / nrm * 1e6 + 0.5) AS BIGINT) AS v,
          |    CAST(floor(nrm) AS BIGINT) AS norm_shifted FROM ys$i$sfx, n$i$sfx)""".stripMargin
     }
@@ -2430,6 +2431,32 @@ object SparkEntry {
          |UNION ALL
          |SELECT 2, pos, v, norm_shifted FROM v${r}b
          |ORDER BY comp, pos""".stripMargin
+    },
+    // mirror of Similarity.qWhiten: both chains, shifted projections
+    // (signed truncating //), HUGEINT second moments, integer verdicts
+    "q_whiten" -> {
+      val r = graft.operators.Similarity.PcaRounds
+      s"""WITH ${pcaChainSqlFor("", None)},
+         |${pcaChainSqlFor("b", Some(s"v$r"))},
+         |pa AS (SELECT x.vec_id, sum(x.xq * v.v) AS p
+         |  FROM xq x JOIN v$r v ON x.pos = v.pos GROUP BY 1),
+         |pas AS (SELECT vec_id, CASE WHEN p < 0 THEN -((-p) // 1000000)
+         |    ELSE p // 1000000 END AS p1 FROM pa),
+         |pb AS (SELECT x.vec_id, sum(x.xq * v.v) AS p
+         |  FROM xq x JOIN v${r}b v ON x.pos = v.pos GROUP BY 1),
+         |pbs AS (SELECT vec_id, CASE WHEN p < 0 THEN -((-p) // 1000000)
+         |    ELSE p // 1000000 END AS p2 FROM pb),
+         |m AS (SELECT count(*) AS n_vecs,
+         |    sum(CAST(p1 AS HUGEINT) * p1) AS var1,
+         |    sum(CAST(p2 AS HUGEINT) * p2) AS var2,
+         |    sum(CAST(p1 AS HUGEINT) * p2) AS cr
+         |  FROM pas JOIN pbs USING (vec_id))
+         |SELECT n_vecs, CAST(var1 AS BIGINT) AS var1_shifted,
+         |  CAST(var2 AS BIGINT) AS var2_shifted,
+         |  CAST(cr AS BIGINT) AS cross_shifted,
+         |  var1 >= var2 AS var_order_ok,
+         |  cr * cr * 25 <= var1 * var2 AS decorr_ok
+         |FROM m""".stripMargin
     },
     "q_pca_project" -> {
       val r = graft.operators.Similarity.PcaRounds

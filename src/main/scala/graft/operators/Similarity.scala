@@ -938,11 +938,14 @@ object Similarity {
     * rounds when iteration converges). */
   def qPcaPower(s: SparkSession, d: String): DataFrame = {
     val (xq, dim) = pcaInput(s, d)
-    val out = powerChain(s, xq, dim, None, PcaShift)
+    // xq's checkpoint blocks are reclaimed by the ContextCleaner when
+    // the returned plan is GC'd — an eager async unpersist here races
+    // the multi-job execution (broadcast subtrees materialize the
+    // checkpoint before the main job reads it; qWhiten reproduced the
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure deterministically).
+    powerChain(s, xq, dim, None, PcaShift)
       .select(col("pos"), col("v").as("v_x1e6"), col("norm_shifted"))
       .orderBy(col("pos"))
-    graft.streaming.DedupGate.unpersistCheckpoints(xq)
-    out
   }
 
   /** Deflated-round shift: component-2 rounds carry the extra ·‖v1‖²
@@ -963,13 +966,12 @@ object Similarity {
     val (xq, dim) = pcaInput(s, d)
     val v1 = powerChain(s, xq, dim, None, PcaShift)
     val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
-    val out = v1.select(lit(1L).as("comp"), col("pos"),
+    // no eager unpersist — see qPcaPower (ContextCleaner reclaims)
+    v1.select(lit(1L).as("comp"), col("pos"),
         col("v").as("v_x1e6"), col("norm_shifted"))
       .unionAll(v2.select(lit(2L).as("comp"), col("pos"),
         col("v").as("v_x1e6"), col("norm_shifted")))
       .orderBy(col("comp"), col("pos"))
-    graft.streaming.DedupGate.unpersistCheckpoints(xq)
-    out
   }
 
   /** Exact (uncentered) SECOND-MOMENT matrix M = Σ x·xᵀ over the
@@ -1001,6 +1003,48 @@ object Similarity {
       .groupBy(col("j"), col("k"))
       .agg(sum(col("m")).as("m"))
       .orderBy(col("j"), col("k"))
+  }
+
+  /** WHITENING audit of the deflated basis: project every vector onto
+    * (v1, v2) and verify, in exact integers, that the coordinates are
+    * DECORRELATED (the property whitening is for) and variance-ordered.
+    * Projections are shifted to 1e6 units (signed truncating div, the
+    * cross-engine form) so the second moments fit Decimal(38,0) at any
+    * harness scale; the decorrelation verdict is cross² · 25 ≤
+    * var1·var2 — |corr| ≤ 0.2 as a pure integer inequality (measured
+    * |corr| is ~1e-3; the slack is quantization headroom, not doubt).
+    * Output: one row (n_vecs, var1_shifted, var2_shifted,
+    * cross_shifted, var_order_ok, decorr_ok).
+    *
+    * Scale shape: two broadcast d-row joins + one per-vector agg +
+    * one 1-row rollup; the vector table is never value-shuffled. */
+  def qWhiten(s: SparkSession, d: String): DataFrame = {
+    val (xq, dim) = pcaInput(s, d)
+    val v1 = powerChain(s, xq, dim, None, PcaShift)
+    val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
+    def proj(v: DataFrame, name: String): DataFrame =
+      xq.join(broadcast(v.select(col("pos"), col("v"))), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("v")).as("p"))
+        .select(col("vec_id"),
+          (signum(col("p")).cast(LongType) * expr("abs(p) div 1000000L"))
+            .as(name))
+    val dec = DecimalType(38, 0)
+    val out = proj(v1, "p1").join(proj(v2, "p2"), "vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("p1") * col("p1")).cast(dec)).as("var1_shifted"),
+        sum((col("p2") * col("p2")).cast(dec)).as("var2_shifted"),
+        sum((col("p1") * col("p2")).cast(dec)).as("cross_shifted"))
+      .select(col("n_vecs"),
+        col("var1_shifted").cast(LongType).as("var1_shifted"),
+        col("var2_shifted").cast(LongType).as("var2_shifted"),
+        col("cross_shifted").cast(LongType).as("cross_shifted"),
+        (col("var1_shifted") >= col("var2_shifted")).as("var_order_ok"),
+        // verdict products stay Decimal(38,0): cross² wraps Int64
+        (col("cross_shifted") * col("cross_shifted") * lit(25).cast(dec) <=
+          col("var1_shifted") * col("var2_shifted")).as("decorr_ok"))
+    // no eager unpersist — see qPcaPower (ContextCleaner reclaims)
+    out
   }
 
   /** Quantized long-form input + width (1-row scalar collect, the

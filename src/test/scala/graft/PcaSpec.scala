@@ -94,6 +94,19 @@ class PcaSpec extends SparkSpec {
     assert(rayleigh(v1) >= rayleigh(v2), "component order inverted")
   }
 
+  test("whitening audit: decorrelated, variance-ordered, scalar-mirror exact") {
+    val xq = vectors()
+    val (v1, _) = refPower(xq)
+    val got = Similarity.qWhiten(spark, d).collect().head
+    assert(got.getAs[Long]("n_vecs") == xq.length)
+    assert(got.getAs[Boolean]("var_order_ok"))
+    assert(got.getAs[Boolean]("decorr_ok"))
+    // var1 matches the scalar mirror's shifted second moment along v1
+    val p1 = xq.map(row => row.indices.map(j => row(j) * v1(j)).sum)
+      .map(p => (p.sign: Long) * (math.abs(p) / 1000000L))
+    assert(got.getAs[Long]("var1_shifted") == p1.map(p => p * p).sum)
+  }
+
   test("second-moment matrix equals the scalar mirror, entry for entry") {
     val xq = vectors()
     val dim = xq.head.length

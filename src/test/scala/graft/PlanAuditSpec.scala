@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_zorder_prune" -> "scalar subquery: single-row quantization min/max bounds broadcast",
     "q_pca_power" -> "scalar subquery: single-row per-round norm broadcast",
     "q_pca_basis" -> "scalar subqueries: per-round norm + deflation (p, v1sq) single-row broadcasts",
+    "q_whiten" -> "inherits q_pca_basis' per-round norm + deflation single-row broadcasts",
     "q_pca_project" -> "inherits q_pca_power's single-row norm broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
