@@ -499,9 +499,11 @@ object SparkEntry {
        |  CAST(dup_spans AS DOUBLE)/n_spans AS dup_frac,
        |  CAST(CASE WHEN dup_spans*2 <= n_spans THEN 1 ELSE 0 END AS BIGINT) AS admit
        |FROM per ORDER BY doc_id""".stripMargin
-  /** Mirror of Dedup.qSimhashMd5: distinct tokens, uint32 from the
-    * first 8 md5 hex chars, 32 bit-majority weights, ties -> 0. */
-  private val simhashMd5Sql = {
+  /** Mirror of Dedup.simhashMd5Signatures: distinct tokens, uint32
+    * from the first 8 md5 hex chars, 32 bit-majority weights, ties ->
+    * 0. Core (no ORDER BY) shared by the signature query and the
+    * banded near-dup primary. */
+  private val simhashMd5CoreSql = {
     val w = (0 until 32).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j")
       .mkString(",\n    ")
@@ -515,9 +517,26 @@ object SparkEntry {
        |w AS (SELECT doc_id,
        |    $w
        |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($sh AS BIGINT) AS simhash32 FROM w
-       |ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($sh AS BIGINT) AS simhash32 FROM w""".stripMargin
   }
+
+  private val simhashMd5Sql =
+    s"$simhashMd5CoreSql\nORDER BY doc_id"
+
+  /** Mirror of Dedup.qSimhash: 4 x 8-bit bands over the md5 32-bit
+    * signature, bucket self-join, hamming <= 3 via bit_count(xor). */
+  private val simhashNearDupSql =
+    s"""WITH sig AS ($simhashMd5CoreSql),
+       |bands AS (SELECT doc_id, simhash32, k AS band_id,
+       |    (simhash32 >> (8*k)) & 255 AS band_val
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash32, y.simhash32)) AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |    AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   private val langScoreSql = {
     val profiles = graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1)
@@ -2188,7 +2207,7 @@ object SparkEntry {
          |  JOIN pse eb ON pa.src_b = eb.source)
          |SELECT src_a, src_b, n_a, n_b, exact_inter,
          |  n_a + n_b - exact_inter AS exact_union,
-         |  est_a, est_b, est_union, matched,
+         |  est_a, est_b, est_union, CAST(matched AS BIGINT) AS matched,
          |  CAST(CAST(matched AS HUGEINT) * est_union // n_sk AS BIGINT) AS est_inter,
          |  CAST(CAST(matched AS HUGEINT) * 1000000 // n_sk AS BIGINT) AS jaccard_x1e6,
          |  CAST(abs(est_union - (n_a + n_b - exact_inter)) AS HUGEINT) * 1000000
@@ -2321,7 +2340,8 @@ object SparkEntry {
     "q_minhash_lsh" -> jaccardSql,
     // engine-portable SimHash (md5-hashed 32-bit variant): the one
     // hash family both engines share, so the bit-majority construction
-    // itself is oracle-verified; xxhash64 q_simhash stays rows-only
+    // itself is oracle-verified; the banded near-dup primary too
+    "q_simhash" -> simhashNearDupSql,
     "q_simhash_md5" -> simhashMd5Sql,
     // gate ground truth: exact-Jaccard pairs touching the new side —
     // crossing pairs oriented (new, corpus) PLUS new-new pairs (the
@@ -2413,7 +2433,7 @@ object SparkEntry {
     // upper-triangle pair fan-out, exact integer sum
     "q_second_moment" -> {
       val q = graft.operators.Similarity.PcaQuant
-      s"""SELECT j, k, sum(m) AS m FROM (
+      s"""SELECT j, k, CAST(sum(m) AS BIGINT) AS m FROM (
          |  SELECT CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k,
          |    CAST(floor(CAST(embedding[j+1] AS DOUBLE) * $q + 0.5) AS BIGINT) *
          |    CAST(floor(CAST(embedding[k+1] AS DOUBLE) * $q + 0.5) AS BIGINT) AS m
@@ -2465,7 +2485,7 @@ object SparkEntry {
          |  FROM xq x JOIN v$r v ON x.pos = v.pos GROUP BY 1),
          |rk AS (SELECT vec_id, proj,
          |    row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS rnk FROM proj)
-         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, proj
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, CAST(proj AS BIGINT) AS proj
          |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
     },
     // same fixed-point class-mean + argmax chain as Similarity.qEmbedClassify

@@ -564,11 +564,15 @@ object Dedup {
       .agg(simhash_agg(col("h"), lit(1L)).as("simhash"))
   }
 
-  /** SimHash near-dup: band the 64-bit signature into 4 x 16-bit
-    * quarters (pigeonhole: hamming <= 3 pairs share a quarter), bucket-
-    * join, verify hamming via bit_count(xor). No DuckDB oracle (no
-    * xxhash64 there) — rows-only check + unit tests. */
-  def qSimhash(s: SparkSession, d: String): DataFrame = {
+  /** Production SimHash near-dup: band the 64-bit xxhash64 signature
+    * into 4 x 16-bit quarters (pigeonhole: hamming <= 3 pairs share a
+    * quarter), bucket-join, verify hamming via bit_count(xor). This is
+    * the SCALE path (64-bit signatures, 65536-way bands); it has no
+    * DuckDB oracle (no xxhash64 there), so the suite's primary
+    * `q_simhash` is [[qSimhash]] — the identical pipeline over the
+    * oracle-portable md5 32-bit signatures. Spec-covered
+    * (DedupSpec). */
+  def qSimhashXx(s: SparkSession, d: String): DataFrame = {
     val sig = simhashSignatures(Tables.documents(s, d))
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
@@ -598,7 +602,10 @@ object Dedup {
     * resolve to bit 0 — both pinned in the oracle SQL too. One
     * groupBy over the token fan-out; the 32 bit-weights are static
     * aggregate columns (no per-bit explode), fully codegen. */
-  def qSimhashMd5(s: SparkSession, d: String): DataFrame = {
+  def qSimhashMd5(s: SparkSession, d: String): DataFrame =
+    simhashMd5Signatures(s, d).orderBy(col("doc_id"))
+
+  private def simhashMd5Signatures(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -613,7 +620,33 @@ object Dedup {
       when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     toks.groupBy(col("doc_id")).agg(weights.head, weights.tail: _*)
       .select(col("doc_id"), simhash.cast(LongType).as("simhash32"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Primary (oracle-green) SimHash near-dup: the SAME band/bucket/
+    * verify pipeline as [[qSimhashXx]] but over the engine-portable md5
+    * 32-bit signatures — 4 x 8-bit bands (pigeonhole: hamming <= 3
+    * pairs share a byte), bucket equi-join, bit_count(xor) verify.
+    * Both engines compute md5 identically, so the WHOLE near-dup
+    * pipeline (signatures + banding + hamming) is hash-verified
+    * against DuckDB; at scale the 64-bit/16-bit-band xxhash64 variant
+    * is the production signature (256x more buckets per band). */
+  def qSimhash(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashMd5Signatures(s, d)
+    val bands = sig.select(col("doc_id"), col("simhash32"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_id"),
+          shiftright(col("simhash32"), 8 * k).bitwiseAND(0xFFL).as("band_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash32"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash32").bitwiseXOR(col("y.simhash32"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The composite corpus-cleaning pipeline a training-data run

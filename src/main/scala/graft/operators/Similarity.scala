@@ -303,14 +303,14 @@ object Similarity {
   /** Test hook: forget the in-JVM artifact memos, simulating a process
     * restart — the next call must mount from the saved tables. */
   private[graft] def clearArtifactMemos(): Unit = {
-    centCache.clear(); pqCache.clear()
+    centCache.clear(); pqCache.clear(); pcaCache.clear()
   }
 
   /** Drop the saved ANN artifact tables for a corpus dir (bench/temp
     * hygiene — a temp-named sf1 dir would otherwise accrete one
     * warehouse dir per run). */
   private[graft] def dropArtifacts(s: SparkSession, d: String): Unit =
-    for (k <- Seq(s"ivf$KMeansIters") ++
+    for (k <- Seq(s"ivf$KMeansIters", "pca") ++
         (0 until PqM).flatMap(m => Seq(s"pq$m", s"pqr$m")))
       try s.sql(s"DROP TABLE IF EXISTS ${annTableName(k, d)}")
       catch { case _: Throwable => () }
@@ -936,17 +936,10 @@ object Similarity {
     * Output: (pos, v_x1e6) — the direction in micro units — plus the
     * per-round shifted norm (the eigenvalue proxy, monotone across
     * rounds when iteration converges). */
-  def qPcaPower(s: SparkSession, d: String): DataFrame = {
-    val (xq, dim) = pcaInput(s, d)
-    // xq's checkpoint blocks are reclaimed by the ContextCleaner when
-    // the returned plan is GC'd — an eager async unpersist here races
-    // the multi-job execution (broadcast subtrees materialize the
-    // checkpoint before the main job reads it; qWhiten reproduced the
-    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure deterministically).
-    powerChain(s, xq, dim, None, PcaShift)
+  def qPcaPower(s: SparkSession, d: String): DataFrame =
+    trainedPcaBasis(s, d).filter(col("comp") === 1L)
       .select(col("pos"), col("v").as("v_x1e6"), col("norm_shifted"))
       .orderBy(col("pos"))
-  }
 
   /** Deflated-round shift: component-2 rounds carry the extra ·‖v1‖²
     * (≈1e12) scale from the division-free deflation, so the pre-norm
@@ -962,16 +955,50 @@ object Similarity {
     * round's micro-unit rounding re-introduced, so the learned v2 is
     * orthogonal to v1 up to one micro-unit per component. Output:
     * (comp, pos, v_x1e6, norm_shifted). */
-  def qPcaBasis(s: SparkSession, d: String): DataFrame = {
-    val (xq, dim) = pcaInput(s, d)
-    val v1 = powerChain(s, xq, dim, None, PcaShift)
-    val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
-    // no eager unpersist — see qPcaPower (ContextCleaner reclaims)
-    v1.select(lit(1L).as("comp"), col("pos"),
-        col("v").as("v_x1e6"), col("norm_shifted"))
-      .unionAll(v2.select(lit(2L).as("comp"), col("pos"),
-        col("v").as("v_x1e6"), col("norm_shifted")))
+  def qPcaBasis(s: SparkSession, d: String): DataFrame =
+    trainedPcaBasis(s, d)
+      .select(col("comp"), col("pos"), col("v").as("v_x1e6"),
+        col("norm_shifted"))
       .orderBy(col("comp"), col("pos"))
+
+  /** Trained top-2 PCA basis (comp ∈ {1,2}; pos, v, norm_shifted) —
+    * memoized behind the digest-keyed saved-table convention
+    * ([[trainedCentroids]] template, round-15/VERDICT r14 #5). The
+    * chain is corpus-deterministic (fixed unroll, exact integers), so
+    * the 2·d-row artifact is trained ONCE per corpus and every family
+    * member ([[qPcaPower]]/[[qPcaBasis]]/[[qWhiten]]/[[qPcaProject]])
+    * mounts it — previously the suite re-ran the power chains 6×.
+    * At 100 TB the two full-corpus power iterations are exactly the
+    * work a restart (or a sibling query) must never redo. */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[org.apache.spark.sql.Row]]()
+
+  private[graft] def trainedPcaBasis(s: SparkSession, d: String): DataFrame = {
+    val fp = embFingerprint(d)
+    val rows = pcaCache.computeIfAbsent((d, fp), _ => {
+      val table = annTableName("pca", d)
+      mountArtifact(s, table, fp).getOrElse {
+        // xq's checkpoint blocks are reclaimed by the ContextCleaner
+        // when the plan is GC'd — an eager async unpersist here races
+        // the multi-job execution (broadcast subtrees materialize the
+        // checkpoint before the main job reads it; qWhiten reproduced
+        // the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure).
+        val (xq, dim) = pcaInput(s, d)
+        val v1 = powerChain(s, xq, dim, None, PcaShift)
+        val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
+        val basis = v1.select(lit(1L).as("comp"), col("pos"), col("v"),
+            col("norm_shifted"))
+          .unionAll(v2.select(lit(2L).as("comp"), col("pos"), col("v"),
+            col("norm_shifted")))
+        saveArtifact(s, basis, table, fp)
+      }
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("comp", LongType),
+        org.apache.spark.sql.types.StructField("pos", LongType),
+        org.apache.spark.sql.types.StructField("v", LongType),
+        org.apache.spark.sql.types.StructField("norm_shifted", LongType))))
   }
 
   /** Exact (uncentered) SECOND-MOMENT matrix M = Σ x·xᵀ over the
@@ -1019,9 +1046,10 @@ object Similarity {
     * Scale shape: two broadcast d-row joins + one per-vector agg +
     * one 1-row rollup; the vector table is never value-shuffled. */
   def qWhiten(s: SparkSession, d: String): DataFrame = {
-    val (xq, dim) = pcaInput(s, d)
-    val v1 = powerChain(s, xq, dim, None, PcaShift)
-    val v2 = powerChain(s, xq, dim, Some(v1), PcaShiftDeflated)
+    val (xq, _) = pcaInput(s, d)
+    val basis = trainedPcaBasis(s, d)
+    val v1 = basis.filter(col("comp") === 1L)
+    val v2 = basis.filter(col("comp") === 2L)
     def proj(v: DataFrame, name: String): DataFrame =
       xq.join(broadcast(v.select(col("pos"), col("v"))), "pos")
         .groupBy(col("vec_id"))

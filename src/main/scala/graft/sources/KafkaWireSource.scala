@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.KafkaWire
+
+/** S1 — the Kafka CONSUMER as a first-class Spark streaming source
+  * (reference: `FlinkKafkaConsumer011` bootstrapping both jobs,
+  * `DataClean.java:58-66`, `DataReport.java:73-88`), mounted through
+  * the public DataSourceV2 seam: `TableProvider` →
+  * `SupportsRead(MICRO_BATCH_READ)` → [[KafkaWireMicroBatchStream]].
+  * The byte-level consumer underneath is the repo's own wire client —
+  * [[KafkaWire.fetchCommitted]], Fetch v4 with
+  * isolation_level=read_committed, CRC-32C re-validated per batch —
+  * so aborted transactions are invisible end-to-end, matching the
+  * reference's exactly-once reading side.
+  *
+  * Usage (CleanPipeline.fromKafkaWire wraps this):
+  * {{{
+  * spark.readStream.format("kafka-wire")
+  *   .option("host", h).option("port", p).option("topic", t).load()
+  * }}}
+  * Schema mirrors Spark's own Kafka source surface: (key STRING,
+  * value STRING, partition INT, offset LONG).
+  *
+  * Offsets and exactly-once: the stream's [[Offset]] is the
+  * per-partition next-offset map, JSON-serialized into Spark's
+  * checkpoint offset log. A restarted query replans the SAME
+  * [start, end) range (Structured Streaming's contract), and
+  * [[KafkaWire.fetchCommitted]] slices records by offset, so every
+  * record lands in exactly one micro-batch across restarts. Paired
+  * with [[graft.streaming.KafkaEosSink]] on the write side the whole
+  * broker→engine→broker path is exactly-once (KafkaWireSourceSpec
+  * proves the composition incl. a replay).
+  *
+  * Scale shape: one [[InputPartition]] per Kafka partition — the
+  * parallelism unit IS the topic's partition count, as with Spark's
+  * own connector; each task opens its own socket on its executor and
+  * reads only its [start, end) slice. No driver-side record
+  * buffering — the driver touches only hwm numbers (latestOffset).
+  * `maxOffsetsPerTrigger` caps a micro-batch for backpressure. */
+class KafkaWireSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kafka-wire"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaWireSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // properties arrive in original case — normalize (the user writes
+    // maxOffsetsPerTrigger, Spark's own Kafka option casing)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KafkaWireTable(
+      Option(opts.get("host")).getOrElse("127.0.0.1"),
+      Option(opts.get("port")).map(_.toInt)
+        .getOrElse(sys.error("kafka-wire: option 'port' is required")),
+      Option(opts.get("topic"))
+        .getOrElse(sys.error("kafka-wire: option 'topic' is required")),
+      Option(opts.get("partitions")).map(_.toInt).getOrElse(1),
+      Option(opts.get("maxOffsetsPerTrigger")).map(_.toLong))
+  }
+}
+
+object KafkaWireSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false)))
+}
+
+final class KafkaWireTable(host: String, port: Int, topic: String,
+    partitions: Int, maxPerTrigger: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"kafka-wire:$topic@$host:$port"
+  override def schema(): StructType = KafkaWireSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = KafkaWireSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KafkaWireMicroBatchStream(host, port, topic, partitions, maxPerTrigger)
+        override def toBatch: Batch = sys.error(
+          "kafka-wire is a streaming source; use readStream")
+      }
+    }
+}
+
+/** Per-partition next-offset map. JSON form: `{"0":12,"1":3}`
+  * (partition ids sorted — the string is written into Spark's
+  * checkpoint offset log and must be deterministic). */
+final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object KafkaWireOffset {
+  def parse(json: String): KafkaWireOffset = KafkaWireOffset(
+    json.trim.stripPrefix("{").stripSuffix("}").split(",").toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap)
+}
+
+final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
+    partitions: Int, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def parts = 0 until partitions
+
+  override def initialOffset(): Offset =
+    KafkaWireOffset(parts.map(_ -> 0L).toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** High watermark per partition — read_committed, so only committed
+    * data is ever admitted. Driver-side metadata only (no records
+    * move here). With SupportsAdmissionControl implemented, Spark
+    * calls the (start, limit) variant below. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  /** Backpressure seam: a ReadMaxRows limit caps this trigger's end
+    * offsets at start + cap/partitions per partition (the same
+    * spread-evenly policy as Spark's Kafka connector). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KafkaWireOffset]
+    val hwm = parts.map(p =>
+      p -> KafkaWire.fetchCommitted(host, port, topic, p, Long.MaxValue)._1).toMap
+    KafkaWireOffset(limit match {
+      case mr: ReadMaxRows =>
+        val per = math.max(1L, mr.maxRows / math.max(1, partitions))
+        hwm.map { case (p, h) =>
+          p -> math.min(h, s.offsets.getOrElse(p, 0L) + per) }
+      case _ => hwm
+    })
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaWireOffset]
+    val e = end.asInstanceOf[KafkaWireOffset]
+    parts.flatMap { p =>
+      val from = s.offsets.getOrElse(p, 0L)
+      val until = e.offsets.getOrElse(p, from)
+      if (until > from) Some(KafkaWireInputPartition(host, port, topic, p, from, until))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaWireReaderFactory
+
+  override def deserializeOffset(json: String): Offset = KafkaWireOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class KafkaWireReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KafkaWirePartitionReader(partition.asInstanceOf[KafkaWireInputPartition])
+}
+
+final case class KafkaWireInputPartition(host: String, port: Int,
+    topic: String, partition: Int, from: Long, until: Long) extends InputPartition
+
+/** Executor-side reader: one socket per task, fetches its partition's
+  * committed log from `from`, emits only [from, until). */
+final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val records: Iterator[(Long, String, String)] =
+    KafkaWire.fetchCommitted(p.host, p.port, p.topic, p.partition, p.from)
+      ._2.iterator.filter { case (o, _, _) => o < p.until }
+  private var current: (Long, String, String) = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    if (current._2 == null) null else UTF8String.fromString(current._2),
+    if (current._3 == null) null else UTF8String.fromString(current._3),
+    p.partition, current._1))
+
+  override def close(): Unit = ()
+}

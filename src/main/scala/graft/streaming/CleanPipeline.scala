@@ -51,6 +51,19 @@ object CleanPipeline {
   def fromTextDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir).withColumnRenamed("value", "line")
 
+  /** S1 proper: the Kafka consumer as a Spark micro-batch source over
+    * the repo's own wire client ([[graft.sources.KafkaWireSource]],
+    * Fetch v4 read_committed — reference `DataClean.java:58-66`).
+    * Same `line` column contract as [[fromTextDir]]; everything
+    * downstream is unchanged. */
+  def fromKafkaWire(spark: SparkSession, host: String, port: Int,
+      topic: String): DataFrame =
+    spark.readStream.format("kafka-wire")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .load()
+      .selectExpr("value AS line")
+
   /** File sink variant (K1 stand-in): exactly-once via Spark's
     * transactional file-sink commit log, the strongest guarantee
     * available without a transactional broker. */

@@ -380,6 +380,57 @@ object KafkaWire {
     } finally c.close()
   }
 
+  /** Fetch v4 with isolation_level=read_committed for ONE
+    * topic-partition from offset `from`: returns (high_watermark,
+    * (offset, key, value) triples at offset >= `from`). Offsets come
+    * from each RecordBatch's baseOffset + per-record delta; the
+    * result is sliced client-side so it is correct against both a
+    * real broker (serves from the requested offset) and the embedded
+    * one (serves the whole committed log in one batch from 0). This
+    * is the consumer read the reference jobs start from
+    * (`DataClean.java:58-66`) — [[graft.sources.KafkaWireSource]]
+    * mounts it as a Spark MicroBatchStream. */
+  def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
+      from: Long): (Long, Vector[(Long, String, String)]) = {
+    val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+    try {
+      val f = c.request(ApiFetch, 4) { w =>
+        w.i32(-1) // replica_id (consumer)
+        w.i32(100).i32(1).i32(8 * 1024 * 1024)
+        w.i8(1) // isolation_level = read_committed
+        w.i32(1); w.str(topic); w.i32(1)
+        w.i32(partition); w.i64(from); w.i32(8 * 1024 * 1024)
+      }
+      f.i32() // throttle
+      var hwm = 0L
+      val out = Vector.newBuilder[(Long, String, String)]
+      val nTopics = f.i32()
+      (0 until nTopics).foreach { _ =>
+        f.str(); val nParts = f.i32()
+        (0 until nParts).foreach { _ =>
+          f.i32() // partition
+          val err = f.i16()
+          if (err != ErrNone) throw new WireErrorException(err, s"Fetch error $err")
+          hwm = f.i64(); f.i64() // high_watermark, last_stable_offset
+          val nAborted = f.i32()
+          (0 until math.max(nAborted, 0)).foreach { _ => f.i64(); f.i64() }
+          val recordSet = f.nbytes()
+          if (recordSet != null && recordSet.nonEmpty) {
+            val r = new Reader(recordSet)
+            while (r.remaining > 0) {
+              val base = new Reader(recordSet, r.pos).i64() // peek baseOffset
+              val b = decodeBatch(r)
+              require(b.crcOk, "corrupt batch in fetch response")
+              b.records.zipWithIndex.foreach { case ((k, v), i) =>
+                if (base + i >= from) out += ((base + i, k, v)) }
+            }
+          }
+        }
+      }
+      (hwm, out.result())
+    } finally c.close()
+  }
+
   // ---- embedded broker ----
 
   /** A single-node broker speaking the six-API surface above: parses

@@ -59,6 +59,40 @@ class AnnPersistSpec extends SparkSpec {
     }
   }
 
+  test("fresh session mounts the saved PCA basis; results bit-identical") {
+    try {
+      Similarity.clearArtifactMemos()
+      Similarity.dropArtifacts(spark, d)
+      val basis1 = Similarity.qPcaBasis(spark, d).collect().toSeq
+      val pcaTable = Similarity.annTableName("pca", d)
+      assert(spark.catalog.tableExists(pcaTable),
+        "training must leave a saved PCA basis table behind")
+      // simulated restart: the mounted basis must reproduce the family
+      // bit-for-bit without re-running the power chains
+      Similarity.clearArtifactMemos()
+      val s2 = spark.newSession()
+      assert(Similarity.qPcaBasis(s2, d).collect().toSeq == basis1,
+        "mounted basis must reproduce q_pca_basis bit-for-bit")
+      // mount-not-retrain proof (centroid-test convention): tamper the
+      // saved component ids; a mounting reader surfaces them
+      val rows = spark.table(pcaTable).collect().toSeq
+      val tampered = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0) + 100L, r.get(1), r.get(2), r.get(3), r.get(4)))),
+        spark.table(pcaTable).schema)
+      graft.sources.Writers.replaceTable(spark, tampered, pcaTable)
+      Similarity.clearArtifactMemos()
+      val comps = Similarity.qPcaBasis(spark, d)
+        .select(col("comp")).distinct().collect().map(_.getLong(0)).toSet
+      assert(comps.forall(_ >= 100L),
+        s"expected tampered (mounted) comp ids, got $comps — " +
+          "the artifact was retrained instead of mounted")
+    } finally {
+      Similarity.clearArtifactMemos()
+      Similarity.dropArtifacts(spark, d)
+    }
+  }
+
   test("a changed corpus fingerprint invalidates the artifact and retrains") {
     val tmp = Files.createTempDirectory("graft-ann-fp")
     val dir = tmp.toString

@@ -89,4 +89,19 @@ class DedupSpec extends SparkSpec {
     val hamming02 = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
     assert(hamming01 < hamming02)
   }
+
+  test("xxhash64 simhash near-dup (production path) matches brute-force hamming") {
+    val d = "/root/testdata/sf0.001"
+    val got = Dedup.qSimhashXx(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force ground truth over the full signature set: every
+    // hamming<=3 pair must be recalled (pigeonhole over 4x16-bit bands)
+    val sigs = Dedup.simhashSignatures(Tables.documents(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want)
+  }
 }

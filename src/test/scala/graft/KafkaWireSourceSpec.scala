@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CleanJob
+import graft.streaming.{CleanPipeline, KafkaEosSink, KafkaWire}
+import graft.streaming.KafkaWire.{EmbeddedBroker, WireProducer}
+import graft.sources.KafkaWireOffset
+
+/** S1 as a REAL Spark source: the kafka-wire DataSourceV2 micro-batch
+  * stream reading the embedded broker over the socket, composed with
+  * the DataClean enrich and the wire exactly-once sink — the full
+  * reference topology (`DataClean.java:58-109`: FlinkKafkaConsumer →
+  * enrich → FlinkKafkaProducer EXACTLY_ONCE) as
+  * broker → engine → broker protocol bytes, including a forced
+  * replay. */
+class KafkaWireSourceSpec extends SparkSpec {
+
+  private def withBroker(f: EmbeddedBroker => Unit): Unit = {
+    val b = new EmbeddedBroker
+    try f(b) finally b.stop()
+  }
+
+  /** Commit JSON lines to a topic through the wire producer (the
+    * test's stand-in for the reference's kafkaProducer.java). */
+  private def produce(b: EmbeddedBroker, topic: String, txId: String,
+      lines: String*): Unit = {
+    val p = new WireProducer("127.0.0.1", b.port, txId)
+    try {
+      p.initTransactions()
+      p.beginTransaction()
+      lines.foreach(l => p.send(topic, null, l))
+      p.commitTransaction()
+    } finally p.close()
+  }
+
+  test("offset json round-trips deterministically") {
+    val o = KafkaWireOffset(Map(1 -> 5L, 0 -> 12L))
+    assert(o.json() == """{"0":12,"1":5}""")
+    assert(KafkaWireOffset.parse(o.json()) == o)
+    assert(KafkaWireOffset.parse("{}") == KafkaWireOffset(Map.empty))
+  }
+
+  test("micro-batches advance by offset; an aborted transaction is invisible") {
+    withBroker { b =>
+      produce(b, "in", "src-tx", "a", "b", "c")
+      // an ABORTED transaction must never reach the engine
+      val zombie = new WireProducer("127.0.0.1", b.port, "src-abort")
+      zombie.initTransactions(); zombie.beginTransaction()
+      zombie.send("in", null, "ghost")
+      zombie.abortTransaction(); zombie.close()
+
+      val df = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").load()
+      val q = df.writeStream.format("memory").queryName("kw_read")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val got1 = spark.table("kw_read")
+          .select(col("offset"), col("value")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        assert(got1.toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c")),
+          s"wrong first batch: ${got1.toSeq}")
+        // later records arrive in a LATER micro-batch, from offset 3
+        produce(b, "in", "src-tx-2", "d", "e")
+        q.processAllAvailable()
+        val got2 = spark.table("kw_read")
+          .select(col("offset"), col("value")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        assert(got2.toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c"),
+          (3L, "d"), (4L, "e")), s"wrong incremental read: ${got2.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("maxOffsetsPerTrigger splits the backlog into capped micro-batches") {
+    withBroker { b =>
+      produce(b, "in", "cap-tx", (1 to 7).map(i => s"r$i"): _*)
+      val batches = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").option("maxOffsetsPerTrigger", "3")
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-cap").toString)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized { batches += df.count(); () })
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(batches.sum == 7, s"lost/duplicated rows: $batches")
+        assert(batches.forall(_ <= 3), s"cap violated: $batches")
+        assert(batches.count(_ > 0) >= 3, s"backlog not split: $batches")
+      } finally q.stop()
+    }
+  }
+
+  test("broker->engine->broker exactly-once: enrich between wire consumer and EOS sink, with replay") {
+    withBroker { b =>
+      val ckpt = Files.createTempDirectory("graft-kw-eos").toString
+      val txId = KafkaEosSink.transactionalId(ckpt)
+      def newSink() = new KafkaEosSink.Sink("out", "progress", txId,
+        () => new WireProducer("127.0.0.1", b.port, txId),
+        () => KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress", txId))
+
+      produce(b, "in", "e2e-tx-1",
+        """{"dt":"2018-01-01 10:11:11","countryCode":"US","data":[{"type":"s1","score":0.3,"level":"A"}]}""",
+        """{"dt":"2018-01-01 10:11:12","countryCode":"XX","data":[{"type":"s2","score":0.2,"level":"B"}]}""")
+
+      def start(sink: KafkaEosSink.Sink) = CleanPipeline.transform(
+          CleanPipeline.fromKafkaWire(spark, "127.0.0.1", b.port, "in"),
+          CleanJob.dimTable(spark))
+        .select(col("countryCode").as("key"),
+          concat_ws("|", col("type"), col("area"), col("dt")).as("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.write(df, id))
+        .start()
+
+      val sink1 = newSink()
+      val q1 = start(sink1)
+      q1.processAllAvailable(); q1.stop(); sink1.close()
+      val expect1 = Set("US" -> "s1|AREA_US|2018-01-01 10:11:11",
+        "XX" -> "s2|other|2018-01-01 10:11:12")
+      assert(b.committed("out").toSet == expect1,
+        s"wrong committed enrichment: ${b.committed("out")}")
+
+      // restart from the SAME checkpoint with more input: only the new
+      // records flow, exactly once, through a FRESH sink incarnation
+      produce(b, "in", "e2e-tx-2",
+        """{"dt":"2018-01-01 10:11:13","countryCode":"TW","data":[{"type":"s3","score":0.1,"level":"C"}]}""")
+      val sink2 = newSink()
+      val q2 = start(sink2)
+      q2.processAllAvailable(); q2.stop()
+      val expect2 = expect1 + ("TW" -> "s3|AREA_CT|2018-01-01 10:11:13")
+      assert(b.committed("out").toSet == expect2,
+        s"restart duplicated or lost records: ${b.committed("out")}")
+
+      // forced foreachBatch REPLAY (crash after Kafka commit, before
+      // Spark's checkpoint commit): a fresh incarnation re-offered the
+      // last batch must SKIP it via the progress marker
+      val lastBatch = KafkaWire.readLastCommitted(
+        "127.0.0.1", b.port, "progress", txId)
+      assert(lastBatch >= 0L)
+      import spark.implicits._
+      val sink3 = newSink()
+      sink3.write(Seq(("TW", "s3|AREA_CT|2018-01-01 10:11:13"))
+        .toDF("key", "value"), lastBatch)
+      sink3.close(); sink2.close()
+      assert(b.committed("out").toSet == expect2,
+        s"replayed batch re-sent: ${b.committed("out")}")
+      assert(b.committed("out").size == 3,
+        s"duplicate rows in committed log: ${b.committed("out")}")
+    }
+  }
+}

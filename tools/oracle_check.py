@@ -32,6 +32,25 @@ def partsupp_glob(sf_dir):
     return f"/root/repo/data/partsupp/{os.path.basename(f)}_{digest}/*.parquet"
 
 
+# Type pairs that hash identically on the driver side (observed green
+# across rounds): text-ish columns only. Numeric width differences
+# (BIGINT vs HUGEINT) are exactly the class that shipped red in r13/r14,
+# so they are NOT allowlisted.
+TYPE_EQUIV = [{"VARCHAR", "JSON"}]
+
+
+def type_compat(a, b):
+    if a == b:
+        return True
+    return any(a in g and b in g for g in TYPE_EQUIV)
+
+
+def col_types(con, sql):
+    """name -> DuckDB column_type for an arbitrary query."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def norm(rows):
     out = []
     for r in rows:
@@ -70,6 +89,22 @@ def main(sf_dir, out_dir, only=None):
         wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}")
+            fail += 1
+            continue
+        # the driver's hash is type-sensitive (r13/r14 shipped red on a
+        # stringified-equal BIGINT-vs-HUGEINT mismatch) — compare DESCRIBE
+        # types, not just values
+        try:
+            gt = col_types(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            wt = col_types(con, f"({sql})")
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE exception {e}")
+            fail += 1
+            continue
+        bad_types = [(c, gt[c], wt[c]) for c in gt
+                     if c in wt and not type_compat(gt[c], wt[c])]
+        if bad_types:
+            print(f"FAIL {name}: type mismatch (spark vs oracle): {bad_types}")
             fail += 1
             continue
         g = norm([[r[i] for i in gi] for r in got])
