@@ -188,6 +188,9 @@ object SparkEntry {
     "q_pq_codes" -> (Similarity.qPqCodes _),
     "q_knn_pq" -> (Similarity.qKnnPq _),
     "q_pq_recall" -> (Similarity.qPqRecall _),
+    "q_opq_rotate" -> (Similarity.qOpqRotate _),
+    "q_knn_opq" -> (Similarity.qKnnOpq _),
+    "q_opq_recall" -> (Similarity.qOpqRecall _),
     "q_knn_ivfpq" -> (Similarity.qKnnIvfPq _),
     "q_ivfpq_recall" -> (Similarity.qIvfPqRecall _),
     "q_knn_ivfpq_res" -> (Similarity.qKnnIvfPqR _),
@@ -962,6 +965,120 @@ object SparkEntry {
        |rrk AS (SELECT qid, cid, dfx,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
        |  FROM rer)""".stripMargin
+
+  /** OPQ-lite Householder construction + rotated-corpus CTEs — the
+    * mirror of Similarity.opqHouseholders/opqRotatedMillis: both PCA
+    * chains (v1 = v{r}, v2 = v{r}b in micro units), u1/q1 from v1
+    * (sign chosen to avoid cancellation), w = H1(v2) with its e0
+    * component zeroed, u2/q2 from w, then each vector's two
+    * reflections as 128-bit numerators with ONE signed truncating
+    * division each. Emits `hb` (vec_id, pos, xr — rotated millis). */
+  private def opqHouseholderCtes: String = {
+    val r = graft.operators.Similarity.PcaRounds
+    s"""${pcaChainSqlFor("", None)},
+       |${pcaChainSqlFor("b", Some(s"v$r"))},
+       |hn1 AS (SELECT CAST(floor(sqrt(CAST(sum(v*v) AS DOUBLE))) AS BIGINT) AS n1,
+       |    CASE WHEN (SELECT v FROM v$r WHERE pos = 0) >= 0 THEN 1 ELSE -1 END AS s1
+       |  FROM v$r),
+       |hu1 AS (SELECT pos, v + CASE WHEN pos = 0 THEN s1*n1 ELSE 0 END AS u
+       |  FROM v$r, hn1),
+       |hq1 AS (SELECT sum(u*u) AS q FROM hu1),
+       |hp12 AS (SELECT sum(u1.u * v2.v) AS p
+       |  FROM hu1 u1 JOIN v${r}b v2 ON u1.pos = v2.pos),
+       |hwn AS (SELECT u.pos,
+       |    CAST(v2.v AS HUGEINT) * q.q - 2 * CAST(p.p AS HUGEINT) * u.u AS num
+       |  FROM hu1 u JOIN v${r}b v2 ON u.pos = v2.pos, hq1 q, hp12 p),
+       |hw AS (SELECT pos, CASE WHEN pos = 0 THEN 0
+       |    WHEN num < 0 THEN -CAST((-num) // q AS BIGINT)
+       |    ELSE CAST(num // q AS BIGINT) END AS w FROM hwn, hq1),
+       |hn2 AS (SELECT CAST(floor(sqrt(CAST(sum(w*w) AS DOUBLE))) AS BIGINT) AS n2,
+       |    CASE WHEN (SELECT w FROM hw WHERE pos = 1) >= 0 THEN 1 ELSE -1 END AS s2
+       |  FROM hw),
+       |hu2 AS (SELECT pos, w + CASE WHEN pos = 1 THEN s2*n2 ELSE 0 END AS u
+       |  FROM hw, hn2),
+       |hq2 AS (SELECT sum(u*u) AS q FROM hu2),
+       |hpa AS (SELECT x.vec_id, sum(x.xq * u.u) AS p
+       |  FROM xq x JOIN hu1 u ON x.pos = u.pos GROUP BY 1),
+       |han AS (SELECT x.vec_id, x.pos,
+       |    CAST(x.xq AS HUGEINT) * q.q - 2 * CAST(p.p AS HUGEINT) * u.u AS num
+       |  FROM xq x JOIN hu1 u ON x.pos = u.pos
+       |  JOIN hpa p ON x.vec_id = p.vec_id, hq1 q),
+       |ha AS (SELECT vec_id, pos, CASE WHEN num < 0 THEN -CAST((-num) // q AS BIGINT)
+       |    ELSE CAST(num // q AS BIGINT) END AS a FROM han, hq1),
+       |hpb AS (SELECT a.vec_id, sum(a.a * u.u) AS p
+       |  FROM ha a JOIN hu2 u ON a.pos = u.pos GROUP BY 1),
+       |hbn AS (SELECT a.vec_id, a.pos,
+       |    CAST(a.a AS HUGEINT) * q.q - 2 * CAST(p.p AS HUGEINT) * u.u AS num
+       |  FROM ha a JOIN hu2 u ON a.pos = u.pos
+       |  JOIN hpb p ON a.vec_id = p.vec_id, hq2 q),
+       |hb AS MATERIALIZED (SELECT vec_id, pos,
+       |    CASE WHEN num < 0 THEN -CAST((-num) // q AS BIGINT)
+       |    ELSE CAST(num // q AS BIGINT) END AS xr FROM hbn, hq2)""".stripMargin
+  }
+
+  private def opqRotateSql: String =
+    s"""WITH $opqHouseholderCtes
+       |SELECT vec_id, pos, xr FROM hb ORDER BY vec_id, pos""".stripMargin
+
+  /** Rotated view + PQ chains over it (prefix `o`) + ADC + exact-dot
+    * rerank over the ORIGINAL vectors — Similarity.qKnnOpq stage for
+    * stage. Emits `orrk`. */
+  private def opqSearchCtes: String = {
+    val f = KmIters + 1
+    val codes = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id, CAST($m AS BIGINT) AS m, code FROM opa${m}_$f")
+      .mkString(" UNION ALL ")
+    val lut = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id AS qid, CAST($m AS BIGINT) AS m, cent_id AS code, dfx " +
+        s"FROM opd${m}_$f WHERE vec_id < ${Similarity.NumQueries}")
+      .mkString(" UNION ALL ")
+    s"""$opqHouseholderCtes,
+       |ove AS MATERIALIZED (SELECT vec_id, pos,
+       |    CAST(CAST(CAST(xr AS DOUBLE)/1000.0 AS REAL) AS DOUBLE) AS x FROM hb),
+       |$veSql,
+       |${(0 until Similarity.PqM).map(m => pqChainCtesOver(m, "ove", "o")).mkString(",\n")},
+       |ocodes AS ($codes),
+       |olut AS ($lut),
+       |oadc AS (SELECT l.qid, c.vec_id AS cid, CAST(sum(l.dfx) AS BIGINT) AS adc_fx
+       |  FROM ocodes c JOIN olut l ON c.m = l.m AND c.code = l.code
+       |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |oprk AS (SELECT qid, cid, adc_fx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
+       |  FROM oadc),
+       |oshort AS (SELECT qid, cid FROM oprk
+       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |orer AS (SELECT s.qid, s.cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM oshort s JOIN ve a ON s.qid = a.vec_id
+       |  JOIN ve b ON s.cid = b.vec_id AND a.pos = b.pos
+       |  GROUP BY 1, 2),
+       |orrk AS (SELECT qid, cid, dfx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM orer)""".stripMargin
+  }
+
+  private def knnOpqSql: String =
+    s"""WITH $opqSearchCtes
+       |SELECT qid, cid, CAST(dfx AS DOUBLE)/1e12 AS dot, CAST(rn AS BIGINT) AS rn
+       |FROM orrk WHERE rn <= ${Similarity.K} ORDER BY qid, rn""".stripMargin
+
+  private def opqRecallSql: String =
+    s"""WITH $opqSearchCtes,
+       |opqr AS (SELECT qid, cid FROM orrk WHERE rn <= ${Similarity.K}),
+       |obd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
+       |  FROM ve a JOIN ve b ON a.pos = b.pos
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |obrk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
+       |  FROM obd),
+       |obr AS (SELECT qid, cid FROM obrk WHERE rn <= ${Similarity.K})
+       |SELECT obr.qid, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS recall
+       |FROM obr LEFT JOIN opqr p ON obr.qid = p.qid AND obr.cid = p.cid
+       |GROUP BY 1 ORDER BY obr.qid""".stripMargin
 
   private def knnIvfPqSql: String =
     s"""WITH $ivfPqChain
@@ -2960,6 +3077,9 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_knn_pq" -> knnPqSql,
     "q_pq_recall" -> pqRecallSql,
+    "q_opq_rotate" -> opqRotateSql,
+    "q_knn_opq" -> knnOpqSql,
+    "q_opq_recall" -> opqRecallSql,
     // streaming ANN-ingest batch analog: the full-corpus kmeans chain
     // + the shared assignment CTEs, restricted to the %4 "stream"
     "q_ann_ingest" ->

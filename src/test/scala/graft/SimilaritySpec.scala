@@ -84,4 +84,40 @@ class SimilaritySpec extends SparkSpec {
       assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("OPQ rotation is near-orthogonal and beats plain PQ recall") {
+    val d = "/root/testdata/sf0.001"
+    import graft.operators.Similarity
+    // near-isometry: the quantized two-Householder transform must
+    // preserve each vector's norm to within the milli-quantization
+    // budget (a true rotation preserves it exactly)
+    val rot = Similarity.qOpqRotate(spark, d)
+      .groupBy(col("vec_id")).agg(sum(col("xr") * col("xr")).as("rn2"))
+    val orig = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"),
+        floor(col("col").cast("double") * 1000 + 0.5).cast("long").as("xq"))
+      .groupBy(col("vec_id")).agg(sum(col("xq") * col("xq")).as("on2"))
+    val drift = rot.join(orig, "vec_id")
+      .select((abs(col("rn2") - col("on2")).cast("double") /
+        col("on2").cast("double")).as("rel"))
+      .agg(max(col("rel"))).head.getDouble(0)
+    assert(drift < 0.02, s"rotation not near-isometric: max norm drift $drift")
+    // variance concentration: after rotation coordinate 0 (the aligned
+    // top principal direction) carries the largest per-coordinate
+    // second moment
+    val mom = Similarity.qOpqRotate(spark, d)
+      .groupBy(col("pos")).agg(sum(col("xr") * col("xr")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mom(0L) == mom.values.max,
+      s"coordinate 0 does not dominate: ${mom.toSeq.sortBy(-_._2).take(3)}")
+    // the point of OPQ: mean recall at least plain PQ's on this corpus
+    // (deterministic pipelines — this is a fixed number, not a bound
+    // on a random variable; measured 0.58 vs 0.44)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head.getDouble(0)
+    val pq = mean(Similarity.qPqRecall(spark, d))
+    val opq = mean(Similarity.qOpqRecall(spark, d))
+    assert(opq >= pq, s"OPQ recall $opq below plain PQ $pq")
+  }
 }
