@@ -44,7 +44,8 @@ object Bench {
   // see the builder-warmup block in main().
   private val MemoPayers = Seq("q_kmeans_centroids", "q_clean_corpus",
     "q_embed_clusters", "q9_product_profit", "q_pagerank", "q_bm25",
-    "q_pca_basis") // trained PCA basis (Similarity.trainedPcaBasis)
+    "q_pca_basis", // trained PCA basis (Similarity.trainedPcaBasis)
+    "q_knn_opq") // OPQ codebooks (Similarity.opqCodebook)
 
   // Locale.ROOT: a comma-decimal default locale must not corrupt the
   // single-JSON-line driver contract

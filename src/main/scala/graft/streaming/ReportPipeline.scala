@@ -37,6 +37,17 @@ object ReportPipeline {
 
   val WatermarkDelay = "40 seconds" // 10 s disorder + 30 s lateness
 
+  /** S1 proper for DataReport (reference `DataReport.java:73-88`,
+    * topic `auditLog`): the kafka-wire DataSourceV2 consumer under
+    * the same `line` contract as the test stand-ins. */
+  def fromKafkaWire(spark: org.apache.spark.sql.SparkSession,
+      host: String, port: Int, topic: String): DataFrame =
+    spark.readStream.format("kafka-wire")
+      .option("host", host).option("port", port.toString)
+      .option("topic", topic)
+      .load()
+      .selectExpr("value AS line")
+
   /** Windowed aggregation over a streaming parsed frame — same
     * ReportJob.windowAgg grouping, with the streaming watermark. */
   def aggregate(parsed: DataFrame): DataFrame =

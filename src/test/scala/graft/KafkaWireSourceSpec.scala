@@ -101,6 +101,31 @@ class KafkaWireSourceSpec extends SparkSpec {
     }
   }
 
+  test("DataReport topology from the wire consumer: windowed agg + keyed upserts") {
+    withBroker { b =>
+      def l(dt: String, tp: String) =
+        s"""{"dt":"$dt","type":"$tp","username":"u","area":"AREA_US"}"""
+      produce(b, "auditLog", "rep-tx",
+        l("2018-01-01 10:00:01", "shelf"), l("2018-01-01 10:00:05", "shelf"),
+        l("2018-01-01 10:00:07", "unshelf"))
+      val sink = new graft.streaming.ReportPipeline.KeyedUpsertSink
+      val q = graft.streaming.ReportPipeline.startAgg(
+        graft.streaming.ReportPipeline.fromKafkaWire(
+          spark, "127.0.0.1", b.port, "auditLog"),
+        Files.createTempDirectory("graft-kw-rep").toString, sink)
+      try {
+        q.processAllAvailable()
+        // update-mode windows emit on every batch; the 10:00:00 window
+        // must hold the keyed counts
+        val snap = sink.snapshot
+        assert(snap(("2018-01-01 10:00:00", "shelf", "AREA_US"))._1 == 2L,
+          s"wrong shelf count: $snap")
+        assert(snap(("2018-01-01 10:00:00", "unshelf", "AREA_US"))._1 == 1L,
+          s"wrong unshelf count: $snap")
+      } finally q.stop()
+    }
+  }
+
   test("broker->engine->broker exactly-once: enrich between wire consumer and EOS sink, with replay") {
     withBroker { b =>
       val ckpt = Files.createTempDirectory("graft-kw-eos").toString
