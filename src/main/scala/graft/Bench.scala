@@ -272,7 +272,7 @@ object Bench {
           "q_embed_quantize", "q_filter_funnel", "q_fingerprint",
           "q_frame_sample",
           "q_knn_ivf", "q_knn_ivf_int8", "q_knn_pq", "q_knn_ivfpq",
-          "q_knn_ivfpq_res",
+          "q_knn_ivfpq_res", "q_knn_opq", "q_opq_rotate",
           "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_resample", "q_media_meta",
           "q_image_decode", "q_image_resize", "q_minhash_lsh",

@@ -631,7 +631,10 @@ object Dedup {
     * against DuckDB; at scale the 64-bit/16-bit-band xxhash64 variant
     * is the production signature (256x more buckets per band). */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashMd5Signatures(s, d)
+    // the signature agg feeds BOTH sides of the band self-join —
+    // checkpoint it once instead of recomputing the md5 fan-out twice
+    // (halves the query's cost; ContextCleaner reclaims the blocks)
+    val sig = simhashMd5Signatures(s, d).localCheckpoint(false)
     val bands = sig.select(col("doc_id"), col("simhash32"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_id"),

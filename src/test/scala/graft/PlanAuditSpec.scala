@@ -49,6 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_pq_codes" -> "broadcast side is the fixed 16-row per-subspace PQ codebook",
     "q_knn_pq" -> "broadcast sides are the fixed codebooks and the |queries|x64 LUT",
     "q_pq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
+    "q_knn_opq" -> "broadcast sides are the fixed OPQ codebooks and the |queries|x64 LUT",
+    "q_opq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
     "q_knn_ivfpq" -> "broadcast sides are the fixed centroid set, codebooks, and the |queries|x64 LUT",
     "q_ivfpq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
     "q_perplexity3" -> "scalar subquery: single-row (N, V) broadcast",
