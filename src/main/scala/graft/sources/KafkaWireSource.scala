@@ -66,7 +66,13 @@ class KafkaWireSource extends TableProvider with DataSourceRegister {
       Option(opts.get("topic"))
         .getOrElse(sys.error("kafka-wire: option 'topic' is required")),
       Option(opts.get("partitions")).map(_.toInt).getOrElse(1),
-      Option(opts.get("maxOffsetsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxOffsetsPerTrigger")).map(_.toLong),
+      Option(opts.get("startingOffsets")).getOrElse("earliest") match {
+        case "earliest" => false
+        case "latest" => true
+        case other => sys.error(
+          s"kafka-wire: startingOffsets must be earliest|latest, got '$other'")
+      })
   }
 }
 
@@ -79,7 +85,7 @@ object KafkaWireSource {
 }
 
 final class KafkaWireTable(host: String, port: Int, topic: String,
-    partitions: Int, maxPerTrigger: Option[Long])
+    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"kafka-wire:$topic@$host:$port"
   override def schema(): StructType = KafkaWireSource.Schema
@@ -90,7 +96,8 @@ final class KafkaWireTable(host: String, port: Int, topic: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KafkaWireSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaWireMicroBatchStream(host, port, topic, partitions, maxPerTrigger)
+          new KafkaWireMicroBatchStream(host, port, topic, partitions,
+            maxPerTrigger, startLatest)
         override def toBatch: Batch = sys.error(
           "kafka-wire is a streaming source; use readStream")
       }
@@ -117,13 +124,21 @@ object KafkaWireOffset {
 }
 
 final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
-    partitions: Int, maxPerTrigger: Option[Long])
+    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def parts = 0 until partitions
 
+  /** earliest -> offset 0 everywhere; latest -> the high watermark at
+    * first plan (records committed before the query started are
+    * skipped — the reference's group-managed default). Only consulted
+    * when the checkpoint has no offset log yet; restarts always
+    * resume from the checkpoint. */
   override def initialOffset(): Offset =
-    KafkaWireOffset(parts.map(_ -> 0L).toMap)
+    if (startLatest)
+      KafkaWireOffset(parts.map(p =>
+        p -> KafkaWire.fetchCommitted(host, port, topic, p, Long.MaxValue)._1).toMap)
+    else KafkaWireOffset(parts.map(_ -> 0L).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())

@@ -78,6 +78,31 @@ class KafkaWireSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingOffsets=latest skips pre-existing records; new ones flow") {
+    withBroker { b =>
+      produce(b, "in", "late-tx-0", "old1", "old2")
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").option("startingOffsets", "latest")
+        .load()
+        .writeStream.format("memory").queryName("kw_latest")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-latest").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("kw_latest").count() == 0,
+          "latest start must not read pre-existing records")
+        produce(b, "in", "late-tx-1", "new1")
+        q.processAllAvailable()
+        val got = spark.table("kw_latest")
+          .select(col("offset"), col("value")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got == Seq((2L, "new1")), s"wrong post-start read: $got")
+      } finally q.stop()
+    }
+  }
+
   test("maxOffsetsPerTrigger splits the backlog into capped micro-batches") {
     withBroker { b =>
       produce(b, "in", "cap-tx", (1 to 7).map(i => s"r$i"): _*)
