@@ -207,6 +207,8 @@ object SparkEntry {
     "q_image_decode" -> (Multimodal.qImageDecode _),
     "q_image_features" -> (Multimodal.qImageFeatures _),
     "q_image_resize" -> (Multimodal.qImageResize _),
+    "q_video_meta" -> (Multimodal.qVideoMeta _),
+    "q_video_frames" -> (Multimodal.qVideoFrames _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -3308,5 +3310,48 @@ object SparkEntry {
         |  CAST(max(val) AS BIGINT) AS peak_lum,
         |  CAST(sum(val) AS DOUBLE) / (w2*h2) AS mean_lum
         |FROM v GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
+    // Mirror of Multimodal.qVideoMeta: every column recomputed from
+    // (doc_id, text length) alone — n_bytes is the CLOSED container-
+    // size formula (RIFF 12 + hdrl 200 + movi 12 + n*(8 + stride*h) +
+    // idx1 8 + n*16), so a hash match proves the writer's exact
+    // canonical AVI layout AND the strict parser's read of it.
+    "q_video_meta" ->
+      """WITH s AS (SELECT doc_id,
+        |    octet_length(encode(text)) AS len,
+        |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h, 10 + doc_id % 5 AS fps
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, fps,
+        |    ((w*3 + 3) // 4) * 4 AS rs,
+        |    least(len // (w*h*3), 8) AS n
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(12 + 200 + 12 + n*(8 + rs*h) + 8 + n*16 AS BIGINT) AS n_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(fps AS BIGINT) AS fps,
+        |  CAST(1000000 // fps AS BIGINT) AS usec_per_frame,
+        |  CAST(n AS BIGINT) AS n_frames
+        |FROM p WHERE n >= 1 ORDER BY doc_id""".stripMargin,
+    // Frame stats recomputed from the source text slices: a match
+    // proves the movi walk, the idx1 seek offsets, the stride-padding
+    // strip, and (via first_px = the frame's byte 0) the bottom-up ->
+    // top-down orientation recovery.
+    "q_video_frames" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, bs, w, h, w*h*3 AS fl,
+         |    least(len(bs) // (w*h*3), 8) AS n FROM s),
+         |f AS (SELECT doc_id, w, h, fl, bs,
+         |    unnest(generate_series(0, n - 1, ${graft.operators.Multimodal.VideoFrameStep})) AS k
+         |  FROM p WHERE n >= 1),
+         |fr AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, w, h,
+         |    bs[k*fl+1 : (k+1)*fl] AS fb FROM f)
+         |SELECT doc_id, frame_idx,
+         |  CAST(w*h AS BIGINT) AS n_px,
+         |  CAST(list_sum(fb) AS BIGINT) AS sum_px,
+         |  CAST(list_max(fb) AS BIGINT) AS peak_px,
+         |  CAST(fb[1] AS BIGINT) AS first_px
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

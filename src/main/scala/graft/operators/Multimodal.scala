@@ -636,4 +636,288 @@ object Multimodal {
       }
     }.toDF().orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------ video (AVI)
+
+  case class VideoRecord(doc_id: Long, payload: Array[Byte])
+
+  case class VideoMeta(doc_id: Long, n_bytes: Long, width: Long,
+    height: Long, fps: Long, usec_per_frame: Long, n_frames: Long)
+
+  case class VideoFrame(doc_id: Long, frame_idx: Long, n_px: Long,
+    sum_px: Long, peak_px: Long, first_px: Long)
+
+  /** THIRD modality — VIDEO, as a real RIFF/AVI container codec, pure
+    * JVM ([[WavCodec]]'s sibling; AVI is the same RIFF family). The
+    * writer emits the full canonical structure any AVI tool reads:
+    * `RIFF('AVI ')` → `LIST hdrl` (`avih` main header + `LIST strl`
+    * with a `vids/DIB ` `strh` and a BITMAPINFOHEADER `strf`) →
+    * `LIST movi` of uncompressed `00db` frame chunks (bottom-up BGR24
+    * rows, 4-byte stride padding — the BMP pixel layout) → an `idx1`
+    * index chunk. The parser is STRICT: every magic, every size
+    * field, and every cross-check (avih totalFrames == strh length ==
+    * movi chunk count == idx1 entries; strf geometry == avih
+    * geometry; every chunk size == stride·height; every idx1 offset
+    * pointing at the chunk it claims) must hold before a pixel is
+    * touched. Frame EXTRACTION goes through the idx1 index — the
+    * seek path real video tooling uses — not a linear rescan.
+    *
+    * Heavier codecs (H.264 etc.) are not in this container; they
+    * mount at the same seam (mapPartitions decoder init, binary
+    * columns end-to-end), with this parser standing where the
+    * demuxer stands. */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def init(): AviCodec.type = this // per-partition init point
+
+    private def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    private val HdrlSize = 188 // avih(8+56) + LIST strl(12 + strh 8+56 + strf 8+40)
+
+    /** Total container size for the canonical layout — the closed
+      * formula the oracle mirrors. */
+    def containerSize(w: Int, h: Int, nFrames: Int): Int =
+      12 + (8 + 4 + HdrlSize) + (12 + nFrames * (8 + stride(w) * h)) +
+        (8 + nFrames * 16)
+
+    /** Canonical AVI around `frames` — each frame w*h*3 TOP-DOWN BGR
+      * bytes, stored bottom-up per the DIB convention. */
+    def write(frames: Array[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      val rs = stride(w)
+      val n = frames.length
+      frames.foreach(f => require(f.length == w * h * 3,
+        s"frame ${f.length} != ${w}x${h}x3"))
+      val size = containerSize(w, h, n)
+      val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(t: String): Unit = b.put(t.getBytes("US-ASCII"))
+      tag("RIFF"); b.putInt(size - 8); tag("AVI ")
+      // ---- LIST hdrl
+      tag("LIST"); b.putInt(4 + HdrlSize); tag("hdrl")
+      tag("avih"); b.putInt(56)
+      b.putInt(1000000 / fps) // dwMicroSecPerFrame
+        .putInt(0).putInt(0)
+        .putInt(0x10) // AVIF_HASINDEX
+        .putInt(n).putInt(0).putInt(1) // totalFrames, initialFrames, streams
+        .putInt(rs * h) // suggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      tag("LIST"); b.putInt(4 + 8 + 56 + 8 + 40); tag("strl")
+      tag("strh"); b.putInt(56)
+      tag("vids"); tag("DIB ")
+      b.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+        .putInt(1).putInt(fps) // scale, rate -> fps frames/sec
+        .putInt(0).putInt(n) // start, length
+        .putInt(rs * h).putInt(0).putInt(0) // bufSize, quality, sampleSize
+      b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      tag("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rs * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      // ---- LIST movi
+      val moviStart = b.position() // offset of the "LIST" fourcc
+      tag("LIST"); b.putInt(4 + n * (8 + rs * h)); tag("movi")
+      val offsets = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        // idx1 convention used (and checked) here: offset of the
+        // chunk fourcc relative to the start of the 'movi' LIST data
+        // (i.e. the position of the 'movi' tag itself = moviStart+8)
+        offsets(k) = b.position() - (moviStart + 8)
+        tag("00db"); b.putInt(rs * h)
+        val f = frames(k)
+        var y = h - 1
+        while (y >= 0) { // bottom-up rows
+          b.put(f, y * w * 3, w * 3)
+          var p = rs - w * 3
+          while (p > 0) { b.put(0.toByte); p -= 1 }
+          y -= 1
+        }
+        k += 1
+      }
+      // ---- idx1
+      tag("idx1"); b.putInt(n * 16)
+      k = 0
+      while (k < n) {
+        tag("00db"); b.putInt(0x10) // AVIIF_KEYFRAME
+        b.putInt(offsets(k)).putInt(rs * h)
+        k += 1
+      }
+      require(b.position() == size, s"layout drift: ${b.position()} != $size")
+      b.array()
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a canonical AVI: $msg")
+
+    /** Strict parse. Returns (w, h, fps, frame chunk PIXEL-DATA file
+      * offsets, stride) after validating the whole structure. */
+    def parse(avi: Array[Byte]): (Int, Int, Int, Array[Int], Int) = {
+      if (avi.length < 12 + 12 + HdrlSize + 12 + 8) fail("too short")
+      val b = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+      def expect(t: String): Unit = { val got = tag(); if (got != t) fail(s"'$got' where '$t' expected") }
+      expect("RIFF")
+      if (b.getInt() != avi.length - 8) fail("RIFF size field mismatch")
+      expect("AVI ")
+      expect("LIST"); val hdrlLen = b.getInt(); expect("hdrl")
+      if (hdrlLen != 4 + HdrlSize) fail("hdrl size unexpected for canonical layout")
+      expect("avih"); if (b.getInt() != 56) fail("avih size != 56")
+      val usec = b.getInt(); b.getInt(); b.getInt()
+      val flags = b.getInt()
+      if ((flags & 0x10) == 0) fail("AVIF_HASINDEX not set")
+      val nFrames = b.getInt(); b.getInt()
+      if (b.getInt() != 1) fail("streams != 1")
+      val bufSize = b.getInt()
+      val w = b.getInt(); val h = b.getInt()
+      if (w <= 0 || h <= 0 || nFrames < 0) fail(s"geometry ${w}x$h x$nFrames")
+      val rs = stride(w)
+      if (bufSize != rs * h) fail("suggestedBufferSize != stride*height")
+      b.getInt(); b.getInt(); b.getInt(); b.getInt() // reserved
+      expect("LIST"); b.getInt(); expect("strl")
+      expect("strh"); if (b.getInt() != 56) fail("strh size != 56")
+      expect("vids"); expect("DIB ")
+      b.getInt(); b.getShort(); b.getShort(); b.getInt()
+      val scale = b.getInt(); val rate = b.getInt()
+      if (scale != 1 || rate <= 0) fail("non-canonical scale/rate")
+      if (usec != 1000000 / rate) fail("avih usec/frame inconsistent with strh rate")
+      b.getInt()
+      if (b.getInt() != nFrames) fail("strh length != avih totalFrames")
+      if (b.getInt() != rs * h) fail("strh bufSize != stride*height")
+      b.getInt(); b.getInt() // quality, sampleSize
+      b.getShort(); b.getShort()
+      if (b.getShort() != w.toShort || b.getShort() != h.toShort)
+        fail("rcFrame != avih geometry")
+      expect("strf"); if (b.getInt() != 40) fail("strf size != 40")
+      if (b.getInt() != 40) fail("biSize != 40")
+      if (b.getInt() != w || b.getInt() != h) fail("strf geometry != avih geometry")
+      if (b.getShort() != 1) fail("planes != 1")
+      if (b.getShort() != 24) fail("bits per pixel != 24")
+      if (b.getInt() != 0) fail("compression != BI_RGB")
+      if (b.getInt() != rs * h) fail("biSizeImage != stride*height")
+      b.getInt(); b.getInt(); b.getInt(); b.getInt()
+      val moviStart = b.position()
+      expect("LIST")
+      if (b.getInt() != 4 + nFrames * (8 + rs * h)) fail("movi size mismatch")
+      expect("movi")
+      // walk the frame chunks, recording pixel-data offsets
+      val dataOff = new Array[Int](nFrames)
+      val chunkOff = new Array[Int](nFrames)
+      var k = 0
+      while (k < nFrames) {
+        chunkOff(k) = b.position() - (moviStart + 8)
+        expect("00db")
+        if (b.getInt() != rs * h) fail(s"frame $k chunk size != stride*height")
+        dataOff(k) = b.position()
+        b.position(b.position() + rs * h)
+        k += 1
+      }
+      expect("idx1")
+      if (b.getInt() != nFrames * 16) fail("idx1 size != 16*frames")
+      k = 0
+      while (k < nFrames) {
+        expect("00db")
+        b.getInt() // flags
+        if (b.getInt() != chunkOff(k)) fail(s"idx1 offset for frame $k wrong")
+        if (b.getInt() != rs * h) fail(s"idx1 length for frame $k wrong")
+        k += 1
+      }
+      if (b.position() != avi.length) fail("trailing bytes after idx1")
+      (w, h, rate, dataOff, rs)
+    }
+
+    def meta(docId: Long, avi: Array[Byte]): VideoMeta = {
+      val (w, h, fps, offs, _) = parse(avi)
+      VideoMeta(docId, avi.length.toLong, w.toLong, h.toLong, fps.toLong,
+        (1000000 / fps).toLong, offs.length.toLong)
+    }
+
+    /** Every `step`-th frame VIA the validated index: per frame, strip
+      * the stride padding, re-invert bottom-up storage to top-down,
+      * and emit pixel stats. `first_px` is the TOP-LEFT blue channel —
+      * it pins the orientation recovery (a parser that forgot the
+      * bottom-up inversion reports the wrong byte). */
+    def sampleFrames(docId: Long, avi: Array[Byte], step: Int): Seq[VideoFrame] = {
+      val (w, h, _, offs, rs) = parse(avi)
+      (0 until offs.length by step).map { k =>
+        val off = offs(k)
+        var sum = 0L; var peak = 0L
+        var y = 0
+        while (y < h) {
+          val ro = off + (h - 1 - y) * rs // bottom-up -> top-down
+          var i = 0
+          while (i < w * 3) {
+            val v = (avi(ro + i) & 0xff).toLong
+            sum += v
+            if (v > peak) peak = v
+            i += 1
+          }
+          y += 1
+        }
+        val firstRow = off + (h - 1) * rs // top image row is stored LAST
+        VideoFrame(docId, k.toLong, w.toLong * h, sum, peak,
+          (avi(firstRow) & 0xff).toLong)
+      }
+    }
+  }
+
+  /** Video geometry per doc — small varying dims so the stride-padding
+    * and index arithmetic are load-bearing (stride pad = f(w % 4)). */
+  private def vidWidth(docId: Long): Int = (docId % 5 + 2).toInt
+  private def vidHeight(docId: Long): Int = (docId % 3 + 2).toInt
+  private def vidFps(docId: Long): Int = (10 + docId % 5).toInt
+
+  /** AVI view over `documents`: consecutive w*h*3-byte slices of the
+    * utf-8 text as the top-down BGR pixels of each frame (as many full
+    * frames as the text fills, capped at 8; docs too short for one
+    * frame are skipped — admit-by-omission, the imageTable rule). */
+  def videoTable(docs: DataFrame): Dataset[VideoRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = AviCodec.init()
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = vidWidth(id); val h = vidHeight(id)
+          val frameLen = w * h * 3
+          val n = math.min(bytes.length / frameLen, 8)
+          if (n < 1) Iterator.empty
+          else Iterator.single(VideoRecord(id, codec.write(
+            Array.tabulate(n)(k =>
+              java.util.Arrays.copyOfRange(bytes, k * frameLen, (k + 1) * frameLen)),
+            w, h, vidFps(id))))
+        }
+      }
+  }
+
+  /** Container metadata through the STRICT parser — a match proves the
+    * writer's entire canonical layout (the n_bytes column is the
+    * closed container-size formula; one misplaced header byte fails
+    * the parse, one miscounted one fails the hash). */
+  def qVideoMeta(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.map(m => codec.meta(m.doc_id, m.payload))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Sampling stride for [[qVideoFrames]] — every 2nd frame, the
+    * classic keyframe-thinning cadence. */
+  val VideoFrameStep = 2
+
+  /** Index-seeked frame extraction + per-frame pixel stats — the video
+    * sibling of [[qAudioFeatures]]. The oracle recomputes each frame's
+    * stats from the source text slice, which only matches if the movi
+    * chunk walk, the idx1 offsets, the stride-padding strip, AND the
+    * bottom-up orientation recovery (pinned by first_px) are all
+    * exactly right. */
+  def qVideoFrames(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.flatMap(m => codec.sampleFrames(m.doc_id, m.payload, VideoFrameStep))
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -141,4 +141,54 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(ok.forall(r => clean(r._1) == ((r._3, r._4))))
   }
+
+  test("AVI codec: canonical structure, index-seeked frames, strictness") {
+    // 2 frames of 3x2 BGR, distinct bytes so orientation is observable
+    val w = 3; val h = 2
+    val frames = Array.tabulate(2)(k =>
+      Array.tabulate(w * h * 3)(i => (k * 100 + i).toByte))
+    val avi = Multimodal.AviCodec.write(frames, w, h, 10)
+    assert(avi.length == Multimodal.AviCodec.containerSize(w, h, 2))
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val meta = Multimodal.AviCodec.meta(1L, avi)
+    assert(meta.width == w && meta.height == h && meta.fps == 10 &&
+      meta.n_frames == 2 && meta.usec_per_frame == 100000)
+    // frames via idx1 (step 1): stats equal the source bytes'
+    val fs = Multimodal.AviCodec.sampleFrames(1L, avi, 1)
+    assert(fs.size == 2)
+    fs.zipWithIndex.foreach { case (f, k) =>
+      val src = frames(k).map(_ & 0xff)
+      assert(f.sum_px == src.map(_.toLong).sum, s"frame $k sum")
+      assert(f.peak_px == src.max.toLong, s"frame $k peak")
+      // first_px pins the bottom-up -> top-down recovery: it is the
+      // frame's byte 0, which the writer stores in the LAST row chunk
+      assert(f.first_px == (frames(k)(0) & 0xff).toLong, s"frame $k first")
+    }
+    // strictness: a corrupted byte in each structural region fails —
+    // RIFF magic, form type, avih width, last idx1 offset, first idx1
+    // offset (64 = avih data start 32 + width field offset 32)
+    val idx1Off = avi.length - 2 * 16 - 8
+    for (off <- Seq(0, 9, 64, avi.length - 8, idx1Off + 8 + 8)) {
+      val bad = avi.clone(); bad(off) = (bad(off) ^ 0x7f).toByte
+      intercept[IllegalArgumentException](Multimodal.AviCodec.meta(1L, bad))
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.AviCodec.meta(1L, avi.take(100)))
+  }
+
+  test("video pipeline: short docs drop, frame cap at 8, step-2 sampling") {
+    import spark.implicits._
+    val short = "tiny" // < one 2x2x3 frame for doc 0 geometry
+    val long = ("x" * 500) // many frames -> capped at 8
+    val docs = Seq((0L, long), (5L, short)).toDF("doc_id", "text")
+    val vids = Multimodal.videoTable(docs).collect()
+    assert(vids.map(_.doc_id).toSeq == Seq(0L),
+      "short doc must drop out (admit-by-omission)")
+    val m = Multimodal.AviCodec.meta(0L, vids.head.payload)
+    assert(m.n_frames == 8, s"cap: ${m.n_frames}") // 500/(2*2*3)=41 -> 8
+    val fr = Multimodal.AviCodec.sampleFrames(0L, vids.head.payload,
+      Multimodal.VideoFrameStep)
+    assert(fr.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L, 6L))
+  }
 }
