@@ -209,6 +209,7 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.qImageResize _),
     "q_video_meta" -> (Multimodal.qVideoMeta _),
     "q_video_frames" -> (Multimodal.qVideoFrames _),
+    "q_video_thin" -> (Multimodal.qVideoThin _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -3353,5 +3354,28 @@ object SparkEntry {
          |  CAST(list_max(fb) AS BIGINT) AS peak_px,
          |  CAST(fb[1] AS BIGINT) AS first_px
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    // The thinned artifact recomputed from source: kept-frame stats +
+    // the container-size formula at n2 = ceil(n/2) — a match proves
+    // decode, thinning, RE-encode, and strict re-parse at once (the
+    // resample/resize convention, video edition).
+    "q_video_thin" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+        |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, bs, w, h, w*h*3 AS fl,
+        |    ((w*3 + 3) // 4) * 4 AS rs,
+        |    least(len(bs) // (w*h*3), 8) AS n FROM s),
+        |f AS (SELECT doc_id, w, h, rs, fl, bs, n, (n+1)//2 AS n2,
+        |    unnest(generate_series(0, n - 1, 2)) AS k
+        |  FROM p WHERE n >= 1),
+        |fr AS (SELECT doc_id, w, h, rs, n2,
+        |    bs[k*fl+1 : (k+1)*fl] AS fb FROM f)
+        |SELECT doc_id,
+        |  CAST(12 + 200 + 12 + n2*(8 + rs*h) + 8 + n2*16 AS BIGINT) AS n_bytes,
+        |  CAST(n2 AS BIGINT) AS n_frames,
+        |  CAST(sum(list_sum(fb)) AS BIGINT) AS sum_px,
+        |  CAST(max(list_max(fb)) AS BIGINT) AS peak_px
+        |FROM fr GROUP BY doc_id, w, h, rs, n2 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -920,4 +920,41 @@ object Multimodal {
       it.flatMap(m => codec.sampleFrames(m.doc_id, m.payload, VideoFrameStep))
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  case class VideoThin(doc_id: Long, n_bytes: Long, n_frames: Long,
+    sum_px: Long, peak_px: Long)
+
+  /** The video TRANSFORM pipeline — decode → temporal 2:1 thinning
+    * (keep every 2nd frame, the keyframe-thinning downsample) →
+    * RE-ENCODE a full canonical container → strict RE-PARSE, reporting
+    * the re-decoded artifact's size/frame-count and total pixel stats
+    * ([[qMediaResample]] / [[qImageResize]]'s video sibling — all
+    * three modalities now have the decode→transform→re-encode→re-parse
+    * round trip). One mapPartitions pass; payloads never leave the
+    * executor. */
+  def qVideoThin(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.map { m =>
+        val (w, h, fps, offs, rs) = codec.parse(m.payload)
+        val kept = (0 until offs.length by 2).map { k =>
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) { // bottom-up storage -> top-down pixels
+            System.arraycopy(m.payload, offs(k) + (h - 1 - y) * rs,
+              px, y * w * 3, w * 3)
+            y += 1
+          }
+          px
+        }.toArray
+        val out = codec.write(kept, w, h, fps)
+        val meta2 = codec.meta(m.doc_id, out)
+        val fr = codec.sampleFrames(m.doc_id, out, 1)
+        VideoThin(m.doc_id, meta2.n_bytes, meta2.n_frames,
+          fr.map(_.sum_px).sum, fr.map(_.peak_px).max)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
 }
