@@ -210,6 +210,7 @@ object SparkEntry {
     "q_video_meta" -> (Multimodal.qVideoMeta _),
     "q_video_frames" -> (Multimodal.qVideoFrames _),
     "q_video_thin" -> (Multimodal.qVideoThin _),
+    "q_video_quarantine" -> (Multimodal.qVideoQuarantine _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -3377,5 +3378,27 @@ object SparkEntry {
         |  CAST(sum(list_sum(fb)) AS BIGINT) AS sum_px,
         |  CAST(max(list_max(fb)) AS BIGINT) AS peak_px
         |FROM fr GROUP BY doc_id, w, h, rs, n2 ORDER BY doc_id""".stripMargin,
+    // Video quarantine: same planted-fault stride as the WAV one; the
+    // reason is the AVI parser's (static) RIFF-tag failure
+    "q_video_quarantine" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    octet_length(encode(text)) AS len,
+         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w, h,
+         |    ((w*3 + 3) // 4) * 4 AS rs,
+         |    least(len // (w*h*3), 8) AS n
+         |  FROM s),
+         |q AS (SELECT doc_id, w, h, rs, n,
+         |    doc_id % ${graft.operators.Multimodal.CorruptEvery} = 0 AS bad
+         |  FROM p WHERE n >= 1)
+         |SELECT doc_id,
+         |  CASE WHEN bad THEN 'quarantined' ELSE 'ok' END AS status,
+         |  CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN bad THEN 0
+         |    ELSE 12 + 200 + 12 + n*(8 + rs*h) + 8 + n*16 END AS BIGINT) AS n_bytes,
+         |  CASE WHEN bad THEN 'not a canonical AVI: expected ''RIFF'' tag'
+         |    ELSE '' END AS reason
+         |FROM q ORDER BY doc_id""".stripMargin,
   )
 }

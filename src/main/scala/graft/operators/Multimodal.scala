@@ -755,7 +755,10 @@ object Multimodal {
       if (avi.length < 12 + 12 + HdrlSize + 12 + 8) fail("too short")
       val b = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
       def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
-      def expect(t: String): Unit = { val got = tag(); if (got != t) fail(s"'$got' where '$t' expected") }
+      // static message (no corrupted bytes echoed): the quarantine
+      // query surfaces this string and the oracle must mirror it
+      def expect(t: String): Unit =
+        if (tag() != t) fail(s"expected '$t' tag")
       expect("RIFF")
       if (b.getInt() != avi.length - 8) fail("RIFF size field mismatch")
       expect("AVI ")
@@ -923,6 +926,31 @@ object Multimodal {
 
   case class VideoThin(doc_id: Long, n_bytes: Long, n_frames: Long,
     sum_px: Long, peak_px: Long)
+
+  /** Corrupt-input QUARANTINE over the video containers — the same
+    * per-record guard posture as [[qMediaQuarantine]], against the
+    * AVI parser's strict failure surface: a corrupted container emits
+    * an auditable verdict row instead of killing the job or
+    * vanishing. */
+  def qVideoQuarantine(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.map { m =>
+        if (m.doc_id % CorruptEvery == 0L) m.payload(0) = 0 // planted fault
+        try {
+          val meta = codec.meta(m.doc_id, m.payload)
+          MediaVerdict(m.doc_id, "ok", meta.n_frames, meta.n_bytes, "")
+        } catch { case e: IllegalArgumentException =>
+          MediaVerdict(m.doc_id, "quarantined", 0L, 0L, e.getMessage)
+        }
+      }
+    }.toDF()
+      .withColumnRenamed("n_samples", "n_frames")
+      .withColumnRenamed("sum_samples", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
 
   /** The video TRANSFORM pipeline — decode → temporal 2:1 thinning
     * (keep every 2nd frame, the keyframe-thinning downsample) →

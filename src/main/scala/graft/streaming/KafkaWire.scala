@@ -415,7 +415,10 @@ object KafkaWire {
           val nAborted = f.i32()
           (0 until math.max(nAborted, 0)).foreach { _ => f.i64(); f.i64() }
           val recordSet = f.nbytes()
-          if (recordSet != null && recordSet.nonEmpty) {
+          // hwm-only probe (latestOffset): skip the decode entirely —
+          // nothing can satisfy `from`, and the driver polls this
+          // every trigger
+          if (recordSet != null && recordSet.nonEmpty && from != Long.MaxValue) {
             val r = new Reader(recordSet)
             while (r.remaining > 0) {
               val base = new Reader(recordSet, r.pos).i64() // peek baseOffset
