@@ -78,6 +78,36 @@ class KafkaWireSourceSpec extends SparkSpec {
     }
   }
 
+  test("multi-partition topics fan out one input partition each") {
+    withBroker { b =>
+      val p = new WireProducer("127.0.0.1", b.port, "mp-tx")
+      p.initTransactions(); p.beginTransaction()
+      p.send("in", null, "p0a") // partition 0 via the normal path
+      val (pid, epoch) = p.currentPidEpoch
+      // partition 1 via the raw seam (send() pins partition 0)
+      p.produceRaw("in", 1, KafkaWire.encodeBatch(pid, epoch, 0,
+        transactional = true, Seq((null: String) -> "p1a")))
+      p.commitTransaction(); p.close()
+
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").option("partitions", "2")
+        .load()
+        .writeStream.format("memory").queryName("kw_mp")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-mp").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("kw_mp")
+          .select(col("partition"), col("offset"), col("value")).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+        assert(got == Set((0, 0L, "p0a"), (1, 0L, "p1a")),
+          s"wrong multi-partition read: $got")
+      } finally q.stop()
+    }
+  }
+
   test("startingOffsets=latest skips pre-existing records; new ones flow") {
     withBroker { b =>
       produce(b, "in", "late-tx-0", "old1", "old2")
