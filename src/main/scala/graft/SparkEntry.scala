@@ -126,6 +126,11 @@ object SparkEntry {
     "q_perplexity3" -> (TextAnalysis.qPerplexity3 _),
     "q_bloom_decontam" -> (TextAnalysis.qBloomDecontam _),
     "q_mixture_sample" -> (TextAnalysis.qMixtureSample _),
+    "q_dsir_weights" -> (TextAnalysis.qDsirWeights _),
+    "q_dsir_sample" -> (TextAnalysis.qDsirSample _),
+    "q_dsir_shift" -> (TextAnalysis.qDsirShift _),
+    "q_dsir_gate" -> (graft.streaming.DsirGate.qDsirGate _),
+    "q_dsir_gate_disk" -> (graft.streaming.DsirGate.qDsirGateDisk _),
     "q_priority_sample" -> (TextAnalysis.qPrioritySample _),
     "q_zorder_prune" -> (Layout.qZorderPrune _),
     "q_mixture_weights" -> (TextAnalysis.qMixtureWeights _),
@@ -456,6 +461,69 @@ object SparkEntry {
        |FROM it${graft.operators.Graph.PrIterations}
        |ORDER BY pr_micro DESC, node LIMIT ${graft.operators.Graph.PrTopK}""".stripMargin
   }
+
+  /** Shared DSIR weight CTE chain (mirror of TextAnalysis dsirTrain +
+    * dsirScore): bigram fan-out over the `trainCond` pool and its
+    * `lang='en'` target slice, the deterministic capped feature vocab,
+    * the three totals, a scoring fan-out over the `scoreCond` docs,
+    * and the per-doc fixed-point importance weight — ending in
+    * `sc(doc_id, n_feats, n_oov, logw_x1e6)`. ONE definition consumed
+    * by the weights, sample, shift, and gate oracles so the smoothing
+    * arithmetic cannot drift between them. */
+  private def dsirCtes(trainCond: String, scoreCond: String): String =
+    s"""bg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE $trainCond)
+       |  WHERE len(toks) >= 2),
+       |bgt AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM documents
+       |    WHERE lang = 'en' AND ($trainCond))
+       |  WHERE len(toks) >= 2),
+       |sbg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE $scoreCond)
+       |  WHERE len(toks) >= 2),
+       |rawc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_raw
+       |  FROM bg GROUP BY 1, 2
+       |  ORDER BY c_raw DESC, prev, w LIMIT ${graft.operators.TextAnalysis.DsirMaxFeatures}),
+       |tgtc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_tgt
+       |  FROM bgt GROUP BY 1, 2),
+       |feats AS (SELECT r.prev, r.w, r.c_raw, COALESCE(t.c_tgt, 0) AS c_tgt
+       |  FROM rawc r LEFT JOIN tgtc t ON r.prev = t.prev AND r.w = t.w),
+       |tot AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tot,
+       |    CAST(sum(c_raw) AS BIGINT) AS r_tot,
+       |    CAST(count(*) AS BIGINT) AS v FROM feats),
+       |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(CASE WHEN f.c_raw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(
+       |      (CAST(round(ln(CAST(COALESCE(f.c_tgt, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(tot.t_tot + tot.v AS DOUBLE))*1e6) AS BIGINT))
+       |      - (CAST(round(ln(CAST(COALESCE(f.c_raw, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(tot.r_tot + tot.v AS DOUBLE))*1e6) AS BIGINT))
+       |    ) AS BIGINT) AS logw_x1e6
+       |  FROM sbg b CROSS JOIN tot
+       |  LEFT JOIN feats f ON b.prev = f.prev AND b.w = f.w
+       |  GROUP BY 1)""".stripMargin
+
+  /** The batch-family instantiation: the model is trained on the same
+    * pool it scores. */
+  private val dsirCtesAll = dsirCtes("TRUE", "TRUE")
+
+  /** The gate instantiation (the %4 batch/corpus split): model on the
+    * corpus slice, scores on the batch slice, plus the admit verdict
+    * and the signed-truncating per-feature weight. */
+  private val dsirGateSql =
+    s"""WITH ${dsirCtes("doc_id % 4 <> 0", "doc_id % 4 = 0")}
+       |SELECT doc_id, n_feats, n_oov, logw_x1e6,
+       |  CAST(CASE WHEN logw_x1e6 >= 0 THEN logw_x1e6 // n_feats
+       |       ELSE -((-logw_x1e6) // n_feats) END AS BIGINT) AS avg_x1e6,
+       |  CAST(CASE WHEN logw_x1e6 >= ${graft.streaming.DsirGate.AdmitMinX1e6} * n_feats
+       |    THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Shared chunk→bucket→pack CTE chain (mirror of TextAnalysis
     * qDocChunks + qSeqPack), ending in `packs(bucket, pack_id,
@@ -2936,6 +3004,39 @@ object SparkEntry {
          |SELECT doc_id, split, n_bigrams, n_unseen, surprisal_x1e6,
          |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: the same capped feature vocab, add-one
+    // smoothing totals, and fixed-point ln chain as the Spark side —
+    // the per-doc sum is integer-exact, and the length-normalized
+    // column uses the signed truncating shift both engines agree on.
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtesAll
+         |SELECT doc_id, n_feats, n_oov, logw_x1e6,
+         |  CAST(CASE WHEN logw_x1e6 >= 0 THEN logw_x1e6 // n_feats
+         |       ELSE -((-logw_x1e6) // n_feats) END AS BIGINT) AS avg_x1e6
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_dsir_sample" ->
+      s"""WITH $dsirCtesAll,
+         |top AS (SELECT doc_id, n_feats, logw_x1e6,
+         |    CAST(row_number() OVER (ORDER BY logw_x1e6 DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc ORDER BY logw_x1e6 DESC, doc_id
+         |  LIMIT ${graft.operators.TextAnalysis.DsirSampleK})
+         |SELECT t.rnk, t.doc_id, d.lang, d.source, t.n_feats, t.logw_x1e6
+         |FROM top t JOIN documents d ON t.doc_id = d.doc_id
+         |ORDER BY t.rnk""".stripMargin,
+    "q_dsir_shift" ->
+      s"""WITH $dsirCtesAll,
+         |sel AS (SELECT doc_id FROM sc
+         |  ORDER BY logw_x1e6 DESC, doc_id
+         |  LIMIT ${graft.operators.TextAnalysis.DsirSampleK})
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_pool,
+         |  CAST(sum(CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_sel
+         |FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+         |GROUP BY 1 ORDER BY d.lang""".stripMargin,
+    // The streaming DSIR gate's ground truth — the %4 split, the
+    // frozen-model arithmetic, and the integer cross-multiplied admit;
+    // the disk variant must produce the identical verdict set.
+    "q_dsir_gate" -> dsirGateSql,
+    "q_dsir_gate_disk" -> dsirGateSql,
     // Trigram stupid-backoff mirror: the same capped tables, context
     // sums, pinned ln(0.4) integer, and fixed-point ln chain as the
     // Spark side — every branch of the backoff CASE is integer-exact.

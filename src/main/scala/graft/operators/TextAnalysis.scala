@@ -1324,4 +1324,160 @@ object TextAnalysis {
         col("jaccard_x1e6"), col("union_ok"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  // --------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+  // --------------------------------------------------------------
+
+  /** Feature-vocab cap for the DSIR weight model — same posture as
+    * [[LmMaxBigrams]]: the feature table is deterministic top-N by raw
+    * count, so the broadcast side of the scoring join is BOUNDED at any
+    * corpus size (the paper hashes into a fixed bucket count for the
+    * same reason; a pruned explicit vocab is the exact-arithmetic
+    * equivalent, with out-of-vocab mass falling through to the
+    * smoothing floor). */
+  val DsirMaxFeatures = 65536
+
+  /** DSIR resample size (the batch query's K; production sizes this to
+    * the training-token budget — the math is size-independent). */
+  val DsirSampleK = 100
+
+  /** The DSIR target domain: English documents. The raw pool is the
+    * whole multilingual corpus, so the importance weights measure "how
+    * much does this document look like the target language model
+    * relative to the pool" — the paper's Wikipedia-vs-CommonCrawl
+    * setup re-expressed over this corpus's trusted slice. */
+  private def dsirTarget(docs: DataFrame): DataFrame =
+    docs.filter(col("lang") === "en")
+
+  /** Fixed-point micro-nat log of an integer count — the SAME
+    * engine-exact primitive as [[qPerplexity]] (round(ln(k)*1e6)
+    * agrees bit-for-bit across IEEE engines for integer k). */
+  private def lnX1e6(k: Column): Column =
+    round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
+
+  /** The frozen DSIR weight model: the capped feature table (the
+    * broadcast side) and its three smoothing totals. `table` set means
+    * the features live in a saved table (restart reuse — the model
+    * outlives the stream that built it; the [[graft.streaming
+    * .QualityGate.LmIndex]] convention). */
+  final case class DsirModel(feats: DataFrame, tTot: Long, rTot: Long,
+      v: Long, table: Option[String] = None) {
+    def content: DataFrame = table match {
+      case Some(t) => feats.sparkSession.table(t)
+      case None => feats
+    }
+  }
+
+  /** Train the DSIR model from a corpus snapshot: the capped feature
+    * vocab is top-N bigrams by RAW count (count-desc / key-asc, the
+    * deterministic-cap convention) with the target-slice counts
+    * left-joined on — two word-count-shaped shuffles with map-side
+    * partials, one bounded top-N, one 1-row totals scalar. The model
+    * is the same ~64 K rows whether the pool is 60 K docs or 100 TB. */
+  private[graft] def dsirTrain(corpus: DataFrame): DsirModel = {
+    val rawC = bigramRows(corpus, "doc_id", "text")
+      .groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c_raw"))
+      .orderBy(col("c_raw").desc, col("prev"), col("w"))
+      .limit(DsirMaxFeatures)
+    val tgtC = bigramRows(dsirTarget(corpus), "doc_id", "text")
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_tgt"))
+    val feats = rawC.join(tgtC, Seq("prev", "w"), "left")
+      .select(col("prev"), col("w"), col("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .localCheckpoint(true) // feeds the totals AND the scoring join
+    val tot = feats.agg(
+      sum(col("c_tgt")), sum(col("c_raw")), count(lit(1))).head()
+    DsirModel(feats, tot.getLong(0), tot.getLong(1), tot.getLong(2))
+  }
+
+  /** Score documents against a frozen model, fully in integer
+    * micro-nats:
+    *
+    *   log w(x) = sum over x's bigram occurrences f of
+    *              ln p_tgt(f) - ln p_raw(f)
+    *
+    * with add-one smoothing over the capped feature vocab:
+    * p_tgt(f) = (c_tgt+1)/(T+V), p_raw(f) = (c_raw+1)/(R+V), where
+    * T/R are the vocab's target/raw occurrence totals and V its size.
+    * Each term is a difference of four round(ln(k)*1e6) integers, so
+    * the per-doc sum is order-free and engine-exact; out-of-vocab
+    * bigrams contribute the smoothing-floor ratio ln((T+V)^-1) -
+    * ln((R+V)^-1) (both counts coalesce to 0), which is exactly how a
+    * pruned importance model treats unseen features.
+    *
+    * Scale shape (the [[qPerplexity]] template): the bigram fan-out
+    * pipelines inside the scan; the bounded feature table broadcasts
+    * and the totals are literals; scoring is a broadcast join + a
+    * doc_id re-agg whose map-side partial collapses each doc's
+    * bigrams before the exchange — shuffle volume is O(docs), not
+    * O(tokens). */
+  private[graft] def dsirScore(docs: DataFrame, m: DsirModel): DataFrame = {
+    val term =
+      (lnX1e6(coalesce(col("c_tgt"), lit(0L)) + lit(1L)) -
+        lit(math.round(math.log((m.tTot + m.v).toDouble) * 1e6))) -
+        (lnX1e6(coalesce(col("c_raw"), lit(0L)) + lit(1L)) -
+          lit(math.round(math.log((m.rTot + m.v).toDouble) * 1e6)))
+    bigramRows(docs, "doc_id", "text")
+      .join(broadcast(m.content), Seq("prev", "w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(when(col("c_raw").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(term).as("logw_x1e6"))
+  }
+
+  /** Whole-pool weights: the model is trained on the same corpus it
+    * scores (the paper's batch setting — selection happens before any
+    * split exists). */
+  private[graft] def dsirWeightFrame(docs: DataFrame): DataFrame =
+    dsirScore(docs, dsirTrain(docs))
+
+  /** DSIR importance weights per document (plus the per-feature mean,
+    * the length-normalized signal real pipelines threshold on). */
+  def qDsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightFrame(Tables.documents(s, d))
+      .withColumn("avg_x1e6",
+        // SIGNED truncating shift (the PCA convention): Spark `div`
+        // truncates, DuckDB `//` floors — they agree on |x| only
+        signum(col("logw_x1e6")).cast(LongType) *
+          expr("abs(logw_x1e6) div n_feats"))
+      .orderBy(col("doc_id"))
+
+  /** The DSIR selection itself: the top-[[DsirSampleK]] documents by
+    * importance weight (weight-desc / doc_id-asc — the deterministic
+    * capped top-K convention; the paper's Gumbel perturbation is a
+    * tie-breaking refinement on the same primitive). The K-row
+    * selection broadcast-joins back to `documents` for the domain
+    * columns, so the corpus is never re-shuffled. */
+  def qDsirSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val top = dsirWeightFrame(docs)
+      .orderBy(col("logw_x1e6").desc, col("doc_id"))
+      .limit(DsirSampleK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("logw_x1e6").desc, col("doc_id"))).cast(LongType))
+    docs.join(broadcast(top), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("lang"), col("source"),
+        col("n_feats"), col("logw_x1e6"))
+      .orderBy(col("rnk"))
+  }
+
+  /** The mixture-shift audit: what the resample did to the language
+    * mix (pool share vs selected share, per lang). The non-vacuous
+    * check that the weights actually pull toward the target domain —
+    * `en` must dominate n_sel. Bounded output (|langs| rows); the
+    * selection side is the same broadcast K-row frame. */
+  def qDsirShift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val selIds = dsirWeightFrame(docs)
+      .orderBy(col("logw_x1e6").desc, col("doc_id"))
+      .limit(DsirSampleK).select(col("doc_id"), lit(1L).as("sel"))
+    docs.join(broadcast(selIds), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(coalesce(col("sel"), lit(0L))).as("n_sel"))
+      .orderBy(col("lang"))
+  }
 }
