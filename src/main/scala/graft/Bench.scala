@@ -45,7 +45,8 @@ object Bench {
   private val MemoPayers = Seq("q_kmeans_centroids", "q_clean_corpus",
     "q_embed_clusters", "q9_product_profit", "q_pagerank", "q_bm25",
     "q_pca_basis", // trained PCA basis (Similarity.trainedPcaBasis)
-    "q_knn_opq") // OPQ codebooks (Similarity.opqCodebook)
+    "q_knn_opq", // OPQ codebooks (Similarity.opqCodebook)
+    "q_dsir_weights") // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
 
   // Locale.ROOT: a comma-decimal default locale must not corrupt the
   // single-JSON-line driver contract

@@ -1434,10 +1434,40 @@ object TextAnalysis {
   private[graft] def dsirWeightFrame(docs: DataFrame): DataFrame =
     dsirScore(docs, dsirTrain(docs))
 
+  /** Build-once memo for the whole-pool weight frame, keyed by corpus
+    * dir — the [[graft.operators.Retrieval]] index-memo convention: a
+    * selection run scores the pool once and every consumer (weights
+    * report, top-K resample, shift audit) reads the same frame.
+    * Fingerprint + session guards and deferred reclamation follow
+    * [[graft.operators.Graph]]'s edge memo. */
+  private val dsirMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  /** Filesystem fingerprint of the documents table (driver metadata
+    * only, the [[graft.operators.Similarity.embFingerprint]]
+    * convention): a regenerated corpus forces a re-score. */
+  private def docFingerprint(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    fs.filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+  }
+
+  private def dsirWeightsMemo(s: SparkSession, d: String): DataFrame = {
+    val fp = docFingerprint(d)
+    dsirMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
+      else
+        // stale entry reclaimed DEFERRED (ContextCleaner on GC), never
+        // eagerly — the Graph edge-memo race rationale
+        (fp, dsirWeightFrame(Tables.documents(s, d)).localCheckpoint(true)))
+      ._2
+  }
+
   /** DSIR importance weights per document (plus the per-feature mean,
     * the length-normalized signal real pipelines threshold on). */
   def qDsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirWeightFrame(Tables.documents(s, d))
+    dsirWeightsMemo(s, d)
       .withColumn("avg_x1e6",
         // SIGNED truncating shift (the PCA convention): Spark `div`
         // truncates, DuckDB `//` floors — they agree on |x| only
@@ -1453,7 +1483,7 @@ object TextAnalysis {
     * columns, so the corpus is never re-shuffled. */
   def qDsirSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val top = dsirWeightFrame(docs)
+    val top = dsirWeightsMemo(s, d)
       .orderBy(col("logw_x1e6").desc, col("doc_id"))
       .limit(DsirSampleK)
       .withColumn("rnk", row_number().over(
@@ -1471,7 +1501,7 @@ object TextAnalysis {
     * selection side is the same broadcast K-row frame. */
   def qDsirShift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val selIds = dsirWeightFrame(docs)
+    val selIds = dsirWeightsMemo(s, d)
       .orderBy(col("logw_x1e6").desc, col("doc_id"))
       .limit(DsirSampleK).select(col("doc_id"), lit(1L).as("sel"))
     docs.join(broadcast(selIds), Seq("doc_id"), "left")
