@@ -131,6 +131,8 @@ object SparkEntry {
     "q_dsir_shift" -> (TextAnalysis.qDsirShift _),
     "q_dsir_gate" -> (graft.streaming.DsirGate.qDsirGate _),
     "q_dsir_gate_disk" -> (graft.streaming.DsirGate.qDsirGateDisk _),
+    "q_ppl_buckets" -> (TextAnalysis.qPplBuckets _),
+    "q_ppl_cutoffs" -> (TextAnalysis.qPplCutoffs _),
     "q_priority_sample" -> (TextAnalysis.qPrioritySample _),
     "q_zorder_prune" -> (Layout.qZorderPrune _),
     "q_mixture_weights" -> (TextAnalysis.qMixtureWeights _),
@@ -512,6 +514,54 @@ object SparkEntry {
   /** The batch-family instantiation: the model is trained on the same
     * pool it scores. */
   private val dsirCtesAll = dsirCtes("TRUE", "TRUE")
+
+  /** Shared add-one bigram-LM perplexity CTE chain (mirror of
+    * TextAnalysis perplexityFrame), ending in `sc(doc_id, split,
+    * n_bigrams, n_unseen, surprisal_x1e6)` — ONE definition consumed
+    * by the perplexity oracle and the CCNet bucketing oracles. */
+  private val pplCtes =
+    s"""t AS (SELECT doc_id, $tokSql AS toks,
+       |    CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13 THEN 'train'
+       |         WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |bg AS (SELECT doc_id, split,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+       |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+       |  FROM t WHERE len(toks) >= 2),
+       |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
+       |  FROM bg WHERE split = 'train' GROUP BY 1, 2
+       |  ORDER BY c_pair DESC, prev, w LIMIT ${graft.operators.TextAnalysis.LmMaxBigrams}),
+       |ctx AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM t WHERE split = 'train')),
+       |sc AS (SELECT b.doc_id, b.split, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN bgc.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       |    CAST(sum(CAST(round(ln(CAST(COALESCE(ctx.c_ctx, 0) + vv.v AS DOUBLE))*1e6) AS BIGINT)
+       |           - CAST(round(ln(CAST(COALESCE(bgc.c_pair, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)) AS BIGINT)
+       |      AS surprisal_x1e6
+       |  FROM bg b CROSS JOIN vv
+       |  LEFT JOIN bgc ON b.prev = bgc.prev AND b.w = bgc.w
+       |  LEFT JOIN ctx ON b.prev = ctx.prev
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The tercile machinery on top of [[pplCtes]]: the per-doc integer
+    * ratio with lang, the per-(lang, ratio) value histogram, and the
+    * exact order-statistic cutoffs c1 = ceil(n/3)-th smallest, c2 =
+    * ceil(2n/3)-th — integer k via (n+2)//3, no float ceil. */
+  private val pplBucketCtes =
+    s"""base AS (SELECT s.doc_id, d.lang,
+       |    CAST(s.surprisal_x1e6 // s.n_bigrams AS BIGINT) AS ratio_x1e6
+       |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id),
+       |hist AS (SELECT lang, ratio_x1e6, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2),
+       |cum AS (SELECT lang, ratio_x1e6,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY ratio_x1e6) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+       |cut AS (SELECT lang,
+       |    min(CASE WHEN cum >= (n + 2) // 3 THEN ratio_x1e6 END) AS c1,
+       |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ratio_x1e6 END) AS c2
+       |  FROM cum GROUP BY 1)""".stripMargin
 
   /** The gate instantiation (the %4 batch/corpus split): model on the
     * corpus slice, scores on the batch slice, plus the admit verdict
@@ -2977,33 +3027,32 @@ object SparkEntry {
     // integer-exact and order-free; the only floats are the final
     // correctly-rounded division chain.
     "q_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS toks,
-         |    CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13 THEN 'train'
-         |         WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 15 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM documents),
-         |bg AS (SELECT doc_id, split,
-         |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
-         |    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
-         |  FROM t WHERE len(toks) >= 2),
-         |bgc AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c_pair
-         |  FROM bg WHERE split = 'train' GROUP BY 1, 2
-         |  ORDER BY c_pair DESC, prev, w LIMIT ${graft.operators.TextAnalysis.LmMaxBigrams}),
-         |ctx AS (SELECT prev, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1),
-         |vv AS (SELECT count(DISTINCT tok) AS v
-         |  FROM (SELECT unnest(toks) AS tok FROM t WHERE split = 'train')),
-         |sc AS (SELECT b.doc_id, b.split, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(CASE WHEN bgc.c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
-         |    CAST(sum(CAST(round(ln(CAST(COALESCE(ctx.c_ctx, 0) + vv.v AS DOUBLE))*1e6) AS BIGINT)
-         |           - CAST(round(ln(CAST(COALESCE(bgc.c_pair, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)) AS BIGINT)
-         |      AS surprisal_x1e6
-         |  FROM bg b CROSS JOIN vv
-         |  LEFT JOIN bgc ON b.prev = bgc.prev AND b.w = bgc.w
-         |  LEFT JOIN ctx ON b.prev = ctx.prev
-         |  GROUP BY 1, 2)
+      s"""WITH $pplCtes
          |SELECT doc_id, split, n_bigrams, n_unseen, surprisal_x1e6,
          |  round(surprisal_x1e6/1e6/n_bigrams, 4) AS avg_nats
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // CCNet tercile bucketing: exact per-lang order-statistic cutoffs
+    // from the value histogram (the integer ratio floor-divides the
+    // same on both engines since both operands are non-negative),
+    // then value-defined head/middle/tail labels.
+    "q_ppl_buckets" ->
+      s"""WITH $pplCtes,
+         |$pplBucketCtes
+         |SELECT b.doc_id, b.lang, b.ratio_x1e6,
+         |  CASE WHEN b.ratio_x1e6 <= c.c1 THEN 'head'
+         |       WHEN b.ratio_x1e6 <= c.c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM base b JOIN cut c ON b.lang = c.lang
+         |ORDER BY b.doc_id""".stripMargin,
+    "q_ppl_cutoffs" ->
+      s"""WITH $pplCtes,
+         |$pplBucketCtes
+         |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs, c.c1, c.c2,
+         |  CAST(sum(CASE WHEN b.ratio_x1e6 <= c.c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         |  CAST(sum(CASE WHEN b.ratio_x1e6 > c.c1 AND b.ratio_x1e6 <= c.c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+         |  CAST(sum(CASE WHEN b.ratio_x1e6 > c.c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+         |FROM base b JOIN cut c ON b.lang = c.lang
+         |GROUP BY 1, c.c1, c.c2 ORDER BY b.lang""".stripMargin,
     // DSIR importance weights: the same capped feature vocab, add-one
     // smoothing totals, and fixed-point ln chain as the Spark side —
     // the per-doc sum is integer-exact, and the length-normalized

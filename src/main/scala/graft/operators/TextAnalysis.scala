@@ -741,7 +741,16 @@ object TextAnalysis {
     * re-agg whose map-side partial collapses each doc's bigrams (all
     * co-located with the doc) to ~1 row before the exchange — shuffle
     * volume is O(docs), not O(tokens). V is a 1-row bounded scalar. */
-  def qPerplexity(s: SparkSession, d: String): DataFrame = {
+  def qPerplexity(s: SparkSession, d: String): DataFrame =
+    perplexityFrame(s, d)
+      .withColumn("avg_nats",
+        round(col("surprisal_x1e6") / lit(1e6) / col("n_bigrams"), 4))
+      .orderBy(col("doc_id"))
+
+  /** The scored frame behind [[qPerplexity]] (and the perplexity
+    * bucketing): (doc_id, split, n_bigrams, n_unseen, surprisal_x1e6),
+    * unordered. */
+  private[graft] def perplexityFrame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // split derives from doc_id alone, so it recomputes on the bigram
     // fan-out directly (the contamShingles convention)
@@ -758,8 +767,6 @@ object TextAnalysis {
       .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    def lnX1e6(k: Column): Column =
-      round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
     val term =
       lnX1e6(coalesce(col("c_ctx"), lit(0L)) + col("v")) -
         lnX1e6(coalesce(col("c_pair"), lit(0L)) + lit(1L))
@@ -771,9 +778,6 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         sum(when(col("c_pair").isNull, 1L).otherwise(0L)).as("n_unseen"),
         sum(term).as("surprisal_x1e6"))
-      .withColumn("avg_nats",
-        round(col("surprisal_x1e6") / lit(1e6) / col("n_bigrams"), 4))
-      .orderBy(col("doc_id"))
   }
 
   /** Stupid-backoff discount ln(0.4) in fixed-point micro-nats,
@@ -1508,6 +1512,81 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_pool"),
         sum(coalesce(col("sel"), lit(0L))).as("n_sel"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------------------------------------------------------
+  // CCNet perplexity bucketing (head / middle / tail terciles)
+  // --------------------------------------------------------------
+
+  /** Per-doc integer perplexity ratio joined with lang — the input to
+    * the tercile split. The ratio is the floor of micro-nats per
+    * bigram (both operands non-negative, so Spark `div` and DuckDB
+    * `//` agree), which quantizes the score to an INTEGER whose value
+    * range — not the corpus size — bounds everything downstream. */
+  private def pplRatioFrame(s: SparkSession, d: String): DataFrame =
+    perplexityFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("surprisal_x1e6 div n_bigrams").as("ratio_x1e6"))
+
+  /** Per-lang tercile cutoffs as EXACT order statistics, computed the
+    * scale-correct way: never sort the docs — build the per-(lang,
+    * ratio) VALUE HISTOGRAM (bounded by the integer ratio range, ~2e7
+    * cells worst case, independent of corpus size), run one cumulative
+    * window over it per lang, and read off c1 = the k1-th smallest
+    * ratio (k1 = ceil(n/3), integer form (n+2) div 3) and c2 = the
+    * k2-th (k2 = ceil(2n/3)). Output is |langs| rows. */
+  private def pplCutoffs(ratios: DataFrame): DataFrame = {
+    val hist = ratios.groupBy(col("lang"), col("ratio_x1e6"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ratio_x1e6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("ratio_x1e6")))
+          .as("c1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ratio_x1e6")))
+          .as("c2"))
+  }
+
+  /** CCNet-style perplexity bucketing: each document labeled head /
+    * middle / tail by its language's tercile cutoffs (head = most
+    * fluent third under the train-split LM — CCNet keeps head+middle
+    * and drops tail). Buckets are VALUE-defined (ratio <= cutoff), so
+    * ties land deterministically and any engine can recompute a
+    * document's bucket from the two broadcast cutoffs alone. */
+  def qPplBuckets(s: SparkSession, d: String): DataFrame = {
+    val ratios = pplRatioFrame(s, d)
+    ratios.join(broadcast(pplCutoffs(ratios).drop("n")), "lang")
+      .select(col("doc_id"), col("lang"), col("ratio_x1e6"),
+        when(col("ratio_x1e6") <= col("c1"), "head")
+          .when(col("ratio_x1e6") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The cutoff report: per lang, the tercile boundaries and the
+    * realized bucket populations (ties make them unequal — the
+    * value-defined split is the deterministic one). */
+  def qPplCutoffs(s: SparkSession, d: String): DataFrame = {
+    val ratios = pplRatioFrame(s, d)
+    ratios.join(broadcast(pplCutoffs(ratios).drop("n")), "lang")
+      .groupBy(col("lang"), col("c1"), col("c2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ratio_x1e6") <= col("c1"), 1L).otherwise(0L))
+          .as("n_head"),
+        sum(when(col("ratio_x1e6") > col("c1") &&
+          col("ratio_x1e6") <= col("c2"), 1L).otherwise(0L)).as("n_middle"),
+        sum(when(col("ratio_x1e6") > col("c2"), 1L).otherwise(0L))
+          .as("n_tail"))
+      .select(col("lang"), col("n_docs"), col("c1"), col("c2"),
+        col("n_head"), col("n_middle"), col("n_tail"))
       .orderBy(col("lang"))
   }
 }

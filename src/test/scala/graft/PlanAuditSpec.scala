@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_seq_pack" -> "scalar subquery: single-row data-sized bucket-count broadcast",
     "q_pack_shards" -> "inherits q_seq_pack's single-row bucket-count broadcast",
     "q_perplexity" -> "scalar subquery: single-row vocabulary-size (V) broadcast",
+    "q_ppl_buckets" -> "inherits q_perplexity's single-row vocabulary-size (V) broadcast",
+    "q_ppl_cutoffs" -> "inherits q_perplexity's single-row vocabulary-size (V) broadcast",
     "q_mixture_weights" -> "scalar subquery: single-row weight-total broadcast",
     "q_event_funnel" -> "four single-row stage-rollup scalars crossed into the report row",
     "q_pagerank" -> "scalar subquery: single-row node-count broadcast",
