@@ -1530,6 +1530,9 @@ object TextAnalysis {
         "doc_id")
       .select(col("doc_id"), col("lang"),
         expr("surprisal_x1e6 div n_bigrams").as("ratio_x1e6"))
+      // feeds BOTH the histogram-cutoff subtree and the label pass —
+      // without the pin the corpus-sized LM scoring runs twice
+      .localCheckpoint(false)
 
   /** Per-lang tercile cutoffs as EXACT order statistics, computed the
     * scale-correct way: never sort the docs — build the per-(lang,
