@@ -281,6 +281,12 @@ object Bench {
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_perplexity", "q_bloom_decontam", "q_audio_features",
           "q_quality_gate",
+          // DSIR: the weight build is the payer (charged to
+          // q_dsir_weights via the memo); sample/shift ride the frame.
+          // Bucketing: the histogram-cutoff path must scale with the
+          // ratio RANGE, not the corpus — the 10x point checks that.
+          "q_dsir_weights", "q_dsir_sample", "q_dsir_shift",
+          "q_dsir_gate", "q_ppl_buckets", "q_ppl_cutoffs",
           "q_semdedup", "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
