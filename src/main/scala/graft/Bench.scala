@@ -287,7 +287,8 @@ object Bench {
           // ratio RANGE, not the corpus — the 10x point checks that.
           "q_dsir_weights", "q_dsir_sample", "q_dsir_shift",
           "q_dsir_gate", "q_ppl_buckets", "q_ppl_cutoffs",
-          "q_semdedup", "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
+          "q_semdedup", "q_embed_prune", "q_embed_prune_stats",
+          "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
           "q_source_quota", "q_span_dedup", "q_span_hotspots", "q_span_scrub",
           "q_subtoken_count", "q_text_quality",
           "q_tfidf_topk", "q_token_budget", "q_token_stats", "q_word_count",

@@ -180,6 +180,8 @@ object SparkEntry {
     "q_semantic_contamination" -> (Dedup.qSemanticContamination _),
     "q_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q_semdedup" -> (Dedup.qSemDedup _),
+    "q_embed_prune" -> (Similarity.qEmbedPrune _),
+    "q_embed_prune_stats" -> (Similarity.qEmbedPruneStats _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
@@ -1325,6 +1327,25 @@ object SparkEntry {
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
          |    FROM adots) t WHERE rn = 1)""".stripMargin
+
+  /** Mirror of Similarity.qEmbedPrune: the winning cosine per vector
+    * off the shared assignment chain (rn = 1 of the adots ranking —
+    * the same value [[nearestFit]]'s argmax produces), quantized with
+    * the floor(x*1e6 + 0.5) convention, then the global decile cutoff
+    * as a value-histogram order statistic (the q_ppl_buckets
+    * machinery, global flavor). */
+  private def embedPruneCtes: String =
+    s"""afit AS (SELECT vec_id, cent_id AS cell, fit_x1e6 FROM (
+       |    SELECT vec_id, cent_id,
+       |      CAST(floor(dot/(sqrt(n2)*sqrt(cn2))*1e6 + 0.5) AS BIGINT) AS fit_x1e6,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
+       |    FROM adots) t WHERE rn = 1),
+       |fhist AS (SELECT fit_x1e6, CAST(count(*) AS BIGINT) AS c FROM afit GROUP BY 1),
+       |fcum AS (SELECT fit_x1e6, sum(c) OVER (ORDER BY fit_x1e6) AS cum,
+       |    sum(c) OVER () AS nn FROM fhist),
+       |fcut AS (SELECT min(CASE WHEN cum >= (nn + ${Similarity.PruneDecile - 1}) // ${Similarity.PruneDecile}
+       |    THEN fit_x1e6 END) AS cut FROM fcum)""".stripMargin
 
   private val knnIvfSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
@@ -2661,6 +2682,25 @@ object SparkEntry {
     "q_embed_clusters" -> ccSql(
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_semdedup" -> semDedupSql,
+    "q_embed_prune" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |$ivfAssignCtes,
+         |$embedPruneCtes
+         |SELECT a.vec_id, a.cell, a.fit_x1e6, a.fit_x1e6 <= c.cut AS prune
+         |FROM afit a CROSS JOIN fcut c ORDER BY a.vec_id""".stripMargin,
+    "q_embed_prune_stats" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql,
+         |$ivfAssignCtes,
+         |$embedPruneCtes
+         |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN a.fit_x1e6 <= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |  min(a.fit_x1e6) AS min_fit, max(a.fit_x1e6) AS max_fit
+         |FROM afit a CROSS JOIN fcut c
+         |GROUP BY 1 ORDER BY a.cell""".stripMargin,
     "q_knn_brute" -> knnBruteSql,
     "q_kmeans_centroids" -> kmeansSql,
     "q_pca_power" -> {

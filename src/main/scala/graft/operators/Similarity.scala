@@ -1320,4 +1320,75 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), col("proj"))
       .orderBy(col("rnk"))
   }
+
+  // --------------------------------------------------------------
+  // Embedding-space pruning by quantizer fit (Sorscher et al. 2022)
+  // --------------------------------------------------------------
+
+  /** Prune the bottom 1/[[PruneDecile]] of vectors by quantizer fit. */
+  val PruneDecile = 10L
+
+  /** Per-vector QUANTIZED fit: the winning cosine against the trained
+    * coarse quantizer ([[assignCellsFit]]'s zero-shuffle broadcast
+    * argmax), floored to integer micro-units — floor(x*1e6 + 0.5),
+    * never a double→long cast (Spark truncates, DuckDB rounds; floor
+    * agrees everywhere). Checkpointed because it feeds BOTH the
+    * cutoff histogram and the verdict pass (the q_ppl_buckets
+    * lesson). */
+  private def fitFrame(s: SparkSession, d: String): DataFrame =
+    assignCellsFit(withNorm(Tables.embeddings(s, d)),
+      centroidArray(trainedCentroids(s, d)))
+      .select(col("vec_id"), col("cell"),
+        floor(col("fit") * lit(1e6) + lit(0.5)).cast(LongType).as("fit_x1e6"))
+      .localCheckpoint(false)
+
+  /** The exact decile cutoff as a 1-row frame: the ceil(n/10)-th
+    * smallest fit — the q_ppl_buckets VALUE-HISTOGRAM order statistic
+    * (the histogram is bounded by the fit range, ≤ 2e6+1 cells at any
+    * corpus size; the global windows run over IT, never over the
+    * vectors). */
+  private def fitCutoff(fits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    fits.groupBy(col("fit_x1e6")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("fit_x1e6"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .agg(min(when(col("cum") >= expr(s"(n + ${PruneDecile - 1}) div $PruneDecile"),
+        col("fit_x1e6"))).as("cut"))
+  }
+
+  /** Embedding-space data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): rank every vector by how well the trained
+    * coarse quantizer represents it and flag the bottom decile —
+    * lowest-fit vectors are the far-from-every-prototype mass (noise
+    * / outliers under the noise-pruning reading; the hardest examples
+    * under the keep-hard reading — the verdict column supports
+    * either policy downstream). The cutoff is an EXACT order
+    * statistic, value-defined, so any engine recomputes a vector's
+    * verdict from the broadcast cutoff alone. */
+  def qEmbedPrune(s: SparkSession, d: String): DataFrame = {
+    val fits = fitFrame(s, d)
+    fits.crossJoin(broadcast(fitCutoff(fits)))
+      .select(col("vec_id"), col("cell"), col("fit_x1e6"),
+        (col("fit_x1e6") <= col("cut")).as("prune"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The per-cell pruning report: population, pruned count, fit
+    * range — the review surface that shows WHERE the low-fit mass
+    * lives (a cell with everything pruned is a bad centroid, not bad
+    * data). Bounded output (|cells| rows). */
+  def qEmbedPruneStats(s: SparkSession, d: String): DataFrame = {
+    val fits = fitFrame(s, d)
+    fits.crossJoin(broadcast(fitCutoff(fits)))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("fit_x1e6") <= col("cut"), 1L).otherwise(0L))
+          .as("n_pruned"),
+        min(col("fit_x1e6")).as("min_fit"),
+        max(col("fit_x1e6")).as("max_fit"))
+      .orderBy(col("cell"))
+  }
 }

@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_knn_ivf" -> "broadcast side is the fixed k-means centroid set (|cells| rows)",
     "q_semdedup" -> "broadcast side is the fixed k-means centroid set (|cells| rows)",
+    "q_embed_prune" -> "broadcast sides are the fixed centroid set and the 1-row decile cutoff",
+    "q_embed_prune_stats" -> "broadcast sides are the fixed centroid set and the 1-row decile cutoff",
     "q_knn_ivf_int8" -> "broadcast sides are the fixed centroid set and the |queries|x3K shortlist",
     "q_ivf_int8_recall" -> "recall eval re-runs the brute-force baseline as ground truth",
     "q_embed_classify" -> "broadcast side is the fixed per-label centroid set",
