@@ -277,7 +277,8 @@ object Bench {
           "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_resample", "q_media_meta",
           "q_image_decode", "q_image_resize",
-          "q_video_meta", "q_video_frames", "q_video_thin", "q_minhash_lsh",
+          "q_video_meta", "q_video_frames", "q_video_thin", "q_video_motion",
+          "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_perplexity", "q_bloom_decontam", "q_audio_features",
           "q_quality_gate",

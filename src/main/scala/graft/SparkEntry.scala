@@ -219,6 +219,7 @@ object SparkEntry {
     "q_video_meta" -> (Multimodal.qVideoMeta _),
     "q_video_frames" -> (Multimodal.qVideoFrames _),
     "q_video_thin" -> (Multimodal.qVideoThin _),
+    "q_video_motion" -> (Multimodal.qVideoMotion _),
     "q_video_quarantine" -> (Multimodal.qVideoQuarantine _),
   )
 
@@ -3545,6 +3546,28 @@ object SparkEntry {
          |  CAST(list_max(fb) AS BIGINT) AS peak_px,
          |  CAST(fb[1] AS BIGINT) AS first_px
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    // Motion recomputed from the source slices: per consecutive-frame
+    // pair, the sum of absolute byte diffs + the integer
+    // cross-multiplied scene-cut verdict.
+    "q_video_motion" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, bs, w, h, w*h*3 AS fl,
+         |    least(len(bs) // (w*h*3), 8) AS n FROM s),
+         |f AS (SELECT doc_id, bs, fl,
+         |    unnest(generate_series(0, n - 2)) AS k
+         |  FROM p WHERE n >= 2),
+         |m AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    CAST(fl AS BIGINT) AS n_bytes,
+         |    CAST(list_sum(list_transform(
+         |      list_zip(bs[k*fl+1 : (k+1)*fl], bs[(k+1)*fl+1 : (k+2)*fl]),
+         |      z -> abs(z[1] - z[2]))) AS BIGINT) AS motion
+         |  FROM f)
+         |SELECT doc_id, frame_idx, n_bytes, motion,
+         |  motion * 1000 > ${graft.operators.Multimodal.MotionCutX1e3} * n_bytes AS cut
+         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     // The thinned artifact recomputed from source: kept-frame stats +
     // the container-size formula at n2 = ceil(n/2) — a match proves
     // decode, thinning, RE-encode, and strict re-parse at once (the

@@ -839,6 +839,32 @@ object Multimodal {
       * and emit pixel stats. `first_px` is the TOP-LEFT blue channel —
       * it pins the orientation recovery (a parser that forgot the
       * bottom-up inversion reports the wrong byte). */
+    /** Inter-frame motion: per consecutive frame pair (k, k+1), the
+      * sum of absolute per-byte pixel differences — both frames read
+      * VIA the validated index with the stride padding stripped, so a
+      * parser that mis-seeks or diffs the pad bytes produces a
+      * different sum. Orientation cancels in the diff, but rows are
+      * walked top-down anyway (one code shape with sampleFrames). */
+    def motion(docId: Long, avi: Array[Byte]): Seq[VideoMotion] = {
+      val (w, h, _, offs, rs) = parse(avi)
+      (0 until offs.length - 1).map { k =>
+        var m = 0L
+        var y = 0
+        while (y < h) {
+          val ra = offs(k) + (h - 1 - y) * rs
+          val rb = offs(k + 1) + (h - 1 - y) * rs
+          var i = 0
+          while (i < w * 3) {
+            m += math.abs((avi(ra + i) & 0xff) - (avi(rb + i) & 0xff))
+            i += 1
+          }
+          y += 1
+        }
+        val nb = w.toLong * h * 3
+        VideoMotion(docId, k.toLong, nb, m, m * 1000L > MotionCutX1e3 * nb)
+      }
+    }
+
     def sampleFrames(docId: Long, avi: Array[Byte], step: Int): Seq[VideoFrame] = {
       val (w, h, _, offs, rs) = parse(avi)
       (0 until offs.length by step).map { k =>
@@ -927,6 +953,16 @@ object Multimodal {
   case class VideoThin(doc_id: Long, n_bytes: Long, n_frames: Long,
     sum_px: Long, peak_px: Long)
 
+  case class VideoMotion(doc_id: Long, frame_idx: Long, n_bytes: Long,
+    motion: Long, cut: Boolean)
+
+  /** Scene-cut line: motion > 28 |units|/byte (integer cross-multiply
+    * motion·1000 > 28000·n_bytes) — the measured sf0.01 median of the
+    * per-pair motion ratio (28,430 m-units; IQR 24.6k–31.6k), so both
+    * verdict classes stay populated at every test SF (the gate
+    * calibration convention). */
+  val MotionCutX1e3 = 28000L
+
   /** Corrupt-input QUARANTINE over the video containers — the same
     * per-record guard posture as [[qMediaQuarantine]], against the
     * AVI parser's strict failure surface: a corrupted container emits
@@ -950,6 +986,22 @@ object Multimodal {
       .withColumnRenamed("n_samples", "n_frames")
       .withColumnRenamed("sum_samples", "n_bytes")
       .orderBy(col("doc_id"))
+  }
+
+  /** Inter-frame MOTION energy + scene-cut verdicts — the temporal
+    * signal video pipelines key frame-sampling and shot segmentation
+    * on (the audio-energy sibling, across time instead of within a
+    * window). All-integer per pair; the oracle recomputes every diff
+    * from the source text slices, so the index seek, stride strip,
+    * and pairwise walk are all load-bearing. One mapPartitions pass;
+    * payloads never leave the executor. */
+  def qVideoMotion(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.flatMap(m => codec.motion(m.doc_id, m.payload))
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** The video TRANSFORM pipeline — decode → temporal 2:1 thinning

@@ -177,6 +177,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AviCodec.meta(1L, avi.take(100)))
   }
 
+  test("video motion: hand-computed inter-frame diffs and cut verdicts") {
+    val w = 3; val h = 2; val nb = w * h * 3
+    // frame 0: all 10s; frame 1: all 10s except byte 0 -> 210 (one
+    // localized change, motion 200 < cut line); frame 2: all 250s
+    // (every byte jumps 240 from frame 1's 10s, except byte 0: 40)
+    val f0 = Array.fill(nb)(10.toByte)
+    val f1 = f0.clone(); f1(0) = 210.toByte
+    val f2 = Array.fill(nb)(250.toByte)
+    val avi = Multimodal.AviCodec.write(Array(f0, f1, f2), w, h, 10)
+    val ms = Multimodal.AviCodec.motion(7L, avi)
+    assert(ms.map(_.frame_idx) == Seq(0L, 1L))
+    val m01 = 200L                        // |210-10| at byte 0 only
+    val m12 = (nb - 1) * 240L + 40L       // 17*240 + |250-210|
+    assert(ms.map(_.motion) == Seq(m01, m12), s"got ${ms.map(_.motion)}")
+    assert(ms.map(_.n_bytes).forall(_ == nb.toLong))
+    // verdicts: the integer cross-multiply against the pinned line
+    assert(ms.map(_.cut) == Seq(
+      m01 * 1000 > Multimodal.MotionCutX1e3 * nb,   // false (11k < 28k·nb)
+      m12 * 1000 > Multimodal.MotionCutX1e3 * nb))  // true
+    assert(!ms(0).cut && ms(1).cut, "both verdict classes must appear")
+  }
+
   test("video pipeline: short docs drop, frame cap at 8, step-2 sampling") {
     import spark.implicits._
     val short = "tiny" // < one 2x2x3 frame for doc 0 geometry
