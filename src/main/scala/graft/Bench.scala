@@ -276,7 +276,7 @@ object Bench {
           "q_knn_ivfpq_res", "q_knn_opq", "q_opq_rotate",
           "q_lang_id", "q_lang_id_eval",
           "q_media_decode", "q_media_resample", "q_media_meta",
-          "q_image_decode", "q_image_resize",
+          "q_image_decode", "q_image_resize", "q_image_dhash", "q_image_neardup",
           "q_video_meta", "q_video_frames", "q_video_thin", "q_video_motion",
           "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",

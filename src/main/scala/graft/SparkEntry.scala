@@ -216,6 +216,8 @@ object SparkEntry {
     "q_image_decode" -> (Multimodal.qImageDecode _),
     "q_image_features" -> (Multimodal.qImageFeatures _),
     "q_image_resize" -> (Multimodal.qImageResize _),
+    "q_image_dhash" -> (Multimodal.qImageDhash _),
+    "q_image_neardup" -> (Multimodal.qImageNeardup _),
     "q_video_meta" -> (Multimodal.qVideoMeta _),
     "q_video_frames" -> (Multimodal.qVideoFrames _),
     "q_video_thin" -> (Multimodal.qVideoThin _),
@@ -665,6 +667,42 @@ object SparkEntry {
        |    AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared dHash CTE chain (mirror of BmpCodec.dhashBands over the
+    * imageTable geometry): source-byte pixels, 8x9 box means as exact
+    * floor divisions, horizontal gradient bits, four 16-bit bands —
+    * ending in `dsig(doc_id, width, height, b0..b3)`. */
+  private val imageDhashCtes =
+    s"""s AS (SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+       |    doc_id % 29 + 3 AS w FROM documents),
+       |g AS (SELECT doc_id, bs, w, len(bs) // w AS h FROM s
+       |  WHERE len(bs) // w >= 8 AND w >= 9),
+       |ci AS (SELECT doc_id, bs, w, h, unnest(generate_series(0, 7)) AS i FROM g),
+       |cij AS (SELECT doc_id, bs, w, h, i, unnest(generate_series(0, 8)) AS j FROM ci),
+       |cr AS (SELECT doc_id, bs, w, i, j,
+       |    (j*w)//9 AS c0, ((j+1)*w)//9 - 1 AS c1,
+       |    unnest(generate_series((i*h)//8, ((i+1)*h)//8 - 1)) AS r FROM cij),
+       |cc AS (SELECT doc_id, i, j, r, bs, w,
+       |    unnest(generate_series(c0, c1)) AS c FROM cr),
+       |gm AS (SELECT doc_id, i, j,
+       |    CAST(sum(bs[r*w + c + 1]) AS BIGINT) // CAST(count(*) AS BIGINT) AS gv
+       |  FROM cc GROUP BY 1, 2, 3),
+       |dbits AS (SELECT a.doc_id, a.i, a.j,
+       |    CASE WHEN a.gv < b.gv THEN 1 ELSE 0 END AS bit
+       |  FROM gm a JOIN gm b ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+       |  WHERE a.j < 8),
+       |dbands AS (SELECT doc_id, i // 2 AS band,
+       |    CAST(sum(bit * (1 << ((i % 2) * 8 + j))) AS BIGINT) AS val
+       |  FROM dbits GROUP BY 1, 2),
+       |dsig AS (SELECT g.doc_id, CAST(g.w AS BIGINT) AS width,
+       |    CAST(g.h AS BIGINT) AS height,
+       |    max(CASE WHEN band = 0 THEN val END) AS b0,
+       |    max(CASE WHEN band = 1 THEN val END) AS b1,
+       |    max(CASE WHEN band = 2 THEN val END) AS b2,
+       |    max(CASE WHEN band = 3 THEN val END) AS b3
+       |  FROM g JOIN dbands ON g.doc_id = dbands.doc_id
+       |  GROUP BY 1, 2, 3)""".stripMargin
 
   private val langScoreSql = {
     val profiles = graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1)
@@ -3472,6 +3510,24 @@ object SparkEntry {
         |                - CAST(round(ln(CAST(cnt AS DOUBLE))*1e6) AS BIGINT)))
         |    // any_value(n) AS BIGINT) AS entropy_x1e6
         |FROM hr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dHash recomputed from source bytes; the near-dup mirror is the
+    // simhash band/bucket/verify pipeline over the image signatures.
+    "q_image_dhash" ->
+      s"""WITH $imageDhashCtes
+         |SELECT doc_id, width, height, b0, b1, b2, b3
+         |FROM dsig ORDER BY doc_id""".stripMargin,
+    "q_image_neardup" ->
+      s"""WITH $imageDhashCtes,
+         |xb AS (SELECT doc_id, b0, b1, b2, b3, k AS band_id,
+         |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+         |  FROM dsig, (SELECT unnest(generate_series(0, 3)) AS k)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+         |  FROM xb x JOIN xb y ON x.band_id = y.band_id
+         |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // 2:2 box-filter mirror in image space: per output pixel the
     // integer-floor mean of its (clamped) 2x2 source block, then the
     // re-encoded artifact's stats — bottom-up recovery, the exact

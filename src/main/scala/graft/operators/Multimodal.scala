@@ -311,6 +311,9 @@ object Multimodal {
 
   case class ImageRecord(doc_id: Long, payload: Array[Byte])
 
+  case class ImageDhash(doc_id: Long, width: Long, height: Long,
+    b0: Long, b1: Long, b2: Long, b3: Long)
+
   case class ImageFeatures(doc_id: Long, n_bytes: Long, width: Long,
     height: Long, n_pixels: Long, sum_lum: Long, peak_lum: Long,
     mean_lum: Double)
@@ -414,6 +417,66 @@ object Multimodal {
       val n = w.toLong * h
       ImageFeatures(docId, bmp.length.toLong, w.toLong, h.toLong, n,
         sum, peak, if (n == 0) 0.0 else sum.toDouble / n)
+    }
+
+    /** dHash grid: 8 rows x 9 columns of box means -> 8x8 horizontal
+      * gradient bits. Images narrower than 9 px or shorter than 8
+      * rows carry no grid and are skipped (admit-by-omission). */
+    val DHashRows = 8
+    val DHashCols = 9
+
+    /** Perceptual difference hash (dHash), as FOUR 16-bit band values
+      * — the banded form the near-dup bucket join needs (pigeonhole:
+      * hamming <= 3 pairs share a band), so the 64-bit hash never has
+      * to round-trip a signed-overflow-prone single BIGINT. Box means
+      * are exact integer floor divisions over [i·h/8,(i+1)·h/8) x
+      * [j·w/9,(j+1)·w/9) luminance sums ((B+G+R) div 3, the decode()
+      * convention), walked through the strict parse with the
+      * bottom-up inversion and pad strip — the same load-bearing
+      * seeks every other image query proves. */
+    def dhashBands(docId: Long, bmp: Array[Byte]): Option[ImageDhash] = {
+      val (w, h, off) = parseHeader(bmp)
+      if (w < DHashCols || h < DHashRows) return None
+      val rs = rowSize(w)
+      val g = Array.ofDim[Long](DHashRows, DHashCols)
+      var i = 0
+      while (i < DHashRows) {
+        val r0 = i * h / DHashRows; val r1 = (i + 1) * h / DHashRows
+        var j = 0
+        while (j < DHashCols) {
+          val c0 = j * w / DHashCols; val c1 = (j + 1) * w / DHashCols
+          var sum = 0L; var cnt = 0L
+          var r = r0
+          while (r < r1) {
+            val ro = off + (h - 1 - r) * rs // bottom-up -> top-down
+            var c = c0
+            while (c < c1) {
+              val base = ro + c * 3
+              sum += ((bmp(base) & 0xff) + (bmp(base + 1) & 0xff) +
+                (bmp(base + 2) & 0xff)) / 3
+              cnt += 1
+              c += 1
+            }
+            r += 1
+          }
+          g(i)(j) = sum / cnt
+          j += 1
+        }
+        i += 1
+      }
+      val bands = new Array[Long](4)
+      i = 0
+      while (i < DHashRows) {
+        var j = 0
+        while (j < DHashCols - 1) {
+          if (g(i)(j) < g(i)(j + 1))
+            bands(i / 2) |= 1L << ((i % 2) * 8 + j)
+          j += 1
+        }
+        i += 1
+      }
+      Some(ImageDhash(docId, w.toLong, h.toLong,
+        bands(0), bands(1), bands(2), bands(3)))
     }
 
     /** Luminance histogram width for [[decodeHist]]: 16 buckets of 16
@@ -560,6 +623,61 @@ object Multimodal {
       val codec = BmpCodec.init()
       it.map(m => codec.decode(m.doc_id, m.payload))
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Perceptual difference hash per image (dHash, the LAION-class
+    * image-dedup signature): 8x8 horizontal-gradient bits off the
+    * 8x9 box-mean grid, emitted as four 16-bit bands. Scale shape:
+    * one decoder pass, no shuffle until the consumer buckets. */
+  def qImageDhash(s: SparkSession, d: String): DataFrame = {
+    val media = imageTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = BmpCodec.init()
+      it.flatMap(m => codec.dhashBands(m.doc_id, m.payload))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  private def dhashFrame(s: SparkSession, d: String): DataFrame = {
+    val media = imageTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = BmpCodec.init()
+      it.flatMap(m => codec.dhashBands(m.doc_id, m.payload))
+    }.toDF()
+  }
+
+  /** Near-duplicate IMAGES via banded dHash — the [[graft.operators
+    * .Dedup.qSimhash]] pipeline, image edition: explode each
+    * signature into its 4 bands, bucket equi-join on (band, value)
+    * (pigeonhole guarantees recall for hamming <= 3), verify with
+    * bit_count(xor) over the full 64 bits. Never an all-pairs join:
+    * candidates are band-bucket collisions only. Non-vacuous on this
+    * corpus because the generator plants duplicate documents, whose
+    * images hash identically. */
+  def qImageNeardup(s: SparkSession, d: String): DataFrame = {
+    // the signature pass feeds BOTH sides of the band self-join —
+    // checkpoint it once (the qSimhash convention)
+    val sig = dhashFrame(s, d).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), col("b0"), col("b1"),
+      col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k.toLong).as("band_id"), col(s"b$k").as("band_val"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+      .reduce(_ + _).cast(LongType)
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Per-payload decode verdict row: ok rows carry stats, quarantined

@@ -177,6 +177,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AviCodec.meta(1L, avi.take(100)))
   }
 
+  test("image dHash: hand-computed gradient bits, size guard, locality") {
+    val w = 9; val h = 8
+    // strict left-to-right gradient: every box mean increases with j,
+    // so all 64 bits set -> each 16-bit band is 65535
+    val up = Array.tabulate(w * h)(p => ((p % w) * 10).toByte)
+    val hashUp = Multimodal.BmpCodec.dhashBands(1L,
+      Multimodal.BmpCodec.write(up, w, h)).get
+    assert(Seq(hashUp.b0, hashUp.b1, hashUp.b2, hashUp.b3) ==
+      Seq(65535L, 65535L, 65535L, 65535L), s"got $hashUp")
+    // reversed gradient: all bits clear
+    val down = Array.tabulate(w * h)(p => ((8 - p % w) * 10).toByte)
+    val hashDown = Multimodal.BmpCodec.dhashBands(2L,
+      Multimodal.BmpCodec.write(down, w, h)).get
+    assert(Seq(hashDown.b0, hashDown.b1, hashDown.b2, hashDown.b3) ==
+      Seq(0L, 0L, 0L, 0L))
+    // locality: bump ONE grid cell (cells are 1x1 at 9x8, so one
+    // pixel IS one cell) to a local max -> exactly bit j=4 flips
+    // (30 < 200 keeps j=3; 200 < 50 fails j=4); hamming 1
+    val near = up.clone()
+    near(4) = 200.toByte // row 0, col 4: now a local maximum
+    val hashNear = Multimodal.BmpCodec.dhashBands(3L,
+      Multimodal.BmpCodec.write(near, w, h)).get
+    val hamming = Seq((hashUp.b0, hashNear.b0), (hashUp.b1, hashNear.b1),
+      (hashUp.b2, hashNear.b2), (hashUp.b3, hashNear.b3))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming == 1, s"one-cell bump must flip exactly bit j=4: $hamming")
+    // too small for the grid: admit-by-omission
+    assert(Multimodal.BmpCodec.dhashBands(4L,
+      Multimodal.BmpCodec.write(Array.fill(8 * 8)(1.toByte), 8, 8)).isEmpty)
+    assert(Multimodal.BmpCodec.dhashBands(5L,
+      Multimodal.BmpCodec.write(Array.fill(9 * 7)(1.toByte), 9, 7)).isEmpty)
+  }
+
   test("video motion: hand-computed inter-frame diffs and cut verdicts") {
     val w = 3; val h = 2; val nb = w * h * 3
     // frame 0: all 10s; frame 1: all 10s except byte 0 -> 210 (one
