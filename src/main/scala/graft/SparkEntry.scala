@@ -99,6 +99,8 @@ object SparkEntry {
     "q_bpe_merges" -> (TextAnalysis.qBpeMerges _),
     "q_bpe_vocab" -> (TextAnalysis.qBpeVocab _),
     "q_bm25" -> (Retrieval.qBm25 _),
+    "q_rm3_expansion" -> (Retrieval.qRm3Expansion _),
+    "q_bm25_rm3" -> (Retrieval.qBm25Rm3 _),
     "q_hybrid_search" -> (Retrieval.qHybridSearch _),
     "q_hybrid_ivfpq" -> (Retrieval.qHybridIvfPq _),
     "q_hybrid_recall" -> (Retrieval.qHybridRecall _),
@@ -1616,9 +1618,12 @@ object SparkEntry {
        |        CAST(max(cnt) AS BIGINT) AS max_cnt
        |      FROM (SELECT $key, count(*) AS cnt FROM $table GROUP BY 1)) s""".stripMargin
 
-  private def bm25Sql: String = {
-    import graft.operators.Retrieval.{NumTextQueries, QueryLen, TopK}
-    s"""WITH dt AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+  /** Shared BM25 CTE chain ending in `brnk(qid, doc_id, score_x1e6,
+    * rn)` — consumed by the plain query, the hybrid fusions, and the
+    * RM3 chain. */
+  private def bm25Ctes: String = {
+    import graft.operators.Retrieval.{NumTextQueries, QueryLen}
+    s"""dt AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
        |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
        |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY 1),
        |bdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dt GROUP BY 1),
@@ -1640,9 +1645,52 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |brnk AS (SELECT qid, doc_id, score_x1e6,
        |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, doc_id) AS rn
-       |  FROM bsc)
+       |  FROM bsc)""".stripMargin
+  }
+
+  private def bm25Sql: String = {
+    import graft.operators.Retrieval.TopK
+    s"""WITH $bm25Ctes
        |SELECT qid, doc_id, score_x1e6, CAST(rn AS BIGINT) AS rn
        |FROM brnk WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
+  /** RM3 mirror (Retrieval.rm3Expansion / qBm25Rm3): feedback docs
+    * from brnk, integer relevance-model term weights, the
+    * deterministic top-E expansion minus original terms, then the
+    * weighted second pass at 7:3 // 10. Ends in `re` (expansion) and
+    * `rrnk` (final ranking). */
+  private def bm25Rm3Ctes: String = {
+    import graft.operators.Retrieval._
+    s"""rfd AS (SELECT qid, doc_id, score_x1e6 AS s1 FROM brnk
+       |  WHERE rn <= $RmFeedbackDocs),
+       |rw AS (SELECT r.qid, t.term,
+       |    sum((CAST(r.s1 AS HUGEINT) * t.tf) // l.dl) AS w
+       |  FROM rfd r JOIN btf t ON r.doc_id = t.doc_id
+       |  JOIN bdl l ON t.doc_id = l.doc_id
+       |  GROUP BY 1, 2),
+       |re AS (SELECT qid, term, rn, w FROM (
+       |    SELECT rw.qid, rw.term, rw.w,
+       |      row_number() OVER (PARTITION BY rw.qid ORDER BY rw.w DESC, rw.term) AS rn
+       |    FROM rw LEFT JOIN bq ON rw.qid = bq.qid AND rw.term = bq.term
+       |    WHERE bq.term IS NULL) t WHERE rn <= $RmExpandTerms),
+       |q2 AS (SELECT qid, term, $RmOrigWeight AS wq FROM bq
+       |  UNION ALL SELECT qid, term, $RmExpWeight AS wq FROM re),
+       |rsc AS (SELECT q2.qid, btf.doc_id,
+       |    CAST(sum(CAST(q2.wq AS HUGEINT)
+       |        * ((CAST(CAST(round(ln(CAST(2*bnt.n_docs + 2 AS DOUBLE))*1e6) AS BIGINT)
+       |             - CAST(round(ln(CAST(2*bdf.df + 1 AS DOUBLE))*1e6) AS BIGINT) AS HUGEINT)
+       |            * 22 * btf.tf * bnt.t_toks)
+       |          // (CAST(10 AS HUGEINT) * bnt.t_toks * btf.tf + 3 * bnt.t_toks + 9 * bdl.dl * bnt.n_docs)))
+       |      // 10 AS BIGINT) AS score_x1e6
+       |  FROM btf JOIN q2 ON btf.term = q2.term
+       |  JOIN bdl ON btf.doc_id = bdl.doc_id
+       |  JOIN bdf ON btf.term = bdf.term
+       |  CROSS JOIN bnt
+       |  GROUP BY 1, 2),
+       |rrnk AS (SELECT qid, doc_id, score_x1e6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, doc_id) AS rn
+       |  FROM rsc)""".stripMargin
   }
 
   /** RRF fusion mirror: 1e6 // (60 + rank) per list entry, summed per
@@ -2398,6 +2446,17 @@ object SparkEntry {
     // frequency table — the vocabulary the trained tokenizer uses
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bm25" -> bm25Sql,
+    "q_rm3_expansion" ->
+      s"""WITH $bm25Ctes,
+         |$bm25Rm3Ctes
+         |SELECT qid, CAST(rn AS BIGINT) AS rn, term, CAST(w AS BIGINT) AS w
+         |FROM re ORDER BY qid, rn""".stripMargin,
+    "q_bm25_rm3" ->
+      s"""WITH $bm25Ctes,
+         |$bm25Rm3Ctes
+         |SELECT qid, doc_id, score_x1e6, CAST(rn AS BIGINT) AS rn
+         |FROM rrnk WHERE rn <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY qid, rn""".stripMargin,
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_ivfpq" -> hybridSqlWith(knnIvfPqSql),
     // composed-stack recall: the production hybrid (IVF-PQ leg)

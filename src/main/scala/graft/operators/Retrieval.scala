@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,44 +128,123 @@ object Retrieval {
 
   /** BM25 top-[[TopK]] per text query. Output:
     * (qid, doc_id, score_x1e6, rn). */
-  def qBm25(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val Bm25Index(tf, dl, df, nt) = bm25Index(s, d)
-    val q = docs.filter(col("doc_id") < NumTextQueries)
+  /** The query-term frame: the first [[QueryLen]] tokens of the first
+    * [[NumTextQueries]] documents, distinct per query. */
+  private def queryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < NumTextQueries)
       .select(col("doc_id").as("qid"),
         explode(slice(tokens(col("text")), 1, QueryLen)).as("term"))
       .distinct()
-    // df restricted to the query terms BEFORE the broadcast: the
-    // corpus vocabulary is unbounded (O(1e8-1e9) noisy terms at web
-    // scale), so broadcasting the full df table is an OOM; the
-    // restricted frame is <= |queries|*QueryLen rows at ANY corpus
-    // size — that bound, not the table it came from, is what makes
-    // it broadcastable (the repo's bounded-broadcast convention,
-    // pinned by RetrievalSpec's plan assertion).
-    val dfq = df.join(broadcast(q.select(col("term")).distinct()), "term")
-    // Lucene's positive idf form ln(1 + (N-df+0.5)/(df+0.5)) =
-    // ln(2N+2) - ln(2df+1): always > 0 (so the integer div below is
-    // floor==trunc in both engines), two ln-of-INTEGER calls per the
-    // exactness convention
+
+  /** Per-(qid, doc, term) BM25 contributions for any query-term frame
+    * `q(qid, term, ...)` — ONE scoring definition behind both the
+    * plain query and the RM3-expanded one.
+    *
+    * df is restricted to the query terms BEFORE the broadcast: the
+    * corpus vocabulary is unbounded (O(1e8-1e9) noisy terms at web
+    * scale), so broadcasting the full df table is an OOM; the
+    * restricted frame is <= |queries|*|terms per query| rows at ANY
+    * corpus size — that bound, not the table it came from, is what
+    * makes it broadcastable (the repo's bounded-broadcast convention,
+    * pinned by RetrievalSpec's plan assertion).
+    *
+    * idf is Lucene's positive form ln(1 + (N-df+0.5)/(df+0.5)) =
+    * ln(2N+2) - ln(2df+1): always > 0 (so the integer div below is
+    * floor==trunc in both engines), two ln-of-INTEGER calls per the
+    * exactness convention. 128-bit intermediates (Decimal(38,0) here,
+    * HUGEINT in the oracle): the cleared-of-decimals numerator
+    * idf*22*tf*T and denominator 10*T*tf reach ~1e31 / ~1e21 at a
+    * 100 TB corpus (T ~ 1e14, tf ~ 1e6) — past Int64, where Spark
+    * would wrap silently while DuckDB raises. `div` (IntegralDivide)
+    * accepts decimals and returns the Long quotient, which always
+    * fits: the score is bounded by idf_x1e6 * 2.2. */
+  private def scoreTerms(idx: Bm25Index, q: DataFrame): DataFrame = {
+    val dfq = idx.df.join(broadcast(q.select(col("term")).distinct()), "term")
     val idf = lnX1e6(lit(2L) * col("n_docs") + lit(2L)) -
       lnX1e6(lit(2L) * col("df") + lit(1L))
-    // 128-bit intermediates (Decimal(38,0) here, HUGEINT in the
-    // oracle): the cleared-of-decimals numerator idf*22*tf*T and
-    // denominator 10*T*tf reach ~1e31 / ~1e21 at a 100 TB corpus
-    // (T ~ 1e14, tf ~ 1e6) — past Int64, where Spark would wrap
-    // silently while DuckDB raises. `div` (IntegralDivide) accepts
-    // decimals and returns the Long quotient, which always fits:
-    // the score is bounded by idf_x1e6 * 2.2.
-    val scored = tf.join(broadcast(q), "term")
-      .join(dl, "doc_id")
+    idx.tf.join(broadcast(q), "term")
+      .join(idx.dl, "doc_id")
       .join(broadcast(dfq), "term")
-      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(idx.nt))
       .withColumn("idf_x1e6", idf)
       .withColumn("score_t", expr(
         "(cast(idf_x1e6 as decimal(38,0)) * 22 * tf * t_toks) div " +
           "(cast(10 as decimal(38,0)) * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+  }
+
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = bm25Index(s, d)
+    val scored = scoreTerms(idx, queryTerms(docs))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("score_t")).as("score_x1e6"))
+    topK(scored, TopK, "doc_id", "score_x1e6")
+  }
+
+  // ------------------------------------------- RM3 query expansion
+
+  /** RM3 feedback depth, expansion width, and the fixed-point
+    * interpolation weights (lambda = 0.7 as 7/10). */
+  val RmFeedbackDocs = 5
+  val RmExpandTerms = 5
+  val RmOrigWeight = 7L
+  val RmExpWeight = 3L
+
+  /** The RM3 expansion terms per query: from the top-[[RmFeedbackDocs]]
+    * first-pass documents, weight each term by Σ_d score(d)·tf(t,d)
+    * div dl(d) (the integer relevance-model estimate P(t|R) ∝
+    * Σ P(t|d)·P(d|q)), drop the original query terms, keep the
+    * deterministic top-[[RmExpandTerms]] (weight desc, term asc).
+    * Everything after the first pass is bounded: the feedback-doc
+    * list is |q|·F rows, its term pool |q|·F·doclen. */
+  private def rm3Expansion(idx: Bm25Index, q: DataFrame): DataFrame = {
+    val scored1 = scoreTerms(idx, q)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_t")).as("s1"))
+    val topF = topK(scored1, RmFeedbackDocs, "doc_id", "s1")
+      .select(col("qid"), col("doc_id"), col("s1"))
+      .localCheckpoint(false) // feeds the dl restriction AND the weights
+    // dl restricted to the feedback docs before broadcast (the dfq rule)
+    val dlF = idx.dl.join(
+      broadcast(topF.select(col("doc_id")).distinct()), "doc_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("w").desc, col("term"))
+    idx.tf.join(broadcast(topF), "doc_id")
+      .join(broadcast(dlF), "doc_id")
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(expr("(cast(s1 as decimal(38,0)) * tf) div dl")).as("w"))
+      .join(q.select(col("qid"), col("term")), Seq("qid", "term"), "left_anti")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= RmExpandTerms)
+  }
+
+  /** The expansion terms themselves — the review surface (which terms
+    * the feedback docs voted in, per query). */
+  def qRm3Expansion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    rm3Expansion(bm25Index(s, d), queryTerms(docs))
+      .select(col("qid"), col("rn"), col("term"), col("w").cast(LongType).as("w"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    * models; the classic second IR stage): rescore with the query
+    * expanded by [[rm3Expansion]]'s terms, interpolating original and
+    * expansion contributions at 7:3 — score = (7·Σ_orig score_t +
+    * 3·Σ_exp score_t) div 10, all integer. The second pass reuses the
+    * same inverted-index access pattern (term equi-joins against the
+    * bounded broadcast query frame) — the expansion widens the query
+    * by ≤ [[RmExpandTerms]] terms, never the corpus side. */
+  def qBm25Rm3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = bm25Index(s, d)
+    val q = queryTerms(docs)
+    val q2 = q.withColumn("wq", lit(RmOrigWeight))
+      .unionByName(rm3Expansion(idx, q)
+        .select(col("qid"), col("term"), lit(RmExpWeight).as("wq")))
+    val scored = scoreTerms(idx, q2)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(expr("sum(wq * score_t) div 10").as("score_x1e6"))
     topK(scored, TopK, "doc_id", "score_x1e6")
   }
 

@@ -59,6 +59,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivfpq_recall" -> "recall eval re-runs the brute-force dot baseline as ground truth",
     "q_perplexity3" -> "scalar subquery: single-row (N, V) broadcast",
     "q_bm25" -> "scalar subquery: single-row (N docs, T tokens) broadcast",
+    "q_rm3_expansion" -> "inherits q_bm25's single-row (N, T) scalar broadcast",
+    "q_bm25_rm3" -> "inherits q_bm25's single-row (N, T) scalar broadcast",
     "q_hybrid_search" -> "inherits q_bm25's scalar broadcast and q_knn_brute's documented all-pairs baseline",
     "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
     "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)",

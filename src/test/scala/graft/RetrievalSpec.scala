@@ -50,6 +50,68 @@ class RetrievalSpec extends SparkSpec {
     // the real contract
   }
 
+  test("RM3 matches an independent driver-side expansion + rescore") {
+    val texts = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val toks = texts.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val nDocs = toks.size.toLong
+    val tToks = toks.values.map(_.size.toLong).sum
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def lnX(k: Long) = Math.round(Math.log(k.toDouble) * 1e6)
+    def scoreTerm(term: String, dts: Seq[String]): Long = {
+      val tf = dts.count(_ == term).toLong
+      if (tf == 0) 0L
+      else {
+        val idf = lnX(2 * nDocs + 2) - lnX(2 * dfm(term) + 1)
+        (idf * 22 * tf * tToks) /
+          (10 * tToks * tf + 3 * tToks + 9 * dts.size.toLong * nDocs)
+      }
+    }
+    val wantExp = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+    val wantTop = (0L until Retrieval.NumTextQueries).flatMap { qid =>
+      val qterms = toks(qid).take(Retrieval.QueryLen).distinct
+      // first pass + top-F feedback docs
+      val first = toks.toSeq.flatMap { case (id, dts) =>
+        val s = qterms.map(scoreTerm(_, dts)).sum
+        Option.when(s > 0)((id, s))
+      }.sortBy { case (id, s) => (-s, id) }.take(Retrieval.RmFeedbackDocs)
+      // integer relevance-model term weights over the feedback docs
+      val w = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      first.foreach { case (id, s1) =>
+        val dts = toks(id); val dl = dts.size.toLong
+        dts.distinct.foreach { t =>
+          w(t) += s1 * dts.count(_ == t).toLong / dl
+        }
+      }
+      val exp = (w.keySet -- qterms).toSeq.map(t => (t, w(t)))
+        .sortBy { case (t, wv) => (-wv, t) }.take(Retrieval.RmExpandTerms)
+      exp.zipWithIndex.foreach { case ((t, wv), i) =>
+        wantExp += ((qid, (i + 1).toLong, t, wv)) }
+      // weighted second pass at 7:3, div 10
+      val q2 = qterms.map(t => (t, Retrieval.RmOrigWeight)) ++
+        exp.map { case (t, _) => (t, Retrieval.RmExpWeight) }
+      val second = toks.toSeq.flatMap { case (id, dts) =>
+        val s = q2.map { case (t, wq) => wq * scoreTerm(t, dts) }.sum / 10
+        Option.when(s > 0)((id, s))
+      }.sortBy { case (id, s) => (-s, id) }.take(Retrieval.TopK)
+      second.zipWithIndex.map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+    }
+    val gotExp = Retrieval.qRm3Expansion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotExp == wantExp.toSeq,
+      s"expansion diff: ${gotExp.zip(wantExp).find(p => p._1 != p._2)}")
+    val gotTop = Retrieval.qBm25Rm3(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotTop == wantTop, s"rm3 diff: ${gotTop.zip(wantTop).find(p => p._1 != p._2)}")
+    // non-vacuous: the expansion actually moved at least one ranking
+    val plain = Retrieval.qBm25(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val moved = gotTop.count { case (qid, id, _, rn) => plain((qid, rn)) != id }
+    assert(moved > 0, "RM3 changed nothing — vacuous expansion")
+  }
+
   test("BM25 broadcast sides are bounded: query-restricted or 1-row scalar") {
     // The round-12 hazard: broadcasting the full-vocabulary df table
     // (O(1e8-1e9) terms at web scale). Pin: every BroadcastExchange in
