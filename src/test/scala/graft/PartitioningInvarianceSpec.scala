@@ -31,7 +31,12 @@ class PartitioningInvarianceSpec extends SparkSpec {
     "q_clean_enrich", "q_late_split", "q_bpe_merges", "q_simhash_md5",
     "q_dedup_clusters", "q_embed_quantize",
     // KMV bottom-k sketch algebra (sharded two-level bottom-K)
-    "q_kmv_overlap")
+    "q_kmv_overlap",
+    // round-15 mechanisms: fixed-point DSIR importance weights,
+    // value-histogram order statistics (terciles / decile cutoff),
+    // codec byte-diff motion, dHash banding, weighted two-pass RM3
+    "q_dsir_weights", "q_ppl_buckets", "q_embed_prune",
+    "q_video_motion", "q_image_neardup", "q_bm25_rm3")
 
   test("results are bit-identical under coprime shuffle-partition counts") {
     val a = spark.newSession()
