@@ -299,7 +299,7 @@ object Bench {
           "q_bpe_pairs", "q_bpe_merges", "q_bpe_encode", "q_typo_pairs",
           "q_heavy_hitters",
           "q_fuzzy_link", "q_kmv_overlap", "q_bm25", "q_bm25_rm3",
-          "q_rm3_expansion", "q_hybrid_search", "q_hybrid_ivfpq",
+          "q_rm3_expansion", "q_hybrid_search", "q_hybrid_ivfpq", "q_hybrid_rm3",
           "q_perplexity3", "q_quality3_gate", "q_ann_ingest", "q_ann_rebuild",
           "q_ann_search_rebuilt", // after the rebuild: measures the mounted serve
           // relational at 10x: the four original headliners, the full

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_bm25" -> (Retrieval.qBm25 _),
     "q_rm3_expansion" -> (Retrieval.qRm3Expansion _),
     "q_bm25_rm3" -> (Retrieval.qBm25Rm3 _),
+    "q_hybrid_rm3" -> (Retrieval.qHybridRm3 _),
     "q_hybrid_search" -> (Retrieval.qHybridSearch _),
     "q_hybrid_ivfpq" -> (Retrieval.qHybridIvfPq _),
     "q_hybrid_recall" -> (Retrieval.qHybridRecall _),
@@ -1700,9 +1701,21 @@ object SparkEntry {
   /** Same fusion chain over any ANN list SQL (exact-cosine for the
     * reference point, the composed IVF-PQ index for the
     * production-index variant). */
-  private def hybridSqlWith(annSql: String): String = {
+  private def hybridSqlWith(annSql: String): String =
+    hybridSqlOver(bm25Sql, annSql)
+
+  /** The q_bm25_rm3 result as a self-contained subquery — the RM3
+    * text leg for the fused stack. */
+  private def bm25Rm3Sql: String =
+    s"""WITH $bm25Ctes,
+       |$bm25Rm3Ctes
+       |SELECT qid, doc_id, score_x1e6, CAST(rn AS BIGINT) AS rn
+       |FROM rrnk WHERE rn <= ${graft.operators.Retrieval.TopK}""".stripMargin
+
+  /** The fusion chain over any (text list, ANN list) SQL pair. */
+  private def hybridSqlOver(textSql: String, annSql: String): String = {
     import graft.operators.Retrieval.{RrfK, TopK}
-    s"""WITH hb AS (SELECT qid, doc_id AS id, rn FROM ($bm25Sql)),
+    s"""WITH hb AS (SELECT qid, doc_id AS id, rn FROM ($textSql)),
        |ha AS (SELECT qid, cid AS id, rn FROM ($annSql)),
        |hu AS (SELECT qid, id, 1000000 // ($RrfK + rn) AS fx
        |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM ha)),
@@ -2451,12 +2464,10 @@ object SparkEntry {
          |$bm25Rm3Ctes
          |SELECT qid, CAST(rn AS BIGINT) AS rn, term, CAST(w AS BIGINT) AS w
          |FROM re ORDER BY qid, rn""".stripMargin,
-    "q_bm25_rm3" ->
-      s"""WITH $bm25Ctes,
-         |$bm25Rm3Ctes
-         |SELECT qid, doc_id, score_x1e6, CAST(rn AS BIGINT) AS rn
-         |FROM rrnk WHERE rn <= ${graft.operators.Retrieval.TopK}
-         |ORDER BY qid, rn""".stripMargin,
+    "q_bm25_rm3" -> s"$bm25Rm3Sql\nORDER BY qid, rn",
+    // the production fused stack with the RM3 text leg: same RRF
+    // chain, better first-stage retriever
+    "q_hybrid_rm3" -> hybridSqlOver(bm25Rm3Sql, knnIvfPqSql),
     "q_hybrid_search" -> hybridSearchSql,
     "q_hybrid_ivfpq" -> hybridSqlWith(knnIvfPqSql),
     // composed-stack recall: the production hybrid (IVF-PQ leg)

@@ -271,6 +271,16 @@ object Retrieval {
       Similarity.qKnnIvfPq(s, d)
         .select(col("qid"), col("cid").as("id"), col("rn")))
 
+  /** The fused stack with the RM3 text leg: pseudo-relevance feedback
+    * upgrades the first-stage retriever, the ANN leg and the RRF
+    * arithmetic are unchanged — the composition a production stack
+    * ships once both legs exist. */
+  def qHybridRm3(s: SparkSession, d: String): DataFrame =
+    rrfFuse(
+      qBm25Rm3(s, d).select(col("qid"), col("doc_id").as("id"), col("rn")),
+      Similarity.qKnnIvfPq(s, d)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+
   /** Recall@[[TopK]] of the PRODUCTION hybrid stack
     * ([[qHybridIvfPq]] — BM25 + composed IVF-PQ) against the exact
     * fusion ([[qHybridSearch]] — BM25 + brute cosine): the composed-

@@ -63,6 +63,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_rm3" -> "inherits q_bm25's single-row (N, T) scalar broadcast",
     "q_hybrid_search" -> "inherits q_bm25's scalar broadcast and q_knn_brute's documented all-pairs baseline",
     "q_hybrid_ivfpq" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
+    "q_hybrid_rm3" -> "inherits q_bm25's scalar broadcast and q_knn_ivfpq's fixed-artifact broadcasts",
     "q_ann_ingest" -> "broadcast side is the mounted fixed centroid array (|cells| rows)",
     "q_ann_rebuild" -> "broadcast sides are the retrained fixed centroid arrays (|cells| rows, train + reassign)",
     "q_ann_search_rebuilt" -> "broadcast sides are the mounted quantizer (|cells| rows) and the |q|xNProbe probe list",

@@ -166,13 +166,16 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("hybrid output is well-formed at sf0.001") {
-    val got = Retrieval.qHybridSearch(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(got.length == Retrieval.NumTextQueries * Retrieval.TopK)
-    got.groupBy(_._1).foreach { case (qid, rs) =>
-      assert(rs.map(_._5).sorted.toSeq == (1L to Retrieval.TopK), s"ranks $qid")
-      val sc = rs.sortBy(_._5).map(_._3)
-      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"order $qid")
+    for (fused <- Seq(Retrieval.qHybridSearch(spark, d),
+        Retrieval.qHybridRm3(spark, d))) {
+      val got = fused.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.length == Retrieval.NumTextQueries * Retrieval.TopK)
+      got.groupBy(_._1).foreach { case (qid, rs) =>
+        assert(rs.map(_._5).sorted.toSeq == (1L to Retrieval.TopK), s"ranks $qid")
+        val sc = rs.sortBy(_._5).map(_._3)
+        assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"order $qid")
+      }
     }
   }
 }
