@@ -281,6 +281,7 @@ object Bench {
           "q_minhash_lsh",
           "q_mixture_sample", "q_pii_scrub", "q_repetition",
           "q_perplexity", "q_bloom_decontam", "q_audio_features",
+          "q_audio_fingerprint", "q_audio_neardup",
           "q_quality_gate",
           // DSIR: the weight build is the payer (charged to
           // q_dsir_weights via the memo); sample/shift ride the frame.

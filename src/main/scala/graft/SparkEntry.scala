@@ -221,6 +221,8 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.qImageResize _),
     "q_image_dhash" -> (Multimodal.qImageDhash _),
     "q_image_neardup" -> (Multimodal.qImageNeardup _),
+    "q_audio_fingerprint" -> (Multimodal.qAudioFingerprint _),
+    "q_audio_neardup" -> (Multimodal.qAudioNeardup _),
     "q_video_meta" -> (Multimodal.qVideoMeta _),
     "q_video_frames" -> (Multimodal.qVideoFrames _),
     "q_video_thin" -> (Multimodal.qVideoThin _),
@@ -706,6 +708,40 @@ object SparkEntry {
        |    max(CASE WHEN band = 3 THEN val END) AS b3
        |  FROM g JOIN dbands ON g.doc_id = dbands.doc_id
        |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Shared audio-fingerprint CTE chain (mirror of WavCodec
+    * .fingerprint over the wavTable byte stream): 8-sample window
+    * energies as exact integer sums, 32 gradient bits, four 8-bit
+    * bands — ending in `asig(doc_id, n_samples, b0..b3)`. */
+  private val audioFpCtes = {
+    import graft.operators.Multimodal.{AfpWindow, AfpWindows}
+    s"""s AS (SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs
+       |  FROM documents),
+       |g AS (SELECT doc_id, bs, CAST(len(bs) AS BIGINT) AS n FROM s
+       |  WHERE len(bs) >= ${(AfpWindows + 1) * AfpWindow}),
+       |aw AS (SELECT doc_id, bs, n,
+       |    unnest(generate_series(0, $AfpWindows)) AS w FROM g),
+       |ak AS (SELECT doc_id, n, w, bs[w*$AfpWindow + k + 1] AS v
+       |  FROM (SELECT doc_id, bs, n, w,
+       |      unnest(generate_series(0, ${AfpWindow - 1})) AS k FROM aw)),
+       |aen AS (SELECT doc_id, any_value(n) AS n, w,
+       |    CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS e
+       |  FROM ak GROUP BY doc_id, w),
+       |abit AS (SELECT a.doc_id, a.n, a.w,
+       |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+       |  FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < $AfpWindows),
+       |aband AS (SELECT doc_id, w // 8 AS band, any_value(n) AS n,
+       |    CAST(sum(bit * (1 << (w % 8))) AS BIGINT) AS val
+       |  FROM abit GROUP BY 1, 2),
+       |asig AS (SELECT doc_id, any_value(n) AS n_samples,
+       |    max(CASE WHEN band = 0 THEN val END) AS b0,
+       |    max(CASE WHEN band = 1 THEN val END) AS b1,
+       |    max(CASE WHEN band = 2 THEN val END) AS b2,
+       |    max(CASE WHEN band = 3 THEN val END) AS b3
+       |  FROM aband GROUP BY doc_id)""".stripMargin
+  }
 
   private val langScoreSql = {
     val profiles = graft.functions.TextFunctions.stopwords.toSeq.sortBy(_._1)
@@ -3580,6 +3616,24 @@ object SparkEntry {
         |                - CAST(round(ln(CAST(cnt AS DOUBLE))*1e6) AS BIGINT)))
         |    // any_value(n) AS BIGINT) AS entropy_x1e6
         |FROM hr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Fingerprint recomputed from source bytes; the near-dup mirror
+    // is the same band/bucket/verify pipeline over the audio bands.
+    "q_audio_fingerprint" ->
+      s"""WITH $audioFpCtes
+         |SELECT doc_id, n_samples, b0, b1, b2, b3
+         |FROM asig ORDER BY doc_id""".stripMargin,
+    "q_audio_neardup" ->
+      s"""WITH $audioFpCtes,
+         |xb AS (SELECT doc_id, b0, b1, b2, b3, k AS band_id,
+         |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+         |  FROM asig, (SELECT unnest(generate_series(0, 3)) AS k)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+         |  FROM xb x JOIN xb y ON x.band_id = y.band_id
+         |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // dHash recomputed from source bytes; the near-dup mirror is the
     // simhash band/bucket/verify pipeline over the image signatures.
     "q_image_dhash" ->

@@ -197,6 +197,43 @@ object Multimodal {
       * partial), each with its squared-deviation energy and peak
       * deviation around the 8-bit midpoint — all integers, so the
       * oracle's recomputation from source bytes is exact. */
+    /** Acoustic fingerprint (the Chromaprint-shaped energy-gradient
+      * signature): 32 bits, bit k = energy(window k) < energy(window
+      * k+1) over the first [[AfpWindows]]+1 full [[AfpWindow]]-sample
+      * windows, emitted as four 8-bit bands (the banded form the
+      * near-dup bucket join needs — the [[BmpCodec.dhashBands]]
+      * convention). Clips shorter than the signature window carry no
+      * fingerprint and are skipped (admit-by-omission). Energies are
+      * exact integer sums of squared midpoint deviations through the
+      * strict header parse, so a mis-seeked data offset or a drifted
+      * window boundary changes the signature. */
+    def fingerprint(docId: Long, wav: Array[Byte]): Option[AudioFingerprint] = {
+      val (_, off, len) = parseHeader(wav)
+      val nw = AfpWindows + 1
+      if (len < nw * AfpWindow) return None
+      val e = new Array[Long](nw)
+      var w = 0
+      while (w < nw) {
+        var s = 0L
+        var i = 0
+        while (i < AfpWindow) {
+          val dev = ((wav(off + w * AfpWindow + i) & 0xff) - 128).toLong
+          s += dev * dev
+          i += 1
+        }
+        e(w) = s
+        w += 1
+      }
+      val bands = new Array[Long](4)
+      var k = 0
+      while (k < AfpWindows) {
+        if (e(k) < e(k + 1)) bands(k / 8) |= 1L << (k % 8)
+        k += 1
+      }
+      Some(AudioFingerprint(docId, len.toLong,
+        bands(0), bands(1), bands(2), bands(3)))
+    }
+
     def decodeFrames(docId: Long, wav: Array[Byte],
         frameSize: Int, silencePeak: Int): Iterator[WavFrame] = {
       val (_, off, len) = parseHeader(wav)
@@ -267,6 +304,14 @@ object Multimodal {
   val AudioFrameSize = 64
   val AudioSilencePeak = 16
 
+  /** Fingerprint geometry: 32 gradient bits over 8-sample energy
+    * windows — the signature covers the clip's first 264 samples. */
+  val AfpWindow = 8
+  val AfpWindows = 32
+
+  case class AudioFingerprint(doc_id: Long, n_samples: Long,
+    b0: Long, b1: Long, b2: Long, b3: Long)
+
   /** Frame-level audio features through the REAL decode path: encode ->
     * strict header parse -> windowed energy/peak per frame. The frame
     * fan-out happens inside the decoder's mapPartitions (a real codec
@@ -284,6 +329,52 @@ object Multimodal {
       it.flatMap(m =>
         decoder.decodeFrames(m.doc_id, m.payload, AudioFrameSize, AudioSilencePeak))
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Acoustic fingerprints over the real WAV decode path — the audio
+    * member of the perceptual-dedup family (text SimHash, image
+    * dHash, audio energy-gradient signature). One decoder pass; no
+    * shuffle until the consumer buckets. */
+  def qAudioFingerprint(s: SparkSession, d: String): DataFrame =
+    afpFrame(s, d).orderBy(col("doc_id"))
+
+  private def afpFrame(s: SparkSession, d: String): DataFrame = {
+    val media = wavTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = WavCodec.init()
+      it.flatMap(m => codec.fingerprint(m.doc_id, m.payload))
+    }.toDF()
+  }
+
+  /** Near-duplicate AUDIO via the banded fingerprint — the
+    * [[qImageNeardup]] pipeline, audio edition: explode into 4
+    * bands, bucket equi-join (pigeonhole covers hamming <= 3),
+    * bit_count(xor) verify; candidates are bucket collisions only,
+    * never all-pairs. Unlike the image variant the signature has no
+    * per-doc geometry, so every planted duplicate clip collides
+    * regardless of length. */
+  def qAudioNeardup(s: SparkSession, d: String): DataFrame = {
+    val sig = afpFrame(s, d).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), col("b0"), col("b1"),
+      col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k.toLong).as("band_id"), col(s"b$k").as("band_val"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+      .reduce(_ + _).cast(LongType)
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The full media TRANSFORM pipeline — decode → resample (2:1

@@ -177,6 +177,37 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AviCodec.meta(1L, avi.take(100)))
   }
 
+  test("audio fingerprint: hand-computed energy gradients, size guard") {
+    import Multimodal.{AfpWindow, AfpWindows}
+    val n = (AfpWindows + 1) * AfpWindow // 264 samples
+    // window w filled with constant deviation w -> energy 8*w^2,
+    // strictly increasing -> all 32 bits set -> each 8-bit band 255
+    val up = Array.tabulate(n)(i => (128 + i / AfpWindow).toByte)
+    val fUp = Multimodal.WavCodec.fingerprint(1L,
+      Multimodal.WavCodec.write(up, 8000)).get
+    assert(Seq(fUp.b0, fUp.b1, fUp.b2, fUp.b3) == Seq(255L, 255L, 255L, 255L))
+    assert(fUp.n_samples == n.toLong)
+    // reversed: all bits clear
+    val down = Array.tabulate(n)(i => (128 + (AfpWindows - i / AfpWindow)).toByte)
+    val fDown = Multimodal.WavCodec.fingerprint(2L,
+      Multimodal.WavCodec.write(down, 8000)).get
+    assert(Seq(fDown.b0, fDown.b1, fDown.b2, fDown.b3) == Seq(0L, 0L, 0L, 0L))
+    // locality: silence ONE window (w=4) of the rising ramp -> bits
+    // 3 (e3 < 0 fails) and 4 (0 < e5 holds, was already 1) -> exactly
+    // bit 3 flips; hamming 1
+    val near = up.clone()
+    for (i <- 4 * AfpWindow until 5 * AfpWindow) near(i) = 128.toByte
+    val fNear = Multimodal.WavCodec.fingerprint(3L,
+      Multimodal.WavCodec.write(near, 8000)).get
+    val hamming = Seq((fUp.b0, fNear.b0), (fUp.b1, fNear.b1),
+      (fUp.b2, fNear.b2), (fUp.b3, fNear.b3))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming == 1, s"one-window silence must flip exactly bit 3: $hamming")
+    // one sample short of the signature window: admit-by-omission
+    assert(Multimodal.WavCodec.fingerprint(4L,
+      Multimodal.WavCodec.write(up.take(n - 1), 8000)).isEmpty)
+  }
+
   test("image dHash: hand-computed gradient bits, size guard, locality") {
     val w = 9; val h = 8
     // strict left-to-right gradient: every box mean increases with j,
