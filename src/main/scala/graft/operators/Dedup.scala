@@ -567,11 +567,11 @@ object Dedup {
   /** Production SimHash near-dup: band the 64-bit xxhash64 signature
     * into 4 x 16-bit quarters (pigeonhole: hamming <= 3 pairs share a
     * quarter), bucket-join, verify hamming via bit_count(xor). This is
-    * the SCALE path (64-bit signatures, 65536-way bands); it has no
-    * DuckDB oracle (no xxhash64 there), so the suite's primary
-    * `q_simhash` is [[qSimhash]] — the identical pipeline over the
-    * oracle-portable md5 32-bit signatures. Spec-covered
-    * (DedupSpec). */
+    * the SCALE path (64-bit signatures, 65536-way bands) and the
+    * bench-priced `q_simhash` (rows-only — no xxhash64 in DuckDB);
+    * the oracle-verified twin is [[qSimhash]] (`q_simhash_neardup`) —
+    * the identical pipeline over the oracle-portable md5 32-bit
+    * signatures. Spec-covered (DedupSpec). */
   def qSimhashXx(s: SparkSession, d: String): DataFrame = {
     val sig = simhashSignatures(Tables.documents(s, d))
     val bands = sig.select(col("doc_id"), col("simhash"),

@@ -354,8 +354,21 @@ object Multimodal {
     * never all-pairs. Unlike the image variant the signature has no
     * per-doc geometry, so every planted duplicate clip collides
     * regardless of length. */
-  def qAudioNeardup(s: SparkSession, d: String): DataFrame = {
-    val sig = afpFrame(s, d).localCheckpoint(false)
+  def qAudioNeardup(s: SparkSession, d: String): DataFrame =
+    bandedPairs(afpFrame(s, d).localCheckpoint(false))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared banded-signature pair scan for the two 64-bit perceptual
+    * signatures (image dHash, audio fingerprint — both emit four
+    * 16-bit bands b0..b3): explode into 4 (band_id, band_val)
+    * buckets, bucket equi-join (pigeonhole covers hamming <= 3),
+    * bit_count(xor) hamming over the full 64 bits, distinct pairs.
+    * This is the PRE-VERIFY candidate surface — consumers filter
+    * `hamming <= T`, and the bench's candidate-reduction probe
+    * counts it directly (candidates vs all-pairs is the perceptual
+    * dedup's scale claim, same in-JSON evidence as text LSH / SRP). */
+  private[graft] def bandedPairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("b0"), col("b1"),
       col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
@@ -373,8 +386,20 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         hamming.as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Bench probe: (signature count, banded candidate-pair count) for
+    * the audio fingerprint dedup — the all-pairs space is
+    * n*(n-1)/2 over the first element. */
+  def audioDedupProbe(s: SparkSession, d: String): (Long, Long) = {
+    val sig = afpFrame(s, d).localCheckpoint(false)
+    (sig.count(), bandedPairs(sig).count())
+  }
+
+  /** Bench probe twin of [[audioDedupProbe]] for the image dHash. */
+  def imageDedupProbe(s: SparkSession, d: String): (Long, Long) = {
+    val sig = dhashFrame(s, d).localCheckpoint(false)
+    (sig.count(), bandedPairs(sig).count())
   }
 
   /** The full media TRANSFORM pipeline — decode → resample (2:1
@@ -746,30 +771,12 @@ object Multimodal {
     * candidates are band-bucket collisions only. Non-vacuous on this
     * corpus because the generator plants duplicate documents, whose
     * images hash identically. */
-  def qImageNeardup(s: SparkSession, d: String): DataFrame = {
+  def qImageNeardup(s: SparkSession, d: String): DataFrame =
     // the signature pass feeds BOTH sides of the band self-join —
     // checkpoint it once (the qSimhash convention)
-    val sig = dhashFrame(s, d).localCheckpoint(false)
-    val bands = sig.select(col("doc_id"), col("b0"), col("b1"),
-      col("b2"), col("b3"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k.toLong).as("band_id"), col(s"b$k").as("band_val"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
-    val hamming = (0 until 4).map(k =>
-      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
-      .reduce(_ + _).cast(LongType)
-    bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming.as("hamming"))
-      .distinct()
+    bandedPairs(dhashFrame(s, d).localCheckpoint(false))
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Per-payload decode verdict row: ok rows carry stats, quarantined
     * rows carry the parse failure's (static) reason. */
@@ -804,8 +811,15 @@ object Multimodal {
         try {
           val f = decoder.decode(m.doc_id, m.payload)
           MediaVerdict(m.doc_id, "ok", f.n_samples, f.sum_samples, "")
-        } catch { case e: IllegalArgumentException =>
-          MediaVerdict(m.doc_id, "quarantined", 0L, 0L, e.getMessage)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal, not just IllegalArgumentException: a corrupt
+          // container can underflow the ByteBuffer (or overflow a
+          // position) before reaching a strict check — the quarantine
+          // must absorb EVERY per-record parse failure, never kill
+          // the job (round-16, ADVICE r15 #4). Planted faults still
+          // fail at the first strict check with its static reason.
+          MediaVerdict(m.doc_id, "quarantined", 0L, 0L,
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
       }
     }.toDF().orderBy(col("doc_id"))
@@ -983,6 +997,14 @@ object Multimodal {
       val w = b.getInt(); val h = b.getInt()
       if (w <= 0 || h <= 0 || nFrames < 0) fail(s"geometry ${w}x$h x$nFrames")
       val rs = stride(w)
+      // LONG-arithmetic bound BEFORE any chunk walk: a corrupt header
+      // with huge nFrames/geometry must fail here (static reason),
+      // not overflow the Int size checks below or underflow the
+      // ByteBuffer mid-walk (round-16, ADVICE r15 #4)
+      val frameBytes = rs.toLong * h.toLong
+      if (frameBytes > avi.length.toLong ||
+          4L + nFrames.toLong * (8L + frameBytes) > avi.length.toLong)
+        fail("declared geometry exceeds file size")
       if (bufSize != rs * h) fail("suggestedBufferSize != stride*height")
       b.getInt(); b.getInt(); b.getInt(); b.getInt() // reserved
       expect("LIST"); b.getInt(); expect("strl")
@@ -1009,7 +1031,8 @@ object Multimodal {
       b.getInt(); b.getInt(); b.getInt(); b.getInt()
       val moviStart = b.position()
       expect("LIST")
-      if (b.getInt() != 4 + nFrames * (8 + rs * h)) fail("movi size mismatch")
+      if (b.getInt().toLong != 4L + nFrames.toLong * (8L + frameBytes))
+        fail("movi size mismatch")
       expect("movi")
       // walk the frame chunks, recording pixel-data offsets
       val dataOff = new Array[Int](nFrames)
@@ -1187,8 +1210,15 @@ object Multimodal {
         try {
           val meta = codec.meta(m.doc_id, m.payload)
           MediaVerdict(m.doc_id, "ok", meta.n_frames, meta.n_bytes, "")
-        } catch { case e: IllegalArgumentException =>
-          MediaVerdict(m.doc_id, "quarantined", 0L, 0L, e.getMessage)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal, not just IllegalArgumentException: a corrupt
+          // container can underflow the ByteBuffer (or overflow a
+          // position) before reaching a strict check — the quarantine
+          // must absorb EVERY per-record parse failure, never kill
+          // the job (round-16, ADVICE r15 #4). Planted faults still
+          // fail at the first strict check with its static reason.
+          MediaVerdict(m.doc_id, "quarantined", 0L, 0L,
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
       }
     }.toDF()

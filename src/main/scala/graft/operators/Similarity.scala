@@ -1147,11 +1147,17 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
         floor(col("col").cast(DoubleType) * PcaQuant + 0.5)
           .cast(LongType).as("xq"))
+    // per-vector projection p = <x, u> via a WINDOW sum partitioned
+    // by vec_id — one vec_id shuffle and zero joins beyond the
+    // broadcast d-row u frame. (Round-16, ADVICE r15: the previous
+    // shape broadcast a one-row-per-vec_id projection frame — O(corpus)
+    // rows to every executor and the driver, the exact anti-pattern
+    // the repo's bounded-broadcast convention forbids.)
     def reflect(src: DataFrame, x: String, uf: DataFrame, q: Long,
         out: String): DataFrame = {
-      val p = src.join(uf, "pos").groupBy(col("vec_id"))
-        .agg(sum(col(x) * col("u")).as("p"))
-      src.join(uf, "pos").join(broadcast(p), "vec_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      src.join(uf, "pos")
+        .withColumn("p", sum(col(x) * col("u")).over(w))
         .select(col("vec_id"), col("pos"),
           (col(x).cast(dec) * lit(q) -
             lit(2).cast(dec) * col("p") * col("u")).as("num"))

@@ -129,9 +129,9 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
 
   private def parts = 0 until partitions
 
-  /** earliest -> offset 0 everywhere; latest -> the high watermark at
-    * first plan (records committed before the query started are
-    * skipped — the reference's group-managed default). Only consulted
+  /** earliest -> offset 0 everywhere; latest -> the last stable
+    * offset at first plan (records committed before the query started
+    * are skipped — the reference's group-managed default). Only consulted
     * when the checkpoint has no offset log yet; restarts always
     * resume from the checkpoint. */
   override def initialOffset(): Offset =
@@ -143,10 +143,13 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  /** High watermark per partition — read_committed, so only committed
-    * data is ever admitted. Driver-side metadata only (no records
-    * move here). With SupportsAdmissionControl implemented, Spark
-    * calls the (start, limit) variant below. */
+  /** LAST STABLE OFFSET per partition (fetchCommitted._1) — the
+    * read_committed admission bound: records above it belong to
+    * in-flight transactions and must not be planned into a batch
+    * (round-16, ADVICE r15 #1 — the high watermark over-admits).
+    * Driver-side metadata only (no records move here). With
+    * SupportsAdmissionControl implemented, Spark calls the
+    * (start, limit) variant below. */
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
@@ -194,13 +197,17 @@ final class KafkaWireReaderFactory extends PartitionReaderFactory {
 final case class KafkaWireInputPartition(host: String, port: Int,
     topic: String, partition: Int, from: Long, until: Long) extends InputPartition
 
-/** Executor-side reader: one socket per task, fetches its partition's
-  * committed log from `from`, emits only [from, until). */
+/** Executor-side reader: one socket per task, PAGES fetches until the
+  * planned [from, until) range is fully read (round-16, ADVICE r15
+  * #2: one 8 MB-capped fetch would silently drop the tail of a large
+  * range — fetchCommittedRange loops from the last decoded offset,
+  * the same loop Spark's own Kafka reader runs, and throws on a
+  * stall instead of losing data). */
 final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
   private val records: Iterator[(Long, String, String)] =
-    KafkaWire.fetchCommitted(p.host, p.port, p.topic, p.partition, p.from)
-      ._2.iterator.filter { case (o, _, _) => o < p.until }
+    KafkaWire.fetchCommittedRange(
+      p.host, p.port, p.topic, p.partition, p.from, p.until).iterator
   private var current: (Long, String, String) = _
 
   override def next(): Boolean =

@@ -77,9 +77,16 @@ object EsUpsertSink {
     * the batch; deterministic ids make that safe. Retries 429/5xx
     * with capped exponential backoff before giving up, the
     * politeness floor for a bulk API under load. */
+  // one JDK HttpClient per endpoint PER JVM (thread-safe, shared by
+  // every partition task on the executor) — so the per-partition
+  // transport in [[PartitionedSink]] is free to construct per task
+  private val clientPool = new java.util.concurrent.ConcurrentHashMap[
+    String, java.net.http.HttpClient]()
+
   def httpTransport(endpoint: String,
       maxRetries: Int = 3): BulkTransport = new BulkTransport {
-    private val client = java.net.http.HttpClient.newHttpClient()
+    private val client = clientPool.computeIfAbsent(endpoint,
+      _ => java.net.http.HttpClient.newHttpClient())
     def bulk(body: String): Unit = {
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$endpoint/_bulk"))
@@ -122,10 +129,46 @@ object EsUpsertSink {
       chunk: Int = BulkChunk) {
     def write(df: DataFrame, batchId: Long): Unit = {
       val rows = df.select(col("doc_id").cast("string"),
-        col("payload").cast("string")).collect() // prod: foreachPartition
+        col("payload").cast("string")).collect() // spec-visibility twin of PartitionedSink
       rows.iterator.map(r => (r.getString(0), r.getString(1)))
         .grouped(chunk)
         .foreach(g => transport.bulk(bulkBody(index, g.toSeq)))
+    }
+  }
+
+  /** K2's PRODUCTION write path — the driver-free foreachBatch body
+    * (round-16, VERDICT r15 #3): each partition posts its own chunked
+    * `_bulk` requests straight from the executor; the batch never
+    * touches the driver. Keyed upserts are IDEMPOTENT (deterministic
+    * `_id` = overwrite), so partition writers need no coordination,
+    * no markers, and no fencing — a failed partition task retries
+    * independently and simply overwrites; a replayed batch overwrites
+    * everything. That absence of coordination is exactly why the ES
+    * sink is so much simpler than [[KafkaEosSink.PartitionedSink]].
+    *
+    * `newTransport` must be a SERIALIZABLE factory (capture the
+    * endpoint STRING, not a client — [[httpTransport]] pools the
+    * underlying HttpClient per JVM, so calling it per task is free).
+    *
+    * Wire as:
+    * {{{
+    * val sink = new EsUpsertSink.PartitionedSink("auditindex",
+    *   () => EsUpsertSink.httpTransport("http://es:9200"))
+    * frame.writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch(sink.write _).start()
+    * }}} */
+  final class PartitionedSink(index: String,
+      newTransport: () => BulkTransport,
+      chunk: Int = BulkChunk) extends Serializable {
+    def write(df: DataFrame, batchId: Long): Unit = {
+      val (ix, nt, ch) = (index, newTransport, chunk)
+      df.select(col("doc_id").cast("string"), col("payload").cast("string"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val transport = nt()
+          it.map(r => (r.getString(0), r.getString(1)))
+            .grouped(ch)
+            .foreach(g => transport.bulk(bulkBody(ix, g.toSeq)))
+        }
     }
   }
 }

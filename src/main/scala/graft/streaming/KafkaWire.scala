@@ -135,9 +135,23 @@ object KafkaWire {
   val BatchTimestamp = 1546300800000L // 2019-01-01T00:00:00Z
 
   val AttrTransactional = 0x10
+  val AttrControl = 0x20
 
-  case class Batch(producerId: Long, producerEpoch: Short, baseSequence: Int,
-                   transactional: Boolean, records: Seq[(String, String)], crcOk: Boolean)
+  /** A decoded RecordBatch v2. `recordsWithDelta` carries each
+    * record's OWN offsetDelta (compaction leaves gaps — absolute
+    * offset is baseOffset + delta, never baseOffset + array index);
+    * `control` marks transaction commit/abort markers (never data);
+    * `lastOffsetDelta` is the batch's declared span, which survives
+    * compaction even when trailing records were removed — the next
+    * fetch offset is baseOffset + lastOffsetDelta + 1. (Round-16,
+    * ADVICE r15 #1.) */
+  case class Batch(baseOffset: Long, producerId: Long, producerEpoch: Short,
+                   baseSequence: Int, transactional: Boolean, control: Boolean,
+                   lastOffsetDelta: Int,
+                   recordsWithDelta: Seq[(Int, String, String)], crcOk: Boolean) {
+    def records: Seq[(String, String)] = recordsWithDelta.map(t => (t._2, t._3))
+    def nextOffset: Long = baseOffset + lastOffsetDelta + 1
+  }
 
   def encodeBatch(pid: Long, epoch: Short, baseSeq: Int, transactional: Boolean,
                   recs: Seq[(String, String)], baseOffset: Long = 0L): Array[Byte] = {
@@ -173,7 +187,7 @@ object KafkaWire {
 
   /** Decodes ONE batch starting at `r`'s position; re-validates CRC. */
   def decodeBatch(r: Reader): Batch = {
-    r.i64() // baseOffset
+    val baseOffset = r.i64()
     val batchLen = r.i32()
     val afterLen = r.pos
     r.i32() // partitionLeaderEpoch
@@ -184,21 +198,23 @@ object KafkaWire {
     val crc = new CRC32C; crc.update(r.buf, bodyStart, bodyLen)
     val crcOk = crc.getValue.toInt == crcStored
     val attrs = r.i16()
-    r.i32() // lastOffsetDelta
+    val lastOffsetDelta = r.i32()
     r.i64(); r.i64() // timestamps
     val pid = r.i64(); val epoch = r.i16(); val baseSeq = r.i32()
     val n = r.i32()
     val recs = (0 until n).map { _ =>
       val len = r.varInt(); val end = r.pos + len
-      r.i8(); r.varLongZig(); r.varInt()
+      r.i8(); r.varLongZig()
+      val delta = r.varInt() // the record's OWN offset delta
       val kl = r.varInt()
       val k = if (kl < 0) null else { val s = new String(r.buf, r.pos, kl, UTF_8); r.skip(kl); s }
       val vl = r.varInt()
       val v = if (vl < 0) null else { val s = new String(r.buf, r.pos, vl, UTF_8); r.skip(vl); s }
       r.skip(end - r.pos) // headers (count + any content)
-      (k, v)
+      (delta, k, v)
     }
-    Batch(pid, epoch, baseSeq, (attrs & AttrTransactional) != 0, recs, crcOk)
+    Batch(baseOffset, pid, epoch, baseSeq, (attrs & AttrTransactional) != 0,
+      (attrs & AttrControl) != 0, lastOffsetDelta, recs, crcOk)
   }
 
   // ---- request framing ----
@@ -340,97 +356,169 @@ object KafkaWire {
     def close(): Unit = if (conn != null) { conn.close(); conn = null }
   }
 
+  /** One decoded Fetch v4 round-trip: `lso` is the last stable
+    * offset (the read_committed admission bound), `records` the
+    * admitted (offset, key, value) triples, `next` the offset to
+    * continue a multi-fetch scan from (last decoded batch's
+    * baseOffset + lastOffsetDelta + 1, or `from` when nothing
+    * decoded). */
+  private final case class FetchPage(lso: Long,
+      records: Vector[(Long, String, String)], next: Long)
+
+  /** The read_committed admission a real broker demands (round-16,
+    * ADVICE r15 #1) — everything the previous single-pass decode
+    * skipped:
+    *  - admit only offsets BELOW last_stable_offset (hwm can exceed
+    *    it while transactions are in flight; reading up to hwm would
+    *    surface uncommitted data);
+    *  - honor the aborted_transactions list: a data batch from
+    *    producer P is dropped from the first_offset of P's aborted
+    *    span until P's next control marker (Kafka's own consumer
+    *    algorithm);
+    *  - skip control batches entirely (txn commit/abort markers are
+    *    not data);
+    *  - per-record offsets from each record's OWN offsetDelta
+    *    (compaction leaves gaps — baseOffset + array index is wrong);
+    *  - tolerate a truncated trailing batch (a broker honoring
+    *    max_bytes may cut the last batch mid-frame; the next fetch
+    *    re-reads it). */
+  private def fetchOnce(c: Conn, topic: String, partition: Int,
+      from: Long): FetchPage = {
+    val f = c.request(ApiFetch, 4) { w =>
+      w.i32(-1) // replica_id (consumer)
+      w.i32(100).i32(1).i32(8 * 1024 * 1024)
+      w.i8(1) // isolation_level = read_committed
+      w.i32(1); w.str(topic); w.i32(1)
+      w.i32(partition); w.i64(from); w.i32(8 * 1024 * 1024)
+    }
+    f.i32() // throttle
+    var lso = 0L
+    var next = from
+    val out = Vector.newBuilder[(Long, String, String)]
+    val nTopics = f.i32()
+    (0 until nTopics).foreach { _ =>
+      f.str(); val nParts = f.i32()
+      (0 until nParts).foreach { _ =>
+        f.i32() // partition
+        val err = f.i16()
+        if (err != ErrNone) throw new WireErrorException(err, s"Fetch error $err")
+        f.i64() // high_watermark — NOT the admission bound
+        lso = f.i64() // last_stable_offset IS
+        val nAborted = f.i32()
+        val aborted = (0 until math.max(nAborted, 0))
+          .map { _ => (f.i64(), f.i64()) } // (producer_id, first_offset)
+          .sortBy(_._2)
+        val recordSet = f.nbytes()
+        // lso-only probe (latestOffset): skip the decode entirely —
+        // nothing can satisfy `from`, and the driver polls this
+        // every trigger
+        if (recordSet != null && recordSet.nonEmpty && from != Long.MaxValue) {
+          val r = new Reader(recordSet)
+          var ai = 0
+          val abortedPids = scala.collection.mutable.Set[Long]()
+          var truncated = false
+          while (!truncated && r.remaining > 0) {
+            // a truncated trailing batch (max_bytes cut) is not an
+            // error — stop; the NEXT fetch restarts at `next`, which
+            // only ever advances past FULLY decoded batches
+            if (r.remaining < 12) truncated = true
+            else {
+              val peek = new Reader(r.buf, r.pos)
+              peek.i64() // baseOffset
+              val batchLen = peek.i32()
+              if (r.remaining < 12 + batchLen) truncated = true
+              else {
+                val b = decodeBatch(r)
+                require(b.crcOk, "corrupt batch in fetch response")
+                // enter aborted spans whose first_offset we've reached
+                while (ai < aborted.size && aborted(ai)._2 <= b.baseOffset) {
+                  abortedPids += aborted(ai)._1; ai += 1
+                }
+                if (b.control) {
+                  // the txn marker ENDS the producer's aborted span;
+                  // control records themselves are never data
+                  abortedPids -= b.producerId
+                } else if (!(b.transactional && abortedPids.contains(b.producerId))) {
+                  b.recordsWithDelta.foreach { case (d, k, v) =>
+                    val off = b.baseOffset + d
+                    if (off >= from && off < lso) out += ((off, k, v))
+                  }
+                }
+                next = math.max(next, b.nextOffset)
+              }
+            }
+          }
+        }
+      }
+    }
+    FetchPage(lso, out.result(), next)
+  }
+
   /** Restart-time progress-marker read: Fetch v4 with
     * isolation_level=read_committed over the progress topic, decode
     * the returned RecordBatches, take the last marker for `txId`.
     * The real production consumer is exactly this in kafka-clients
-    * form ([[KafkaEosSink.Sink]] doc). */
+    * form ([[KafkaEosSink.Sink]] doc). Loops pages so a long progress
+    * log (or an 8 MB-capped response) is still read to its end. */
   def readLastCommitted(host: String, port: Int, progressTopic: String, txId: String): Long = {
     val c = new Conn(host, port, s"graft-marker-$txId")
     try {
-      val f = c.request(ApiFetch, 4) { w =>
-        w.i32(-1) // replica_id (consumer)
-        w.i32(100).i32(1).i32(8 * 1024 * 1024)
-        w.i8(1) // isolation_level = read_committed
-        w.i32(1); w.str(progressTopic); w.i32(1); w.i32(0); w.i64(0L); w.i32(8 * 1024 * 1024)
-      }
-      f.i32() // throttle
       var last = -1L
-      val nTopics = f.i32()
-      (0 until nTopics).foreach { _ =>
-        f.str(); val nParts = f.i32()
-        (0 until nParts).foreach { _ =>
-          f.i32() // partition
-          val err = f.i16(); require(err == ErrNone, s"Fetch error $err")
-          f.i64(); f.i64() // high_watermark, last_stable_offset
-          val nAborted = f.i32()
-          (0 until math.max(nAborted, 0)).foreach { _ => f.i64(); f.i64() }
-          val recordSet = f.nbytes()
-          if (recordSet != null && recordSet.nonEmpty) {
-            val r = new Reader(recordSet)
-            while (r.remaining > 0) {
-              val b = decodeBatch(r)
-              require(b.crcOk, "corrupt batch in fetch response")
-              b.records.foreach { case (k, v) => if (k == txId) last = v.toLong }
-            }
-          }
-        }
+      var cur = 0L
+      var done = false
+      while (!done) {
+        val page = fetchOnce(c, progressTopic, 0, cur)
+        page.records.foreach { case (_, k, v) => if (k == txId) last = v.toLong }
+        if (page.next <= cur || page.next >= page.lso) done = true else cur = page.next
       }
       last
     } finally c.close()
   }
 
   /** Fetch v4 with isolation_level=read_committed for ONE
-    * topic-partition from offset `from`: returns (high_watermark,
-    * (offset, key, value) triples at offset >= `from`). Offsets come
-    * from each RecordBatch's baseOffset + per-record delta; the
-    * result is sliced client-side so it is correct against both a
-    * real broker (serves from the requested offset) and the embedded
-    * one (serves the whole committed log in one batch from 0). This
-    * is the consumer read the reference jobs start from
+    * topic-partition from offset `from`: returns (last_stable_offset,
+    * admitted (offset, key, value) triples at offset >= `from`) from
+    * a SINGLE fetch round-trip. The offset bound a caller should use
+    * for admission planning is the returned LSO (committed data
+    * only). This is the consumer read the reference jobs start from
     * (`DataClean.java:58-66`) — [[graft.sources.KafkaWireSource]]
-    * mounts it as a Spark MicroBatchStream. */
+    * mounts it as a Spark MicroBatchStream; its per-task reader uses
+    * [[fetchCommittedRange]], which pages until the planned range is
+    * covered. */
   def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
       from: Long): (Long, Vector[(Long, String, String)]) = {
     val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
     try {
-      val f = c.request(ApiFetch, 4) { w =>
-        w.i32(-1) // replica_id (consumer)
-        w.i32(100).i32(1).i32(8 * 1024 * 1024)
-        w.i8(1) // isolation_level = read_committed
-        w.i32(1); w.str(topic); w.i32(1)
-        w.i32(partition); w.i64(from); w.i32(8 * 1024 * 1024)
-      }
-      f.i32() // throttle
-      var hwm = 0L
+      val page = fetchOnce(c, topic, partition, from)
+      (page.lso, page.records)
+    } finally c.close()
+  }
+
+  /** Read EXACTLY the planned range [from, until): pages fetches from
+    * the last fully-decoded offset until the range is covered — the
+    * loop Spark's own Kafka reader runs (round-16, ADVICE r15 #2: a
+    * single 8 MB-capped fetch silently dropped the tail of a large
+    * planned range, and the next micro-batch never re-read it).
+    * Throws if the broker stops making progress before `until` —
+    * a planned range is committed data, so anything short is loss. */
+  def fetchCommittedRange(host: String, port: Int, topic: String, partition: Int,
+      from: Long, until: Long): Vector[(Long, String, String)] = {
+    val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+    try {
       val out = Vector.newBuilder[(Long, String, String)]
-      val nTopics = f.i32()
-      (0 until nTopics).foreach { _ =>
-        f.str(); val nParts = f.i32()
-        (0 until nParts).foreach { _ =>
-          f.i32() // partition
-          val err = f.i16()
-          if (err != ErrNone) throw new WireErrorException(err, s"Fetch error $err")
-          hwm = f.i64(); f.i64() // high_watermark, last_stable_offset
-          val nAborted = f.i32()
-          (0 until math.max(nAborted, 0)).foreach { _ => f.i64(); f.i64() }
-          val recordSet = f.nbytes()
-          // hwm-only probe (latestOffset): skip the decode entirely —
-          // nothing can satisfy `from`, and the driver polls this
-          // every trigger
-          if (recordSet != null && recordSet.nonEmpty && from != Long.MaxValue) {
-            val r = new Reader(recordSet)
-            while (r.remaining > 0) {
-              val base = new Reader(recordSet, r.pos).i64() // peek baseOffset
-              val b = decodeBatch(r)
-              require(b.crcOk, "corrupt batch in fetch response")
-              b.records.zipWithIndex.foreach { case ((k, v), i) =>
-                if (base + i >= from) out += ((base + i, k, v)) }
-            }
-          }
-        }
+      var cur = from
+      var done = from >= until
+      while (!done) {
+        val page = fetchOnce(c, topic, partition, cur)
+        out ++= page.records.filter { case (o, _, _) => o >= from && o < until }
+        if (page.next >= until) done = true
+        else if (page.next <= cur)
+          throw new IllegalStateException(
+            s"fetch stalled at offset ${page.next} before planned end $until " +
+              s"($topic-$partition, lso=${page.lso})")
+        else cur = page.next
       }
-      (hwm, out.result())
+      out.result()
     } finally c.close()
   }
 
