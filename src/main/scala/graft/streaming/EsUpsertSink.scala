@@ -30,15 +30,16 @@ import org.apache.spark.sql.functions.col
   * throws, Spark retries the batch, and idempotence makes the retry
   * safe — so PARTIAL bulk failures need no per-item replay logic.
   *
-  * 100 TB posture: like [[KafkaEosSink]], the driver `collect()` in
-  * [[EsUpsertSink.write]] exists for spec visibility; production uses
-  * the `foreachPartition` form with one client per partition (the
-  * bulk API is stateless, so partition writers need no coordination —
-  * unlike Kafka transactions there is no per-writer fencing to
-  * manage). `BulkChunk` bounds each request body the way the
-  * reference's `setBulkFlushMaxActions` does (it ships 1 — per-record
-  * flush — with a comment to raise it in production; we default to
-  * 1000). */
+  * 100 TB posture: [[PartitionedSink]] IS the production write path —
+  * per-partition `_bulk` posts straight from the executors (the bulk
+  * API is stateless and keyed upserts idempotent, so partition
+  * writers need no coordination — unlike Kafka transactions there is
+  * no per-writer fencing to manage); the driver never holds the
+  * batch. The single-writer [[Sink]] remains as the minimal spec
+  * surface for request construction. `BulkChunk` bounds each request
+  * body the way the reference's `setBulkFlushMaxActions` does (it
+  * ships 1 — per-record flush — with a comment to raise it in
+  * production; we default to 1000). */
 object EsUpsertSink {
 
   /** Docs per `_bulk` request — the reference's bulk-flush knob

@@ -43,14 +43,16 @@ import org.apache.spark.sql.functions.col
   * read_committed`, so aborted transactions are invisible — the same
   * observable exactly-once the reference configures.
   *
-  * 100 TB posture: this class is the per-partition writer seam. The
-  * [[Sink.write]] shown here drains the batch through the driver
-  * (`collect`) because the fake-producer spec needs visibility; the
-  * production body is the `df.rdd.foreachPartition` variant noted on
-  * the method — same lifecycle per partition, `transactional.id`
-  * suffixed with the partition id (each Kafka transactional producer
-  * is single-threaded by contract). The logic under test — skip,
-  * abort, marker — is identical.
+  * 100 TB posture: [[PartitionedSink]] IS the production write path —
+  * `foreachPartition` with one transactional producer per (checkpoint,
+  * partition), each partition's rows and its OWN progress marker in
+  * one transaction (the Flink 2PC topology the reference gets from
+  * `FlinkKafkaProducer011`); the batch never touches the driver
+  * (KafkaEosPartitionedSpec proves producers are built on executor
+  * task threads, over the embedded broker's real sockets, including
+  * the mid-commit-crash retry). The single-writer [[Sink]] remains as
+  * the minimal spec surface for the shared lifecycle logic — skip,
+  * abort, marker — which is identical per writer.
   */
 object KafkaEosSink {
 

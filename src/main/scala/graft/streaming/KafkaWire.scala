@@ -154,9 +154,11 @@ object KafkaWire {
   }
 
   def encodeBatch(pid: Long, epoch: Short, baseSeq: Int, transactional: Boolean,
-                  recs: Seq[(String, String)], baseOffset: Long = 0L): Array[Byte] = {
+                  recs: Seq[(String, String)], baseOffset: Long = 0L,
+                  control: Boolean = false): Array[Byte] = {
     val body = new Writer // attributes .. records (the CRC-covered span)
-    body.i16(if (transactional) AttrTransactional else 0)
+    body.i16((if (transactional) AttrTransactional else 0) |
+      (if (control) AttrControl else 0))
     body.i32(recs.size - 1) // lastOffsetDelta
     body.i64(BatchTimestamp).i64(BatchTimestamp)
     body.i64(pid).i16(epoch).i32(baseSeq)
@@ -524,34 +526,85 @@ object KafkaWire {
 
   // ---- embedded broker ----
 
-  /** A single-node broker speaking the six-API surface above: parses
-    * real frames, RE-VALIDATES every produced batch's CRC-32C,
-    * enforces producer-epoch fencing and per-partition sequence
-    * idempotence, and materializes transactions (pending until
-    * EndTxn; abort drops; a newer InitProducerId on the same
-    * transactional.id bumps the epoch AND aborts the zombie's
-    * pending transaction — Kafka's fencing contract). Fetch serves
-    * only committed data, so read_committed holds by construction. */
+  /** A single-node broker speaking the six-API surface above, with
+    * the REAL log model (round-16): produced batches — including
+    * transactional data that will later abort — append to the log
+    * immediately and permanently, exactly as a real broker's log
+    * works; EndTxn appends a CONTROL batch (commit/abort marker,
+    * occupying one offset) and records aborted spans; Fetch reports
+    * the true last_stable_offset (min open-transaction offset) and
+    * the aborted_transactions index, serves batches FROM the
+    * requested offset, and honors a byte cap (`maxFetchBytes`) so
+    * pagination is exercised. read_committed is therefore enforced by
+    * the CLIENT's admission logic — the thing ADVICE r15 #1 said was
+    * previously untestable because the old broker materialized only
+    * committed data. Also still: CRC-32C re-validation, producer-
+    * epoch fencing, sequence idempotence, and fencing-aborts-the-
+    * zombie's-open-transaction on InitProducerId. */
   final class EmbeddedBroker {
     private val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
 
+    /** One appended RecordBatch: data (maybe transactional) or a txn
+      * control marker. state: 0=stable, 1=open txn, 2=committed,
+      * 3=aborted. */
+    private final class StoredBatch(val baseOffset: Long, val pid: Long,
+        val epoch: Short, val baseSeq: Int, val transactional: Boolean,
+        val control: Boolean, val records: Vector[(String, String)]) {
+      var state: Int = if (transactional && !control) 1 else 0
+      def span: Int = records.size
+      def lastOffset: Long = baseOffset + span - 1
+    }
+
     private val lock = new Object
     private var nextPid = 1000L
     private val txns = scala.collection.mutable.Map[String, (Long, Short)]() // txId -> (pid, epoch)
-    private val logs = scala.collection.mutable.Map[(String, Int), Vector[(String, String)]]()
-    private val pending = scala.collection.mutable.Map[Long, Vector[(String, Int, String, String)]]()
+    private val logs = scala.collection.mutable.Map[(String, Int), Vector[StoredBatch]]()
+    private val abortedSpans = scala.collection.mutable.Map[(String, Int), Vector[(Long, Long)]]() // (pid, firstOffset)
     private val seqState = scala.collection.mutable.Map[(Long, String, Int), Int]() // -> next expected baseSequence
-    // test observability
+    // test observability / fault knobs
     @volatile var crcValidated = 0
     @volatile var crcRejected = 0
     @volatile var fencedRejections = 0
     @volatile var dedupedProduces = 0
     @volatile var failNextEndTxn = false
+    /** Byte cap per fetched record set (at least one full batch is
+      * always served) — lets specs force the client's fetch loop. */
+    @volatile var maxFetchBytes: Int = Int.MaxValue
+    /** When set, a fetch response that hit `maxFetchBytes` also ships
+      * the FIRST HALF of the next batch's bytes — the max_bytes-cut
+      * trailing partial batch a real broker can emit. */
+    @volatile var truncateTailBatch: Boolean = false
 
+    private def nextOffset(tp: (String, Int)): Long =
+      logs.getOrElse(tp, Vector.empty).lastOption
+        .map(b => b.baseOffset + b.span).getOrElse(0L)
+
+    /** The committed DATA records of a topic's partition 0, in log
+      * order — what a read_committed consumer may observe. */
     def committed(topic: String): Vector[(String, String)] =
-      lock.synchronized(logs.getOrElse((topic, 0), Vector.empty))
+      lock.synchronized(logs.getOrElse((topic, 0), Vector.empty)
+        .filter(b => !b.control && (b.state == 0 || b.state == 2))
+        .flatMap(_.records))
+
+    /** End every OPEN batch of `pid`: mark committed/aborted, record
+      * the aborted span, append the control marker — the coordinator's
+      * write path for both EndTxn and fence-abort. */
+    private def finishTxn(pid: Long, epoch: Short, commit: Boolean): Unit = {
+      val touched = logs.keys.filter(tp =>
+        logs(tp).exists(b => b.pid == pid && b.state == 1)).toSeq
+      touched.foreach { tp =>
+        val open = logs(tp).filter(b => b.pid == pid && b.state == 1)
+        open.foreach(_.state = if (commit) 2 else 3)
+        if (!commit)
+          abortedSpans(tp) = abortedSpans.getOrElse(tp, Vector.empty) :+
+            ((pid, open.map(_.baseOffset).min))
+        logs(tp) = logs(tp) :+ new StoredBatch(nextOffset(tp), pid, epoch,
+          -1, transactional = true, control = true,
+          Vector((if (commit) "COMMIT" else "ABORT", null)))
+      }
+    }
 
     private def epochOf(pid: Long): Option[Short] =
       txns.values.collectFirst { case (p, e) if p == pid => e }
@@ -608,9 +661,11 @@ object KafkaWire {
       val (pid, epoch) = lock.synchronized {
         txns.get(txId) match {
           case Some((p, e)) =>
-            // fencing: same PID, bumped epoch; the zombie's pending
-            // transaction is aborted by the coordinator
-            pending.remove(p)
+            // fencing: same PID, bumped epoch; the zombie's OPEN
+            // transaction is aborted by the coordinator — its data
+            // stays in the log, marked aborted, behind a real abort
+            // marker (the span the read_committed consumer skips)
+            finishTxn(p, e, commit = false)
             seqState.filterInPlace { case ((sp, _, _), _) => sp != p }
             val bumped = (p, (e + 1).toShort)
             txns(txId) = bumped; bumped
@@ -674,11 +729,17 @@ object KafkaWire {
                   } else if (batch.baseSequence > expected) {
                     PartResult(topic, partition, ErrOutOfOrderSequence, -1L)
                   } else {
-                    pending(batch.producerId) = pending.getOrElse(batch.producerId, Vector.empty) ++
-                      batch.records.map { case (k, v) => (topic, partition, k, v) }
+                    // the real log model: the batch appends NOW —
+                    // visibility is decided later by the txn marker
+                    val tp = (topic, partition)
+                    val base = nextOffset(tp)
+                    logs(tp) = logs.getOrElse(tp, Vector.empty) :+
+                      new StoredBatch(base, batch.producerId,
+                        batch.producerEpoch, batch.baseSequence,
+                        batch.transactional, control = false,
+                        batch.records.toVector)
                     seqState(key) = expected + batch.records.size
-                    PartResult(topic, partition, ErrNone,
-                      logs.getOrElse((topic, partition), Vector.empty).size.toLong)
+                    PartResult(topic, partition, ErrNone, base)
                   }
               }
             }
@@ -700,10 +761,7 @@ object KafkaWire {
         if (failNextEndTxn) { failNextEndTxn = false; ErrCoordinatorNotAvailable }
         else txns.get(txId) match {
           case Some((p, e)) if p == pid && e == epoch =>
-            val buf = pending.remove(pid).getOrElse(Vector.empty)
-            if (committed) buf.foreach { case (t, pt, k, v) =>
-              logs((t, pt)) = logs.getOrElse((t, pt), Vector.empty) :+ (k, v)
-            }
+            finishTxn(pid, epoch, committed)
             ErrNone
           case _ => fencedRejections += 1; ErrInvalidProducerEpoch
         }
@@ -713,22 +771,58 @@ object KafkaWire {
 
     private def handleFetch(req: Reader, resp: Writer): Unit = {
       req.i32(); req.i32(); req.i32(); req.i32() // replica, max_wait, min_bytes, max_bytes
-      req.i8() // isolation_level — committed-only is all this broker stores
+      req.i8() // isolation_level — enforcement is the CLIENT's job
       val topics = (0 until req.i32()).map { _ =>
         val t = req.str()
-        (t, (0 until req.i32()).map { _ => val p = req.i32(); req.i64(); req.i32(); p })
+        (t, (0 until req.i32()).map { _ =>
+          val p = req.i32(); val from = req.i64(); req.i32(); (p, from) })
       }
       resp.i32(0) // throttle
       resp.i32(topics.size)
       topics.foreach { case (t, parts) =>
         resp.str(t); resp.i32(parts.size)
-        parts.foreach { pt =>
-          val recs = lock.synchronized(logs.getOrElse((t, pt), Vector.empty))
+        parts.foreach { case (pt, from) =>
+          val (batches, hwm, lso, spans) = lock.synchronized {
+            val log = logs.getOrElse((t, pt), Vector.empty)
+            val h = nextOffset((t, pt))
+            val open = log.filter(b => !b.control && b.state == 1)
+            val l = if (open.isEmpty) h else open.map(_.baseOffset).min
+            (log, h, l, abortedSpans.getOrElse((t, pt), Vector.empty))
+          }
           resp.i32(pt).i16(ErrNone)
-          resp.i64(recs.size.toLong).i64(recs.size.toLong) // hwm, last_stable_offset
-          resp.i32(0) // aborted_transactions: none (committed-only log)
-          if (recs.isEmpty) resp.i32(-1) // null record set
-          else resp.nbytes(encodeBatch(-1L, -1, -1, transactional = false, recs))
+          resp.i64(hwm).i64(lso)
+          // the aborted-transactions index for this partition — the
+          // client's admission algorithm consumes (pid, first_offset)
+          resp.i32(spans.size)
+          spans.sortBy(_._2).foreach { case (p, off) => resp.i64(p).i64(off) }
+          // serve batches from the one containing `from`, each with
+          // its TRUE baseOffset (offset gaps from markers/aborted data
+          // are real), capped at maxFetchBytes like a real broker's
+          // max_bytes — at least one batch always ships
+          val served = batches.filter(_.lastOffset >= from)
+          val out = Vector.newBuilder[Array[Byte]]
+          var bytes = 0
+          var cut: Array[Byte] = null
+          served.foreach { b =>
+            val enc = encodeBatch(b.pid, b.epoch, b.baseSeq, b.transactional,
+              b.records, b.baseOffset, b.control)
+            if (cut == null && (bytes == 0 || bytes + enc.length <= maxFetchBytes)) {
+              out += enc; bytes += enc.length
+            } else if (cut == null && truncateTailBatch) {
+              cut = java.util.Arrays.copyOf(enc, enc.length / 2)
+            }
+          }
+          val full = out.result()
+          if (full.isEmpty && cut == null) resp.i32(-1) // null record set
+          else {
+            val total = full.map(_.length).sum + (if (cut == null) 0 else cut.length)
+            val recordSet = new Array[Byte](total)
+            var at = 0
+            (full ++ Option(cut)).foreach { a =>
+              System.arraycopy(a, 0, recordSet, at, a.length); at += a.length
+            }
+            resp.nbytes(recordSet)
+          }
         }
       }
     }

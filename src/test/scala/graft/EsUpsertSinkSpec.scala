@@ -129,6 +129,25 @@ class EsUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("PartitionedSink posts per-partition bulks straight from executors over the real socket") {
+    withBulkServer() { (endpoint, store, requests) =>
+      val sink = new EsUpsertSink.PartitionedSink("auditindex",
+        () => EsUpsertSink.httpTransport(endpoint), chunk = 10)
+      // multi-partition frame: 4 partitions x ~9 docs, chunk 10 —
+      // each partition posts its own chunks; the driver never holds
+      // the batch (the write path has no collect by construction)
+      val df = (1 to 35).map(i => s"id$i" -> s"""{"n":$i}""")
+        .toDF("doc_id", "payload").repartition(4)
+      sink.write(df, 0L)
+      assert(store.size == 35, s"docs lost across partitions: ${store.size}")
+      assert(requests() >= 4,
+        s"expected at least one _bulk per partition, got ${requests()}")
+      // replay: keyed overwrite from every partition, no growth
+      sink.write(df, 0L)
+      assert(store.size == 35, "replay duplicated documents")
+    }
+  }
+
   test("httpTransport surfaces _bulk item failures reported inside a 2xx") {
     withBulkServer(errorsTrue = true) { (endpoint, _, _) =>
       val sink = new EsUpsertSink.Sink("idx", EsUpsertSink.httpTransport(endpoint))

@@ -66,14 +66,18 @@ class KafkaWireSourceSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
         assert(got1.toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c")),
           s"wrong first batch: ${got1.toSeq}")
-        // later records arrive in a LATER micro-batch, from offset 3
+        // later records arrive in a LATER micro-batch. Offsets are the
+        // REAL log positions: the commit marker of src-tx sits at 3,
+        // the aborted ghost at 4 and its abort marker at 5 — all
+        // occupy offsets a read_committed consumer must step OVER,
+        // so d/e land at 6/7 (the broker's real-log model)
         produce(b, "in", "src-tx-2", "d", "e")
         q.processAllAvailable()
         val got2 = spark.table("kw_read")
           .select(col("offset"), col("value")).collect()
           .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
         assert(got2.toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c"),
-          (3L, "d"), (4L, "e")), s"wrong incremental read: ${got2.toSeq}")
+          (6L, "d"), (7L, "e")), s"wrong incremental read: ${got2.toSeq}")
       } finally q.stop()
     }
   }
@@ -128,7 +132,8 @@ class KafkaWireSourceSpec extends SparkSpec {
         val got = spark.table("kw_latest")
           .select(col("offset"), col("value")).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq
-        assert(got == Seq((2L, "new1")), s"wrong post-start read: $got")
+        // offset 3: old1@0, old2@1, their commit marker@2
+        assert(got == Seq((3L, "new1")), s"wrong post-start read: $got")
       } finally q.stop()
     }
   }

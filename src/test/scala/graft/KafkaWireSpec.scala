@@ -112,6 +112,64 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("read_committed admission: aborted spans, control batches, LSO bound, true offsets") {
+    withBroker { b =>
+      // committed(k1@0) marker@1 | aborted(g1@2,g2@3) abort-marker@4 |
+      // committed(k2@5) marker@6 — the interleaving a real broker log
+      // holds; the CLIENT must reconstruct the committed view
+      val good = new WireProducer("127.0.0.1", b.port, "rc-good")
+      good.initTransactions(); good.beginTransaction()
+      good.send("t", "k1", "v1"); good.commitTransaction()
+      val bad = new WireProducer("127.0.0.1", b.port, "rc-bad")
+      bad.initTransactions(); bad.beginTransaction()
+      bad.send("t", "g1", "ghost1"); bad.send("t", "g2", "ghost2")
+      bad.abortTransaction(); bad.close()
+      good.beginTransaction()
+      good.send("t", "k2", "v2"); good.commitTransaction()
+
+      val (lso, recs) = KafkaWire.fetchCommitted("127.0.0.1", b.port, "t", 0, 0L)
+      assert(lso == 7L, s"wrong LSO on a fully-decided log: $lso")
+      assert(recs == Vector((0L, "k1", "v1"), (5L, "k2", "v2")),
+        s"aborted span / control batches leaked or offsets wrong: $recs")
+
+      // an OPEN transaction caps the LSO below the hwm — nothing at or
+      // above it may be admitted (the in-flight data is undecided)
+      good.beginTransaction()
+      good.send("t", "k3", "pending")
+      val (lso2, recs2) = KafkaWire.fetchCommitted("127.0.0.1", b.port, "t", 0, 0L)
+      assert(lso2 == 7L, s"open txn did not cap the LSO: $lso2")
+      assert(recs2 == Vector((0L, "k1", "v1"), (5L, "k2", "v2")),
+        s"undecided records admitted: $recs2")
+      good.commitTransaction(); good.close()
+    }
+  }
+
+  test("fetchCommittedRange pages through a byte-capped broker and tolerates a cut tail batch") {
+    withBroker { b =>
+      val p = new WireProducer("127.0.0.1", b.port, "page-tx")
+      p.initTransactions()
+      (0 until 5).foreach { i =>
+        p.beginTransaction()
+        p.send("t", s"k$i", "x" * 64) // one 64-byte-value batch each
+        p.commitTransaction()
+      }
+      p.close()
+      // log: data@0 marker@1 data@2 marker@3 ... data@8 marker@9
+      // cap the broker to ~1.5 batches per response AND ship a cut
+      // trailing batch — the reader must page, never lose the tail,
+      // and never double-read (ADVICE r15 #2's exact failure mode)
+      b.maxFetchBytes = 150
+      b.truncateTailBatch = true
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 0L, 10L)
+      assert(recs.map(r => (r._1, r._2)) ==
+        Vector((0L, "k0"), (2L, "k1"), (4L, "k2"), (6L, "k3"), (8L, "k4")),
+        s"paged read lost/duplicated records: ${recs.map(r => (r._1, r._2))}")
+      // single capped fetch really is partial (the loop was needed)
+      val (_, single) = KafkaWire.fetchCommitted("127.0.0.1", b.port, "t", 0, 0L)
+      assert(single.size < 5, s"cap not exercised: ${single.size}")
+    }
+  }
+
   test("broker dedups a retried produce request by sequence (idempotence)") {
     withBroker { b =>
       val txId = "wire-tx-5"
