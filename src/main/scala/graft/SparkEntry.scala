@@ -134,6 +134,10 @@ object SparkEntry {
     "q_dsir_shift" -> (TextAnalysis.qDsirShift _),
     "q_dsir_gate" -> (graft.streaming.DsirGate.qDsirGate _),
     "q_dsir_gate_disk" -> (graft.streaming.DsirGate.qDsirGateDisk _),
+    "q_quality_clf" -> (graft.operators.QualityClf.qQualityClf _),
+    "q_quality_clf_eval" -> (graft.operators.QualityClf.qQualityClfEval _),
+    "q_quality_clf_gate" -> (graft.streaming.QualityClfGate.qQualityClfGate _),
+    "q_quality_clf_gate_disk" -> (graft.streaming.QualityClfGate.qQualityClfGateDisk _),
     "q_ppl_buckets" -> (TextAnalysis.qPplBuckets _),
     "q_ppl_cutoffs" -> (TextAnalysis.qPplCutoffs _),
     "q_priority_sample" -> (TextAnalysis.qPrioritySample _),
@@ -530,6 +534,95 @@ object SparkEntry {
   /** The batch-family instantiation: the model is trained on the same
     * pool it scores. */
   private val dsirCtesAll = dsirCtes("TRUE", "TRUE")
+
+  /** Unrolled CTE mirror of [[graft.operators.QualityClf]] — the
+    * trained hard-sigmoid logistic classifier over hashed bigram
+    * features, replayed round by round (the pca_power/bpe_merges
+    * unrolled-iteration discipline). Ends in `qsc(doc_id, y, n_feats,
+    * z, p_x1e6, admit)`. Signed truncating divisions mirror the Spark
+    * side exactly; gradient sums ride DuckDB's HUGEINT. */
+  private def qclfCtes(trainCond: String, scoreCond: String): String = {
+    val B = graft.operators.QualityClf.Buckets
+    val upd = graft.operators.QualityClf.UpdateDiv
+    require(B == 4096L, "bucket fold below is the 3-hex-digit fold")
+    def bucket(h: String) =
+      s"""((strpos('0123456789abcdef', substring($h, 1, 1)) - 1) * 256
+         | + (strpos('0123456789abcdef', substring($h, 2, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substring($h, 3, 1)) - 1))""".stripMargin
+    def sdiv(v: String, s: String) =
+      s"CASE WHEN $v >= 0 THEN CAST(($v) // ($s) AS BIGINT) ELSE -CAST((-($v)) // ($s) AS BIGINT) END"
+    def p(z: String) =
+      s"LEAST(GREATEST(${sdiv(z, "4")} + 500000, 0), 1000000)"
+    val en = graft.functions.TextFunctions.stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    def docCtes(name: String, cond: String) =
+      s"""qc$name AS (SELECT doc_id, n_chars, toks
+         |  FROM (SELECT doc_id, n_chars, $tokSql AS toks FROM documents WHERE $cond)
+         |  WHERE len(toks) >= 2),
+         |f$name AS (SELECT doc_id, ${bucket("md5(prev || ' ' || w)")} AS b,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
+         |      unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i+1])) AS w
+         |    FROM qc$name)
+         |  GROUP BY 1, 2
+         |  UNION ALL SELECT doc_id, $B AS b, CAST(1 AS BIGINT) AS x FROM qc$name),
+         |l$name AS (SELECT doc_id,
+         |    CASE WHEN n_chars BETWEEN 100 AND 100000
+         |      AND tl BETWEEN nt * 4 AND nt * 10
+         |      AND ns * 20 >= nt
+         |      AND nd * 10 >= nt * 3 THEN 1 ELSE 0 END AS y
+         |  FROM (SELECT doc_id, n_chars,
+         |      CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) AS tl,
+         |      CAST(len(toks) AS BIGINT) AS nt,
+         |      CAST(len(list_filter(toks, t -> t IN ($en))) AS BIGINT) AS ns,
+         |      CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+         |    FROM qc$name))""".stripMargin
+    // round 1 folds w0 = 0: the error is the constant 500000 - 1e6*y
+    val round1 =
+      s"""qg1 AS (SELECT f.b, sum(f.x * (500000 - 1000000 * l.y)) AS g
+         |  FROM ft f JOIN lt l USING (doc_id) GROUP BY 1),
+         |qw1 AS (SELECT b, CAST(0 - ${sdiv("g", s"n * $upd")} AS BIGINT) AS w
+         |  FROM qg1 CROSS JOIN qn)""".stripMargin
+    val laterRounds = (2 to graft.operators.QualityClf.Rounds).map { t =>
+      s"""qz$t AS (SELECT f.doc_id, CAST(sum(f.x * COALESCE(w.w, 0)) AS BIGINT) AS z
+         |  FROM ft f LEFT JOIN qw${t - 1} w ON f.b = w.b GROUP BY 1),
+         |qe$t AS (SELECT z.doc_id, ${p("z.z")} - 1000000 * l.y AS e
+         |  FROM qz$t z JOIN lt l USING (doc_id)),
+         |qg$t AS (SELECT f.b, sum(f.x * e.e) AS g
+         |  FROM ft f JOIN qe$t e USING (doc_id) GROUP BY 1),
+         |qw$t AS (SELECT g.b,
+         |    CAST(COALESCE(w.w, 0) - ${sdiv("g.g", s"n * $upd")} AS BIGINT) AS w
+         |  FROM qg$t g LEFT JOIN qw${t - 1} w ON g.b = w.b CROSS JOIN qn)""".stripMargin
+    }.mkString(",\n")
+    val wFinal = s"qw${graft.operators.QualityClf.Rounds}"
+    s"""${docCtes("t", trainCond)},
+       |${docCtes("s", scoreCond)},
+       |qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lt),
+       |$round1,
+       |$laterRounds,
+       |qzs AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(f.x * COALESCE(w.w, 0)) AS BIGINT) AS z
+       |  FROM fs f LEFT JOIN $wFinal w ON f.b = w.b GROUP BY 1),
+       |qsc AS (SELECT z.doc_id, CAST(l.y AS BIGINT) AS y, z.n_feats, z.z,
+       |    CAST(${p("z.z")} AS BIGINT) AS p_x1e6,
+       |    CAST(CASE WHEN ${p("z.z")} >= ${graft.operators.QualityClf.AdmitMinPX1e6}
+       |      THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |  FROM qzs z JOIN ls l USING (doc_id))""".stripMargin
+  }
+
+  private val qclfSqlAll =
+    s"""WITH ${qclfCtes("TRUE", "TRUE")}
+       |SELECT doc_id, y, n_feats, z, p_x1e6, admit FROM qsc ORDER BY doc_id""".stripMargin
+
+  private val qclfEvalSql =
+    s"""WITH ${qclfCtes("TRUE", "TRUE")}
+       |SELECT y, admit, CAST(count(*) AS BIGINT) AS n
+       |FROM qsc GROUP BY 1, 2 ORDER BY y, admit""".stripMargin
+
+  private val qclfGateSql =
+    s"""WITH ${qclfCtes("doc_id % 4 <> 0", "doc_id % 4 = 0")}
+       |SELECT doc_id, y, n_feats, z, p_x1e6, admit FROM qsc ORDER BY doc_id""".stripMargin
 
   /** Shared add-one bigram-LM perplexity CTE chain (mirror of
     * TextAnalysis perplexityFrame), ending in `sc(doc_id, split,
@@ -3279,6 +3372,13 @@ object SparkEntry {
     // the disk variant must produce the identical verdict set.
     "q_dsir_gate" -> dsirGateSql,
     "q_dsir_gate_disk" -> dsirGateSql,
+    // trained quality classifier: whole-pool scores, the learning
+    // evidence (confusion counts), and the frozen-model %4 gate —
+    // disk variant shares the SQL (the saved model IS the model)
+    "q_quality_clf" -> qclfSqlAll,
+    "q_quality_clf_eval" -> qclfEvalSql,
+    "q_quality_clf_gate" -> qclfGateSql,
+    "q_quality_clf_gate_disk" -> qclfGateSql,
     // Trigram stupid-backoff mirror: the same capped tables, context
     // sums, pinned ln(0.4) integer, and fixed-point ln chain as the
     // Spark side — every branch of the backoff CASE is integer-exact.
