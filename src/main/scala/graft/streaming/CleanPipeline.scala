@@ -64,6 +64,27 @@ object CleanPipeline {
       .load()
       .selectExpr("value AS line")
 
+  /** The CONFIG-ONLY production swap (docs/CONNECTORS.md S1): Spark's
+    * built-in Kafka connector under the same `line` contract — the
+    * one-liner a user wires against a real cluster, where the
+    * connector's consumer-group metadata, SASL/TLS auth, and
+    * multi-broker topology take over from the wire client. Compiles
+    * with no Kafka jar (DataSourceV2 resolves `format("kafka")` at
+    * RUNTIME); in this sandbox invoking it fails fast with
+    * class-not-found, by design. `extraOptions` passes auth/tuning
+    * (e.g. "kafka.security.protocol" -> "SASL_SSL"). */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    extraOptions.foldLeft(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .option("maxOffsetsPerTrigger", "1000000")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+      .selectExpr("CAST(value AS STRING) AS line")
+
   /** File sink variant (K1 stand-in): exactly-once via Spark's
     * transactional file-sink commit log, the strongest guarantee
     * available without a transactional broker. */

@@ -48,6 +48,14 @@ object ReportPipeline {
       .load()
       .selectExpr("value AS line")
 
+  /** The CONFIG-ONLY production swap for DataReport's consumer
+    * ([[CleanPipeline.fromKafka]]'s twin — see its note on runtime
+    * resolution and the auth surface). */
+  def fromKafka(spark: org.apache.spark.sql.SparkSession,
+      bootstrap: String, topic: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    CleanPipeline.fromKafka(spark, bootstrap, topic, extraOptions)
+
   /** Windowed aggregation over a streaming parsed frame — same
     * ReportJob.windowAgg grouping, with the streaming watermark. */
   def aggregate(parsed: DataFrame): DataFrame =
