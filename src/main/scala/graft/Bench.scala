@@ -46,7 +46,8 @@ object Bench {
     "q_embed_clusters", "q9_product_profit", "q_pagerank", "q_bm25",
     "q_pca_basis", // trained PCA basis (Similarity.trainedPcaBasis)
     "q_knn_opq", // OPQ codebooks (Similarity.opqCodebook)
-    "q_dsir_weights") // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
+    "q_dsir_weights", // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
+    "q_quality_clf") // trained classifier weights (QualityClf.weightsMemo)
 
   // Locale.ROOT: a comma-decimal default locale must not corrupt the
   // single-JSON-line driver contract
@@ -289,6 +290,9 @@ object Bench {
           // ratio RANGE, not the corpus — the 10x point checks that.
           "q_dsir_weights", "q_dsir_sample", "q_dsir_shift",
           "q_dsir_gate", "q_ppl_buckets", "q_ppl_cutoffs",
+          // trained classifier: whole-pool (memo payer: training is
+          // the build) + eval rider + the %4 gate's fresh train+score
+          "q_quality_clf", "q_quality_clf_eval", "q_quality_clf_gate",
           "q_semdedup", "q_embed_prune", "q_embed_prune_stats",
           "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
           "q_simhash_neardup",

@@ -205,14 +205,34 @@ object QualityClf {
         pX1e6("z").as("p_x1e6"),
         when(pX1e6("z") >= AdmitMinPX1e6, 1L).otherwise(0L).as("admit"))
 
+  /** Build-once memo for the whole-pool trained weights, keyed by
+    * corpus dir — the [[TextAnalysis]] dsirWeightsMemo convention:
+    * one training run serves every whole-pool consumer (the score
+    * query and the eval row). Fingerprint + session guards; stale
+    * entries reclaimed DEFERRED (ContextCleaner), never eagerly. */
+  private val weightsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  private def docFingerprint(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    fs.filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+  }
+
+  private def trainedWeightsMemo(s: SparkSession, d: String): DataFrame = {
+    val fp = docFingerprint(d)
+    weightsMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
+      else (fp, train(Tables.documents(s, d))))._2
+  }
+
   /** Whole-pool classifier scores: trained on the same pool it scores
     * (the batch-selection setting, like [[TextAnalysis
     * .dsirWeightFrame]]). */
   def qQualityClf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val w = train(docs)
-    val out = score(docs, QclfModel(w)).orderBy(col("doc_id"))
-    out
+    score(docs, QclfModel(trainedWeightsMemo(s, d))).orderBy(col("doc_id"))
   }
 
   /** Confusion counts of the whole-pool classifier — the evidence row
@@ -220,7 +240,7 @@ object QualityClf {
     * a zero-weight model emits). */
   def qQualityClfEval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    score(docs, QclfModel(train(docs)))
+    score(docs, QclfModel(trainedWeightsMemo(s, d)))
       .groupBy(col("y"), col("admit"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("y"), col("admit"))
