@@ -277,7 +277,15 @@ object KafkaEosSink {
     *
     * `newProducer` and `readLastCommitted` must be SERIALIZABLE
     * functions of the transactional id (capture host/port strings,
-    * not sockets) — they run on executors. */
+    * not sockets) — they run on executors.
+    *
+    * Progress-topic sizing at scale: markers are keyed by the
+    * per-partition transactional id, so the progress topic should be
+    * LOG-COMPACTED (`cleanup.policy=compact`) — compaction retains
+    * exactly the latest marker per writer partition, making the
+    * restart-time restore scan O(writer partitions) instead of
+    * O(all batches ever committed). The restore itself runs once per
+    * pooled producer (per executor per partition), not per batch. */
   final class PartitionedSink(
       topic: String,
       progressTopic: String,

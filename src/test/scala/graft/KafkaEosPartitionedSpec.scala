@@ -108,6 +108,46 @@ class KafkaEosPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("broker->engine->broker with the DISTRIBUTED sink: wire source, enrich, partitioned EOS write") {
+    withBroker { b =>
+      val port = b.port
+      // the reference DataClean topology end-to-end, with the
+      // production write path: kafka-wire DataSourceV2 consumer ->
+      // broadcast-dim enrich -> PartitionedSink (per-partition
+      // transactions + markers), all over real sockets
+      val producer = new WireProducer("127.0.0.1", port, "e2e-part-src")
+      producer.initTransactions(); producer.beginTransaction()
+      Seq(
+        """{"dt":"2018-01-01 10:11:11","countryCode":"US","data":[{"type":"s1","score":0.3,"level":"A"}]}""",
+        """{"dt":"2018-01-01 10:11:12","countryCode":"TW","data":[{"type":"s2","score":0.2,"level":"B"}]}""")
+        .foreach(l => producer.send("in", null, l))
+      producer.commitTransaction(); producer.close()
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-part").toString
+      val s = new KafkaEosSink.PartitionedSink("out", "progress", ckpt, 2,
+        txId => new WireProducer("127.0.0.1", port, txId),
+        txId => KafkaWire.readLastCommitted("127.0.0.1", port, "progress", txId))
+      val q = graft.streaming.CleanPipeline.transform(
+          graft.streaming.CleanPipeline.fromKafkaWire(spark, "127.0.0.1", port, "in"),
+          graft.operators.CleanJob.dimTable(spark))
+        .select(col("countryCode").as("key"),
+          org.apache.spark.sql.functions.concat_ws(
+            "|", col("type"), col("area"), col("dt")).as("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => s.write(df, id))
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      assert(b.committed("out").toSet == Set(
+        "US" -> "s1|AREA_US|2018-01-01 10:11:11",
+        "TW" -> "s2|AREA_CT|2018-01-01 10:11:12"),
+        s"wrong enriched output: ${b.committed("out")}")
+      // per-partition markers for the micro-batch that carried data
+      assert(b.committed("progress").count(_._2 == "0") == 2,
+        s"expected one batch-0 marker per writer partition: ${b.committed("progress")}")
+    }
+  }
+
   test("key routing is replay-stable: the same rows land in the same partitions") {
     withBroker { b =>
       val s = sink(b, "/ckpt/part-4", 8)
