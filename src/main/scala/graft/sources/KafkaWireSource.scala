@@ -72,7 +72,11 @@ class KafkaWireSource extends TableProvider with DataSourceRegister {
         case "latest" => true
         case other => sys.error(
           s"kafka-wire: startingOffsets must be earliest|latest, got '$other'")
-      })
+      },
+      // Spark's Kafka-source option, same default: a planned offset
+      // that retention has deleted FAILS the query unless the user
+      // explicitly opts into skipping to the earliest retained offset
+      Option(opts.get("failOnDataLoss")).forall(_.toBoolean))
   }
 }
 
@@ -85,7 +89,8 @@ object KafkaWireSource {
 }
 
 final class KafkaWireTable(host: String, port: Int, topic: String,
-    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean)
+    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean,
+    failOnDataLoss: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"kafka-wire:$topic@$host:$port"
   override def schema(): StructType = KafkaWireSource.Schema
@@ -97,7 +102,7 @@ final class KafkaWireTable(host: String, port: Int, topic: String,
         override def readSchema(): StructType = KafkaWireSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KafkaWireMicroBatchStream(host, port, topic, partitions,
-            maxPerTrigger, startLatest)
+            maxPerTrigger, startLatest, failOnDataLoss)
         override def toBatch: Batch = sys.error(
           "kafka-wire is a streaming source; use readStream")
       }
@@ -124,21 +129,25 @@ object KafkaWireOffset {
 }
 
 final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
-    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean = false)
+    partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean = false,
+    failOnDataLoss: Boolean = true)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def parts = 0 until partitions
 
-  /** earliest -> offset 0 everywhere; latest -> the last stable
-    * offset at first plan (records committed before the query started
-    * are skipped — the reference's group-managed default). Only consulted
-    * when the checkpoint has no offset log yet; restarts always
-    * resume from the checkpoint. */
+  /** earliest -> the broker's LOG-START offset via ListOffsets
+    * (NOT 0: on a retention-truncated topic offset 0 no longer
+    * exists and planning it is OFFSET_OUT_OF_RANGE); latest -> the
+    * last stable offset at first plan (records committed before the
+    * query started are skipped — the reference's group-managed
+    * default). Only consulted when the checkpoint has no offset log
+    * yet; restarts always resume from the checkpoint. */
   override def initialOffset(): Offset =
     if (startLatest)
       KafkaWireOffset(parts.map(p =>
         p -> KafkaWire.fetchCommitted(host, port, topic, p, Long.MaxValue)._1).toMap)
-    else KafkaWireOffset(parts.map(_ -> 0L).toMap)
+    else KafkaWireOffset(parts.map(p =>
+      p -> KafkaWire.listOffset(host, port, topic, p, earliest = true)).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -176,7 +185,7 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     parts.flatMap { p =>
       val from = s.offsets.getOrElse(p, 0L)
       val until = e.offsets.getOrElse(p, from)
-      if (until > from) Some(KafkaWireInputPartition(host, port, topic, p, from, until))
+      if (until > from) Some(KafkaWireInputPartition(host, port, topic, p, from, until, failOnDataLoss))
       else None
     }.toArray
   }
@@ -195,7 +204,8 @@ final class KafkaWireReaderFactory extends PartitionReaderFactory {
 }
 
 final case class KafkaWireInputPartition(host: String, port: Int,
-    topic: String, partition: Int, from: Long, until: Long) extends InputPartition
+    topic: String, partition: Int, from: Long, until: Long,
+    failOnDataLoss: Boolean) extends InputPartition
 
 /** Executor-side reader: one socket per task, PAGES fetches until the
   * planned [from, until) range is fully read (round-16, ADVICE r15
@@ -206,8 +216,29 @@ final case class KafkaWireInputPartition(host: String, port: Int,
 final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
   private val records: Iterator[(Long, String, String)] =
-    KafkaWire.fetchCommittedRange(
+    try KafkaWire.fetchCommittedRange(
       p.host, p.port, p.topic, p.partition, p.from, p.until).iterator
+    catch {
+      case e: KafkaWire.WireErrorException
+          if e.code == KafkaWire.ErrOffsetOutOfRange =>
+        // the planned start no longer exists (retention deleted it).
+        // Spark's Kafka-source contract: fail loudly by default; with
+        // failOnDataLoss=false, skip to the earliest retained offset
+        // and read what remains of the range (the lost rows are gone
+        // either way — the option only chooses fail vs proceed).
+        if (p.failOnDataLoss)
+          throw new IllegalStateException(
+            s"offsets [${p.from}, ${p.until}) of ${p.topic}-${p.partition} " +
+              "are partially deleted by retention; set failOnDataLoss=false " +
+              "to skip to the earliest retained offset", e)
+        val earliest = KafkaWire.listOffset(
+          p.host, p.port, p.topic, p.partition, earliest = true)
+        System.err.println(s"[kafka-wire] data loss on ${p.topic}-${p.partition}: " +
+          s"planned from ${p.from}, earliest retained $earliest — skipping ahead")
+        if (earliest >= p.until) Iterator.empty
+        else KafkaWire.fetchCommittedRange(
+          p.host, p.port, p.topic, p.partition, earliest, p.until).iterator
+    }
   private var current: (Long, String, String) = _
 
   override def next(): Boolean =

@@ -64,12 +64,14 @@ object KafkaWire {
   // ---- api keys / error codes (public protocol constants) ----
   val ApiProduce = 0: Short
   val ApiFetch = 1: Short
+  val ApiListOffsets = 2: Short
   val ApiFindCoordinator = 10: Short
   val ApiInitProducerId = 22: Short
   val ApiAddPartitionsToTxn = 24: Short
   val ApiEndTxn = 26: Short
 
   val ErrNone = 0: Short
+  val ErrOffsetOutOfRange = 1: Short // fetch below earliest / beyond log end
   val ErrCorruptMessage = 2: Short // CRC mismatch
   val ErrCoordinatorNotAvailable = 15: Short // retriable
   val ErrOutOfOrderSequence = 45: Short
@@ -496,6 +498,37 @@ object KafkaWire {
     } finally c.close()
   }
 
+  /** ListOffsets v1: the broker's EARLIEST retained offset (timestamp
+    * -2) or log-end offset (timestamp -1) for one topic-partition —
+    * how a real consumer discovers where a retention-truncated log
+    * begins. `startingOffsets=earliest` must start HERE, not at 0:
+    * on a topic whose head has been deleted by retention, offset 0 no
+    * longer exists and fetching it is OFFSET_OUT_OF_RANGE. */
+  def listOffset(host: String, port: Int, topic: String, partition: Int,
+      earliest: Boolean): Long = {
+    val c = new Conn(host, port, s"graft-listoff-$topic-$partition")
+    try {
+      val r = c.request(ApiListOffsets, 1) { w =>
+        w.i32(-1) // replica_id (consumer)
+        w.i32(1); w.str(topic); w.i32(1)
+        w.i32(partition); w.i64(if (earliest) -2L else -1L)
+      }
+      var off = -1L
+      val nTopics = r.i32()
+      (0 until nTopics).foreach { _ =>
+        r.str(); val nParts = r.i32()
+        (0 until nParts).foreach { _ =>
+          r.i32() // partition
+          val err = r.i16()
+          if (err != ErrNone) throw new WireErrorException(err, s"ListOffsets error $err")
+          r.i64() // timestamp
+          off = r.i64()
+        }
+      }
+      off
+    } finally c.close()
+  }
+
   /** Read EXACTLY the planned range [from, until): pages fetches from
     * the last fully-decoded offset until the range is covered — the
     * loop Spark's own Kafka reader runs (round-16, ADVICE r15 #2: a
@@ -581,6 +614,20 @@ object KafkaWire {
       logs.getOrElse(tp, Vector.empty).lastOption
         .map(b => b.baseOffset + b.span).getOrElse(0L)
 
+    /** Log-start offsets (> 0 after [[truncate]] — retention). */
+    private val earliestOffsets = scala.collection.mutable.Map[(String, Int), Long]()
+
+    /** Simulate retention: delete every batch wholly below `before`
+      * and advance the log-start offset — after this, fetching an
+      * offset below `before` is OFFSET_OUT_OF_RANGE, exactly what a
+      * retention-truncated real topic serves. */
+    def truncate(topic: String, partition: Int, before: Long): Unit =
+      lock.synchronized {
+        val tp = (topic, partition)
+        logs(tp) = logs.getOrElse(tp, Vector.empty).filter(_.lastOffset >= before)
+        earliestOffsets(tp) = before
+      }
+
     /** The committed DATA records of a topic's partition 0, in log
       * order — what a read_committed consumer may observe. */
     def committed(topic: String): Vector[(String, String)] =
@@ -642,6 +689,7 @@ object KafkaWire {
             case ApiProduce => handleProduce(req, resp)
             case ApiEndTxn => handleEndTxn(req, resp)
             case ApiFetch => handleFetch(req, resp)
+            case ApiListOffsets => handleListOffsets(req, resp)
             case other => sys.error(s"unsupported api $other v$apiVersion")
           }
           resp.patchI32(0, resp.size - 4)
@@ -769,6 +817,27 @@ object KafkaWire {
       resp.i32(0).i16(err)
     }
 
+    /** ListOffsets v1: timestamp -2 -> log-start (earliest retained),
+      * -1 -> log-end. v1 response has NO throttle field. */
+    private def handleListOffsets(req: Reader, resp: Writer): Unit = {
+      req.i32() // replica_id
+      val topics = (0 until req.i32()).map { _ =>
+        val t = req.str()
+        (t, (0 until req.i32()).map { _ => (req.i32(), req.i64()) })
+      }
+      resp.i32(topics.size)
+      topics.foreach { case (t, parts) =>
+        resp.str(t); resp.i32(parts.size)
+        parts.foreach { case (pt, ts) =>
+          val (earliest, end) = lock.synchronized {
+            (earliestOffsets.getOrElse((t, pt), 0L), nextOffset((t, pt)))
+          }
+          resp.i32(pt).i16(ErrNone).i64(-1L) // partition, error, timestamp
+          resp.i64(if (ts == -2L) earliest else end)
+        }
+      }
+    }
+
     private def handleFetch(req: Reader, resp: Writer): Unit = {
       req.i32(); req.i32(); req.i32(); req.i32() // replica, max_wait, min_bytes, max_bytes
       req.i8() // isolation_level — enforcement is the CLIENT's job
@@ -782,46 +851,58 @@ object KafkaWire {
       topics.foreach { case (t, parts) =>
         resp.str(t); resp.i32(parts.size)
         parts.foreach { case (pt, from) =>
-          val (batches, hwm, lso, spans) = lock.synchronized {
+          val (batches, hwm, lso, spans, earliest) = lock.synchronized {
             val log = logs.getOrElse((t, pt), Vector.empty)
             val h = nextOffset((t, pt))
             val open = log.filter(b => !b.control && b.state == 1)
             val l = if (open.isEmpty) h else open.map(_.baseOffset).min
-            (log, h, l, abortedSpans.getOrElse((t, pt), Vector.empty))
+            (log, h, l, abortedSpans.getOrElse((t, pt), Vector.empty),
+              earliestOffsets.getOrElse((t, pt), 0L))
           }
-          resp.i32(pt).i16(ErrNone)
-          resp.i64(hwm).i64(lso)
-          // the aborted-transactions index for this partition — the
-          // client's admission algorithm consumes (pid, first_offset)
-          resp.i32(spans.size)
-          spans.sortBy(_._2).foreach { case (p, off) => resp.i64(p).i64(off) }
-          // serve batches from the one containing `from`, each with
-          // its TRUE baseOffset (offset gaps from markers/aborted data
-          // are real), capped at maxFetchBytes like a real broker's
-          // max_bytes — at least one batch always ships
-          val served = batches.filter(_.lastOffset >= from)
-          val out = Vector.newBuilder[Array[Byte]]
-          var bytes = 0
-          var cut: Array[Byte] = null
-          served.foreach { b =>
-            val enc = encodeBatch(b.pid, b.epoch, b.baseSeq, b.transactional,
-              b.records, b.baseOffset, b.control)
-            if (cut == null && (bytes == 0 || bytes + enc.length <= maxFetchBytes)) {
-              out += enc; bytes += enc.length
-            } else if (cut == null && truncateTailBatch) {
-              cut = java.util.Arrays.copyOf(enc, enc.length / 2)
+          // a retention-truncated offset (or one beyond the log end)
+          // is OFFSET_OUT_OF_RANGE — the real broker's answer. The
+          // hwm/lso metadata probe (from = Long.MaxValue, this
+          // client's documented latestOffset convention) is exempt.
+          if (from != Long.MaxValue && (from < earliest || from > hwm)) {
+            resp.i32(pt).i16(ErrOffsetOutOfRange)
+            resp.i64(hwm).i64(lso)
+            resp.i32(0) // no aborted list
+            resp.i32(-1) // null record set
+          } else {
+            resp.i32(pt).i16(ErrNone)
+            resp.i64(hwm).i64(lso)
+            // the aborted-transactions index for this partition — the
+            // client's admission algorithm consumes (pid, first_offset)
+            resp.i32(spans.size)
+            spans.sortBy(_._2).foreach { case (p, off) => resp.i64(p).i64(off) }
+            // serve batches from the one containing `from`, each with
+            // its TRUE baseOffset (offset gaps from markers/aborted
+            // data are real), capped at maxFetchBytes like a real
+            // broker's max_bytes — at least one batch always ships
+            val served = batches.filter(_.lastOffset >= from)
+            val out = Vector.newBuilder[Array[Byte]]
+            var bytes = 0
+            var cut: Array[Byte] = null
+            served.foreach { b =>
+              val enc = encodeBatch(b.pid, b.epoch, b.baseSeq, b.transactional,
+                b.records, b.baseOffset, b.control)
+              if (cut == null && (bytes == 0 || bytes + enc.length <= maxFetchBytes)) {
+                out += enc; bytes += enc.length
+              } else if (cut == null && truncateTailBatch) {
+                cut = java.util.Arrays.copyOf(enc, enc.length / 2)
+              }
             }
-          }
-          val full = out.result()
-          if (full.isEmpty && cut == null) resp.i32(-1) // null record set
-          else {
-            val total = full.map(_.length).sum + (if (cut == null) 0 else cut.length)
-            val recordSet = new Array[Byte](total)
-            var at = 0
-            (full ++ Option(cut)).foreach { a =>
-              System.arraycopy(a, 0, recordSet, at, a.length); at += a.length
+            val full = out.result()
+            if (full.isEmpty && cut == null) resp.i32(-1) // null record set
+            else {
+              val total = full.map(_.length).sum + (if (cut == null) 0 else cut.length)
+              val recordSet = new Array[Byte](total)
+              var at = 0
+              (full ++ Option(cut)).foreach { a =>
+                System.arraycopy(a, 0, recordSet, at, a.length); at += a.length
+              }
+              resp.nbytes(recordSet)
             }
-            resp.nbytes(recordSet)
           }
         }
       }

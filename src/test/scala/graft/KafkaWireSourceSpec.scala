@@ -138,6 +138,78 @@ class KafkaWireSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingOffsets=earliest begins at the retained log-start, not 0, after retention") {
+    withBroker { b =>
+      produce(b, "in", "ret-tx-0", "gone1", "gone2")
+      produce(b, "in", "ret-tx-1", "kept")
+      // log: gone1@0 gone2@1 m@2 kept@3 m@4; retention deletes 0-2
+      b.truncate("in", 0, 3L)
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").load()
+        .writeStream.format("memory").queryName("kw_ret")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-ret").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("kw_ret")
+          .select(col("offset"), col("value")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got == Seq((3L, "kept")), s"wrong post-retention read: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("retention under a checkpointed offset: fail by default, skip ahead with failOnDataLoss=false") {
+    withBroker { b =>
+      produce(b, "in", "dl-tx-0", "a") // a@0 m@1
+      val ckpt = Files.createTempDirectory("graft-kw-dl").toString
+      val seen = scala.collection.mutable.Set[(Long, String)]()
+      // foreachBatch, not the memory sink: this test RESTARTS from the
+      // checkpoint, which the memory sink does not support
+      def start(failOnDataLoss: Boolean) = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in")
+        .option("failOnDataLoss", failOnDataLoss.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.select(col("offset"), col("value")).collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+            ()
+          })
+        .start()
+      val q1 = start(failOnDataLoss = true)
+      try { q1.processAllAvailable() } finally q1.stop()
+      // retention now deletes everything below offset 4, INCLUDING
+      // offsets the checkpoint has not consumed yet
+      produce(b, "in", "dl-tx-1", "lost") // lost@2 m@3
+      produce(b, "in", "dl-tx-2", "new")  // new@4 m@5
+      b.truncate("in", 0, 4L)
+      // default: the restarted query must FAIL loudly (planned range
+      // [2, 6) starts below the retained log-start)
+      val q2 = start(failOnDataLoss = true)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      assert(e.getMessage.contains("failOnDataLoss") ||
+        Option(e.getCause).exists(_.getMessage.contains("failOnDataLoss")),
+        s"wrong failure: ${e.getMessage}")
+      // opt-in: skip to the earliest retained offset and continue
+      val q3 = start(failOnDataLoss = false)
+      try {
+        q3.processAllAvailable()
+        val got = seen.synchronized(seen.toSet)
+        assert(got == Set((0L, "a"), (4L, "new")),
+          s"skip-ahead read wrong (lost@2 is gone, new@4 survives): $got")
+      } finally q3.stop()
+    }
+  }
+
   test("maxOffsetsPerTrigger splits the backlog into capped micro-batches") {
     withBroker { b =>
       produce(b, "in", "cap-tx", (1 to 7).map(i => s"r$i"): _*)

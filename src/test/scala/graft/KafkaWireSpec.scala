@@ -170,6 +170,33 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("ListOffsets discovers log-start/log-end; retention-deleted offsets are OFFSET_OUT_OF_RANGE") {
+    withBroker { b =>
+      val p = new WireProducer("127.0.0.1", b.port, "ret-tx")
+      p.initTransactions()
+      (0 until 4).foreach { i =>
+        p.beginTransaction(); p.send("t", s"k$i", s"v$i"); p.commitTransaction()
+      }
+      p.close()
+      // log: data@0 m@1 data@2 m@3 data@4 m@5 data@6 m@7
+      assert(KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = true) == 0L)
+      assert(KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = false) == 8L)
+      b.truncate("t", 0, 4L) // retention deletes offsets 0-3
+      assert(KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = true) == 4L,
+        "log-start must advance past retention")
+      // fetching a deleted offset is the real broker's hard error
+      val e = intercept[KafkaWire.WireErrorException] {
+        KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 0L, 8L)
+      }
+      assert(e.code == KafkaWire.ErrOffsetOutOfRange, s"wrong error: ${e.code}")
+      // reading from the retained log-start still works and sees only
+      // the surviving records
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 4L, 8L)
+      assert(recs.map(r => (r._1, r._2)) == Vector((4L, "k2"), (6L, "k3")),
+        s"wrong surviving records: $recs")
+    }
+  }
+
   test("broker dedups a retried produce request by sequence (idempotence)") {
     withBroker { b =>
       val txId = "wire-tx-5"
