@@ -98,15 +98,9 @@ object Graph {
 
   /** Fingerprint of the fact-table files feeding [[edges]] — driver
     * filesystem metadata only, no Spark job. */
-  private def factFingerprint(d: String): String = {
-    def ls(sub: String): Seq[String] = {
-      val f = new java.io.File(d, sub)
-      val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-      fs.filter(_.isFile).sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-    }
-    (ls("orders.parquet") ++ ls("lineitem.parquet")).mkString(",")
-  }
+  private def factFingerprint(d: String): String =
+    graft.sources.Writers.fileFingerprint(d, "orders.parquet") + ";" +
+      graft.sources.Writers.fileFingerprint(d, "lineitem.parquet")
 
   /** Fixed-point PageRank top-[[PrTopK]] (see object doc). Output:
     * (node, kind, pr_micro) — integer micro-units, exact. */

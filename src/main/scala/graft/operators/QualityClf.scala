@@ -213,15 +213,8 @@ object QualityClf {
   private val weightsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, DataFrame)]()
 
-  private def docFingerprint(d: String): String = {
-    val f = new java.io.File(d, "documents.parquet")
-    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-    fs.filter(_.isFile).sortBy(_.getName)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
-  }
-
   private def trainedWeightsMemo(s: SparkSession, d: String): DataFrame = {
-    val fp = docFingerprint(d)
+    val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
     weightsMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
       else (fp, train(Tables.documents(s, d))))._2

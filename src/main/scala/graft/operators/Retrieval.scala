@@ -95,15 +95,8 @@ object Retrieval {
   /** Filesystem fingerprint of the documents table (driver metadata
     * only — the [[graft.operators.Similarity.embFingerprint]]
     * convention): a regenerated corpus forces an index rebuild. */
-  private def docFingerprint(d: String): String = {
-    val f = new java.io.File(d, "documents.parquet")
-    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-    fs.filter(_.isFile).sortBy(_.getName)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
-  }
-
   private def bm25Index(s: SparkSession, d: String): Bm25Index = {
-    val fp = docFingerprint(d)
+    val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
     indexMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.tf.sparkSession eq s)) cur
       else {

@@ -241,12 +241,8 @@ object Similarity {
   /** Filesystem fingerprint (name:length:mtime per file) of the
     * embeddings table — driver metadata only, no Spark job. A
     * regenerated corpus changes it and invalidates saved artifacts. */
-  private[graft] def embFingerprint(d: String): String = {
-    val f = new java.io.File(d, "embeddings.parquet")
-    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-    fs.filter(_.isFile).sortBy(_.getName)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
-  }
+  private[graft] def embFingerprint(d: String): String =
+    graft.sources.Writers.fileFingerprint(d, "embeddings.parquet")
 
   /** Mount a saved artifact if present AND its embedded fingerprint
     * matches; the `fp` column is stripped from the result.

@@ -1450,15 +1450,8 @@ object TextAnalysis {
   /** Filesystem fingerprint of the documents table (driver metadata
     * only, the [[graft.operators.Similarity.embFingerprint]]
     * convention): a regenerated corpus forces a re-score. */
-  private def docFingerprint(d: String): String = {
-    val f = new java.io.File(d, "documents.parquet")
-    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-    fs.filter(_.isFile).sortBy(_.getName)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
-  }
-
   private def dsirWeightsMemo(s: SparkSession, d: String): DataFrame = {
-    val fp = docFingerprint(d)
+    val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
     dsirMemo.compute(d, (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
       else

@@ -207,47 +207,60 @@ final case class KafkaWireInputPartition(host: String, port: Int,
     topic: String, partition: Int, from: Long, until: Long,
     failOnDataLoss: Boolean) extends InputPartition
 
-/** Executor-side reader: one socket per task, PAGES fetches until the
-  * planned [from, until) range is fully read (round-16, ADVICE r15
-  * #2: one 8 MB-capped fetch would silently drop the tail of a large
-  * range — fetchCommittedRange loops from the last decoded offset,
-  * the same loop Spark's own Kafka reader runs, and throws on a
-  * stall instead of losing data). */
+/** Executor-side reader: one socket per task, LAZILY paging fetches
+  * until the planned [from, until) range is fully read (round-16,
+  * ADVICE r15 #2 + review: one 8 MB-capped fetch silently dropped the
+  * tail of a large range, and an eager Vector of the whole range
+  * would hold an allAvailable backlog in executor memory — the pager
+  * holds one fetch page). OFFSET_OUT_OF_RANGE mid-read (retention
+  * deleted planned offsets) follows Spark's Kafka-source contract:
+  * fail loudly unless failOnDataLoss=false, in which case skip to the
+  * earliest retained offset — re-resolved under a bounded retry, so a
+  * retention edge racing the recovery converges instead of failing
+  * the task the user asked to keep alive. */
 final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
-  private val records: Iterator[(Long, String, String)] =
-    try KafkaWire.fetchCommittedRange(
-      p.host, p.port, p.topic, p.partition, p.from, p.until).iterator
-    catch {
+  private var pager = new KafkaWire.RangePager(
+    p.host, p.port, p.topic, p.partition, p.from, p.until)
+  private var current: (Long, String, String) = _
+  private var lastEmitted = p.from - 1
+  private var resets = 0
+
+  override def next(): Boolean =
+    try {
+      if (pager.hasNext) { current = pager.next(); lastEmitted = current._1; true }
+      else false
+    } catch {
       case e: KafkaWire.WireErrorException
           if e.code == KafkaWire.ErrOffsetOutOfRange =>
-        // the planned start no longer exists (retention deleted it).
-        // Spark's Kafka-source contract: fail loudly by default; with
-        // failOnDataLoss=false, skip to the earliest retained offset
-        // and read what remains of the range (the lost rows are gone
-        // either way — the option only chooses fail vs proceed).
         if (p.failOnDataLoss)
           throw new IllegalStateException(
             s"offsets [${p.from}, ${p.until}) of ${p.topic}-${p.partition} " +
               "are partially deleted by retention; set failOnDataLoss=false " +
               "to skip to the earliest retained offset", e)
+        resets += 1
+        if (resets > 5)
+          throw new IllegalStateException(
+            s"data-loss recovery did not converge after $resets resets " +
+              s"(${p.topic}-${p.partition})", e)
+        try pager.close() catch { case _: Throwable => () }
         val earliest = KafkaWire.listOffset(
           p.host, p.port, p.topic, p.partition, earliest = true)
         System.err.println(s"[kafka-wire] data loss on ${p.topic}-${p.partition}: " +
-          s"planned from ${p.from}, earliest retained $earliest — skipping ahead")
-        if (earliest >= p.until) Iterator.empty
-        else KafkaWire.fetchCommittedRange(
-          p.host, p.port, p.topic, p.partition, earliest, p.until).iterator
+          s"read up to $lastEmitted, earliest retained $earliest — skipping ahead")
+        val resume = math.max(earliest, lastEmitted + 1)
+        if (resume >= p.until) false
+        else {
+          pager = new KafkaWire.RangePager(
+            p.host, p.port, p.topic, p.partition, resume, p.until)
+          next()
+        }
     }
-  private var current: (Long, String, String) = _
-
-  override def next(): Boolean =
-    if (records.hasNext) { current = records.next(); true } else false
 
   override def get(): InternalRow = new GenericInternalRow(Array[Any](
     if (current._2 == null) null else UTF8String.fromString(current._2),
     if (current._3 == null) null else UTF8String.fromString(current._3),
     p.partition, current._1))
 
-  override def close(): Unit = ()
+  override def close(): Unit = pager.close()
 }

@@ -96,6 +96,21 @@ object Writers {
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
+  /** Filesystem fingerprint of one parquet table directory under `d`
+    * (name:length:mtime per file, sorted) — driver metadata only, no
+    * Spark job. The ONE definition behind every dir-keyed memo and
+    * saved-artifact staleness guard (DSIR/BM25/classifier/Graph memos,
+    * ANN artifact mounts): a regenerated table changes it and forces a
+    * rebuild. Previously four verbatim copies (round-16 review #7) —
+    * a staleness-rule fix applied to one copy would have left the
+    * other memos serving stale models. */
+  def fileFingerprint(d: String, table: String): String = {
+    val f = new java.io.File(d, table)
+    val fs = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    fs.filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+  }
+
   /** Compact a bucketed table in place: every append (e.g.
     * [[graft.operators.Dedup.appendPairs]]) leaves one file set per
     * bucket, so a long-lived pair index accretes small files — the

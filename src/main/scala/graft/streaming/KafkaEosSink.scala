@@ -308,6 +308,14 @@ object KafkaEosSink {
             p.initTransactions() // fences any zombie with this id
             new PooledWriter(p)
           })
+          // the WHOLE per-batch lifecycle runs under the writer's
+          // monitor: a Kafka transactional producer is single-threaded
+          // by contract, and two attempts of the same partition CAN
+          // coexist in one JVM (speculative execution, a zombie task
+          // surviving a stage retry). Serializing them means the
+          // second attempt observes the first's lastCommitted and
+          // skips instead of interleaving sends into its transaction.
+          w.synchronized {
           // marker restore AFTER init (the driver Sink's fencing-
           // before-read rationale), once per pooled producer
           if (!w.restored) { w.lastCommitted = rlc(txId); w.restored = true }
@@ -341,6 +349,7 @@ object KafkaEosSink {
             // deterministically, but nothing reaches the broker)
             while (it.hasNext) it.next()
           }
+          } // w.synchronized
         }
     }
   }

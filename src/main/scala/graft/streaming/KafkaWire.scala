@@ -468,7 +468,11 @@ object KafkaWire {
     val c = new Conn(host, port, s"graft-marker-$txId")
     try {
       var last = -1L
-      var cur = 0L
+      // seed at the broker's log-start, not 0: a progress topic under
+      // compact,delete retention has no offset 0 anymore, and a scan
+      // from 0 would be OFFSET_OUT_OF_RANGE forever (crash-looping
+      // every restart) — the same fix as the source's earliest start
+      var cur = listOffset(host, port, progressTopic, 0, earliest = true)
       var done = false
       while (!done) {
         val page = fetchOnce(c, progressTopic, 0, cur)
@@ -529,23 +533,27 @@ object KafkaWire {
     } finally c.close()
   }
 
-  /** Read EXACTLY the planned range [from, until): pages fetches from
-    * the last fully-decoded offset until the range is covered — the
-    * loop Spark's own Kafka reader runs (round-16, ADVICE r15 #2: a
-    * single 8 MB-capped fetch silently dropped the tail of a large
-    * planned range, and the next micro-batch never re-read it).
-    * Throws if the broker stops making progress before `until` —
-    * a planned range is committed data, so anything short is loss. */
-  def fetchCommittedRange(host: String, port: Int, topic: String, partition: Int,
-      from: Long, until: Long): Vector[(Long, String, String)] = {
-    val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
-    try {
-      val out = Vector.newBuilder[(Long, String, String)]
-      var cur = from
-      var done = from >= until
-      while (!done) {
+  /** LAZILY-paged reader of the planned range [from, until): each
+    * `hasNext` fetches at most one page from the last fully-decoded
+    * offset — the loop Spark's own Kafka reader runs (round-16,
+    * ADVICE r15 #2: a single 8 MB-capped fetch silently dropped the
+    * tail of a large planned range). Lazy because a planned range can
+    * be the whole backlog (ReadLimit.allAvailable) — materializing it
+    * into one Vector before emitting the first row would hold GBs on
+    * the executor; this holds ONE page. Throws if the broker stops
+    * making progress before `until` (a planned range is committed
+    * data, so anything short is loss); close() releases the socket. */
+  final class RangePager(host: String, port: Int, topic: String,
+      partition: Int, from: Long, until: Long)
+      extends Iterator[(Long, String, String)] with AutoCloseable {
+    private val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+    private var cur = from
+    private var buf: Iterator[(Long, String, String)] = Iterator.empty
+    private var done = from >= until
+    override def hasNext: Boolean = {
+      while (!buf.hasNext && !done) {
         val page = fetchOnce(c, topic, partition, cur)
-        out ++= page.records.filter { case (o, _, _) => o >= from && o < until }
+        buf = page.records.iterator.filter { case (o, _, _) => o >= from && o < until }
         if (page.next >= until) done = true
         else if (page.next <= cur)
           throw new IllegalStateException(
@@ -553,8 +561,22 @@ object KafkaWire {
               s"($topic-$partition, lso=${page.lso})")
         else cur = page.next
       }
-      out.result()
-    } finally c.close()
+      buf.hasNext
+    }
+    override def next(): (Long, String, String) = {
+      if (!hasNext) throw new NoSuchElementException("range exhausted")
+      buf.next()
+    }
+    override def close(): Unit = c.close()
+  }
+
+  /** Strict form of [[RangePager]]: the whole range as a Vector (spec
+    * and bounded-range callers — the progress-marker restore path has
+    * its own loop). */
+  def fetchCommittedRange(host: String, port: Int, topic: String, partition: Int,
+      from: Long, until: Long): Vector[(Long, String, String)] = {
+    val pager = new RangePager(host, port, topic, partition, from, until)
+    try pager.toVector finally pager.close()
   }
 
   // ---- embedded broker ----
@@ -594,7 +616,7 @@ object KafkaWire {
     private var nextPid = 1000L
     private val txns = scala.collection.mutable.Map[String, (Long, Short)]() // txId -> (pid, epoch)
     private val logs = scala.collection.mutable.Map[(String, Int), Vector[StoredBatch]]()
-    private val abortedSpans = scala.collection.mutable.Map[(String, Int), Vector[(Long, Long)]]() // (pid, firstOffset)
+    private val abortedSpans = scala.collection.mutable.Map[(String, Int), Vector[(Long, Long, Long)]]() // (pid, firstOffset, abortMarkerOffset)
     private val seqState = scala.collection.mutable.Map[(Long, String, Int), Int]() // -> next expected baseSequence
     // test observability / fault knobs
     @volatile var crcValidated = 0
@@ -611,8 +633,14 @@ object KafkaWire {
     @volatile var truncateTailBatch: Boolean = false
 
     private def nextOffset(tp: (String, Int)): Long =
-      logs.getOrElse(tp, Vector.empty).lastOption
-        .map(b => b.baseOffset + b.span).getOrElse(0L)
+      // floor at the log-start offset: a FULLY-retained log (truncate
+      // deleted every batch) must not regress its log-end to 0 below
+      // the log-start — new appends continue at the log-start, and
+      // ListOffsets(-1)/hwm stay >= ListOffsets(-2)
+      math.max(
+        logs.getOrElse(tp, Vector.empty).lastOption
+          .map(b => b.baseOffset + b.span).getOrElse(0L),
+        earliestOffsets.getOrElse(tp, 0L))
 
     /** Log-start offsets (> 0 after [[truncate]] — retention). */
     private val earliestOffsets = scala.collection.mutable.Map[(String, Int), Long]()
@@ -644,10 +672,11 @@ object KafkaWire {
       touched.foreach { tp =>
         val open = logs(tp).filter(b => b.pid == pid && b.state == 1)
         open.foreach(_.state = if (commit) 2 else 3)
+        val markerOffset = nextOffset(tp) // the control batch lands here
         if (!commit)
           abortedSpans(tp) = abortedSpans.getOrElse(tp, Vector.empty) :+
-            ((pid, open.map(_.baseOffset).min))
-        logs(tp) = logs(tp) :+ new StoredBatch(nextOffset(tp), pid, epoch,
+            ((pid, open.map(_.baseOffset).min, markerOffset))
+        logs(tp) = logs(tp) :+ new StoredBatch(markerOffset, pid, epoch,
           -1, transactional = true, control = true,
           Vector((if (commit) "COMMIT" else "ABORT", null)))
       }
@@ -871,10 +900,16 @@ object KafkaWire {
           } else {
             resp.i32(pt).i16(ErrNone)
             resp.i64(hwm).i64(lso)
-            // the aborted-transactions index for this partition — the
-            // client's admission algorithm consumes (pid, first_offset)
-            resp.i32(spans.size)
-            spans.sortBy(_._2).foreach { case (p, off) => resp.i64(p).i64(off) }
+            // the aborted-transactions index RELEVANT TO THIS FETCH —
+            // the client's admission algorithm consumes (pid,
+            // first_offset) and exits a span only at that producer's
+            // control marker, so a span whose abort marker precedes
+            // `from` must NOT be sent (the marker would never be
+            // decoded and the producer's LATER committed data would be
+            // silently dropped — real brokers filter exactly this way)
+            val relevant = spans.filter(_._3 >= from)
+            resp.i32(relevant.size)
+            relevant.sortBy(_._2).foreach { case (p, off, _) => resp.i64(p).i64(off) }
             // serve batches from the one containing `from`, each with
             // its TRUE baseOffset (offset gaps from markers/aborted
             // data are real), capped at maxFetchBytes like a real

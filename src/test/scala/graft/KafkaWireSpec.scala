@@ -197,6 +197,69 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("a producer that aborted EARLIER does not poison its later committed data (span filtering)") {
+    withBroker { b =>
+      // P aborts txn 1, then commits txn 2. A fetch that starts AFTER
+      // the abort marker never decodes that marker — if the broker
+      // shipped the stale span anyway, the client would enter it and
+      // silently drop P's committed batch (round-16 review #1).
+      val p = new WireProducer("127.0.0.1", b.port, "span-tx")
+      p.initTransactions()
+      p.beginTransaction(); p.send("t", "g", "ghost"); p.abortTransaction()
+      // log: ghost@0 abort-marker@1
+      p.beginTransaction(); p.send("t", "k1", "v1"); p.commitTransaction()
+      // k1@2 marker@3
+      p.beginTransaction(); p.send("t", "k2", "v2"); p.commitTransaction()
+      p.close() // k2@4 marker@5
+      // fetch starting past the abort marker: the committed records
+      // from the once-aborted producer MUST surface
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 2L, 6L)
+      assert(recs.map(r => (r._1, r._2)) == Vector((2L, "k1"), (4L, "k2")),
+        s"stale aborted span poisoned later committed data: $recs")
+      // and the marker-restore path survives the same layout: a
+      // progress read over a topic where the writer aborted then
+      // committed must see the committed marker
+      val q = new WireProducer("127.0.0.1", b.port, "span-marker")
+      q.initTransactions()
+      q.beginTransaction(); q.send("progress", "span-marker", "7"); q.abortTransaction()
+      q.beginTransaction(); q.send("progress", "span-marker", "8"); q.commitTransaction()
+      q.close()
+      assert(KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress", "span-marker") == 8L,
+        "marker restore lost the committed marker after an earlier abort")
+    }
+  }
+
+  test("fully-retained log: log-end never regresses below log-start; marker restore survives retention") {
+    withBroker { b =>
+      val p = new WireProducer("127.0.0.1", b.port, "full-ret")
+      p.initTransactions()
+      p.beginTransaction(); p.send("t", "k", "v"); p.commitTransaction()
+      p.close() // k@0 m@1
+      b.truncate("t", 0, 2L) // retention expires EVERYTHING
+      assert(KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = true) == 2L)
+      assert(KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = false) == 2L,
+        "log-end regressed below log-start on a fully-retained log")
+      // new produces continue at the log-start, never at 0
+      val p2 = new WireProducer("127.0.0.1", b.port, "full-ret-2")
+      p2.initTransactions()
+      p2.beginTransaction(); p2.send("t", "k2", "v2"); p2.commitTransaction()
+      p2.close()
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 2L, 4L)
+      assert(recs.map(r => (r._1, r._2)) == Vector((2L, "k2")),
+        s"append after full retention landed at the wrong offset: $recs")
+      // a progress topic whose head was retained: the marker restore
+      // must seed its scan at the log-start, not crash-loop on 0
+      val m = new WireProducer("127.0.0.1", b.port, "ret-marker")
+      m.initTransactions()
+      m.beginTransaction(); m.send("progress", "ret-marker", "3"); m.commitTransaction()
+      m.beginTransaction(); m.send("progress", "ret-marker", "4"); m.commitTransaction()
+      m.close() // 3@0 m@1 4@2 m@3
+      b.truncate("progress", 0, 2L)
+      assert(KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress", "ret-marker") == 4L,
+        "marker restore failed on a retention-truncated progress topic")
+    }
+  }
+
   test("broker dedups a retried produce request by sequence (idempotence)") {
     withBroker { b =>
       val txId = "wire-tx-5"
