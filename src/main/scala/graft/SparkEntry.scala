@@ -809,8 +809,8 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Shared audio-fingerprint CTE chain (mirror of WavCodec
-    * .fingerprint over the wavTable byte stream): 8-sample window
-    * energies as exact integer sums, 32 gradient bits, four 8-bit
+    * .fingerprint over the wavTable byte stream): 4-sample window
+    * energies as exact integer sums, 64 gradient bits, four 16-bit
     * bands — ending in `asig(doc_id, n_samples, b0..b3)`. */
   private val audioFpCtes = {
     import graft.operators.Multimodal.{AfpWindow, AfpWindows}
@@ -831,8 +831,8 @@ object SparkEntry {
        |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
        |  FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.w = a.w + 1
        |  WHERE a.w < $AfpWindows),
-       |aband AS (SELECT doc_id, w // 8 AS band, any_value(n) AS n,
-       |    CAST(sum(bit * (1 << (w % 8))) AS BIGINT) AS val
+       |aband AS (SELECT doc_id, w // 16 AS band, any_value(n) AS n,
+       |    CAST(sum(bit * (1 << (w % 16))) AS BIGINT) AS val
        |  FROM abit GROUP BY 1, 2),
        |asig AS (SELECT doc_id, any_value(n) AS n_samples,
        |    max(CASE WHEN band = 0 THEN val END) AS b0,

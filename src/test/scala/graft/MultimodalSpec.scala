@@ -179,13 +179,14 @@ class MultimodalSpec extends SparkSpec {
 
   test("audio fingerprint: hand-computed energy gradients, size guard") {
     import Multimodal.{AfpWindow, AfpWindows}
-    val n = (AfpWindows + 1) * AfpWindow // 264 samples
-    // window w filled with constant deviation w -> energy 8*w^2,
-    // strictly increasing -> all 32 bits set -> each 8-bit band 255
+    val n = (AfpWindows + 1) * AfpWindow // 260 samples
+    // window w filled with constant deviation w -> energy |win|*w^2,
+    // strictly increasing -> all 64 bits set -> each 16-bit band 65535
     val up = Array.tabulate(n)(i => (128 + i / AfpWindow).toByte)
     val fUp = Multimodal.WavCodec.fingerprint(1L,
       Multimodal.WavCodec.write(up, 8000)).get
-    assert(Seq(fUp.b0, fUp.b1, fUp.b2, fUp.b3) == Seq(255L, 255L, 255L, 255L))
+    assert(Seq(fUp.b0, fUp.b1, fUp.b2, fUp.b3) ==
+      Seq(65535L, 65535L, 65535L, 65535L))
     assert(fUp.n_samples == n.toLong)
     // reversed: all bits clear
     val down = Array.tabulate(n)(i => (128 + (AfpWindows - i / AfpWindow)).toByte)
