@@ -198,9 +198,9 @@ object Multimodal {
       * deviation around the 8-bit midpoint — all integers, so the
       * oracle's recomputation from source bytes is exact. */
     /** Acoustic fingerprint (the Chromaprint-shaped energy-gradient
-      * signature): 32 bits, bit k = energy(window k) < energy(window
+      * signature): 64 bits, bit k = energy(window k) < energy(window
       * k+1) over the first [[AfpWindows]]+1 full [[AfpWindow]]-sample
-      * windows, emitted as four 8-bit bands (the banded form the
+      * windows, emitted as four 16-bit bands (the banded form the
       * near-dup bucket join needs — the [[BmpCodec.dhashBands]]
       * convention). Clips shorter than the signature window carry no
       * fingerprint and are skipped (admit-by-omission). Energies are
@@ -304,15 +304,16 @@ object Multimodal {
   val AudioFrameSize = 64
   val AudioSilencePeak = 16
 
-  /** Fingerprint geometry: 32 gradient bits over 8-sample energy
-    * windows — the signature covers the clip's first 264 samples. */
-  // 64 gradient bits over 4-sample windows: the 65-window minimum
-  // (260 samples) matches the old 33x8 requirement almost exactly, so
-  // coverage is unchanged — but the four bands are 16-BIT (65536
-  // buckets), not 8-bit. The 8-bit form made every band a 256-way
-  // bucket: at the 10x probe ~145 docs per bucket, 22M candidate
-  // pairs (reduction 31x vs text LSH's 57004x). Same pigeonhole
-  // guarantee (4 bands, hamming <= 3 leaves one band intact).
+  /** Fingerprint geometry: 64 gradient bits over 4-sample energy
+    * windows — the signature covers the clip's first 260 samples,
+    * emitted as four 16-BIT bands (65536 buckets each). The previous
+    * 8-bit-band form (32 bits over 8-sample windows) made every band
+    * a 256-way bucket: at the 10x probe ~145 docs per bucket and 22M
+    * candidate pairs (reduction 31x, vs text LSH's 57004x); 16-bit
+    * bands measure 1667x at sf0.1. The 65-window minimum matches the
+    * old 33x8 requirement almost exactly, so coverage is unchanged,
+    * and the pigeonhole recall guarantee is identical (4 bands,
+    * hamming <= 3 leaves one band intact). */
   val AfpWindow = 4
   val AfpWindows = 64
 

@@ -163,6 +163,16 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
+  /** Start offset for a partition ABSENT from the checkpointed map —
+    * a topic whose partition count grew across a restart. The broker's
+    * retained log-start, never a hardcoded 0 (the same retention fix
+    * as initialOffset: offset 0 stops existing once retention fires,
+    * and planning it would surface a spurious data-loss error for a
+    * partition that never lost anything). */
+  private def startOf(s: KafkaWireOffset, p: Int): Long =
+    s.offsets.getOrElse(p,
+      KafkaWire.listOffset(host, port, topic, p, earliest = true))
+
   /** Backpressure seam: a ReadMaxRows limit caps this trigger's end
     * offsets at start + cap/partitions per partition (the same
     * spread-evenly policy as Spark's Kafka connector). */
@@ -174,7 +184,7 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
       case mr: ReadMaxRows =>
         val per = math.max(1L, mr.maxRows / math.max(1, partitions))
         hwm.map { case (p, h) =>
-          p -> math.min(h, s.offsets.getOrElse(p, 0L) + per) }
+          p -> math.min(h, startOf(s, p) + per) }
       case _ => hwm
     })
   }
@@ -183,7 +193,7 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     val s = start.asInstanceOf[KafkaWireOffset]
     val e = end.asInstanceOf[KafkaWireOffset]
     parts.flatMap { p =>
-      val from = s.offsets.getOrElse(p, 0L)
+      val from = startOf(s, p)
       val until = e.offsets.getOrElse(p, from)
       if (until > from) Some(KafkaWireInputPartition(host, port, topic, p, from, until, failOnDataLoss))
       else None
@@ -225,6 +235,7 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
   private var current: (Long, String, String) = _
   private var lastEmitted = p.from - 1
   private var resets = 0
+  private var emittedAtLastReset = p.from - 1
 
   override def next(): Boolean =
     try {
@@ -238,6 +249,12 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
             s"offsets [${p.from}, ${p.until}) of ${p.topic}-${p.partition} " +
               "are partially deleted by retention; set failOnDataLoss=false " +
               "to skip to the earliest retained offset", e)
+        // the cap guards NON-CONVERGENCE (stuck at the same point),
+        // not total retention races: a long-lived allAvailable task on
+        // an aggressively-retained topic can legitimately hit many
+        // truncations, each one making forward progress
+        if (lastEmitted > emittedAtLastReset) resets = 0
+        emittedAtLastReset = lastEmitted
         resets += 1
         if (resets > 5)
           throw new IllegalStateException(

@@ -303,19 +303,13 @@ object KafkaEosSink {
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val txId = transactionalId(ck, Some(pid))
-          val w = pool.computeIfAbsent(txId, _ => {
-            val p = np(txId)
-            p.initTransactions() // fences any zombie with this id
-            new PooledWriter(p)
-          })
-          // the WHOLE per-batch lifecycle runs under the writer's
-          // monitor: a Kafka transactional producer is single-threaded
-          // by contract, and two attempts of the same partition CAN
-          // coexist in one JVM (speculative execution, a zombie task
-          // surviving a stage retry). Serializing them means the
-          // second attempt observes the first's lastCommitted and
-          // skips instead of interleaving sends into its transaction.
-          w.synchronized {
+          // acquire-and-VERIFY loop: a concurrent attempt that failed
+          // while we waited on the monitor evicts + closes the pooled
+          // writer (its error path below) — operating on that closed
+          // producer would burn a full task retry for nothing, so on
+          // wake-up we confirm the writer is still the pool's current
+          // one and otherwise rebuild a fresh producer and retry
+          def writeBatch(w: PooledWriter): Unit = {
           // marker restore AFTER init (the driver Sink's fencing-
           // before-read rationale), once per pooled producer
           if (!w.restored) { w.lastCommitted = rlc(txId); w.restored = true }
@@ -349,7 +343,27 @@ object KafkaEosSink {
             // deterministically, but nothing reaches the broker)
             while (it.hasNext) it.next()
           }
-          } // w.synchronized
+          }
+          var acquired: PooledWriter = null
+          while (acquired == null) {
+            val w = pool.computeIfAbsent(txId, _ => {
+              val p = np(txId)
+              p.initTransactions() // fences any zombie with this id
+              new PooledWriter(p)
+            })
+            // the WHOLE per-batch lifecycle runs under the writer's
+            // monitor: a Kafka transactional producer is single-
+            // threaded by contract, and two attempts of the same
+            // partition CAN coexist in one JVM (speculative execution,
+            // a zombie task surviving a stage retry). Serializing them
+            // means the second attempt observes the first's
+            // lastCommitted and skips instead of interleaving sends
+            // into its transaction.
+            w.synchronized {
+              if (pool.get(txId) eq w) { acquired = w; writeBatch(w) }
+            }
+          }
+
         }
     }
   }

@@ -490,9 +490,9 @@ object KafkaWire {
     * for admission planning is the returned LSO (committed data
     * only). This is the consumer read the reference jobs start from
     * (`DataClean.java:58-66`) — [[graft.sources.KafkaWireSource]]
-    * mounts it as a Spark MicroBatchStream; its per-task reader uses
-    * [[fetchCommittedRange]], which pages until the planned range is
-    * covered. */
+    * mounts it as a Spark MicroBatchStream; its per-task reader
+    * constructs a [[RangePager]] directly (lazy paging until the
+    * planned range is covered). */
   def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
       from: Long): (Long, Vector[(Long, String, String)]) = {
     val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
