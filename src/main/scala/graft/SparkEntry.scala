@@ -810,17 +810,17 @@ object SparkEntry {
 
   /** Shared audio-fingerprint CTE chain (mirror of WavCodec
     * .fingerprint over the wavTable byte stream): 4-sample window
-    * energies as exact integer sums, 64 gradient bits, four 16-bit
-    * bands — ending in `asig(doc_id, n_samples, b0..b3)`. */
+    * energies as exact integer sums, 64 LAG-2 gradient bits, four
+    * 16-bit bands — ending in `asig(doc_id, n_samples, b0..b3)`. */
   private val audioFpCtes = {
-    import graft.operators.Multimodal.{AfpWindow, AfpWindows}
+    import graft.operators.Multimodal.{AfpWindow, AfpWindows, AfpLag}
     s"""s AS (SELECT doc_id,
        |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs
        |  FROM documents),
        |g AS (SELECT doc_id, bs, CAST(len(bs) AS BIGINT) AS n FROM s
-       |  WHERE len(bs) >= ${(AfpWindows + 1) * AfpWindow}),
+       |  WHERE len(bs) >= ${(AfpWindows + AfpLag) * AfpWindow}),
        |aw AS (SELECT doc_id, bs, n,
-       |    unnest(generate_series(0, $AfpWindows)) AS w FROM g),
+       |    unnest(generate_series(0, ${AfpWindows + AfpLag - 1})) AS w FROM g),
        |ak AS (SELECT doc_id, n, w, bs[w*$AfpWindow + k + 1] AS v
        |  FROM (SELECT doc_id, bs, n, w,
        |      unnest(generate_series(0, ${AfpWindow - 1})) AS k FROM aw)),
@@ -829,7 +829,7 @@ object SparkEntry {
        |  FROM ak GROUP BY doc_id, w),
        |abit AS (SELECT a.doc_id, a.n, a.w,
        |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
-       |  FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.w = a.w + $AfpLag
        |  WHERE a.w < $AfpWindows),
        |aband AS (SELECT doc_id, w // 16 AS band, any_value(n) AS n,
        |    CAST(sum(bit * (1 << (w % 16))) AS BIGINT) AS val

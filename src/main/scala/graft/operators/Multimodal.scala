@@ -199,8 +199,8 @@ object Multimodal {
       * oracle's recomputation from source bytes is exact. */
     /** Acoustic fingerprint (the Chromaprint-shaped energy-gradient
       * signature): 64 bits, bit k = energy(window k) < energy(window
-      * k+1) over the first [[AfpWindows]]+1 full [[AfpWindow]]-sample
-      * windows, emitted as four 16-bit bands (the banded form the
+      * k+[[AfpLag]]) over the first [[AfpWindows]]+[[AfpLag]] full
+      * [[AfpWindow]]-sample windows, emitted as four 16-bit bands (the banded form the
       * near-dup bucket join needs — the [[BmpCodec.dhashBands]]
       * convention). Clips shorter than the signature window carry no
       * fingerprint and are skipped (admit-by-omission). Energies are
@@ -209,7 +209,7 @@ object Multimodal {
       * window boundary changes the signature. */
     def fingerprint(docId: Long, wav: Array[Byte]): Option[AudioFingerprint] = {
       val (_, off, len) = parseHeader(wav)
-      val nw = AfpWindows + 1
+      val nw = AfpWindows + AfpLag
       if (len < nw * AfpWindow) return None
       val e = new Array[Long](nw)
       var w = 0
@@ -227,7 +227,7 @@ object Multimodal {
       val bands = new Array[Long](4)
       var k = 0
       while (k < AfpWindows) {
-        if (e(k) < e(k + 1)) bands(k / 16) |= 1L << (k % 16)
+        if (e(k) < e(k + AfpLag)) bands(k / 16) |= 1L << (k % 16)
         k += 1
       }
       Some(AudioFingerprint(docId, len.toLong,
@@ -304,18 +304,27 @@ object Multimodal {
   val AudioFrameSize = 64
   val AudioSilencePeak = 16
 
-  /** Fingerprint geometry: 64 gradient bits over 4-sample energy
-    * windows — the signature covers the clip's first 260 samples,
-    * emitted as four 16-BIT bands (65536 buckets each). The previous
-    * 8-bit-band form (32 bits over 8-sample windows) made every band
-    * a 256-way bucket: at the 10x probe ~145 docs per bucket and 22M
-    * candidate pairs (reduction 31x, vs text LSH's 57004x); 16-bit
-    * bands measure 1667x at sf0.1. The 65-window minimum matches the
-    * old 33x8 requirement almost exactly, so coverage is unchanged,
-    * and the pigeonhole recall guarantee is identical (4 bands,
-    * hamming <= 3 leaves one band intact). */
+  /** Fingerprint geometry: 64 LAG-2 gradient bits (bit k = e(k) <
+    * e(k+2)) over 4-sample energy windows — the signature covers the
+    * clip's first 264 samples (identical coverage to the original
+    * 33x8 form), emitted as four 16-BIT bands (65536 buckets each).
+    * Both knobs were measured against the bench's 10x replica-tagged
+    * corpus, where byte streams are token-structured:
+    *  - 8-bit bands (the original 32-bit form) made every band a
+    *    256-way bucket: 22M candidates at 10x, reduction 31x (vs
+    *    text LSH's 57004x);
+    *  - 16-bit bands with LAG-1 gradients fixed the bucket width but
+    *    ALIASED the 4-byte token periodicity ("rN_" tags, 4-char
+    *    stopwords): adjacent windows correlate, band entropy
+    *    collapses, 35M candidates / 20x at 10x;
+    *  - lag-2 compares energies 8 bytes apart, de-aliasing the
+    *    period: 1667x at sf0.1 and 878x at the 10x probe.
+    * Same pigeonhole recall guarantee throughout (4 bands,
+    * hamming <= 3 leaves one band intact); identical payloads still
+    * fingerprint identically. */
   val AfpWindow = 4
   val AfpWindows = 64
+  val AfpLag = 2
 
   case class AudioFingerprint(doc_id: Long, n_samples: Long,
     b0: Long, b1: Long, b2: Long, b3: Long)

@@ -178,8 +178,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("audio fingerprint: hand-computed energy gradients, size guard") {
-    import Multimodal.{AfpWindow, AfpWindows}
-    val n = (AfpWindows + 1) * AfpWindow // 260 samples
+    import Multimodal.{AfpWindow, AfpWindows, AfpLag}
+    val n = (AfpWindows + AfpLag) * AfpWindow // 264 samples
     // window w filled with constant deviation w -> energy |win|*w^2,
     // strictly increasing -> all 64 bits set -> each 16-bit band 65535
     val up = Array.tabulate(n)(i => (128 + i / AfpWindow).toByte)
@@ -193,9 +193,9 @@ class MultimodalSpec extends SparkSpec {
     val fDown = Multimodal.WavCodec.fingerprint(2L,
       Multimodal.WavCodec.write(down, 8000)).get
     assert(Seq(fDown.b0, fDown.b1, fDown.b2, fDown.b3) == Seq(0L, 0L, 0L, 0L))
-    // locality: silence ONE window (w=4) of the rising ramp -> bits
-    // 3 (e3 < 0 fails) and 4 (0 < e5 holds, was already 1) -> exactly
-    // bit 3 flips; hamming 1
+    // locality (lag-2 gradients): silence ONE window (w=4) of the
+    // rising ramp -> bit 2 (e2 < e4: was 1, now e4=0 fails) flips;
+    // bit 4 (e4 < e6: 0 < e6 still holds) does not; hamming 1
     val near = up.clone()
     for (i <- 4 * AfpWindow until 5 * AfpWindow) near(i) = 128.toByte
     val fNear = Multimodal.WavCodec.fingerprint(3L,
