@@ -147,6 +147,7 @@ object SparkEntry {
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
     "q_token_budget" -> (TextAnalysis.qTokenBudgetSample _),
     "q_filter_funnel" -> (TextAnalysis.qFilterFunnel _),
+    "q_curation_e2e" -> (Curation.qCurationE2e _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.qDedupExact _),
@@ -3484,6 +3485,117 @@ object SparkEntry {
          |    total - d1 - d2 - d3 FROM a
          |  UNION ALL SELECT 4, 'lex_diversity', total - d1 - d2 - d3, d4,
          |    total - d1 - d2 - d3 - d4 FROM a) t
+         |ORDER BY stage""".stripMargin,
+    // Mirror of Curation.qCurationE2e — the composed curation chain,
+    // recomputed stage by stage from first principles: the funnel
+    // verdicts, the exact-Jaccard pair closure RESTRICTED to funnel
+    // survivors (≡ the Spark side's restricted LSH index), keep-best,
+    // bloom-free decontam (proving the bloom prefilter invisible),
+    // the single-window token budget (≡ the bucketed prefix sum), and
+    // the pack/shard arithmetic with the multiset digest folded over
+    // ALL packs (XOR associativity).
+    "q_curation_e2e" ->
+      s"""WITH RECURSIVE
+         |bs AS (SELECT doc_id, n_chars, $tokSql AS toks,
+         |    strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bkt
+         |  FROM documents),
+         |mt AS (SELECT doc_id, n_chars, bkt,
+         |    CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_len,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+         |  FROM bs),
+         |lb AS (SELECT doc_id, n_chars, bkt, n_tok,
+         |    CASE WHEN NOT (n_chars BETWEEN 100 AND 100000) THEN 1
+         |         WHEN NOT (tok_len BETWEEN 4*n_tok AND 10*n_tok) THEN 2
+         |         WHEN NOT (20*n_stop >= n_tok) THEN 3
+         |         WHEN NOT (10*n_dist >= 3*n_tok) THEN 4 ELSE 5 END AS stage
+         |  FROM mt),
+         |s1 AS (SELECT doc_id, n_chars, bkt, n_tok FROM lb WHERE stage = 5),
+         |${ccCtes(
+             s"""SELECT doc_a, doc_b FROM ($jaccardSql)
+                |  WHERE doc_a IN (SELECT doc_id FROM s1)
+                |    AND doc_b IN (SELECT doc_id FROM s1)""".stripMargin, "doc_id")},
+         |m2 AS (SELECT s1.doc_id, coalesce(cc.cluster_id, s1.doc_id) AS cluster_id,
+         |    s1.n_chars, s1.bkt, s1.n_tok
+         |  FROM s1 LEFT JOIN cc ON s1.doc_id = cc.doc_id),
+         |best AS (SELECT cluster_id, doc_id AS rep FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM m2) t WHERE rn = 1),
+         |s2 AS (SELECT m2.doc_id, m2.bkt, m2.n_tok
+         |  FROM m2 JOIN best b ON m2.cluster_id = b.cluster_id AND m2.doc_id = b.rep),
+         |evsh AS (SELECT DISTINCT shingle FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(toks)-4),
+         |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS shingle
+         |    FROM bs WHERE bkt >= 13 AND len(toks) >= 5)),
+         |s2t AS (SELECT doc_id, n_tok FROM s2 WHERE bkt < 13),
+         |csh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT b2.doc_id, unnest(list_transform(generate_series(1, len(b2.toks)-4),
+         |        i -> b2.toks[i]||' '||b2.toks[i+1]||' '||b2.toks[i+2]||' '||b2.toks[i+3]||' '||b2.toks[i+4])) AS shingle
+         |    FROM bs b2 JOIN s2t ON b2.doc_id = s2t.doc_id
+         |    WHERE len(b2.toks) >= 5)),
+         |contam AS (SELECT DISTINCT c.doc_id FROM csh c JOIN evsh e ON c.shingle = e.shingle),
+         |s3 AS (SELECT doc_id, n_tok FROM s2t
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tot AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM s3),
+         |cm AS (SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM s3),
+         |s4 AS (SELECT doc_id, n_tok FROM cm, tot WHERE cum <= budget),
+         |c4 AS (SELECT doc_id, n_tok,
+         |    unnest(generate_series(0, CAST(floor((n_tok-1)/40.0) AS INT))) AS chunk_id
+         |  FROM s4 WHERE n_tok > 0),
+         |ch4 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(least(50, n_tok - chunk_id*40) AS BIGINT) AS ct FROM c4),
+         |nbk AS (SELECT greatest(COALESCE(CAST(ceil(sum(ct)
+         |      / ${graft.operators.TextAnalysis.TargetBucketTokens}.0) AS BIGINT), 1), 1)
+         |    AS n_buckets FROM ch4),
+         |b4 AS (SELECT ch4.*, (
+         |    (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substring(md5(CAST(ch4.doc_id AS VARCHAR)), 6, 1)) - 1)
+         |  ) % nbk.n_buckets AS bucket
+         |  FROM ch4, nbk),
+         |p4 AS (SELECT bucket, doc_id, chunk_id, ct,
+         |    COALESCE(sum(ct) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM b4),
+         |packs AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+         |    count(*) AS n_chunks, CAST(sum(ct) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT doc_id) AS n_docs
+         |  FROM p4 GROUP BY 1, 2),
+         |pkk AS (SELECT (bucket * 31 + pack_id) % ${graft.operators.TextAnalysis.NumShards} AS shard,
+         |    n_tokens,
+         |    CAST(('0x' || substr(md5(
+         |      CAST(bucket AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR) || ':' ||
+         |      CAST(n_chunks AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' ||
+         |      CAST(n_docs AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM packs),
+         |a0 AS (SELECT count(*) AS n0, COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS t0 FROM mt),
+         |a1 AS (SELECT count(*) AS n1, COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS t1 FROM s1),
+         |a2 AS (SELECT count(*) AS n2, COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS t2 FROM s2),
+         |a3 AS (SELECT count(*) AS n3, COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS t3 FROM s3),
+         |a4 AS (SELECT count(*) AS n4, COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS t4 FROM s4),
+         |a5 AS (SELECT count(DISTINCT doc_id) AS nd FROM ch4),
+         |a6 AS (SELECT count(*) AS n_packs,
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) AS pack_toks,
+         |    count(DISTINCT shard) AS n_shards,
+         |    COALESCE(bit_xor(h), 0) AS digest FROM pkk)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS name, n0 AS n_in,
+         |    CAST(0 AS BIGINT) AS n_dropped, n0 AS n_out, t0 AS tokens_out,
+         |    CAST(0 AS BIGINT) AS digest FROM a0
+         |  UNION ALL SELECT 2, 'quality_funnel', n0, n0 - n1, n1, t1, 0 FROM a0, a1
+         |  UNION ALL SELECT 3, 'neardup_keep_best', n1, n1 - n2, n2, t2, 0 FROM a1, a2
+         |  UNION ALL SELECT 4, 'decontam_split', n2, n2 - n3, n3, t3, 0 FROM a2, a3
+         |  UNION ALL SELECT 5, 'token_budget', n3, n3 - n4, n4, t4, 0 FROM a3, a4
+         |  UNION ALL SELECT 6, 'seq_pack', n4, n4 - nd, n_packs, pack_toks, 0 FROM a4, a5, a6
+         |  UNION ALL SELECT 7, 'shard_manifest', n_packs, 0, n_shards, pack_toks, digest FROM a6) t
          |ORDER BY stage""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -669,23 +669,9 @@ object TextAnalysis {
     * partials carry everything) -> a 4-row explode of the funnel
     * arithmetic. No window, no join, no driver rows. */
   def qFilterFunnel(s: SparkSession, d: String): DataFrame = {
-    val en = stopwords("en")
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast(LongType)
-    val tokLen = aggregate(transform(toks, t => length(t)), lit(0L),
-      (acc, x) => acc + x)
-    val nStop = size(filter(toks, t => t.isin(en: _*))).cast(LongType)
-    val nDist = size(array_distinct(toks)).cast(LongType)
-    val stage = when(!(col("n_chars") >= 100 && col("n_chars") <= 100000), 1L)
-      .when(!(col("tok_len") >= col("n_tok") * 4 &&
-        col("tok_len") <= col("n_tok") * 10), 2L)
-      .when(!(col("n_stop") * 20 >= col("n_tok")), 3L)
-      .when(!(col("n_dist") * 10 >= col("n_tok") * 3), 4L)
-      .otherwise(5L)
-    val a = Tables.documents(s, d)
-      .select(col("n_chars"), nTok.as("n_tok"), tokLen.as("tok_len"),
-        nStop.as("n_stop"), nDist.as("n_dist"))
-      .select(stage.as("stage"))
+    val a = withFunnelStage(
+        Tables.documents(s, d).select(col("n_chars"), col("text")))
+      .select(col("fstage").as("stage"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("stage") === 1L, 1L).otherwise(0L)).as("d1"),
         sum(when(col("stage") === 2L, 1L).otherwise(0L)).as("d2"),
@@ -705,6 +691,31 @@ object TextAnalysis {
         col("r.n_in").as("n_in"), col("r.n_dropped").as("n_dropped"),
         (col("r.n_in") - col("r.n_dropped")).as("n_out"))
       .orderBy(col("stage"))
+  }
+
+  /** Per-document funnel verdict: adds the four metric columns and
+    * `fstage` (1-4 = first failing rule per [[qFilterFunnel]]'s charge
+    * order, 5 = pass) to a frame carrying `text` and `n_chars`. ONE
+    * definition shared by the funnel report and the composed curation
+    * pipeline ([[Curation.qCurationE2e]]) so the rule set the report
+    * describes is exactly the one the pipeline enforces. All verdicts
+    * are integer cross-multiplied — map-side, codegen'd, no shuffle. */
+  private[graft] def withFunnelStage(docs: DataFrame): DataFrame = {
+    val en = stopwords("en")
+    val toks = tokens(col("text"))
+    val stage = when(!(col("n_chars") >= 100 && col("n_chars") <= 100000), 1L)
+      .when(!(col("tok_len") >= col("n_tok") * 4 &&
+        col("tok_len") <= col("n_tok") * 10), 2L)
+      .when(!(col("n_stop") * 20 >= col("n_tok")), 3L)
+      .when(!(col("n_dist") * 10 >= col("n_tok") * 3), 4L)
+      .otherwise(5L)
+    docs
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("tok_len",
+        aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(en: _*))).cast(LongType))
+      .withColumn("n_dist", size(array_distinct(toks)).cast(LongType))
+      .withColumn("fstage", stage)
   }
 
   /** Pruned-LM size caps: the bigram table and its context table are
