@@ -144,10 +144,24 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     * yet; restarts always resume from the checkpoint. */
   override def initialOffset(): Offset =
     if (startLatest)
-      KafkaWireOffset(parts.map(p =>
-        p -> KafkaWire.fetchCommitted(host, port, topic, p, Long.MaxValue)._1).toMap)
+      KafkaWireOffset(parts.map(p => p -> stableOffset(p)).toMap)
     else KafkaWireOffset(parts.map(p =>
       p -> KafkaWire.listOffset(host, port, topic, p, earliest = true)).toMap)
+
+  /** LSO probe that works against a REAL broker, not just the
+    * embedded one (round-17, ADVICE r16 #2): resolve the log-end
+    * offset via ListOffsets(-1), then fetch AT it — a fetch at the
+    * log end is valid on every broker (it is the next-to-be-written
+    * offset), returns an empty record set, and still carries the
+    * last_stable_offset in its partition header. The previous
+    * fetch-at-Long.MaxValue convention was a convention only the
+    * embedded broker special-cased; a real broker answers it
+    * OFFSET_OUT_OF_RANGE, which would have failed the driver poll
+    * every trigger. Two metadata round trips, no record payloads. */
+  private def stableOffset(p: Int): Long = {
+    val end = KafkaWire.listOffset(host, port, topic, p, earliest = false)
+    KafkaWire.fetchCommitted(host, port, topic, p, end)._1
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -178,8 +192,7 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     * spread-evenly policy as Spark's Kafka connector). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KafkaWireOffset]
-    val hwm = parts.map(p =>
-      p -> KafkaWire.fetchCommitted(host, port, topic, p, Long.MaxValue)._1).toMap
+    val hwm = parts.map(p => p -> stableOffset(p)).toMap
     KafkaWireOffset(limit match {
       case mr: ReadMaxRows =>
         val per = math.max(1L, mr.maxRows / math.max(1, partitions))
@@ -237,42 +250,50 @@ final class KafkaWirePartitionReader(p: KafkaWireInputPartition)
   private var resets = 0
   private var emittedAtLastReset = p.from - 1
 
-  override def next(): Boolean =
-    try {
-      if (pager.hasNext) { current = pager.next(); lastEmitted = current._1; true }
-      else false
-    } catch {
-      case e: KafkaWire.WireErrorException
-          if e.code == KafkaWire.ErrOffsetOutOfRange =>
-        if (p.failOnDataLoss)
-          throw new IllegalStateException(
-            s"offsets [${p.from}, ${p.until}) of ${p.topic}-${p.partition} " +
-              "are partially deleted by retention; set failOnDataLoss=false " +
-              "to skip to the earliest retained offset", e)
-        // the cap guards NON-CONVERGENCE (stuck at the same point),
-        // not total retention races: a long-lived allAvailable task on
-        // an aggressively-retained topic can legitimately hit many
-        // truncations, each one making forward progress
-        if (lastEmitted > emittedAtLastReset) resets = 0
-        emittedAtLastReset = lastEmitted
-        resets += 1
-        if (resets > 5)
-          throw new IllegalStateException(
-            s"data-loss recovery did not converge after $resets resets " +
-              s"(${p.topic}-${p.partition})", e)
-        try pager.close() catch { case _: Throwable => () }
-        val earliest = KafkaWire.listOffset(
-          p.host, p.port, p.topic, p.partition, earliest = true)
-        System.err.println(s"[kafka-wire] data loss on ${p.topic}-${p.partition}: " +
-          s"read up to $lastEmitted, earliest retained $earliest — skipping ahead")
-        val resume = math.max(earliest, lastEmitted + 1)
-        if (resume >= p.until) false
-        else {
+  // an ITERATIVE retry loop, not a recursive next() (round-17,
+  // ADVICE r16 #1): the reset cap intentionally resets to 0 on
+  // forward progress, so a long-lived allAvailable task on an
+  // aggressively-retained topic can recover many times — each
+  // recursive frame would stay on the stack and eventually overflow;
+  // the loop re-enters the same frame
+  override def next(): Boolean = {
+    while (true) {
+      try {
+        if (pager.hasNext) { current = pager.next(); lastEmitted = current._1; return true }
+        else return false
+      } catch {
+        case e: KafkaWire.WireErrorException
+            if e.code == KafkaWire.ErrOffsetOutOfRange =>
+          if (p.failOnDataLoss)
+            throw new IllegalStateException(
+              s"offsets [${p.from}, ${p.until}) of ${p.topic}-${p.partition} " +
+                "are partially deleted by retention; set failOnDataLoss=false " +
+                "to skip to the earliest retained offset", e)
+          // the cap guards NON-CONVERGENCE (stuck at the same point),
+          // not total retention races: a long-lived allAvailable task
+          // on an aggressively-retained topic can legitimately hit
+          // many truncations, each one making forward progress
+          if (lastEmitted > emittedAtLastReset) resets = 0
+          emittedAtLastReset = lastEmitted
+          resets += 1
+          if (resets > 5)
+            throw new IllegalStateException(
+              s"data-loss recovery did not converge after $resets resets " +
+                s"(${p.topic}-${p.partition})", e)
+          try pager.close() catch { case _: Throwable => () }
+          val earliest = KafkaWire.listOffset(
+            p.host, p.port, p.topic, p.partition, earliest = true)
+          System.err.println(s"[kafka-wire] data loss on ${p.topic}-${p.partition}: " +
+            s"read up to $lastEmitted, earliest retained $earliest — skipping ahead")
+          val resume = math.max(earliest, lastEmitted + 1)
+          if (resume >= p.until) return false
           pager = new KafkaWire.RangePager(
             p.host, p.port, p.topic, p.partition, resume, p.until)
-          next()
-        }
+          // loop: retry the rebuilt pager
+      }
     }
+    false // unreachable
+  }
 
   override def get(): InternalRow = new GenericInternalRow(Array[Any](
     if (current._2 == null) null else UTF8String.fromString(current._2),

@@ -413,10 +413,7 @@ object KafkaWire {
           .map { _ => (f.i64(), f.i64()) } // (producer_id, first_offset)
           .sortBy(_._2)
         val recordSet = f.nbytes()
-        // lso-only probe (latestOffset): skip the decode entirely —
-        // nothing can satisfy `from`, and the driver polls this
-        // every trigger
-        if (recordSet != null && recordSet.nonEmpty && from != Long.MaxValue) {
+        if (recordSet != null && recordSet.nonEmpty) {
           val r = new Reader(recordSet)
           var ai = 0
           val abortedPids = scala.collection.mutable.Set[Long]()
@@ -889,10 +886,12 @@ object KafkaWire {
               earliestOffsets.getOrElse((t, pt), 0L))
           }
           // a retention-truncated offset (or one beyond the log end)
-          // is OFFSET_OUT_OF_RANGE — the real broker's answer. The
-          // hwm/lso metadata probe (from = Long.MaxValue, this
-          // client's documented latestOffset convention) is exempt.
-          if (from != Long.MaxValue && (from < earliest || from > hwm)) {
+          // is OFFSET_OUT_OF_RANGE — the real broker's answer, with
+          // NO special cases: the source's LSO probe fetches at the
+          // ListOffsets log end (a valid offset on every broker), so
+          // the embedded broker no longer exempts any probe
+          // convention a real cluster would reject (ADVICE r16 #2).
+          if (from < earliest || from > hwm) {
             resp.i32(pt).i16(ErrOffsetOutOfRange)
             resp.i64(hwm).i64(lso)
             resp.i32(0) // no aborted list
