@@ -183,6 +183,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> (Dedup.qEmbedNearDupLsh _),
     "q_embed_neardup_strict" -> (Dedup.qEmbedNearDupStrict _),
     "q_embed_neardup_deep" -> (Dedup.qEmbedNearDupDeep _),
+    "q_embed_neardup_auto" -> (Dedup.qEmbedNearDupAuto _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_split_leakfree" -> (Dedup.qSplitLeakfree _),
@@ -239,6 +240,8 @@ object SparkEntry {
     "q_video_thin" -> (Multimodal.qVideoThin _),
     "q_video_motion" -> (Multimodal.qVideoMotion _),
     "q_video_quarantine" -> (Multimodal.qVideoQuarantine _),
+    "q_video_fingerprint" -> (Multimodal.qVideoFingerprint _),
+    "q_video_neardup" -> (Multimodal.qVideoNeardup _),
   )
 
   /** Shared DuckDB SQL fragments for the oracle side. */
@@ -808,6 +811,49 @@ object SparkEntry {
        |    max(CASE WHEN band = 3 THEN val END) AS b3
        |  FROM g JOIN dbands ON g.doc_id = dbands.doc_id
        |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Shared video-fingerprint CTE chain (mirror of AviCodec
+    * .dhashBands over the videoTable geometry): source-byte frame
+    * luminance (the engine side must recover the same stream through
+    * the idx1 seek + stride strip + bottom-up inversion), 9 box-mean
+    * segments per frame as exact floor divisions, 8 gradient bits per
+    * frame at positions k*8+j, four SHAPE-AWARE bands of 2·n_frames
+    * present bits each (bands a short video doesn't reach coalesce
+    * to 0, matching the engine's zero-init) — ending in
+    * `vsig(doc_id, n_frames, b0..b3)`. */
+  private val videoDhashCtes =
+    """vs AS (SELECT doc_id,
+      |    list_transform(string_split(text, ''), c -> unicode(c)) AS bs,
+      |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+      |  FROM documents),
+      |vg AS (SELECT doc_id, bs, w*h AS npx,
+      |    least(len(bs) // (w*h*3), 8) AS n
+      |  FROM vs WHERE w*h >= 9 AND len(bs) // (w*h*3) >= 1),
+      |vfk AS (SELECT doc_id, bs, npx, n,
+      |    unnest(generate_series(0, CAST(n - 1 AS INT))) AS k FROM vg),
+      |vsj AS (SELECT doc_id, bs, npx, n, k,
+      |    unnest(generate_series(0, 8)) AS j FROM vfk),
+      |vsp AS (SELECT doc_id, npx, n, k, j, bs,
+      |    unnest(generate_series((j*npx)//9, ((j+1)*npx)//9 - 1)) AS p FROM vsj),
+      |vseg AS (SELECT doc_id, any_value(n) AS n, k, j,
+      |    CAST(sum((bs[k*npx*3 + 3*p + 1] + bs[k*npx*3 + 3*p + 2]
+      |              + bs[k*npx*3 + 3*p + 3]) // 3) AS BIGINT)
+      |      // CAST(count(*) AS BIGINT) AS gv
+      |  FROM vsp GROUP BY doc_id, k, j),
+      |vbit AS (SELECT a.doc_id, a.n, a.k*8 + a.j AS bpos,
+      |    CASE WHEN a.gv < b.gv THEN 1 ELSE 0 END AS bit_v
+      |  FROM vseg a JOIN vseg b ON a.doc_id = b.doc_id AND a.k = b.k
+      |    AND b.j = a.j + 1
+      |  WHERE a.j < 8),
+      |vband AS (SELECT doc_id, any_value(n) AS n, bpos // (2*n) AS band,
+      |    CAST(sum(bit_v * (1 << (bpos % (2*n)))) AS BIGINT) AS val
+      |  FROM vbit GROUP BY doc_id, bpos // (2*n)),
+      |vsig AS (SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_frames,
+      |    COALESCE(max(CASE WHEN band = 0 THEN val END), 0) AS b0,
+      |    COALESCE(max(CASE WHEN band = 1 THEN val END), 0) AS b1,
+      |    COALESCE(max(CASE WHEN band = 2 THEN val END), 0) AS b2,
+      |    COALESCE(max(CASE WHEN band = 3 THEN val END), 0) AS b3
+      |  FROM vband GROUP BY doc_id)""".stripMargin
 
   /** Shared audio-fingerprint CTE chain (mirror of WavCodec
     * .fingerprint over the wavTable byte stream): 4-sample window
@@ -2886,6 +2932,23 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> srpNearDupLshSql,
     "q_embed_neardup_strict" -> srpStrictSql,
     "q_embed_neardup_deep" -> srpDeepSql,
+    // The adaptive default is judged against the exact all-pairs
+    // ground truth over the augmented corpus — NOT against either
+    // index — so the oracle proves the branch choice is answer-
+    // invisible (whichever index the density probe picks must still
+    // produce exactly the >= 0.7 pair set).
+    "q_embed_neardup_auto" ->
+      s"""WITH ${srpAugPrefixSql}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
+         |             a.embedding AS ea, b.embedding AS eb
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         |z AS (SELECT va, vb, n2a, n2b, unnest(list_zip(ea, eb)) AS z FROM p),
+         |dots AS (SELECT va, vb, any_value(n2a) AS n2a, any_value(n2b) AS n2b,
+         |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS dot
+         |  FROM z GROUP BY va, vb)
+         |SELECT va, vb, dot/(sqrt(n2a)*sqrt(n2b)) AS cosine FROM dots
+         |WHERE dot/(sqrt(n2a)*sqrt(n2b)) >= ${graft.operators.Dedup.StrictThreshold}
+         |ORDER BY va, vb""".stripMargin,
     // embedding gate ground truth: the full SRP chain restricted to
     // pairs touching the new side — crossing pairs oriented (new,
     // corpus) plus new-new pairs oriented (higher, lower); the chain
@@ -4013,5 +4076,26 @@ object SparkEntry {
          |  CASE WHEN bad THEN 'not a canonical AVI: expected ''RIFF'' tag'
          |    ELSE '' END AS reason
          |FROM q ORDER BY doc_id""".stripMargin,
+    // Video fingerprint recomputed from source bytes; the near-dup
+    // mirror is the shared band/bucket/verify pipeline — the same
+    // SQL shape as the image and audio editions, completing the
+    // modality matrix.
+    "q_video_fingerprint" ->
+      s"""WITH $videoDhashCtes
+         |SELECT doc_id, n_frames, b0, b1, b2, b3
+         |FROM vsig ORDER BY doc_id""".stripMargin,
+    "q_video_neardup" ->
+      s"""WITH $videoDhashCtes,
+         |xb AS (SELECT doc_id, n_frames, b0, b1, b2, b3, k AS band_id,
+         |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+         |  FROM vsig, (SELECT unnest(generate_series(0, 3)) AS k)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+         |  FROM xb x JOIN xb y ON x.n_frames = y.n_frames
+         |    AND x.band_id = y.band_id
+         |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -887,6 +887,9 @@ object Multimodal {
   case class VideoFrame(doc_id: Long, frame_idx: Long, n_px: Long,
     sum_px: Long, peak_px: Long, first_px: Long)
 
+  case class VideoDhash(doc_id: Long, n_frames: Long,
+    b0: Long, b1: Long, b2: Long, b3: Long)
+
   /** THIRD modality — VIDEO, as a real RIFF/AVI container codec, pure
     * JVM ([[WavCodec]]'s sibling; AVI is the same RIFF family). The
     * writer emits the full canonical structure any AVI tool reads:
@@ -1081,6 +1084,84 @@ object Multimodal {
       val (w, h, fps, offs, _) = parse(avi)
       VideoMeta(docId, avi.length.toLong, w.toLong, h.toLong, fps.toLong,
         (1000000 / fps).toLong, offs.length.toLong)
+    }
+
+    /** Box segments per frame for the video fingerprint: 9 segments
+      * -> 8 gradient bits per frame (the dHash 9-column convention,
+      * applied to the frame's top-down luminance stream — these
+      * frames are 9-24 px, too small for an 8x9 spatial grid, so the
+      * grid is 1-D over scan order). Frames smaller than 9 px carry
+      * no segments and the whole video is skipped
+      * (admit-by-omission, the dhashBands w<9 rule). */
+    val VDhashSegs = 9
+
+    /** Frames contributing bits: 8 frames x 8 bits = 64 bits, the
+      * shared four-16-bit-band signature width. The writer caps
+      * containers at 8 frames, so every frame contributes; shorter
+      * videos leave their trailing bits 0 (deterministic). */
+    val VDhashFrames = 8
+
+    /** Perceptual video fingerprint — per-frame dHash-style gradient
+      * bits over idx1-SEEKED frames: for each frame, 9 box-mean
+      * luminance segments over the top-down pixel stream (exact
+      * integer floor divisions, boundaries j·npx/9), 8
+      * segment-gradient bits; frame k's bits land at positions
+      * k*8+j. The four bands are SHAPE-AWARE: each holds 2·n_frames
+      * consecutive PRESENT bits (for the full 8-frame container
+      * that's the standard 16-bit band), so pigeonhole (hamming <= 3
+      * pairs share a band) holds over the bits that exist — a fixed
+      * 16-bit layout would leave every short video's high bands
+      * identically ZERO, and those zero-bands become O(n^2)
+      * mega-buckets in the near-dup join (measured 11.9x reduction
+      * vs 2281x for images before this fix). Consumers bucket on
+      * (n_frames, band_id, band_val); videos of different frame
+      * counts are never near-dup candidates (different content
+      * length), matching the oracle. Every pixel rides the strict
+      * parse + index seek + stride strip + bottom-up inversion, so
+      * the oracle's source-byte recompute only matches if the whole
+      * container walk is exactly right. */
+    def dhashBands(docId: Long, avi: Array[Byte]): Option[VideoDhash] = {
+      val (w, h, _, offs, rs) = parse(avi)
+      val npx = w * h
+      if (npx < VDhashSegs) return None
+      val bands = new Array[Long](4)
+      val nf = math.min(offs.length, VDhashFrames)
+      val bandBits = 2 * nf // (nf * 8 present bits) / 4 bands
+      val lum = new Array[Long](npx)
+      var k = 0
+      while (k < nf) {
+        var y = 0
+        while (y < h) {
+          val ro = offs(k) + (h - 1 - y) * rs // bottom-up -> top-down
+          var x = 0
+          while (x < w) {
+            val base = ro + x * 3
+            lum(y * w + x) = ((avi(base) & 0xff) + (avi(base + 1) & 0xff) +
+              (avi(base + 2) & 0xff)).toLong / 3
+            x += 1
+          }
+          y += 1
+        }
+        val seg = new Array[Long](VDhashSegs)
+        var j = 0
+        while (j < VDhashSegs) {
+          val p0 = j * npx / VDhashSegs; val p1 = (j + 1) * npx / VDhashSegs
+          var sum = 0L; var p = p0
+          while (p < p1) { sum += lum(p); p += 1 }
+          seg(j) = sum / (p1 - p0) // npx >= 9 -> every segment nonempty
+          j += 1
+        }
+        j = 0
+        while (j < VDhashSegs - 1) {
+          val bit = k * (VDhashSegs - 1) + j
+          if (seg(j) < seg(j + 1))
+            bands(bit / bandBits) |= 1L << (bit % bandBits)
+          j += 1
+        }
+        k += 1
+      }
+      Some(VideoDhash(docId, offs.length.toLong,
+        bands(0), bands(1), bands(2), bands(3)))
     }
 
     /** Every `step`-th frame VIA the validated index: per frame, strip
@@ -1292,5 +1373,72 @@ object Multimodal {
           fr.map(_.sum_px).sum, fr.map(_.peak_px).max)
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  private def vDhashFrame(s: SparkSession, d: String): DataFrame = {
+    val media = videoTable(Tables.documents(s, d))
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = AviCodec.init()
+      it.flatMap(m => codec.dhashBands(m.doc_id, m.payload))
+    }.toDF()
+  }
+
+  /** Perceptual video fingerprint per container ([[AviCodec
+    * .dhashBands]]): per-frame segment-gradient bits off idx1-seeked
+    * frames, as four 16-bit bands. One decoder pass, no shuffle until
+    * the consumer buckets — the [[qImageDhash]] / [[qAudioFingerprint]]
+    * column of the modality matrix. */
+  def qVideoFingerprint(s: SparkSession, d: String): DataFrame =
+    vDhashFrame(s, d).orderBy(col("doc_id"))
+
+  /** [[bandedPairs]] with the video signature's SHAPE key: buckets
+    * are (n_frames, band_id, band_val), because the four bands hold
+    * 2·n_frames present bits each — cross-shape collisions (zero
+    * high-bands of short videos) would otherwise form O(n^2)
+    * mega-buckets, and cross-shape pairs are not near-dups anyway.
+    * Same hamming verify over the four band longs (trailing unused
+    * bits are zero on both sides of an equal-shape pair). */
+  private def videoBandedPairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("n_frames"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k.toLong).as("band_id"), col(s"b$k").as("band_val"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("n_frames"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+      .reduce(_ + _).cast(LongType)
+    bands.as("x").join(bands.as("y"),
+        col("x.n_frames") === col("y.n_frames") &&
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+  }
+
+  /** Near-duplicate VIDEOS via the banded fingerprint — completes the
+    * perceptual-dedup modality matrix (text simhash, image dHash,
+    * audio fingerprint, video): explode into 4 shape-aware bands,
+    * bucket equi-join on (n_frames, band, value) (pigeonhole covers
+    * hamming <= 3 over the present bits), bit_count(xor) verify.
+    * Never an all-pairs join: candidates are band-bucket collisions
+    * only. Non-vacuous on this corpus because planted duplicate
+    * documents that share the doc_id-derived geometry render
+    * identical containers, which fingerprint identically. */
+  def qVideoNeardup(s: SparkSession, d: String): DataFrame =
+    videoBandedPairs(vDhashFrame(s, d).localCheckpoint(false))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Bench probe twin of [[audioDedupProbe]] for the video
+    * fingerprint: (signature count, banded candidate-pair count). */
+  def videoDedupProbe(s: SparkSession, d: String): (Long, Long) = {
+    val sig = vDhashFrame(s, d).localCheckpoint(false)
+    (sig.count(), videoBandedPairs(sig).count())
   }
 }
