@@ -162,6 +162,14 @@ object Bench {
           results.get(n).map(n -> _)))
       }
 
+    // CC convergence telemetry (round-17, VERDICT r16 #8): rounds the
+    // last main-loop connected-components run took at this SF —
+    // captured BEFORE the sf1 section overwrites the recorder. The
+    // O(log diameter) claim as a measured number per BENCH JSON: a
+    // corpus whose dup chains lengthen shows up here as a trend, not
+    // as a surprise maxRounds throw in production.
+    val ccRoundsMain = graft.operators.Dedup.lastCcRounds.get()
+
     // ---- sf1-class scale point: deterministic 10x corpus ----
     // 10 replicas of the sf0.1 documents/embeddings tables. Replica 0
     // is the original; every other replica's docs get a per-replica
@@ -706,7 +714,7 @@ object Bench {
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"build_ratios":$buildRatiosJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"image_lsh":${ratio(imgAll, imgCand)},"audio_lsh":${ratio(audAll, audCand)},"video_lsh":${ratio(vidAll, vidCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"cc_rounds":${graft.operators.Dedup.lastCcRounds.get()},"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"build_ratios":$buildRatiosJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"image_lsh":${ratio(imgAll, imgCand)},"audio_lsh":${ratio(audAll, audCand)},"video_lsh":${ratio(vidAll, vidCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop
@@ -829,7 +837,7 @@ object Bench {
     // against — BASELINE.md declares BENCH_BASELINE.json (median-of-3
     // re-capture) the operative one; the emitted path makes every
     // BENCH_r{N} self-describing about it
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"memoized_build":$memoJson,"build_cost":$buildCostJson,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"srp_deep":$srpDeep,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cc_rounds":$ccRoundsMain,"queries":$qs,"queries_max":$qsMax,"memoized_build":$memoJson,"build_cost":$buildCostJson,"errors":$errs,"baseline_file":"$basePath","delta_vs_baseline":$deltaJson,"scaling":$scalingJson,"srp_strict":$srpStrict,"srp_deep":$srpDeep,"sf1":$sf1Json,"reps":$reps,"sf":"$sfDir"}"""
     // the driver's 2 KB output-tail capture truncates this line (only
     // ~27 of 95 per-query deltas survived in BENCH_r07) — persist the
     // FULL line so every regression is auditable from the repo

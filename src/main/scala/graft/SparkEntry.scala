@@ -138,6 +138,7 @@ object SparkEntry {
     "q_quality_clf_eval" -> (graft.operators.QualityClf.qQualityClfEval _),
     "q_quality_clf_gate" -> (graft.streaming.QualityClfGate.qQualityClfGate _),
     "q_quality_clf_gate_disk" -> (graft.streaming.QualityClfGate.qQualityClfGateDisk _),
+    "q_quality_clf_drift" -> (graft.streaming.QualityClfGate.qQualityClfDrift _),
     "q_ppl_buckets" -> (TextAnalysis.qPplBuckets _),
     "q_ppl_cutoffs" -> (TextAnalysis.qPplCutoffs _),
     "q_priority_sample" -> (TextAnalysis.qPrioritySample _),
@@ -3443,6 +3444,28 @@ object SparkEntry {
     "q_quality_clf_eval" -> qclfEvalSql,
     "q_quality_clf_gate" -> qclfGateSql,
     "q_quality_clf_gate_disk" -> qclfGateSql,
+    // drift batch analog: score ALL docs against the %4-trained
+    // model, baseline stats from the training pool's own scores,
+    // stream batches z-tested with the telemetry monitor's exact
+    // decimal-sum + fixed-IEEE-chain recipe
+    "q_quality_clf_drift" ->
+      s"""WITH ${qclfCtes("doc_id % 4 <> 0", "TRUE")},
+         |qb AS (SELECT count(*) AS bn,
+         |    CAST(sum(CAST(p_x1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(p_x1e6 * p_x1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2
+         |  FROM qsc WHERE doc_id % 4 <> 0),
+         |sb AS (SELECT (doc_id // 4) % ${graft.streaming.QualityClfGate.DriftBatches} AS batch_id,
+         |    count(*) AS n_docs, CAST(sum(admit) AS BIGINT) AS n_admit,
+         |    CAST(sum(CAST(p_x1e6 AS DECIMAL(38,6))) AS DOUBLE) AS bs1
+         |  FROM qsc WHERE doc_id % 4 = 0 GROUP BY 1)
+         |SELECT batch_id, n_docs, n_admit,
+         |  bs1/n_docs AS mean_p,
+         |  (bs1/n_docs - s1/bn) / sqrt(((s2 - s1*s1/bn)/bn)/n_docs) AS z,
+         |  abs((bs1/n_docs - s1/bn) / sqrt(((s2 - s1*s1/bn)/bn)/n_docs))
+         |    > ${graft.streaming.QualityClfGate.DriftZCut} AS drifted
+         |FROM sb, qb
+         |WHERE bn >= 2 AND (s2 - s1*s1/bn)/bn > 0
+         |ORDER BY batch_id""".stripMargin,
     // Trigram stupid-backoff mirror: the same capped tables, context
     // sums, pinned ln(0.4) integer, and fixed-point ln chain as the
     // Spark side — every branch of the backoff CASE is integer-exact.

@@ -493,8 +493,26 @@ object Dedup {
     * 64-bit ids a long sum can wrap, and a wrapped-equal sum would
     * read as a false fixpoint — exactness of the stopping test must
     * not depend on corpus size. */
+  /** Rounds-to-convergence of the most recent [[connectedComponents]]
+    * run in this JVM (-1 = none yet) — free telemetry the bench reads
+    * after its query loops, so `cc_rounds` is in every BENCH JSON
+    * without re-running CC. Bench execution is sequential; consumers
+    * that need per-run attribution call
+    * [[connectedComponentsWithRounds]] directly. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   private[graft] def connectedComponents(
-      pairDf: DataFrame, maxRounds: Int = 16): DataFrame = {
+      pairDf: DataFrame, maxRounds: Int = 16): DataFrame =
+    connectedComponentsWithRounds(pairDf, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of improving rounds it
+    * took to reach the fixpoint — the measured O(log diameter) claim
+    * as a NUMBER (round-17, VERDICT r16 #8): the bench records it at
+    * sf0.1 and the 10x probe (`cc_rounds`), so a future corpus with
+    * long dup chains shows up as a rising round count long before it
+    * hits the loud maxRounds throw. */
+  private[graft] def connectedComponentsWithRounds(
+      pairDf: DataFrame, maxRounds: Int = 16): (DataFrame, Int) = {
     val pairs = pairDf.localCheckpoint(false) // feeds edges twice + the label loop
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -541,7 +559,8 @@ object Dedup {
     }
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    lastCcRounds.set(round)
+    (labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id")), round)
   }
 
   // --------------------------------------------------------------- SimHash

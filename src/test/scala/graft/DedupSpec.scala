@@ -75,10 +75,17 @@ class DedupSpec extends SparkSpec {
     // a high-id island guard against order luck.
     val chain = (1 to 64).map(i => (i + 1L, i.toLong)).reverse
     val pairs = (chain :+ (900L, 901L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1 to 65).forall(i => got(i.toLong) == 1L))
     assert(got(900L) == 900L && got(901L) == 900L)
+    // the O(log diameter) claim as a pinned NUMBER: pointer-jumping
+    // doubles label reach per round, so diameter 64 must converge in
+    // <= ceil(log2(64)) + 2 observation/slack rounds — a future edit
+    // that silently degrades the jump to plain propagation would need
+    // ~64 rounds and fail here (and the bench's cc_rounds telemetry
+    // would show real corpora trending up long before maxRounds)
+    assert(rounds <= 8, s"64-hop chain took $rounds rounds — jump step broken?")
   }
 
   test("simhash of identical docs is identical; near-dup within small hamming") {
