@@ -73,6 +73,7 @@ object KafkaWire {
   val ErrNone = 0: Short
   val ErrOffsetOutOfRange = 1: Short // fetch below earliest / beyond log end
   val ErrCorruptMessage = 2: Short // CRC mismatch
+  val ErrNotLeader = 6: Short // leadership moved — retriable after re-resolve
   val ErrCoordinatorNotAvailable = 15: Short // retriable
   val ErrOutOfOrderSequence = 45: Short
   val ErrInvalidProducerEpoch = 47: Short // fenced
@@ -492,11 +493,28 @@ object KafkaWire {
     * planned range is covered). */
   def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
       from: Long): (Long, Vector[(Long, String, String)]) = {
-    val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
-    try {
-      val page = fetchOnce(c, topic, partition, from)
-      (page.lso, page.records)
-    } finally c.close()
+    // the driver's per-trigger LSO poll rides this: one NOT_LEADER or
+    // torn socket must not fail the whole streaming query, so it gets
+    // the RangePager's transient-retry posture (bounded; data-loss
+    // errors still propagate)
+    var attempts = 0
+    while (true) {
+      val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+      try {
+        val page = fetchOnce(c, topic, partition, from)
+        return (page.lso, page.records)
+      } catch {
+        case e: WireErrorException if e.code == ErrNotLeader && attempts < 5 =>
+          attempts += 1
+          System.err.println(s"[kafka-wire] $topic-$partition poll retry " +
+            s"after NOT_LEADER (attempt $attempts)")
+        case e: java.io.IOException if attempts < 5 =>
+          attempts += 1
+          System.err.println(s"[kafka-wire] $topic-$partition poll retry " +
+            s"after ${e.getClass.getSimpleName} (attempt $attempts)")
+      } finally c.close()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** ListOffsets v1: the broker's EARLIEST retained offset (timestamp
@@ -543,13 +561,49 @@ object KafkaWire {
   final class RangePager(host: String, port: Int, topic: String,
       partition: Int, from: Long, until: Long)
       extends Iterator[(Long, String, String)] with AutoCloseable {
-    private val c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+    private var c = new Conn(host, port, s"graft-fetch-$topic-$partition")
     private var cur = from
     private var buf: Iterator[(Long, String, String)] = Iterator.empty
     private var done = from >= until
+
+    /** Transient-fault budget PER PAGE: NOT_LEADER (leadership moved
+      * mid-read — hourly weather on a big cluster) and torn
+      * connections (broker cut the socket mid-RecordBatch, short
+      * read, restart) are both retried with a fresh connection — the
+      * single-broker harness's stand-in for a real client's
+      * metadata re-resolve. Fetches are idempotent reads at explicit
+      * offsets and `cur` only advances past FULLY decoded pages, so
+      * a retried page can neither lose nor duplicate records.
+      * OFFSET_OUT_OF_RANGE is NOT retried here — it is the data-loss
+      * signal the source's failOnDataLoss contract owns. */
+    private val MaxTransientRetries = 5
+
+    private def fetchPage(offset: Long): FetchPage = {
+      var attempts = 0
+      while (true) {
+        try return fetchOnce(c, topic, partition, offset)
+        catch {
+          case e: WireErrorException if e.code == ErrNotLeader &&
+              attempts < MaxTransientRetries =>
+            attempts += 1
+            reconnect(s"NOT_LEADER (attempt $attempts)")
+          case e: java.io.IOException if attempts < MaxTransientRetries =>
+            attempts += 1
+            reconnect(s"connection lost: ${e.getClass.getSimpleName} (attempt $attempts)")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def reconnect(why: String): Unit = {
+      System.err.println(s"[kafka-wire] $topic-$partition fetch retry after $why")
+      try c.close() catch { case _: Throwable => () }
+      c = new Conn(host, port, s"graft-fetch-$topic-$partition")
+    }
+
     override def hasNext: Boolean = {
       while (!buf.hasNext && !done) {
-        val page = fetchOnce(c, topic, partition, cur)
+        val page = fetchPage(cur)
         buf = page.records.iterator.filter { case (o, _, _) => o >= from && o < until }
         if (page.next >= until) done = true
         else if (page.next <= cur)
@@ -628,6 +682,17 @@ object KafkaWire {
       * the FIRST HALF of the next batch's bytes — the max_bytes-cut
       * trailing partial batch a real broker can emit. */
     @volatile var truncateTailBatch: Boolean = false
+    /** Chaos: the next N fetches answer NOT_LEADER (error 6) — the
+      * leadership-moved weather a real cluster throws hourly. */
+    val notLeaderNextFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Chaos: cut the SOCKET halfway through the next fetch response
+      * (mid-RecordBatch) — a broker restart / network partition
+      * tearing the connection under the reader. */
+    val cutNextFetchResponses = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Chaos: deliver every response in 7-byte TCP dribbles — the
+      * fragmentation a real network applies; a client that assumes
+      * one read() == one frame corrupts itself. */
+    @volatile var dribbleResponses: Boolean = false
 
     private def nextOffset(tp: (String, Int)): Long =
       // floor at the log-start offset: a FULLY-retained log (truncate
@@ -719,7 +784,26 @@ object KafkaWire {
             case other => sys.error(s"unsupported api $other v$apiVersion")
           }
           resp.patchI32(0, resp.size - 4)
-          out.write(resp.bytes); out.flush()
+          val bytes = resp.bytes
+          if (apiKey == ApiFetch && cutNextFetchResponses.get() > 0 &&
+              cutNextFetchResponses.getAndDecrement() > 0) {
+            // chaos: tear the connection mid-RecordBatch — ship half
+            // the frame, then cut the socket under the reader
+            out.write(bytes, 0, bytes.length / 2); out.flush()
+            sock.close()
+            return
+          }
+          if (dribbleResponses) {
+            // chaos: worst-case TCP fragmentation — tiny writes with
+            // a flush each, so no client read returns a whole frame
+            var i = 0
+            while (i < bytes.length) {
+              val n = math.min(7, bytes.length - i)
+              out.write(bytes, i, n); out.flush()
+              i += n
+            }
+          } else out.write(bytes)
+          out.flush()
         }
       } catch { case _: Throwable => () } finally sock.close()
     }
@@ -877,6 +961,21 @@ object KafkaWire {
       topics.foreach { case (t, parts) =>
         resp.str(t); resp.i32(parts.size)
         parts.foreach { case (pt, from) =>
+          if (notLeaderNextFetches.get() > 0 &&
+              notLeaderNextFetches.getAndDecrement() > 0) {
+            // the real broker's answer while a partition's leadership
+            // is mid-move: error 6, no metadata, null record set
+            resp.i32(pt).i16(ErrNotLeader)
+            resp.i64(-1L).i64(-1L)
+            resp.i32(0) // no aborted list
+            resp.i32(-1) // null record set
+          } else serveFetchPartition(t, pt, from, resp)
+        }
+      }
+    }
+
+    private def serveFetchPartition(t: String, pt: Int, from: Long,
+        resp: Writer): Unit = {
           val (batches, hwm, lso, spans, earliest) = lock.synchronized {
             val log = logs.getOrElse((t, pt), Vector.empty)
             val h = nextOffset((t, pt))
@@ -938,8 +1037,6 @@ object KafkaWire {
               resp.nbytes(recordSet)
             }
           }
-        }
-      }
     }
   }
 }
