@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, max, xxhash64}
+import org.apache.spark.sql.functions.{col, concat_ws, max, substring, xxhash64}
 
 /** Benchmark main — driver contract: ONE JSON line on stdout with the
   * per-query seconds at SPARK_GRAFT_SF_DIR.
@@ -523,6 +523,123 @@ object Bench {
           System.err.println(s"[bench] sketch-gate probe failed: ${e.getMessage}")
           Seq.empty
         }
+        // EXACTLY-ONCE SINK TAX at 10x (round-17, VERDICT r16 #6):
+        // the PartitionedSink pins routing with repartition(n, key) so
+        // replayed batches route rows identically (AQE must not
+        // re-plan a retry into different partitions — the marker-per-
+        // partition idempotence depends on it). That shuffle is the
+        // price of exactly-once; this probe makes it a NUMBER:
+        //   eos_sink_write     — the full distributed EOS write path
+        //                        (shuffle + executor-side txn sends)
+        //   eos_route_shuffle  — the pinned repartition alone (drain)
+        //   eos_drain_floor    — the same drain without the shuffle
+        // tax = eos_route_shuffle - eos_drain_floor; sends = write -
+        // shuffle. SCALE.md's write-path note carries the reading.
+        val eosSteady: Seq[(String, Double)] = try {
+          val b = new graft.streaming.KafkaWire.EmbeddedBroker
+          try {
+            val rows = Tables.documents(spark, sf1Dir)
+              .select(col("doc_id").cast("string").as("key"),
+                substring(col("text"), 1, 64).as("value"))
+              .localCheckpoint(true) // isolate sink cost from the scan
+            val n = rows.count()
+            val sink = new graft.streaming.KafkaEosSink.PartitionedSink(
+              "bench_eos_out", "bench_eos_prog", "bench-eos-ckpt", 8,
+              txId => new graft.streaming.KafkaWire.WireProducer(
+                "127.0.0.1", b.port, txId),
+              txId => graft.streaming.KafkaWire.readLastCommitted(
+                "127.0.0.1", b.port, "bench_eos_prog", txId))
+            def tsec(f: => Unit): Double = {
+              val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+            }
+            val drain = (it: Iterator[org.apache.spark.sql.Row]) =>
+              while (it.hasNext) it.next()
+            val w = tsec(sink.write(rows, 0L))
+            val sh = tsec(rows.repartition(8, col("key")).foreachPartition(drain))
+            val fl = tsec(rows.foreachPartition(drain))
+            rows.unpersist()
+            Seq("eos_sink_write" -> w, "eos_route_shuffle" -> sh,
+              "eos_drain_floor" -> fl, "eos_rows" -> n.toDouble)
+          } finally b.stop()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] eos sink probe failed: ${e.getMessage}")
+          Seq.empty
+        }
+        // E2E STREAMING THROUGHPUT at 10x (round-17, VERDICT r16 #7):
+        // wire source -> frozen-LM quality gate -> partitioned EOS
+        // sink, as ONE measured pipeline with maxOffsetsPerTrigger
+        // admission — the streaming story's in-JSON scale evidence,
+        // same as the batch operators'. Attribution: e2e_feed (broker
+        // load, not engine), e2e_source_gate (source+gate only, own
+        // checkpoint), e2e_stream (full pipeline incl. EOS sink),
+        // e2e_rows / e2e_rows_per_s (admitted rows over e2e_stream).
+        // LM training is excluded — it is the standing frozen model,
+        // priced by qgate_lm_train above.
+        val eosE2e: Seq[(String, Double)] = try {
+          val b = new graft.streaming.KafkaWire.EmbeddedBroker
+          try {
+            val docs = Tables.documents(spark, sf1Dir)
+            val lm = graft.streaming.QualityGate.trainLm(
+              docs.filter(col("doc_id") % 4 =!= 0))
+            val feed = docs.filter(col("doc_id") % 4 === 0)
+              .select(col("doc_id").cast("string"), substring(col("text"), 1, 120))
+              .collect()
+            def tsec(f: => Unit): Double = {
+              val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+            }
+            val tFeed = tsec {
+              val p = new graft.streaming.KafkaWire.WireProducer(
+                "127.0.0.1", b.port, "bench-e2e-feed")
+              p.initTransactions()
+              feed.grouped(1000).foreach { g =>
+                p.beginTransaction()
+                g.foreach(r => p.send("bench_e2e_in", r.getString(0), r.getString(1)))
+                p.commitTransaction()
+              }
+              p.close()
+            }
+            def runStream(ckName: String)(handle: (org.apache.spark.sql.DataFrame, Long) => Unit): Double = {
+              val src = spark.readStream.format("kafka-wire")
+                .option("host", "127.0.0.1").option("port", b.port.toString)
+                .option("topic", "bench_e2e_in")
+                .option("maxOffsetsPerTrigger", "2000")
+                .load()
+              val ck = java.nio.file.Files.createTempDirectory(ckName).toString
+              tsec {
+                val q = src.writeStream.option("checkpointLocation", ck)
+                  .foreachBatch(handle).start()
+                q.processAllAvailable(); q.stop()
+              }
+            }
+            def verdictsOf(df: org.apache.spark.sql.DataFrame) =
+              graft.streaming.QualityGate.score(
+                df.select(col("key").cast("long").as("doc_id"),
+                  col("value").as("text")), lm)
+            val tSrcGate = runStream("graft-e2e-sg") { (df, _) =>
+              verdictsOf(df).count(); ()
+            }
+            val sink = new graft.streaming.KafkaEosSink.PartitionedSink(
+              "bench_e2e_out", "bench_e2e_prog", "bench-e2e-ckpt", 8,
+              txId => new graft.streaming.KafkaWire.WireProducer(
+                "127.0.0.1", b.port, txId),
+              txId => graft.streaming.KafkaWire.readLastCommitted(
+                "127.0.0.1", b.port, "bench_e2e_prog", txId))
+            val tFull = runStream("graft-e2e-full") { (df, id) =>
+              sink.write(verdictsOf(df)
+                .select(col("doc_id").cast("string").as("key"),
+                  concat_ws("\t", col("n_bigrams"), col("surprisal_x1e6"))
+                    .as("value")), id)
+            }
+            val outRows = b.committed("bench_e2e_out").size
+            Seq("e2e_feed" -> tFeed, "e2e_source_gate" -> tSrcGate,
+              "e2e_stream" -> tFull, "e2e_rows" -> outRows.toDouble,
+              "e2e_rows_per_s" ->
+                (if (tFull > 0) outRows.toDouble / tFull else 0.0))
+          } finally b.stop()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] e2e stream probe failed: ${e.getMessage}")
+          Seq.empty
+        }
         // the pruning ratios the 100 TB story rests on, at 10x: text
         // MinHash bands and strict/deep SRP bands vs their all-pairs.
         // Each probe is INDEPENDENTLY guarded (0 = probe failed, the
@@ -602,7 +719,7 @@ object Bench {
             tag
         }
         val times = (sf1Times ++ gateSteady ++ sgateSteady ++ qgateSteady ++
-            egateSteady ++ egateDeepSteady ++ skgateSteady)
+            egateSteady ++ egateDeepSteady ++ skgateSteady ++ eosSteady ++ eosE2e)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
           .mkString("{", ",", "}")
         // per-query sf1/sf0.1 time ratio (rows grow 10x, so ~10 is

@@ -75,7 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_pca_power" -> "scalar subquery: single-row per-round norm broadcast",
     "q_pca_basis" -> "scalar subqueries: per-round norm + deflation (p, v1sq) single-row broadcasts",
     "q_whiten" -> "inherits q_pca_basis' per-round norm + deflation single-row broadcasts",
-    "q_pca_project" -> "inherits q_pca_power's single-row norm broadcast")
+    "q_pca_project" -> "inherits q_pca_power's single-row norm broadcast",
+    "q_curation_e2e" -> "seven single-row stage-rollup scalars crossed into the attrition table, plus q_seq_pack's bucket-count and q_token_budget's budget scalars",
+    "q_quality_clf_drift" -> "scalar subquery: single-row frozen training-baseline (n, s1, s2) broadcast")
 
   test("BroadcastNestedLoopJoin only in the documented allowlist") {
     val d = "/root/testdata/sf0.001"
