@@ -543,12 +543,13 @@ object Bench {
                 substring(col("text"), 1, 64).as("value"))
               .localCheckpoint(true) // isolate sink cost from the scan
             val n = rows.count()
+            val port = b.port // capture the INT, not the broker (closure ships to executors)
             val sink = new graft.streaming.KafkaEosSink.PartitionedSink(
               "bench_eos_out", "bench_eos_prog", "bench-eos-ckpt", 8,
               txId => new graft.streaming.KafkaWire.WireProducer(
-                "127.0.0.1", b.port, txId),
+                "127.0.0.1", port, txId),
               txId => graft.streaming.KafkaWire.readLastCommitted(
-                "127.0.0.1", b.port, "bench_eos_prog", txId))
+                "127.0.0.1", port, "bench_eos_prog", txId))
             def tsec(f: => Unit): Double = {
               val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
             }
@@ -618,12 +619,13 @@ object Bench {
             val tSrcGate = runStream("graft-e2e-sg") { (df, _) =>
               verdictsOf(df).count(); ()
             }
+            val port = b.port // capture the INT, not the broker
             val sink = new graft.streaming.KafkaEosSink.PartitionedSink(
               "bench_e2e_out", "bench_e2e_prog", "bench-e2e-ckpt", 8,
               txId => new graft.streaming.KafkaWire.WireProducer(
-                "127.0.0.1", b.port, txId),
+                "127.0.0.1", port, txId),
               txId => graft.streaming.KafkaWire.readLastCommitted(
-                "127.0.0.1", b.port, "bench_e2e_prog", txId))
+                "127.0.0.1", port, "bench_e2e_prog", txId))
             val tFull = runStream("graft-e2e-full") { (df, id) =>
               sink.write(verdictsOf(df)
                 .select(col("doc_id").cast("string").as("key"),
