@@ -307,8 +307,12 @@ object Bench {
           "q_dsir_weights", "q_dsir_sample", "q_dsir_shift",
           "q_dsir_gate", "q_ppl_buckets", "q_ppl_cutoffs",
           // trained classifier: whole-pool (memo payer: training is
-          // the build) + eval rider + the %4 gate's fresh train+score
-          "q_quality_clf", "q_quality_clf_eval", "q_quality_clf_gate",
+          // the build) + eval rider; the %4 model is memoized too
+          // (round-17) — q_quality_clf_drift pays its build (first
+          // alphabetical consumer), the gate rides it, and the DISK
+          // gate keeps its deliberate fresh train+persist
+          "q_quality_clf", "q_quality_clf_drift", "q_quality_clf_eval",
+          "q_quality_clf_gate",
           "q_semdedup", "q_embed_prune", "q_embed_prune_stats",
           "q_seq_pack", "q_pack_shards", "q_simhash", "q_simhash_md5",
           "q_simhash_neardup",

@@ -213,12 +213,26 @@ object QualityClf {
   private val weightsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, DataFrame)]()
 
-  private def trainedWeightsMemo(s: SparkSession, d: String): DataFrame = {
+  private def memoizedWeights(s: SparkSession, d: String, kind: String)(
+      build: => DataFrame): DataFrame = {
     val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
-    weightsMemo.compute(d, (_, cur) =>
+    weightsMemo.compute(s"$kind|$d", (_, cur) =>
       if (cur != null && cur._1 == fp && (cur._2.sparkSession eq s)) cur
-      else (fp, train(Tables.documents(s, d))))._2
+      else (fp, build))._2
   }
+
+  private def trainedWeightsMemo(s: SparkSession, d: String): DataFrame =
+    memoizedWeights(s, d, "pool")(train(Tables.documents(s, d)))
+
+  /** Build-once memo for the %4-SPLIT model (trained on doc_id % 4 <>
+    * 0) shared by the gate batch analog and the drift batch analog —
+    * the same boundary, trained once per corpus (charged to its first
+    * alphabetical bench consumer, q_quality_clf_drift). The DISK gate
+    * variant deliberately does NOT ride this: the persisted-model
+    * path is its subject, so it trains-and-persists fresh. */
+  private[graft] def gateWeightsMemo(s: SparkSession, d: String): DataFrame =
+    memoizedWeights(s, d, "m4")(
+      train(Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)))
 
   /** Whole-pool classifier scores: trained on the same pool it scores
     * (the batch-selection setting, like [[TextAnalysis

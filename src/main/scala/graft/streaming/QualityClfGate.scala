@@ -159,7 +159,7 @@ object QualityClfGate {
     * IEEE division chain — bit-identical in DuckDB. */
   def qQualityClfDrift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val m = QclfModel(QualityClf.train(docs.filter(col("doc_id") % 4 =!= 0)))
+    val m = QclfModel(QualityClf.gateWeightsMemo(s, d))
     val base = QualityClf.score(docs.filter(col("doc_id") % 4 =!= 0), m)
       .agg(count(lit(1)).as("bn"),
         sum(col("p_x1e6").cast(DecimalType(38, 6))).cast(DoubleType).as("s1"),
@@ -189,7 +189,7 @@ object QualityClfGate {
   def qQualityClfGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     QualityClf.score(docs.filter(col("doc_id") % 4 === 0),
-      QclfModel(QualityClf.train(docs.filter(col("doc_id") % 4 =!= 0))))
+      QclfModel(QualityClf.gateWeightsMemo(s, d)))
       .orderBy(col("doc_id"))
   }
 
