@@ -85,7 +85,12 @@ object Curation {
     "neardup_keep_best", "decontam_split", "token_budget", "seq_pack",
     "shard_manifest")
 
-  def qCurationE2e(s: SparkSession, d: String): DataFrame = {
+  /** Stages 1-5 as materialized frames: (base, s1, s2, s3, s4) —
+    * shared by the attrition query and [[exportShards]], so the
+    * artifact writer provably applies the SAME chain the report
+    * describes. Each frame is localCheckpoint-pinned exactly once. */
+  private[graft] def stageFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.expressions.BloomFunctions._
 
     // ---- stage 1: per-doc verdict base — ONE corpus text scan.
@@ -183,10 +188,16 @@ object Curation {
       .select(col("doc_id"), col("n_tok"))
       .localCheckpoint(false) // feeds chunking + agg
 
-    // ---- stage 6: chunk + pack (qDocChunks/qSeqPack shape, counts
-    // only — chunk TEXT is never needed for the manifest, so the
-    // whole packing stage runs on (doc_id, n_tok) longs).
-    val ch = s4.filter(col("n_tok") > 0)
+    (base, s1, s2, s3, s4)
+  }
+
+  /** Chunk rows (doc_id, chunk_id, ct) of the kept set — the
+    * qDocChunks shape on (doc_id, n_tok) longs only (chunk TEXT is
+    * not needed for the manifest; [[exportShards]] joins it back for
+    * the artifact). Checkpointed: feeds the bucket-count scalar, the
+    * packing window, and the doc-count aggregate. */
+  private[graft] def chunkFrame(s4: DataFrame): DataFrame =
+    s4.filter(col("n_tok") > 0)
       .select(col("doc_id"), col("n_tok"),
         explode(sequence(lit(0),
           ((col("n_tok") - 1) / lit(TextAnalysis.ChunkStride))
@@ -195,18 +206,34 @@ object Curation {
         least(lit(TextAnalysis.ChunkTokens.toLong),
           col("n_tok") - col("chunk_id") * TextAnalysis.ChunkStride)
           .cast(LongType).as("ct"))
-      .localCheckpoint(false) // feeds bucket-count scalar + packing + doc count
+      .localCheckpoint(false)
+
+  /** Chunk rows with their (bucket, pack_id) assignment — the
+    * qSeqPack data-sized-bucket packing, shared by the manifest
+    * aggregation and the artifact writer (one definition, so the
+    * written rows and the digest can never disagree on packing). */
+  private[graft] def packedChunks(ch: DataFrame): DataFrame = {
     val nb = ch.agg(
       greatest(coalesce(ceil(sum(col("ct")) / TextAnalysis.TargetBucketTokens.toDouble),
         lit(1L)), lit(1L)).cast(LongType).as("n_buckets"))
     val wPack = Window.partitionBy(col("bucket"))
       .orderBy(col("doc_id"), col("chunk_id"))
-    val packs = ch.crossJoin(broadcast(nb)) // 1-row scalar
+    ch.crossJoin(broadcast(nb)) // 1-row scalar
       .withColumn("bucket", pmod(md5Value24(col("doc_id")), col("n_buckets")))
       .withColumn("cum_before",
         coalesce(sum(col("ct")).over(wPack.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .withColumn("pack_id", (col("cum_before") / TextAnalysis.PackBudget).cast(LongType))
+  }
+
+  def qCurationE2e(s: SparkSession, d: String): DataFrame = {
+    val (base, s1, s2, s3, s4) = stageFrames(s, d)
+
+    // ---- stage 6: chunk + pack (qDocChunks/qSeqPack shape, counts
+    // only — chunk TEXT is never needed for the manifest, so the
+    // whole packing stage runs on (doc_id, n_tok) longs).
+    val ch = chunkFrame(s4)
+    val packs = packedChunks(ch)
       .groupBy(col("bucket").cast(LongType).as("bucket"), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("ct")).as("n_tokens"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -265,5 +292,40 @@ object Curation {
         col("r.n_out").as("n_out"), col("r.tokens_out").as("tokens_out"),
         col("r.digest").as("digest"))
       .orderBy(col("stage"))
+  }
+
+  /** EXPORT — write the pipeline's final ARTIFACT: every packed
+    * training chunk as a shard-partitioned parquet dataset (one
+    * directory per shard, the WebDataset/Megatron layout a training
+    * job consumes), rows (shard, bucket, pack_id, doc_id, chunk_id,
+    * n_tok, chunk_text). The manifest digest is recomputable from the
+    * WRITTEN rows alone — group by (bucket, pack_id), rebuild the
+    * pack stats, fold the md5 prefixes — so any reader can re-verify
+    * the artifact against the attrition table's final row WITHOUT
+    * trusting this engine (CurationExportSpec does exactly that).
+    *
+    * Scale shape: the kept set's chunk assignment is the shared
+    * [[packedChunks]] frame (identical to the manifest's by
+    * construction); text joins back ONCE via a semi-join-pruned
+    * column scan of the kept documents; the write is a distributed
+    * parquet write partitioned by the bounded shard key. Nothing
+    * passes through the driver. */
+  def exportShards(s: SparkSession, d: String, outDir: String): DataFrame = {
+    val (_, _, _, _, s4) = stageFrames(s, d)
+    val toksOf = Tables.documents(s, d)
+      .join(s4.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    packedChunks(chunkFrame(s4))
+      .withColumn("shard",
+        pmod(col("bucket") * 31 + col("pack_id"), lit(TextAnalysis.NumShards)))
+      .join(toksOf, Seq("doc_id"))
+      .select(col("shard"), col("bucket").cast(LongType).as("bucket"),
+        col("pack_id"), col("doc_id"), col("chunk_id"),
+        col("ct").as("n_tok"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * TextAnalysis.ChunkStride + 1).cast(IntegerType),
+          lit(TextAnalysis.ChunkTokens)), " ").as("chunk_text"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    s.read.parquet(outDir)
   }
 }
