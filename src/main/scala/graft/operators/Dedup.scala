@@ -1019,9 +1019,14 @@ object Dedup {
     * (the connectedComponents label-sum rationale). n_vectors rides
     * the same aggregate (band 0's bucket sizes sum to n), so the
     * probe is one job. */
-  private[graft] def strictDensityProbe(s: SparkSession, d: String): (Long, java.math.BigDecimal) = {
+  private[graft] def strictDensityProbe(s: SparkSession, d: String): (Long, java.math.BigDecimal) =
+    densityProbeOf(augmentedEmbeddings(s, d))
+
+  /** The probe over an explicit (vec_id, embedding) frame — specs
+    * plant their own corpora to pin BOTH branch decisions. */
+  private[graft] def densityProbeOf(vecs: DataFrame): (Long, java.math.BigDecimal) = {
     import graft.functions.expressions.SrpBands.srp_bands
-    val bands = augmentedEmbeddings(s, d)
+    val bands = vecs
       .select(srp_bands(col("embedding"), DefaultSeed).as("sig"))
       .select(posexplode(srpWideBands(col("sig"), StrictBandGroup, StrictBandOffsets.head))
         .as(Seq("band_id", "band_val")))
@@ -1034,6 +1039,13 @@ object Dedup {
       .head()
     (r.getLong(0), r.getDecimal(1))
   }
+
+  /** The adaptive default's branch decision for a probe reading:
+    * true = within the strict budget (clustered/sparse corpus). ONE
+    * definition shared by the query and the spec pinning it. */
+  private[graft] def strictWithinBudget(n: Long, est2: java.math.BigDecimal): Boolean =
+    est2.compareTo(java.math.BigDecimal.valueOf(2L * AdaptiveBudgetPerVec)
+      .multiply(java.math.BigDecimal.valueOf(n))) <= 0
 
   /** Embedding near-dup, the PRODUCTION DEFAULT (the bare
     * `q_embed_neardup` name stays on the exact all-pairs BASELINE,
@@ -1056,9 +1068,7 @@ object Dedup {
     * the switch; noise corpora run deep. */
   def qEmbedNearDupAuto(s: SparkSession, d: String): DataFrame = {
     val (n, est2) = strictDensityProbe(s, d)
-    val budget2 = java.math.BigDecimal.valueOf(2L * AdaptiveBudgetPerVec)
-      .multiply(java.math.BigDecimal.valueOf(n))
-    if (est2.compareTo(budget2) <= 0) qEmbedNearDupStrict(s, d)
+    if (strictWithinBudget(n, est2)) qEmbedNearDupStrict(s, d)
     else qEmbedNearDupDeep(s, d)
   }
 

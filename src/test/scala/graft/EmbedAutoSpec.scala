@@ -37,8 +37,26 @@ class EmbedAutoSpec extends SparkSpec {
       s"est2=$est2 below the planted floor ${2L * planted}")
     // this corpus is small: the strict budget must hold, so the
     // adaptive branch here is strict (the clustered-corpus fast path)
-    assert(est2.longValueExact() <= 2L * Dedup.AdaptiveBudgetPerVec * n,
+    assert(Dedup.strictWithinBudget(n, est2),
       "sf0.001 unexpectedly noise-dominated — budget constant drifted?")
+  }
+
+  test("the deep branch FIRES on a collision-saturated corpus") {
+    import spark.implicits._
+    // 400 copies of ONE vector: every signature identical, so each of
+    // the 20 probe buckets holds all 400 -> est2 = 20 * 400*399,
+    // vastly past the 2*64*400 budget. The switch must choose deep —
+    // the direction sf0.001 cannot exercise.
+    val one = Seq.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val dense = (1L to 400L).map(id => (id, one)).toDF("vec_id", "embedding")
+    val (n, est2) = Dedup.densityProbeOf(dense)
+    assert(n == 400L, s"probe n=$n")
+    assert(!Dedup.strictWithinBudget(n, est2),
+      s"est2=$est2 should exceed the strict budget on a saturated corpus")
+    // and the probe's collision arithmetic is exact on this
+    // fully-degenerate shape: 20 buckets of C(400,2)*2 ordered pairs
+    assert(est2.longValueExact() == 20L * 400L * 399L,
+      s"est2=$est2 != ${20L * 400L * 399L}")
   }
 
   test("video banding is shape-aware: no cross-frame-count candidates") {
