@@ -47,7 +47,8 @@ object Bench {
     "q_pca_basis", // trained PCA basis (Similarity.trainedPcaBasis)
     "q_knn_opq", // OPQ codebooks (Similarity.opqCodebook)
     "q_dsir_weights", // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
-    "q_quality_clf") // trained classifier weights (QualityClf.weightsMemo)
+    "q_quality_clf", // trained classifier weights (QualityClf.weightsMemo, "pool")
+    "q_quality_clf_drift") // %4-split classifier weights (QualityClf.gateWeightsMemo, "m4")
 
   // Locale.ROOT: a comma-decimal default locale must not corrupt the
   // single-JSON-line driver contract
