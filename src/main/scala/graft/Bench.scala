@@ -716,13 +716,33 @@ object Bench {
         // FAILED (0) is already surfaced by its own stderr line — only
         // a successful probe below floor lands in `failed`.
         val RecallFloor = 0.995
-        val floorFailures = Seq(
-          "srp_strict_recall_floor" -> plantedRecalled,
-          "srp_deep_recall_floor" -> deepRecalled).collect {
-          case (tag, rec) if rec > 0 && planted > 0 &&
-              rec.toDouble < RecallFloor * planted =>
+        // Perceptual-modality recall floors (round-18, VERDICT r17
+        // #7): planted = payload-identical pairs (lift 10x from the
+        // planted dup docs byte-identically), recalled = those the
+        // banded hamming<=3 chain recovers. Identical bytes collide
+        // in EVERY band, so the floor is exactly 1.0 — a shortfall
+        // is an implementation regression, never LSH noise.
+        val (imgPlanted, imgRecalled) = probe2("image_recall")(
+          graft.operators.Multimodal.imageRecallProbe(spark, sf1Dir))
+        val (audPlanted, audRecalled) = probe2("audio_recall")(
+          graft.operators.Multimodal.audioRecallProbe(spark, sf1Dir))
+        val (vidPlanted, vidRecalled) = probe2("video_recall")(
+          graft.operators.Multimodal.videoRecallProbe(spark, sf1Dir))
+        // srp rows keep the rec > 0 guard (their probe() failure mode
+        // is rec = 0 with planted computed separately — the failure is
+        // surfaced by its own stderr line); media rows don't need it
+        // (probe2 returns the (planted, recalled) tuple atomically, so
+        // rec = 0 with pl > 0 IS a real zero-recall regression)
+        val floorFailures = (Seq(
+          ("srp_strict_recall_floor", planted, plantedRecalled, RecallFloor, true),
+          ("srp_deep_recall_floor", planted, deepRecalled, RecallFloor, true),
+          ("image_recall_floor", imgPlanted, imgRecalled, 1.0, false),
+          ("audio_recall_floor", audPlanted, audRecalled, 1.0, false),
+          ("video_recall_floor", vidPlanted, vidRecalled, 1.0, false))).collect {
+          case (tag, pl, rec, floor, needRec) if (!needRec || rec > 0) &&
+              pl > 0 && rec.toDouble < floor * pl =>
             System.err.println(
-              s"[bench] $tag violated: $rec/$planted < $RecallFloor")
+              s"[bench] $tag violated: $rec/$pl < $floor")
             tag
         }
         val times = (sf1Times ++ gateSteady ++ sgateSteady ++ qgateSteady ++
@@ -838,7 +858,7 @@ object Bench {
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
-        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"cc_rounds":${graft.operators.Dedup.lastCcRounds.get()},"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"build_ratios":$buildRatiosJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"image_lsh":${ratio(imgAll, imgCand)},"audio_lsh":${ratio(audAll, audCand)},"video_lsh":${ratio(vidAll, vidCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}}}"""
+        s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"cc_rounds":${graft.operators.Dedup.lastCcRounds.get()},"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"build_ratios":$buildRatiosJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"image_lsh":${ratio(imgAll, imgCand)},"audio_lsh":${ratio(audAll, audCand)},"video_lsh":${ratio(vidAll, vidCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}},"image_recall":{"planted":$imgPlanted,"recalled":$imgRecalled,"floor":1.0},"audio_recall":{"planted":$audPlanted,"recalled":$audRecalled,"floor":1.0},"video_recall":{"planted":$vidPlanted,"recalled":$vidRecalled,"floor":1.0}}"""
         } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
           new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
           // q9 derives a partsupp for the (temp-named) sf1 dir — drop

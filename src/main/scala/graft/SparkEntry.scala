@@ -560,11 +560,17 @@ object SparkEntry {
       s"LEAST(GREATEST(${sdiv(z, "4")} + 500000, 0), 1000000)"
     val en = graft.functions.TextFunctions.stopwords("en")
       .map(w => s"'$w'").mkString(", ")
+    // Every CTE below is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // this chain re-references ft and qw{t-1} on EVERY boosting round
+    // (plus qsc twice in the drift analog) — the same doubly-referenced
+    // shape that made q_whiten re-evaluate exponentially (27 min →
+    // seconds once materialized, SURVEY §2.8). Without these hints the
+    // drift oracle alone costs ~10-15 min of DuckDB wall at sf0.01.
     def docCtes(name: String, cond: String) =
-      s"""qc$name AS (SELECT doc_id, n_chars, toks
+      s"""qc$name AS MATERIALIZED (SELECT doc_id, n_chars, toks
          |  FROM (SELECT doc_id, n_chars, $tokSql AS toks FROM documents WHERE $cond)
          |  WHERE len(toks) >= 2),
-         |f$name AS (SELECT doc_id, ${bucket("md5(prev || ' ' || w)")} AS b,
+         |f$name AS MATERIALIZED (SELECT doc_id, ${bucket("md5(prev || ' ' || w)")} AS b,
          |    CAST(count(*) AS BIGINT) AS x
          |  FROM (SELECT doc_id,
          |      unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS prev,
@@ -572,7 +578,7 @@ object SparkEntry {
          |    FROM qc$name)
          |  GROUP BY 1, 2
          |  UNION ALL SELECT doc_id, $B AS b, CAST(1 AS BIGINT) AS x FROM qc$name),
-         |l$name AS (SELECT doc_id,
+         |l$name AS MATERIALIZED (SELECT doc_id,
          |    CASE WHEN n_chars BETWEEN 100 AND 100000
          |      AND tl BETWEEN nt * 4 AND nt * 10
          |      AND ns * 20 >= nt
@@ -585,31 +591,31 @@ object SparkEntry {
          |    FROM qc$name))""".stripMargin
     // round 1 folds w0 = 0: the error is the constant 500000 - 1e6*y
     val round1 =
-      s"""qg1 AS (SELECT f.b, sum(f.x * (500000 - 1000000 * l.y)) AS g
+      s"""qg1 AS MATERIALIZED (SELECT f.b, sum(f.x * (500000 - 1000000 * l.y)) AS g
          |  FROM ft f JOIN lt l USING (doc_id) GROUP BY 1),
-         |qw1 AS (SELECT b, CAST(0 - ${sdiv("g", s"n * $upd")} AS BIGINT) AS w
+         |qw1 AS MATERIALIZED (SELECT b, CAST(0 - ${sdiv("g", s"n * $upd")} AS BIGINT) AS w
          |  FROM qg1 CROSS JOIN qn)""".stripMargin
     val laterRounds = (2 to graft.operators.QualityClf.Rounds).map { t =>
-      s"""qz$t AS (SELECT f.doc_id, CAST(sum(f.x * COALESCE(w.w, 0)) AS BIGINT) AS z
+      s"""qz$t AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.x * COALESCE(w.w, 0)) AS BIGINT) AS z
          |  FROM ft f LEFT JOIN qw${t - 1} w ON f.b = w.b GROUP BY 1),
-         |qe$t AS (SELECT z.doc_id, ${p("z.z")} - 1000000 * l.y AS e
+         |qe$t AS MATERIALIZED (SELECT z.doc_id, ${p("z.z")} - 1000000 * l.y AS e
          |  FROM qz$t z JOIN lt l USING (doc_id)),
-         |qg$t AS (SELECT f.b, sum(f.x * e.e) AS g
+         |qg$t AS MATERIALIZED (SELECT f.b, sum(f.x * e.e) AS g
          |  FROM ft f JOIN qe$t e USING (doc_id) GROUP BY 1),
-         |qw$t AS (SELECT g.b,
+         |qw$t AS MATERIALIZED (SELECT g.b,
          |    CAST(COALESCE(w.w, 0) - ${sdiv("g.g", s"n * $upd")} AS BIGINT) AS w
          |  FROM qg$t g LEFT JOIN qw${t - 1} w ON g.b = w.b CROSS JOIN qn)""".stripMargin
     }.mkString(",\n")
     val wFinal = s"qw${graft.operators.QualityClf.Rounds}"
     s"""${docCtes("t", trainCond)},
        |${docCtes("s", scoreCond)},
-       |qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lt),
+       |qn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM lt),
        |$round1,
        |$laterRounds,
-       |qzs AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |qzs AS MATERIALIZED (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |    CAST(sum(f.x * COALESCE(w.w, 0)) AS BIGINT) AS z
        |  FROM fs f LEFT JOIN $wFinal w ON f.b = w.b GROUP BY 1),
-       |qsc AS (SELECT z.doc_id, CAST(l.y AS BIGINT) AS y, z.n_feats, z.z,
+       |qsc AS MATERIALIZED (SELECT z.doc_id, CAST(l.y AS BIGINT) AS y, z.n_feats, z.z,
        |    CAST(${p("z.z")} AS BIGINT) AS p_x1e6,
        |    CAST(CASE WHEN ${p("z.z")} >= ${graft.operators.QualityClf.AdmitMinPX1e6}
        |      THEN 1 ELSE 0 END AS BIGINT) AS admit
@@ -1090,14 +1096,18 @@ object SparkEntry {
     * q_dedup_keep_best, q_semdedup) so the closure cannot drift.
     * Callers prefix `WITH RECURSIVE`. */
   private def ccCtes(pairsSql: String, outId: String): String =
-    s"""pr AS ($pairsSql),
-       |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+    // pr/ed MATERIALIZED: ed references pr twice and the recursive
+    // closure scans ed every iteration — DuckDB inlines plain CTEs,
+    // so an expensive pairsSql (the shingle self-join) would otherwise
+    // re-evaluate per reference (the q_whiten lesson, SURVEY §2.8)
+    s"""pr AS MATERIALIZED ($pairsSql),
+       |ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pr
        |       UNION ALL SELECT doc_b, doc_a FROM pr),
        |reach(v, u) AS (
        |  SELECT a, a FROM ed
        |  UNION
        |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a),
-       |cc AS (SELECT v AS $outId, min(u) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+       |cc AS MATERIALIZED (SELECT v AS $outId, min(u) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
   private def ccSql(pairsSql: String, outId: String): String =
     s"""WITH RECURSIVE ${ccCtes(pairsSql, outId)}

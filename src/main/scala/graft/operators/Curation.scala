@@ -163,14 +163,18 @@ object Curation {
     val s3 = s2train.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(false) // feeds budget chain + agg
 
-    // ---- stage 5: token budget — the distributed 256-bucket prefix
-    // sum of qTokenBudgetSample, over the surviving token mass.
+    // ---- stage 5: token budget — the distributed prefix sum of
+    // qTokenBudgetSample over the surviving token mass, bucket-key
+    // length derived from the survivor count (round-18, VERDICT r17
+    // #5: fixed 256 buckets made each bucket a fat ~N/256-row sort at
+    // 100 TB; the count rides the already-materialized s3 checkpoint)
+    val prefixLen = TextAnalysis.budgetPrefixLen(s3.count())
     val docsB = s3
       .withColumn("k", md5(col("doc_id").cast(StringType)))
-      .withColumn("bucket", substring(col("k"), 1, 2))
+      .withColumn("bucket", substring(col("k"), 1, prefixLen))
       .localCheckpoint(false) // feeds bucket sums + the cum join
     val bsums = docsB.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bsum"))
-      .localCheckpoint(false) // 256 rows: offsets AND the budget scalar
+      .localCheckpoint(false) // <=16^prefixLen rows: offsets AND the budget scalar
     val offsets = bsums
       .withColumn("off", coalesce(
         sum(col("bsum")).over(Window.orderBy(col("bucket"))

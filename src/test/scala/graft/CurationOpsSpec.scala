@@ -97,6 +97,32 @@ class CurationOpsSpec extends SparkSpec {
       s"not a maximal prefix: cum $cumMax, budget $budget, next $nextTok")
   }
 
+  test("token budget: admitted set invariant to the bucket-key length; length derives from mass") {
+    // the decomposition is plan shape, not semantics: any md5
+    // hex-prefix length must admit the identical set (round-18,
+    // VERDICT r17 #5 — the bucket count now derives from corpus mass)
+    val base = Tables.documents(spark, d).select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("k"))
+      .localCheckpoint(false)
+    val at2 = TextAnalysis.qTokenBudgetAt(base, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val at3 = TextAnalysis.qTokenBudgetAt(base, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(at2.toSeq == at3.toSeq,
+      "admitted set changed with the bucket-key length")
+    // the derivation: floor 2 at small corpora, grows by one hex digit
+    // per 16x once a bucket would exceed the row target, capped at 6
+    assert(TextAnalysis.budgetPrefixLen(500) == 2)
+    assert(TextAnalysis.budgetPrefixLen(256L * (1L << 20)) == 2)
+    assert(TextAnalysis.budgetPrefixLen(257L * (1L << 20)) == 3)
+    assert(TextAnalysis.budgetPrefixLen(Long.MaxValue / 4) == 6)
+    assert(TextAnalysis.budgetPrefixLen(1000, target = 100) == 2,
+      "500-doc corpus with a tiny target must still floor at 2")
+    assert(TextAnalysis.budgetPrefixLen(256L * 101, target = 100) == 3)
+  }
+
   test("filter funnel: verdicts re-derivable per doc, arithmetic consistent") {
     val rows = TextAnalysis.qFilterFunnel(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

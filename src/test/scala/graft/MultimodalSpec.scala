@@ -264,6 +264,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!ms(0).cut && ms(1).cut, "both verdict classes must appear")
   }
 
+  test("perceptual recall probes: every payload-identical pair is recovered") {
+    // the bench's 10x floor rows (round-18, VERDICT r17 #7), exercised
+    // at spec scale: planted = byte-identical containers, and the
+    // banded chain must recover ALL of them (identical bytes collide
+    // in every band — the floor is pigeonhole-exact 1.0, not LSH odds)
+    val d = "/root/testdata/sf0.001"
+    for ((name, probe) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => (Long, Long))](
+        "image" -> (Multimodal.imageRecallProbe _),
+        "audio" -> (Multimodal.audioRecallProbe _),
+        "video" -> (Multimodal.videoRecallProbe _))) {
+      val (planted, recalled) = probe(spark, d)
+      assert(planted > 0, s"$name: vacuous corpus — no payload-identical pairs")
+      assert(recalled == planted, s"$name: recalled $recalled of $planted")
+    }
+  }
+
   test("video pipeline: short docs drop, frame cap at 8, step-2 sampling") {
     import spark.implicits._
     val short = "tiny" // < one 2x2x3 frame for doc 0 geometry

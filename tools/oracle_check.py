@@ -6,13 +6,26 @@ dependency) — this reproduces the driver's t2 gate locally so oracle
 mismatches are caught before a round ends.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Emits a per-query oracle wall time ("OK   name: N rows  [0.42s]") and
+FAILS any query whose DuckDB side alone exceeds ORACLE_BUDGET_S (60 s
+at sf0.01): the engine has superlinear flags, and this is the gate's
+equivalent — a single slow oracle row is what silently zeroed the
+driver's CORRECTNESS_r17.json (q_quality_clf_drift's non-materialized
+CTE chain cost ~10-15 min of DuckDB wall).
 """
 import hashlib
 import json
 import os
 import sys
+import time
 
 import duckdb
+
+# Per-query DuckDB budget at sf0.01. The whole 212-query pass must fit
+# in single-digit minutes; one row over this means a CTE chain lost its
+# MATERIALIZED hints (see SURVEY §2.8's q_whiten entry).
+ORACLE_BUDGET_S = 60.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -78,7 +91,9 @@ def main(sf_dir, out_dir, only=None):
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
             got_cols = [d[0] for d in con.description]
+            t0 = time.monotonic()
             want = con.execute(sql).fetchall()
+            oracle_s = time.monotonic() - t0
             want_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -109,8 +124,15 @@ def main(sf_dir, out_dir, only=None):
             continue
         g = norm([[r[i] for i in gi] for r in got])
         w = norm([[r[i] for i in wi] for r in want])
+        if oracle_s > ORACLE_BUDGET_S:
+            print(f"FAIL {name}: oracle wall {oracle_s:.1f}s exceeds "
+                  f"{ORACLE_BUDGET_S:.0f}s budget (values "
+                  f"{'match' if g == w else 'MISMATCH'}) — "
+                  f"materialize the shared CTEs (SURVEY §2.8 q_whiten)")
+            fail += 1
+            continue
         if g == w:
-            print(f"OK   {name}: {len(g)} rows")
+            print(f"OK   {name}: {len(g)} rows  [{oracle_s:.2f}s]")
             ok += 1
         else:
             print(f"FAIL {name}: {len(g)} vs {len(w)} rows")
