@@ -75,7 +75,8 @@ object KafkaWire {
   val ErrOffsetOutOfRange = 1: Short // fetch below earliest / beyond log end
   val ErrCorruptMessage = 2: Short // CRC mismatch
   val ErrNotLeader = 6: Short // leadership moved — retriable after re-resolve
-  val ErrCoordinatorNotAvailable = 15: Short // retriable
+  val ErrCoordinatorNotAvailable = 15: Short // retriable (caller-visible; the sink owns this retry)
+  val ErrNotCoordinator = 16: Short // coordinator moved — re-resolve via FindCoordinator
   val ErrOutOfOrderSequence = 45: Short
   val ErrInvalidProducerEpoch = 47: Short // fenced
 
@@ -267,16 +268,26 @@ object KafkaWire {
     * exactly-once lifecycle over real TCP with zero logic changes. */
   final class WireProducer(host: String, port: Int, transactionalId: String)
       extends KafkaEosSink.TxProducer {
-    private var conn: Conn = null
     private var pid = -1L
     private var epoch: Short = -1
     private val seqs = scala.collection.mutable.Map[(String, Int), Int]()
     private val inTxn = scala.collection.mutable.Set[(String, Int)]()
+    // ROUTE TABLES, like a real kafka-clients producer (round-18):
+    // one connection per broker address, the coordinator resolved via
+    // FindCoordinator (re-resolved on NOT_COORDINATOR — the
+    // coordinator moves with __transaction_state leadership), data
+    // produces routed per partition via Metadata (re-resolved on
+    // NOT_LEADER — a retried Produce reuses the same baseSequence, so
+    // broker-side idempotent dedup makes the failover exactly-once
+    // even if the first attempt landed and only its response died)
+    private val conns = scala.collection.mutable.Map[(String, Int), Conn]()
+    private var coordAddr: Option[(String, Int)] = None
+    private val routes = scala.collection.mutable.Map[(String, Int), (String, Int)]()
 
-    private def connection: Conn = {
-      if (conn == null) conn = new Conn(host, port, s"graft-wire-$transactionalId")
-      conn
-    }
+    private def connTo(addr: (String, Int)): Conn =
+      conns.getOrElseUpdate(addr,
+        new Conn(addr._1, addr._2, s"graft-wire-$transactionalId"))
+
     private def check(code: Short, what: String): Unit = code match {
       case ErrNone => ()
       case ErrInvalidProducerEpoch =>
@@ -284,16 +295,51 @@ object KafkaWire {
       case c => throw new WireErrorException(c, s"$what failed with error $c")
     }
 
-    def initTransactions(): Unit = {
-      val c = connection
-      // coordinator lookup (single embedded broker: always self)
-      val fc = c.request(ApiFindCoordinator, 1) { w => w.str(transactionalId); w.i8(1) }
+    /** Coordinator lookup against the BOOTSTRAP (any node answers the
+      * lookup; the answer is the coordinator's address). */
+    private def findCoordinator(): (String, Int) = {
+      val fc = connTo((host, port))
+        .request(ApiFindCoordinator, 1) { w => w.str(transactionalId); w.i8(1) }
       fc.i32() // throttle
       check(fc.i16(), "FindCoordinator")
-      val ip = c.request(ApiInitProducerId, 0) { w => w.nstr(transactionalId); w.i32(60000) }
-      ip.i32() // throttle
-      check(ip.i16(), "InitProducerId")
-      pid = ip.i64(); epoch = ip.i16()
+      fc.nstr() // error_message
+      fc.i32() // node_id
+      val h = fc.str(); val p = fc.i32()
+      (h, p)
+    }
+
+    /** Run a txn-API request against the current coordinator; on
+      * NOT_COORDINATOR (16) re-resolve via FindCoordinator and retry
+      * (bounded). COORDINATOR_NOT_AVAILABLE (15) still propagates —
+      * that retry belongs to the sink's commit protocol, and
+      * swallowing it here would change the exactly-once contract
+      * KafkaWireSpec pins. */
+    private def onCoordinator[T](what: String)(attempt: Conn => (Short, T)): T = {
+      var attempts = 0
+      while (true) {
+        val addr = coordAddr.getOrElse {
+          val a = findCoordinator(); coordAddr = Some(a); a
+        }
+        val (err, v) = attempt(connTo(addr))
+        if (err == ErrNotCoordinator && attempts < 3) {
+          attempts += 1
+          coordAddr = None // next loop re-resolves
+          System.err.println(s"[kafka-wire] $what re-resolving coordinator " +
+            s"after NOT_COORDINATOR (attempt $attempts)")
+        } else { check(err, what); return v }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    def initTransactions(): Unit = {
+      val (p, e) = onCoordinator("InitProducerId") { c =>
+        val ip = c.request(ApiInitProducerId, 0) { w =>
+          w.nstr(transactionalId); w.i32(60000) }
+        ip.i32() // throttle
+        val err = ip.i16()
+        (err, if (err == ErrNone) (ip.i64(), ip.i16()) else (-1L, -1: Short))
+      }
+      pid = p; epoch = e
       seqs.clear() // fresh PID epoch starts sequences at 0
     }
 
@@ -303,21 +349,22 @@ object KafkaWire {
     }
 
     def send(topic: String, key: String, value: String): Unit = {
-      val c = connection
       val tp = (topic, 0)
       if (!inTxn.contains(tp)) {
-        val ap = c.request(ApiAddPartitionsToTxn, 0) { w =>
-          w.str(transactionalId).i64(pid).i16(epoch)
-          w.i32(1); w.str(topic); w.i32(1); w.i32(0)
+        onCoordinator("AddPartitionsToTxn") { c =>
+          val ap = c.request(ApiAddPartitionsToTxn, 0) { w =>
+            w.str(transactionalId).i64(pid).i16(epoch)
+            w.i32(1); w.str(topic); w.i32(1); w.i32(0)
+          }
+          ap.i32() // throttle
+          val nTopics = ap.i32()
+          var err: Short = ErrNone
+          (0 until nTopics).foreach { _ =>
+            ap.str(); val nParts = ap.i32()
+            (0 until nParts).foreach { _ => ap.i32(); val e = ap.i16(); if (e != ErrNone) err = e }
+          }
+          (err, ())
         }
-        ap.i32() // throttle
-        val nTopics = ap.i32()
-        var err: Short = ErrNone
-        (0 until nTopics).foreach { _ =>
-          ap.str(); val nParts = ap.i32()
-          (0 until nParts).foreach { _ => ap.i32(); val e = ap.i16(); if (e != ErrNone) err = e }
-        }
-        check(err, "AddPartitionsToTxn")
         inTxn += tp
       }
       val seq = seqs.getOrElse(tp, 0)
@@ -330,36 +377,57 @@ object KafkaWire {
 
     /** One Produce v3 request with a caller-built record set — the
       * seam the spec uses to replay an identical request (broker-side
-      * idempotent dedup) and to submit a corrupted batch. */
+      * idempotent dedup) and to submit a corrupted batch. Routed to
+      * the partition's LEADER; on NOT_LEADER the route is re-resolved
+      * via Metadata and the SAME batch is retried (same baseSequence —
+      * the broker dedups if the first attempt actually appended), so
+      * an election during an open transaction loses nothing and
+      * duplicates nothing. */
     private[graft] def produceRaw(topic: String, partition: Int, recordSet: Array[Byte]): Long = {
-      val pr = connection.request(ApiProduce, 3) { w =>
-        w.nstr(transactionalId).i16(-1 /* acks=all */).i32(30000)
-        w.i32(1); w.str(topic); w.i32(1); w.i32(partition); w.nbytes(recordSet)
-      }
-      val nTopics = pr.i32()
-      var err: Short = ErrNone; var baseOffset = -1L
-      (0 until nTopics).foreach { _ =>
-        pr.str(); val nParts = pr.i32()
-        (0 until nParts).foreach { _ =>
-          pr.i32(); val e = pr.i16(); val off = pr.i64(); pr.i64() // log_append_time
-          if (e != ErrNone) err = e else baseOffset = off
+      val tp = (topic, partition)
+      var attempts = 0
+      while (true) {
+        val addr = routes.getOrElse(tp, (host, port))
+        val pr = connTo(addr).request(ApiProduce, 3) { w =>
+          w.nstr(transactionalId).i16(-1 /* acks=all */).i32(30000)
+          w.i32(1); w.str(topic); w.i32(1); w.i32(partition); w.nbytes(recordSet)
         }
+        val nTopics = pr.i32()
+        var err: Short = ErrNone; var baseOffset = -1L
+        (0 until nTopics).foreach { _ =>
+          pr.str(); val nParts = pr.i32()
+          (0 until nParts).foreach { _ =>
+            pr.i32(); val e = pr.i16(); val off = pr.i64(); pr.i64() // log_append_time
+            if (e != ErrNone) err = e else baseOffset = off
+          }
+        }
+        pr.i32() // throttle
+        if (err == ErrNotLeader && attempts < 5) {
+          attempts += 1
+          metadataLeader(host, port, topic, partition)
+            .foreach(routes(tp) = _)
+          System.err.println(s"[kafka-wire] $topic-$partition produce " +
+            s"re-routed to leader ${routes.getOrElse(tp, (host, port))} " +
+            s"(attempt $attempts)")
+        } else { check(err, "Produce"); return baseOffset }
       }
-      pr.i32() // throttle
-      check(err, "Produce")
-      baseOffset
+      throw new IllegalStateException("unreachable")
     }
 
-    private def endTxn(committed: Boolean): Unit = {
-      val et = connection.request(ApiEndTxn, 0) { w =>
-        w.str(transactionalId).i64(pid).i16(epoch).bool(committed)
+    private def endTxn(committed: Boolean): Unit =
+      onCoordinator("EndTxn") { c =>
+        val et = c.request(ApiEndTxn, 0) { w =>
+          w.str(transactionalId).i64(pid).i16(epoch).bool(committed)
+        }
+        et.i32() // throttle
+        (et.i16(), ())
       }
-      et.i32() // throttle
-      check(et.i16(), "EndTxn")
-    }
     def commitTransaction(): Unit = endTxn(committed = true)
     def abortTransaction(): Unit = endTxn(committed = false)
-    def close(): Unit = if (conn != null) { conn.close(); conn = null }
+    def close(): Unit = {
+      conns.values.foreach(c => try c.close() catch { case _: Throwable => () })
+      conns.clear()
+    }
   }
 
   /** One decoded Fetch v4 round-trip: `lso` is the last stable
@@ -778,6 +846,19 @@ object KafkaWire {
       * election the leader-move chaos spec drives. */
     def moveLeader(topic: String, partition: Int, node: Int): Unit =
       lock.synchronized { leaders((topic, partition)) = node }
+
+    /** Transaction-coordinator node; -1 = lowest registered node_id.
+      * On a real cluster the coordinator is the leader of the
+      * __transaction_state partition the transactional.id hashes to —
+      * it MOVES when that leadership does, and txn APIs sent to the
+      * old coordinator answer NOT_COORDINATOR (16). */
+    @volatile private[KafkaWire] var coordinator: Int = -1
+    private[KafkaWire] def coordinatorNode: Int =
+      if (coordinator >= 0) coordinator
+      else lock.synchronized { if (brokers.isEmpty) 0 else brokers.keys.min }
+    /** Move the transaction coordinator — the coordinator-failover
+      * election the producer chaos spec drives. */
+    def moveCoordinator(node: Int): Unit = coordinator = node
   }
 
   final class EmbeddedBroker(val nodeId: Int, state: BrokerState) {
@@ -942,12 +1023,27 @@ object KafkaWire {
 
     private def handleFindCoordinator(req: Reader, resp: Writer): Unit = {
       req.str(); req.i8() // key, key_type
+      // any node can answer the LOOKUP; the answer is the coordinator's
+      // registered address (a real broker reads __transaction_state
+      // partition leadership — BrokerState.coordinatorNode models it)
+      val node = state.coordinatorNode
+      val (h, p) = lock.synchronized(
+        state.brokers.getOrElse(node, ("127.0.0.1", port)))
       resp.i32(0).i16(ErrNone).nstr(null) // throttle, error, error_message
-      resp.i32(0).str("127.0.0.1").i32(port) // node_id, host, port
+      resp.i32(node).str(h).i32(p) // node_id, host, port
     }
+
+    /** Txn APIs on a NON-coordinator answer NOT_COORDINATOR (16) —
+      * the real broker's answer after the coordinator moved; the
+      * client must re-resolve via FindCoordinator, not retry here. */
+    private def isCoordinator: Boolean = state.coordinatorNode == nodeId
 
     private def handleInitProducerId(req: Reader, resp: Writer): Unit = {
       val txId = req.nstr(); req.i32() // txn_timeout
+      if (!isCoordinator) {
+        resp.i32(0).i16(ErrNotCoordinator).i64(-1L).i16(-1)
+        return
+      }
       val (pid, epoch) = lock.synchronized {
         txns.get(txId) match {
           case Some((p, e)) =>
@@ -972,6 +1068,15 @@ object KafkaWire {
       val txId = req.str(); val pid = req.i64(); val epoch = req.i16()
       val topics = (0 until req.i32()).map { _ =>
         val t = req.str(); (t, (0 until req.i32()).map(_ => req.i32()))
+      }
+      if (!isCoordinator) {
+        resp.i32(0) // throttle
+        resp.i32(topics.size)
+        topics.foreach { case (t, parts) =>
+          resp.str(t); resp.i32(parts.size)
+          parts.foreach { pt => resp.i32(pt).i16(ErrNotCoordinator) }
+        }
+        return
       }
       val err = lock.synchronized {
         txns.get(txId) match {
@@ -1049,6 +1154,7 @@ object KafkaWire {
     private def handleEndTxn(req: Reader, resp: Writer): Unit = {
       val txId = req.str(); val pid = req.i64(); val epoch = req.i16()
       val committed = req.bool()
+      if (!isCoordinator) { resp.i32(0).i16(ErrNotCoordinator); return }
       val err = lock.synchronized {
         if (failNextEndTxn) { failNextEndTxn = false; ErrCoordinatorNotAvailable }
         else txns.get(txId) match {

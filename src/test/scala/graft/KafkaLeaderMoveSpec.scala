@@ -90,6 +90,57 @@ class KafkaLeaderMoveSpec extends SparkSpec {
     }
   }
 
+  test("producer follows a leader election DURING an open transaction") {
+    withCluster { (state, a, b) =>
+      val p = new WireProducer("127.0.0.1", a.port, "open-txn")
+      try {
+        p.initTransactions(); p.beginTransaction()
+        p.send("t", "k0", "k0")
+        // the election fires with the transaction OPEN: the next send
+        // hits NOT_LEADER on the old route, re-resolves via Metadata,
+        // and retries the SAME batch (same baseSequence) against B
+        state.moveLeader("t", 0, 1)
+        p.send("t", "k1", "k1")
+        p.commitTransaction()
+      } finally p.close()
+      // both records committed exactly once, in order, one log
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 0L, 3L)
+      assert(recs.map(_._2) == Vector("k0", "k1"),
+        s"open-txn records lost/duplicated across the election: ${recs.map(_._2)}")
+    }
+  }
+
+  test("producer bootstrapped at a non-coordinator resolves the real coordinator") {
+    withCluster { (state, a, b) =>
+      // coordinator defaults to node 0 (broker A); bootstrap at B —
+      // FindCoordinator from B must answer A's address, and the whole
+      // txn lifecycle then runs against A while data produces route
+      // by partition leadership
+      produce(b.port, "t", "xboot-tx", "k0")
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", a.port, "t", 0, 0L, 2L)
+      assert(recs.map(_._2) == Vector("k0"), s"cross-boot produce lost: $recs")
+    }
+  }
+
+  test("coordinator moves mid-lifecycle: NOT_COORDINATOR re-resolves and commits once") {
+    withCluster { (state, a, b) =>
+      val p = new WireProducer("127.0.0.1", a.port, "coord-tx")
+      try {
+        p.initTransactions() // resolved coordinator = A
+        p.beginTransaction()
+        p.send("t", "k0", "k0")
+        // the coordinator moves with __transaction_state leadership;
+        // the commit's EndTxn hits A -> NOT_COORDINATOR (16) ->
+        // FindCoordinator re-resolve -> B commits
+        state.moveCoordinator(1)
+        p.commitTransaction()
+      } finally p.close()
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 0L, 2L)
+      assert(recs.map(_._2) == Vector("k0"),
+        s"commit lost/duplicated across the coordinator move: $recs")
+    }
+  }
+
   test("streaming source admits exactly-once through a mid-stream election") {
     withCluster { (state, a, b) =>
       produce(a.port, "in", "s1-tx", "v0", "v1", "v2")
