@@ -913,7 +913,7 @@ object SparkEntry {
   }
 
   private val embedNearDupSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
        |             a.embedding AS ea, b.embedding AS eb
        |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
@@ -1020,8 +1020,8 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3, 4)""".stripMargin
     }.mkString(",\n")
     val unionAll = seeds.indices.map(k => s"SELECT * FROM wide$k").mkString(" UNION ALL ")
-    s"""WITH ${prefix}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM $source),
-       |ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+    s"""WITH ${prefix}n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM $source),
+       |ve AS MATERIALIZED (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
        |    SELECT vec_id, embedding,
        |      unnest(generate_series(0, len(embedding)-1)) AS pos
        |    FROM $source)),
@@ -1114,7 +1114,7 @@ object SparkEntry {
        |SELECT $outId, cluster_id FROM cc ORDER BY $outId""".stripMargin
 
   private val knnBruteSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
          |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
          |      FROM q JOIN n ON qid <> vec_id),
@@ -1159,12 +1159,12 @@ object SparkEntry {
     sb.toString
   }
   private val veSql =
-    """ve AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+    """ve AS MATERIALIZED (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
       |    SELECT vec_id, embedding,
       |      unnest(generate_series(0, len(embedding)-1)) AS pos
       |    FROM embeddings))""".stripMargin
   private val kmeansSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql
          |SELECT cent_id, CAST(pos AS BIGINT) AS pos, x AS val
@@ -1296,7 +1296,7 @@ object SparkEntry {
     * PRUNED candidate set and the exact-dot rerank — the mirror of
     * Similarity.qKnnIvfPq stage for stage. Emits `rrk`. */
   private def ivfPqChain: String =
-    s"""n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
        |$veSql,
        |$kmeansChainSql,
        |$ivfAssignCtes,
@@ -1463,7 +1463,7 @@ object SparkEntry {
          |        WHERE vec_id < ${Similarity.NumQueries} AND pos >= $lo AND pos < $hi) v
          |  JOIN rpc${m}_$f c ON v.pos = c.pos GROUP BY 1, 3""".stripMargin
     }.mkString(" UNION ALL ")
-    s"""n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
        |$veSql,
        |$kmeansChainSql,
        |$ivfAssignCtes,
@@ -1583,7 +1583,7 @@ object SparkEntry {
        |    THEN fit_x1e6 END) AS cut FROM fcum)""".stripMargin
 
   private val knnIvfSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes,
@@ -1610,7 +1610,7 @@ object SparkEntry {
     * a min-id representative per component. One flat chain so the
     * kmeans/assignment CTEs are computed once. */
   private def semDedupSql =
-    s"""WITH RECURSIVE n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH RECURSIVE n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes,
@@ -1637,7 +1637,7 @@ object SparkEntry {
     * int-derived approximate cosine), and the exact fixed-point fp32
     * rerank on the shortlist only. */
   private val knnIvfInt8Sql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes,
@@ -1817,16 +1817,16 @@ object SparkEntry {
     * RM3 chain. */
   private def bm25Ctes: String = {
     import graft.operators.Retrieval.{NumTextQueries, QueryLen}
-    s"""dt AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
-       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
-       |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY 1),
-       |bdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dt GROUP BY 1),
-       |bnt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    s"""dt AS MATERIALIZED (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |btf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
+       |bdl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM dt GROUP BY 1),
+       |bdf AS MATERIALIZED (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM dt GROUP BY 1),
+       |bnt AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |    CAST(count(*) AS BIGINT) AS t_toks FROM dt),
-       |bq AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:$QueryLen]) AS term
+       |bq AS MATERIALIZED (SELECT DISTINCT doc_id AS qid, unnest(toks[1:$QueryLen]) AS term
        |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
        |  WHERE doc_id < $NumTextQueries),
-       |bsc AS (SELECT bq.qid, btf.doc_id,
+       |bsc AS MATERIALIZED (SELECT bq.qid, btf.doc_id,
        |    CAST(sum((CAST(CAST(round(ln(CAST(2*bnt.n_docs + 2 AS DOUBLE))*1e6) AS BIGINT)
        |             - CAST(round(ln(CAST(2*bdf.df + 1 AS DOUBLE))*1e6) AS BIGINT) AS HUGEINT)
        |          * 22 * btf.tf * bnt.t_toks)
@@ -1837,7 +1837,7 @@ object SparkEntry {
        |  JOIN bdf ON btf.term = bdf.term
        |  CROSS JOIN bnt
        |  GROUP BY 1, 2),
-       |brnk AS (SELECT qid, doc_id, score_x1e6,
+       |brnk AS MATERIALIZED (SELECT qid, doc_id, score_x1e6,
        |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, doc_id) AS rn
        |  FROM bsc)""".stripMargin
   }
@@ -1856,14 +1856,14 @@ object SparkEntry {
     * `rrnk` (final ranking). */
   private def bm25Rm3Ctes: String = {
     import graft.operators.Retrieval._
-    s"""rfd AS (SELECT qid, doc_id, score_x1e6 AS s1 FROM brnk
+    s"""rfd AS MATERIALIZED (SELECT qid, doc_id, score_x1e6 AS s1 FROM brnk
        |  WHERE rn <= $RmFeedbackDocs),
-       |rw AS (SELECT r.qid, t.term,
+       |rw AS MATERIALIZED (SELECT r.qid, t.term,
        |    sum((CAST(r.s1 AS HUGEINT) * t.tf) // l.dl) AS w
        |  FROM rfd r JOIN btf t ON r.doc_id = t.doc_id
        |  JOIN bdl l ON t.doc_id = l.doc_id
        |  GROUP BY 1, 2),
-       |re AS (SELECT qid, term, rn, w FROM (
+       |re AS MATERIALIZED (SELECT qid, term, rn, w FROM (
        |    SELECT rw.qid, rw.term, rw.w,
        |      row_number() OVER (PARTITION BY rw.qid ORDER BY rw.w DESC, rw.term) AS rn
        |    FROM rw LEFT JOIN bq ON rw.qid = bq.qid AND rw.term = bq.term
@@ -1908,7 +1908,7 @@ object SparkEntry {
   /** The fusion chain over any (text list, ANN list) SQL pair. */
   private def hybridSqlOver(textSql: String, annSql: String): String = {
     import graft.operators.Retrieval.{RrfK, TopK}
-    s"""WITH hb AS (SELECT qid, doc_id AS id, rn FROM ($textSql)),
+    s"""WITH hb AS MATERIALIZED (SELECT qid, doc_id AS id, rn FROM ($textSql)),
        |ha AS (SELECT qid, cid AS id, rn FROM ($annSql)),
        |hu AS (SELECT qid, id, 1000000 // ($RrfK + rn) AS fx
        |  FROM (SELECT * FROM hb UNION ALL SELECT * FROM ha)),
@@ -2806,7 +2806,7 @@ object SparkEntry {
     // SymSpell-blocked join proves the depth-2 deletion blocking is
     // COMPLETE over the real corpus, not just internally consistent
     "q_fuzzy_link" ->
-      s"""WITH dt AS (SELECT unnest($tokSql) AS w FROM documents),
+      s"""WITH dt AS MATERIALIZED (SELECT unnest($tokSql) AS w FROM documents),
          |dv AS (SELECT w AS dw, count(*) AS doc_cnt FROM dt
          |  WHERE length(w) >= ${graft.operators.TextAnalysis.TypoMinLen} GROUP BY 1),
          |pt AS (SELECT unnest(${tokSql.replace("text", "p_name")}) AS w FROM part),
@@ -2835,7 +2835,7 @@ object SparkEntry {
     // changes rows); monotone-equivalent to raw-frequency TF-IDF at
     // fixed N, ties broken by token
     "q_tfidf_topk" ->
-      s"""WITH dt AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+      s"""WITH dt AS MATERIALIZED (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
          |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
          |n AS (SELECT count(*) AS n FROM documents),
@@ -2949,7 +2949,7 @@ object SparkEntry {
     // invisible (whichever index the density probe picks must still
     // produce exactly the >= 0.7 pair set).
     "q_embed_neardup_auto" ->
-      s"""WITH ${srpAugPrefixSql}n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
+      s"""WITH ${srpAugPrefixSql}n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM aug),
          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
          |             a.embedding AS ea, b.embedding AS eb
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
@@ -3004,7 +3004,7 @@ object SparkEntry {
       s"SELECT va AS doc_a, vb AS doc_b FROM ($embedNearDupSql)", "vec_id"),
     "q_semdedup" -> semDedupSql,
     "q_embed_prune" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes,
@@ -3012,7 +3012,7 @@ object SparkEntry {
          |SELECT a.vec_id, a.cell, a.fit_x1e6, a.fit_x1e6 <= c.cut AS prune
          |FROM afit a CROSS JOIN fcut c ORDER BY a.vec_id""".stripMargin,
     "q_embed_prune_stats" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes,
@@ -3090,7 +3090,7 @@ object SparkEntry {
     },
     // same fixed-point class-mean + argmax chain as Similarity.qEmbedClassify
     "q_embed_classify" ->
-      s"""WITH ve AS (SELECT vec_id, label, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
+      s"""WITH ve AS MATERIALIZED (SELECT vec_id, label, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM (
          |    SELECT vec_id, label, embedding,
          |      unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings)),
          |vn AS (SELECT vec_id, ${n2Sql("embedding")} AS n2 FROM embeddings),
@@ -3738,7 +3738,7 @@ object SparkEntry {
     // streaming ANN-ingest batch analog: the full-corpus kmeans chain
     // + the shared assignment CTEs, restricted to the %4 "stream"
     "q_ann_ingest" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
          |$veSql,
          |$kmeansChainSql,
          |$ivfAssignCtes
@@ -3760,7 +3760,7 @@ object SparkEntry {
          |  SELECT vec_id + $off,
          |    list_concat(embedding[${sh + 1}:], embedding[1:$sh])
          |  FROM embeddings),
-         |n AS (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM drift),
+         |n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM drift),
          |${veSql.replace("FROM embeddings", "FROM drift")},
          |${kmeansChainSql.replace("FROM embeddings", "FROM drift")},
          |$ivfAssignCtes
