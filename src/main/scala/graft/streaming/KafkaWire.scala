@@ -388,28 +388,48 @@ object KafkaWire {
       var attempts = 0
       while (true) {
         val addr = routes.getOrElse(tp, (host, port))
-        val pr = connTo(addr).request(ApiProduce, 3) { w =>
-          w.nstr(transactionalId).i16(-1 /* acks=all */).i32(30000)
-          w.i32(1); w.str(topic); w.i32(1); w.i32(partition); w.nbytes(recordSet)
-        }
-        val nTopics = pr.i32()
-        var err: Short = ErrNone; var baseOffset = -1L
-        (0 until nTopics).foreach { _ =>
-          pr.str(); val nParts = pr.i32()
-          (0 until nParts).foreach { _ =>
-            pr.i32(); val e = pr.i16(); val off = pr.i64(); pr.i64() // log_append_time
-            if (e != ErrNone) err = e else baseOffset = off
+        val attempt: Either[Short, Long] =
+          try {
+            val pr = connTo(addr).request(ApiProduce, 3) { w =>
+              w.nstr(transactionalId).i16(-1 /* acks=all */).i32(30000)
+              w.i32(1); w.str(topic); w.i32(1); w.i32(partition); w.nbytes(recordSet)
+            }
+            val nTopics = pr.i32()
+            var err: Short = ErrNone; var baseOffset = -1L
+            (0 until nTopics).foreach { _ =>
+              pr.str(); val nParts = pr.i32()
+              (0 until nParts).foreach { _ =>
+                pr.i32(); val e = pr.i16(); val off = pr.i64(); pr.i64() // log_append_time
+                if (e != ErrNone) err = e else baseOffset = off
+              }
+            }
+            pr.i32() // throttle
+            if (err == ErrNone) Right(baseOffset) else Left(err)
+          } catch {
+            // torn connection: the request may or may not have
+            // APPENDED before the socket died (the response-lost-after-
+            // append case is THE classic duplicate scenario) — dropping
+            // the dead connection and retrying the SAME record set is
+            // exactly-once because the broker dedups by (pid,
+            // baseSequence); a retried already-appended batch answers
+            // ErrNone without appending again
+            case e: java.io.IOException if attempts < 5 =>
+              conns.remove(addr).foreach(c =>
+                try c.close() catch { case _: Throwable => () })
+              Left(ErrNotLeader) // reuse the re-resolve + retry arm below
           }
+        attempt match {
+          case Right(off) => return off
+          case Left(err) if err == ErrNotLeader && attempts < 5 =>
+            attempts += 1
+            try metadataLeader(host, port, topic, partition)
+              .foreach(routes(tp) = _)
+            catch { case _: java.io.IOException | _: WireErrorException => () }
+            System.err.println(s"[kafka-wire] $topic-$partition produce " +
+              s"retry via ${routes.getOrElse(tp, (host, port))} " +
+              s"(attempt $attempts)")
+          case Left(err) => check(err, "Produce")
         }
-        pr.i32() // throttle
-        if (err == ErrNotLeader && attempts < 5) {
-          attempts += 1
-          metadataLeader(host, port, topic, partition)
-            .foreach(routes(tp) = _)
-          System.err.println(s"[kafka-wire] $topic-$partition produce " +
-            s"re-routed to leader ${routes.getOrElse(tp, (host, port))} " +
-            s"(attempt $attempts)")
-        } else { check(err, "Produce"); return baseOffset }
       }
       throw new IllegalStateException("unreachable")
     }
@@ -897,6 +917,11 @@ object KafkaWire {
       * (mid-RecordBatch) — a broker restart / network partition
       * tearing the connection under the reader. */
     val cutNextFetchResponses = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Chaos: cut the SOCKET halfway through the next Produce
+      * RESPONSE — the batch has APPENDED but the producer never
+      * learns it: the response-lost-after-append duplicate scenario
+      * that sequence-based idempotence exists for. */
+    val cutNextProduceResponses = new java.util.concurrent.atomic.AtomicInteger(0)
     /** Chaos: deliver every response in 7-byte TCP dribbles — the
       * fragmentation a real network applies; a client that assumes
       * one read() == one frame corrupts itself. */
@@ -998,8 +1023,10 @@ object KafkaWire {
           // `get() > 0 && getAndDecrement() > 0` raced concurrent
           // fetch handler threads negative, silently disarming later
           // injections — a flake source for multi-reader chaos specs
-          if (apiKey == ApiFetch &&
-              cutNextFetchResponses.getAndUpdate(n => if (n > 0) n - 1 else n) > 0) {
+          if ((apiKey == ApiFetch &&
+              cutNextFetchResponses.getAndUpdate(n => if (n > 0) n - 1 else n) > 0) ||
+              (apiKey == ApiProduce &&
+              cutNextProduceResponses.getAndUpdate(n => if (n > 0) n - 1 else n) > 0)) {
             // chaos: tear the connection mid-RecordBatch — ship half
             // the frame, then cut the socket under the reader
             out.write(bytes, 0, bytes.length / 2); out.flush()

@@ -73,6 +73,28 @@ class KafkaWireChaosSpec extends SparkSpec {
     }
   }
 
+  test("produce response lost AFTER the append: sequence dedup keeps it exactly-once") {
+    withBroker { b =>
+      // the classic duplicate scenario idempotence exists for: the
+      // broker appends the batch, then the socket dies before the
+      // producer reads the ack — the producer MUST retry (it cannot
+      // know the append happened), and the broker MUST dedup the
+      // retried (pid, baseSequence)
+      val p = new WireProducer("127.0.0.1", b.port, "cutp-tx")
+      try {
+        p.initTransactions(); p.beginTransaction()
+        p.send("t", "k0", "v0")
+        b.cutNextProduceResponses.set(1)
+        p.send("t", "k1", "v1") // appended, ack cut, retried, deduped
+        p.commitTransaction()
+      } finally p.close()
+      assert(b.dedupedProduces >= 1, "the retried batch must hit the dedup path")
+      val recs = KafkaWire.fetchCommittedRange("127.0.0.1", b.port, "t", 0, 0L, 3L)
+      assert(recs.map(r => (r._1, r._3)) == Vector((0L, "v0"), (1L, "v1")),
+        s"lost/duplicated across the torn produce ack: $recs")
+    }
+  }
+
   test("short reads (7-byte TCP dribbles): framing survives fragmentation") {
     withBroker { b =>
       produce(b, "t", "drb-tx", "k0", "k1", "k2", "k3", "k4")

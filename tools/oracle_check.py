@@ -22,10 +22,13 @@ import time
 
 import duckdb
 
-# Per-query DuckDB budget at sf0.01. The whole 212-query pass must fit
-# in single-digit minutes; one row over this means a CTE chain lost its
-# MATERIALIZED hints (see SURVEY §2.8's q_whiten entry).
+# Per-query DuckDB budget at sf0.01 (the driver's gate SF — the budget
+# is only ENFORCED there; cross-SF dev runs still print timings). The
+# whole 212-query pass must fit in single-digit minutes; one row over
+# this means a CTE chain lost its MATERIALIZED hints (see SURVEY
+# §2.8's q_whiten entry).
 ORACLE_BUDGET_S = 60.0
+GATE_SF_BASENAME = "sf0.01"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -124,7 +127,9 @@ def main(sf_dir, out_dir, only=None):
             continue
         g = norm([[r[i] for i in gi] for r in got])
         w = norm([[r[i] for i in wi] for r in want])
-        if oracle_s > ORACLE_BUDGET_S:
+        enforce_budget = os.path.basename(
+            os.path.realpath(sf_dir)) == GATE_SF_BASENAME
+        if enforce_budget and oracle_s > ORACLE_BUDGET_S:
             print(f"FAIL {name}: oracle wall {oracle_s:.1f}s exceeds "
                   f"{ORACLE_BUDGET_S:.0f}s budget (values "
                   f"{'match' if g == w else 'MISMATCH'}) — "
