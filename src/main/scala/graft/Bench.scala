@@ -681,12 +681,20 @@ object Bench {
             System.err.println(s"[bench] sf1 $name probe failed: ${e.getMessage}")
             (0L, 0L)
           }
-        val (imgN, imgCand) = probe2("image_lsh")(
-          graft.operators.Multimodal.imageDedupProbe(spark, sf1Dir))
-        val (audN, audCand) = probe2("audio_lsh")(
-          graft.operators.Multimodal.audioDedupProbe(spark, sf1Dir))
-        val (vidN, vidCand) = probe2("video_lsh")(
-          graft.operators.Multimodal.videoDedupProbe(spark, sf1Dir))
+        // combined per-modality probes (round-18): ONE signature pass
+        // + ONE banded pair scan feed both the candidate-reduction row
+        // and the recall floor below
+        def probe4(name: String)(f: => (Long, Long, Long, Long)): (Long, Long, Long, Long) =
+          try f catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name probe failed: ${e.getMessage}")
+            (0L, 0L, 0L, 0L)
+          }
+        val (imgN, imgCand, imgPlanted, imgRecalled) = probe4("image_lsh")(
+          graft.operators.Multimodal.imageProbe(spark, sf1Dir))
+        val (audN, audCand, audPlanted, audRecalled) = probe4("audio_lsh")(
+          graft.operators.Multimodal.audioProbe(spark, sf1Dir))
+        val (vidN, vidCand, vidPlanted, vidRecalled) = probe4("video_lsh")(
+          graft.operators.Multimodal.videoProbe(spark, sf1Dir))
         val imgAll = imgN * (imgN - 1) / 2
         val audAll = audN * (audN - 1) / 2
         val vidAll = vidN * (vidN - 1) / 2
@@ -721,30 +729,33 @@ object Bench {
         // planted dup docs byte-identically), recalled = those the
         // banded hamming<=3 chain recovers. Identical bytes collide
         // in EVERY band, so the floor is exactly 1.0 — a shortfall
-        // is an implementation regression, never LSH noise.
-        val (imgPlanted, imgRecalled) = probe2("image_recall")(
-          graft.operators.Multimodal.imageRecallProbe(spark, sf1Dir))
-        val (audPlanted, audRecalled) = probe2("audio_recall")(
-          graft.operators.Multimodal.audioRecallProbe(spark, sf1Dir))
-        val (vidPlanted, vidRecalled) = probe2("video_recall")(
-          graft.operators.Multimodal.videoRecallProbe(spark, sf1Dir))
-        // srp rows keep the rec > 0 guard (their probe() failure mode
-        // is rec = 0 with planted computed separately — the failure is
-        // surfaced by its own stderr line); media rows don't need it
-        // (probe2 returns the (planted, recalled) tuple atomically, so
-        // rec = 0 with pl > 0 IS a real zero-recall regression)
-        val floorFailures = (Seq(
-          ("srp_strict_recall_floor", planted, plantedRecalled, RecallFloor, true),
-          ("srp_deep_recall_floor", planted, deepRecalled, RecallFloor, true),
-          ("image_recall_floor", imgPlanted, imgRecalled, 1.0, false),
-          ("audio_recall_floor", audPlanted, audRecalled, 1.0, false),
-          ("video_recall_floor", vidPlanted, vidRecalled, 1.0, false))).collect {
-          case (tag, pl, rec, floor, needRec) if (!needRec || rec > 0) &&
-              pl > 0 && rec.toDouble < floor * pl =>
-            System.err.println(
-              s"[bench] $tag violated: $rec/$pl < $floor")
+        // is an implementation regression, never LSH noise. A media
+        // row with planted == 0 is ITSELF a violation (the replica
+        // corpus plants byte-identical pairs by construction and
+        // `planted` comes from the same probe being gated, so a zero
+        // means the probe failed or the truth construction broke —
+        // not a clean pass); the srp rows keep the rec > 0 guard
+        // (their probe() failure mode is rec = 0 with planted
+        // computed separately, already surfaced on stderr).
+        val srpFloorFailures = Seq(
+          ("srp_strict_recall_floor", planted, plantedRecalled),
+          ("srp_deep_recall_floor", planted, deepRecalled)).collect {
+          case (tag, pl, rec) if rec > 0 && pl > 0 &&
+              rec.toDouble < RecallFloor * pl =>
+            System.err.println(s"[bench] $tag violated: $rec/$pl < $RecallFloor")
             tag
         }
+        val mediaFloorFailures = Seq(
+          ("image_recall_floor", imgPlanted, imgRecalled),
+          ("audio_recall_floor", audPlanted, audRecalled),
+          ("video_recall_floor", vidPlanted, vidRecalled)).collect {
+          case (tag, pl, rec) if pl == 0 || rec < pl =>
+            System.err.println(s"[bench] $tag violated: $rec/$pl " +
+              (if (pl == 0) "(vacuous truth set — probe failed or planted lift broke)"
+               else "< 1.0"))
+            tag
+        }
+        val floorFailures = srpFloorFailures ++ mediaFloorFailures
         val times = (sf1Times ++ gateSteady ++ sgateSteady ++ qgateSteady ++
             egateSteady ++ egateDeepSteady ++ skgateSteady ++ eosSteady ++ eosE2e)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }

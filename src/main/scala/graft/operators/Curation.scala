@@ -163,32 +163,15 @@ object Curation {
     val s3 = s2train.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(false) // feeds budget chain + agg
 
-    // ---- stage 5: token budget — the distributed prefix sum of
-    // qTokenBudgetSample over the surviving token mass, bucket-key
-    // length derived from the survivor count (round-18, VERDICT r17
-    // #5: fixed 256 buckets made each bucket a fat ~N/256-row sort at
-    // 100 TB; the count rides the already-materialized s3 checkpoint)
-    val prefixLen = TextAnalysis.budgetPrefixLen(s3.count())
-    val docsB = s3
-      .withColumn("k", md5(col("doc_id").cast(StringType)))
-      .withColumn("bucket", substring(col("k"), 1, prefixLen))
-      .localCheckpoint(false) // feeds bucket sums + the cum join
-    val bsums = docsB.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bsum"))
-      .localCheckpoint(false) // <=16^prefixLen rows: offsets AND the budget scalar
-    val offsets = bsums
-      .withColumn("off", coalesce(
-        sum(col("bsum")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("off"))
-    // integral halving: >>1 == floor div 2 on the non-negative total
-    val budget = bsums.agg(shiftright(sum(col("bsum")), 1).as("budget"))
-    val wCum = Window.partitionBy(col("bucket"))
-      .orderBy(col("k"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s4 = docsB.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum", col("off") + sum(col("n_tok")).over(wCum))
-      .crossJoin(broadcast(budget)) // 1-row scalar
-      .filter(col("cum") <= col("budget"))
+    // ---- stage 5: token budget — TextAnalysis.tokenBudgetCore (ONE
+    // implementation of the md5-order distributed prefix sum) over the
+    // surviving token mass, bucket-key length derived from the
+    // survivor count (round-18, VERDICT r17 #5; the count rides the
+    // already-materialized s3 checkpoint). s3 is the chain's one
+    // corpus-sized checkpoint — the core adds only projections.
+    val docsB = s3.withColumn("k", md5(col("doc_id").cast(StringType)))
+    val s4 = TextAnalysis.tokenBudgetCore(docsB,
+        TextAnalysis.budgetPrefixLen(s3.count()), tokCol = "n_tok")
       .select(col("doc_id"), col("n_tok"))
       .localCheckpoint(false) // feeds chunking + agg
 

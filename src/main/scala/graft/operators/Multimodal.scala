@@ -409,14 +409,12 @@ object Multimodal {
     * the audio fingerprint dedup — the all-pairs space is
     * n*(n-1)/2 over the first element. */
   def audioDedupProbe(s: SparkSession, d: String): (Long, Long) = {
-    val sig = afpFrame(s, d).localCheckpoint(false)
-    (sig.count(), bandedPairs(sig).count())
+    val (n, cand, _, _) = audioProbe(s, d); (n, cand)
   }
 
   /** Bench probe twin of [[audioDedupProbe]] for the image dHash. */
   def imageDedupProbe(s: SparkSession, d: String): (Long, Long) = {
-    val sig = dhashFrame(s, d).localCheckpoint(false)
-    (sig.count(), bandedPairs(sig).count())
+    val (n, cand, _, _) = imageProbe(s, d); (n, cand)
   }
 
   /** The full media TRANSFORM pipeline — decode → resample (2:1
@@ -1443,8 +1441,7 @@ object Multimodal {
   /** Bench probe twin of [[audioDedupProbe]] for the video
     * fingerprint: (signature count, banded candidate-pair count). */
   def videoDedupProbe(s: SparkSession, d: String): (Long, Long) = {
-    val sig = vDhashFrame(s, d).localCheckpoint(false)
-    (sig.count(), videoBandedPairs(sig).count())
+    val (n, cand, _, _) = videoProbe(s, d); (n, cand)
   }
 
   /** Planted-recall floor for a perceptual modality (round-18,
@@ -1460,8 +1457,10 @@ object Multimodal {
     * (planted, recalled); any shortfall is an implementation
     * regression in the explode/bucket-join/verify chain, never LSH
     * noise. Truth is a digest group-join (bounded dup-cluster
-    * fan-out), not all-pairs. */
-  private def recallProbe(digs0: DataFrame, found: DataFrame): (Long, Long) = {
+    * fan-out), not all-pairs; truth is restricted to docs that HAVE
+    * a signature (the codecs admit-by-omission containers too small
+    * to hash — a pair never fingerprinted is not a recall miss). */
+  private def recallOf(digs0: DataFrame, found: DataFrame): (Long, Long) = {
     val digs = digs0.localCheckpoint(false)
     val truth = digs.as("x").join(digs.as("y"),
         col("x.dig") === col("y.dig") &&
@@ -1472,14 +1471,20 @@ object Multimodal {
       truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count())
   }
 
-  def imageRecallProbe(s: SparkSession, d: String): (Long, Long) =
-    // truth restricted to docs that HAVE a signature (the codec
-    // admits-by-omission containers too small to hash — a pair whose
-    // members were never fingerprinted is not a recall miss)
-    recallProbe(imageTable(Tables.documents(s, d)).toDF()
+  /** Combined per-modality bench probe: (n signatures, banded
+    * candidate pairs, planted, recalled) — ONE signature pass and ONE
+    * banded pair scan feed both the candidate-reduction row and the
+    * recall floor (the separate dedup/recall probes re-ran the whole
+    * decode + self-join chain per row). */
+  def imageProbe(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val sig = dhashFrame(s, d).localCheckpoint(false)
+    val pairs = bandedPairs(sig).localCheckpoint(false)
+    val digs = imageTable(Tables.documents(s, d)).toDF()
       .select(col("doc_id"), md5(col("payload")).as("dig"))
-      .join(dhashFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      qImageNeardup(s, d))
+      .join(sig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val (pl, rec) = recallOf(digs, pairs.filter(col("hamming") <= 3))
+    (sig.count(), pairs.count(), pl, rec)
+  }
 
   /** Audio's truth key is the fingerprinted SAMPLE PREFIX, not the
     * container: the fingerprint reads only the first
@@ -1487,20 +1492,40 @@ object Multimodal {
     * utf-8 text bytes), and the header carries a doc_id-derived rate —
     * so planted dup docs produce byte-DIFFERENT containers whose
     * fingerprints are still identical, and docs sharing only that
-    * prefix are identical-fingerprint pairs too. Restricted to docs
-    * long enough to fingerprint (identical first chars ⇒ identical
-    * leading utf-8 bytes, so the char-substring key is sound). */
-  def audioRecallProbe(s: SparkSession, d: String): (Long, Long) =
-    recallProbe(Tables.documents(s, d)
-      .join(afpFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    * prefix are identical-fingerprint pairs too. (Identical first
+    * chars ⇒ identical leading utf-8 bytes, so the char-substring
+    * key is sound.) */
+  def audioProbe(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val sig = afpFrame(s, d).localCheckpoint(false)
+    val pairs = bandedPairs(sig).localCheckpoint(false)
+    val digs = Tables.documents(s, d)
+      .join(sig.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         md5(substring(col("text"), 1, (AfpWindows + AfpLag) * AfpWindow))
-          .as("dig")),
-      qAudioNeardup(s, d))
+          .as("dig"))
+    val (pl, rec) = recallOf(digs, pairs.filter(col("hamming") <= 3))
+    (sig.count(), pairs.count(), pl, rec)
+  }
 
-  def videoRecallProbe(s: SparkSession, d: String): (Long, Long) =
-    recallProbe(videoTable(Tables.documents(s, d)).toDF()
+  def videoProbe(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val sig = vDhashFrame(s, d).localCheckpoint(false)
+    val pairs = videoBandedPairs(sig).localCheckpoint(false)
+    val digs = videoTable(Tables.documents(s, d)).toDF()
       .select(col("doc_id"), md5(col("payload")).as("dig"))
-      .join(vDhashFrame(s, d).select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      qVideoNeardup(s, d))
+      .join(sig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val (pl, rec) = recallOf(digs, pairs.filter(col("hamming") <= 3))
+    (sig.count(), pairs.count(), pl, rec)
+  }
+
+  def imageRecallProbe(s: SparkSession, d: String): (Long, Long) = {
+    val (_, _, pl, rec) = imageProbe(s, d); (pl, rec)
+  }
+
+  def audioRecallProbe(s: SparkSession, d: String): (Long, Long) = {
+    val (_, _, pl, rec) = audioProbe(s, d); (pl, rec)
+  }
+
+  def videoRecallProbe(s: SparkSession, d: String): (Long, Long) = {
+    val (_, _, pl, rec) = videoProbe(s, d); (pl, rec)
+  }
 }

@@ -657,19 +657,25 @@ object TextAnalysis {
     * order-preserving prefixes of the global md5 sort key; the
     * decomposition is plan shape, not semantics — the oracle mirrors
     * it with one global window). Factored out so the invariance is a
-    * testable property, not a comment. */
-  private[graft] def qTokenBudgetAt(base: DataFrame, prefixLen: Int): DataFrame = {
-    val docs = base
-      .withColumn("bucket", substring(col("k"), 1, prefixLen))
-      .localCheckpoint(false)
-    val bsums = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bsum"))
+    * testable property, not a comment.
+    *
+    * `base` must be (doc_id, `tokCol`, k=md5(doc_id)) and ALREADY
+    * checkpointed — the chain adds only a substring projection per
+    * consumer, so no second corpus-sized checkpoint is taken here
+    * (the ONE shared by [[qTokenBudgetSample]] and the curation
+    * stage-5 caller is the caller's). Returns the admitted rows
+    * (doc_id, tokCol, cum_tokens), unordered. */
+  private[graft] def tokenBudgetCore(base: DataFrame, prefixLen: Int,
+      tokCol: String = "n_tokens"): DataFrame = {
+    val docs = base.withColumn("bucket", substring(col("k"), 1, prefixLen))
+    val bsums = docs.groupBy(col("bucket")).agg(sum(col(tokCol)).as("bsum"))
       .localCheckpoint(false) // <=16^prefixLen rows, feeds offsets AND the budget
     val offsets = bsums
       .withColumn("off", coalesce(
         sum(col("bsum")).over(Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bucket"), col("off"))
-    // integral halving (n_tokens >= 0, so >>1 == floor div 2) — a
+    // integral halving (token counts >= 0, so >>1 == floor div 2) — a
     // double division would round above 2^53 total tokens and admit a
     // different trailing document than the oracle's exact `// 2`
     val budget = bsums.agg(shiftright(sum(col("bsum")), 1).as("budget"))
@@ -677,12 +683,14 @@ object TextAnalysis {
       .orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(wCum))
+      .withColumn("cum_tokens", col("off") + sum(col(tokCol)).over(wCum))
       .crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("budget"))
-      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col(tokCol), col("cum_tokens"))
   }
+
+  private[graft] def qTokenBudgetAt(base: DataFrame, prefixLen: Int): DataFrame =
+    tokenBudgetCore(base, prefixLen).orderBy(col("doc_id"))
 
   /** Gopher/C4-style quality-filter FUNNEL: four heuristic rules
     * applied in sequence, reported as an attrition table (n_in /

@@ -320,13 +320,31 @@ object KafkaWire {
         val addr = coordAddr.getOrElse {
           val a = findCoordinator(); coordAddr = Some(a); a
         }
-        val (err, v) = attempt(connTo(addr))
-        if (err == ErrNotCoordinator && attempts < 3) {
-          attempts += 1
-          coordAddr = None // next loop re-resolves
-          System.err.println(s"[kafka-wire] $what re-resolving coordinator " +
-            s"after NOT_COORDINATOR (attempt $attempts)")
-        } else { check(err, what); return v }
+        val err: Short =
+          try {
+            val (e, v) = attempt(connTo(addr))
+            if (e != ErrNotCoordinator || attempts >= 3) { check(e, what); return v }
+            e
+          } catch {
+            // torn coordinator socket: evict the dead cached Conn and
+            // re-resolve — the driver-side EOS sink holds ONE producer
+            // across micro-batches, so a poisoned cached connection
+            // would fail every subsequent batch even after the broker
+            // returns. Safe to retry all three txn APIs: InitProducerId
+            // and AddPartitionsToTxn are idempotent at the coordinator,
+            // and a replayed EndTxn on an already-finished transaction
+            // finds no open batches (an extra control marker is
+            // admission-invisible — read_committed skips control
+            // batches), matching the real coordinator's dedup.
+            case e: java.io.IOException if attempts < 3 =>
+              conns.remove(addr).foreach(c =>
+                try c.close() catch { case _: Throwable => () })
+              ErrNotCoordinator // reuse the re-resolve arm below
+          }
+        attempts += 1
+        coordAddr = None // next loop re-resolves
+        System.err.println(s"[kafka-wire] $what re-resolving coordinator " +
+          s"(attempt $attempts)")
       }
       throw new IllegalStateException("unreachable")
     }
@@ -621,8 +639,12 @@ object KafkaWire {
   def listOffset(host: String, port: Int, topic: String, partition: Int,
       earliest: Boolean): Long = {
     // a real broker answers ListOffsets for a partition it no longer
-    // leads with NOT_LEADER — re-resolve once via Metadata (the same
-    // route-table move as the fetch paths) and ask the actual leader
+    // leads with NOT_LEADER — re-resolve via Metadata (the same
+    // route-table move as the fetch paths) and ask the actual leader.
+    // An election in flight (leader -1) or a metadata hiccup falls
+    // back to retry-in-place, exactly like RangePager.reroute: this
+    // rides the driver's per-trigger poll, and throwing on attempt 1
+    // would fail the whole streaming query over one-RTT weather
     var attempts = 0
     var (h, pt) = (host, port)
     while (true) {
@@ -630,11 +652,11 @@ object KafkaWire {
       catch {
         case e: WireErrorException if e.code == ErrNotLeader && attempts < 5 =>
           attempts += 1
-          val (lh, lp) = metadataLeader(host, port, topic, partition)
-            .getOrElse(throw e)
+          try metadataLeader(host, port, topic, partition)
+            .foreach { l => h = l._1; pt = l._2 }
+          catch { case _: java.io.IOException | _: WireErrorException => () }
           System.err.println(s"[kafka-wire] $topic-$partition ListOffsets " +
-            s"re-routed to leader $lh:$lp (attempt $attempts)")
-          h = lh; pt = lp
+            s"retry via $h:$pt (attempt $attempts)")
       }
     }
     throw new IllegalStateException("unreachable")
