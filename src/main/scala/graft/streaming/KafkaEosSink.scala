@@ -63,6 +63,13 @@ object KafkaEosSink {
     def initTransactions(): Unit
     def beginTransaction(): Unit
     def send(topic: String, key: String, value: String): Unit
+    /** Bulk form of [[send]] — implementations that speak the wire
+      * override this to ship ONE multi-record RecordBatch per chunk
+      * instead of one round-trip per record (round-18 review: a
+      * 10k-row micro-batch as 10k sequential Produce RTTs). Semantics
+      * identical to records.foreach(send). */
+    def sendAll(topic: String, records: Seq[(String, String)]): Unit =
+      records.foreach { case (k, v) => send(topic, k, v) }
     def commitTransaction(): Unit
     def abortTransaction(): Unit
   }
@@ -184,7 +191,8 @@ object KafkaEosSink {
         .collect() // see class doc: foreachPartition in production
       p.beginTransaction()
       try {
-        rows.foreach(r => p.send(topic, r.getString(0), r.getString(1)))
+        p.sendAll(topic,
+          rows.toSeq.map(r => (r.getString(0), r.getString(1))))
         // marker rides in the SAME transaction: rows and progress
         // become visible atomically or not at all
         p.send(progressTopic, txId, batchId.toString)
@@ -317,7 +325,11 @@ object KafkaEosSink {
             val p = w.p
             p.beginTransaction()
             try {
-              it.foreach(r => p.send(t, r.getString(0), r.getString(1)))
+              // chunked bulk sends: the iterator is never materialized
+              // whole; each chunk ships as one multi-record batch
+              it.grouped(graft.streaming.KafkaWire.SendBatchRecords)
+                .foreach(g => p.sendAll(t,
+                  g.map(r => (r.getString(0), r.getString(1)))))
               // this PARTITION's marker rides in its own transaction:
               // partition rows and partition progress are atomic;
               // batch-level visibility = all partitions' markers

@@ -83,6 +83,11 @@ object KafkaWire {
   final class FencedException(msg: String) extends RuntimeException(msg)
   final class WireErrorException(val code: Short, msg: String) extends RuntimeException(msg)
 
+  /** Records per Produce RecordBatch in [[WireProducer.sendAll]] —
+    * bounds the frame size (and the work a retried chunk replays)
+    * while amortizing the round-trip ~1000x vs per-record sends. */
+  val SendBatchRecords = 1000
+
   // ---- primitive codec: Kafka classic (non-flexible) encoding ----
 
   final class Writer {
@@ -366,7 +371,9 @@ object KafkaWire {
       inTxn.clear()
     }
 
-    def send(topic: String, key: String, value: String): Unit = {
+    /** Register (topic, 0) with the transaction coordinator on the
+      * transaction's first send to it. */
+    private def ensureInTxn(topic: String): Unit = {
       val tp = (topic, 0)
       if (!inTxn.contains(tp)) {
         onCoordinator("AddPartitionsToTxn") { c =>
@@ -385,10 +392,26 @@ object KafkaWire {
         }
         inTxn += tp
       }
-      val seq = seqs.getOrElse(tp, 0)
-      val batch = encodeBatch(pid, epoch, seq, transactional = true, Seq((key, value)))
-      produceRaw(topic, 0, batch)
-      seqs(tp) = seq + 1
+    }
+
+    def send(topic: String, key: String, value: String): Unit =
+      sendAll(topic, Seq((key, value)))
+
+    /** One multi-record RecordBatch per [[SendBatchRecords]]-record
+      * chunk — N rows cost ceil(N/chunk) Produce round-trips, not N
+      * (round-18 review). The batch consumes `records.size` sequence
+      * slots, so broker-side idempotent dedup covers a retried chunk
+      * exactly as it covers a retried single record. */
+    override def sendAll(topic: String, records: Seq[(String, String)]): Unit = {
+      if (records.isEmpty) return
+      ensureInTxn(topic)
+      val tp = (topic, 0)
+      records.grouped(SendBatchRecords).foreach { group =>
+        val seq = seqs.getOrElse(tp, 0)
+        produceRaw(topic, 0,
+          encodeBatch(pid, epoch, seq, transactional = true, group))
+        seqs(tp) = seq + group.size
+      }
     }
 
     private[graft] def currentPidEpoch: (Long, Short) = (pid, epoch)
@@ -570,22 +593,28 @@ object KafkaWire {
     * form ([[KafkaEosSink.Sink]] doc). Loops pages so a long progress
     * log (or an 8 MB-capped response) is still read to its end. */
   def readLastCommitted(host: String, port: Int, progressTopic: String, txId: String): Long = {
-    val c = new Conn(host, port, s"graft-marker-$txId")
-    try {
-      var last = -1L
-      // seed at the broker's log-start, not 0: a progress topic under
-      // compact,delete retention has no offset 0 anymore, and a scan
-      // from 0 would be OFFSET_OUT_OF_RANGE forever (crash-looping
-      // every restart) — the same fix as the source's earliest start
-      var cur = listOffset(host, port, progressTopic, 0, earliest = true)
-      var done = false
-      while (!done) {
-        val page = fetchOnce(c, progressTopic, 0, cur)
-        page.records.foreach { case (_, k, v) => if (k == txId) last = v.toLong }
-        if (page.next <= cur || page.next >= page.lso) done = true else cur = page.next
+    var last = -1L
+    // seed at the broker's log-start, not 0: a progress topic under
+    // compact,delete retention has no offset 0 anymore, and a scan
+    // from 0 would be OFFSET_OUT_OF_RANGE forever (crash-looping
+    // every restart) — the same fix as the source's earliest start
+    var cur = listOffset(host, port, progressTopic, 0, earliest = true)
+    var done = false
+    while (!done) {
+      // per page through the shared leader-retry (round-18 review:
+      // this restart path previously pinned ONE bootstrap socket — on
+      // a cluster whose progress-topic leader is another node, every
+      // restart crash-looped on NOT_LEADER)
+      val page = withLeaderRetry(host, port, progressTopic, 0,
+        s"graft-marker-$txId")(fetchOnce(_, progressTopic, 0, cur))
+      page.records.foreach { case (_, k, v) =>
+        // a compacted-away marker leaves a null-value tombstone:
+        // "no marker anymore", never an NPE
+        if (k == txId) last = if (v == null) -1L else v.toLong
       }
-      last
-    } finally c.close()
+      if (page.next <= cur || page.next >= page.lso) done = true else cur = page.next
+    }
+    last
   }
 
   /** Fetch v4 with isolation_level=read_committed for ONE
@@ -598,37 +627,54 @@ object KafkaWire {
     * mounts it as a Spark MicroBatchStream; its per-task reader
     * constructs a [[RangePager]] directly (lazy paging until the
     * planned range is covered). */
-  def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
-      from: Long): (Long, Vector[(Long, String, String)]) = {
-    // the driver's per-trigger LSO poll rides this: one NOT_LEADER or
-    // torn socket must not fail the whole streaming query, so it gets
-    // the RangePager's transient-retry posture (bounded; data-loss
-    // errors still propagate). NOT_LEADER re-resolves the leader via
-    // Metadata against the bootstrap address before retrying (r18) —
-    // retry-in-place is only right when leadership did NOT move.
+  /** ONE leader-routed transient-retry posture for every
+    * driver/restart-time call (round-18 review: four hand-copied
+    * retry loops had drifted — one lacked the IOException arm, two
+    * built the Conn outside the guarded region so a connect-time
+    * ConnectException bypassed the whole budget). Per attempt: open a
+    * fresh connection to the current route INSIDE the guard, run
+    * `body`; NOT_LEADER re-resolves the partition leader via the
+    * bootstrap's Metadata (an in-flight election or metadata hiccup
+    * falls back to retry-in-place); IOException (including connect
+    * failures) retries the current route. Everything else — including
+    * OFFSET_OUT_OF_RANGE, the data-loss contract — propagates. */
+  private def withLeaderRetry[T](bootHost: String, bootPort: Int,
+      topic: String, partition: Int, clientId: String,
+      maxRetries: Int = 5)(body: Conn => T): T = {
+    var (rh, rp) = (bootHost, bootPort)
     var attempts = 0
-    var (rh, rp) = (host, port)
     while (true) {
-      val c = new Conn(rh, rp, s"graft-fetch-$topic-$partition")
+      var c: Conn = null
       try {
-        val page = fetchOnce(c, topic, partition, from)
-        return (page.lso, page.records)
+        c = new Conn(rh, rp, clientId)
+        return body(c)
       } catch {
-        case e: WireErrorException if e.code == ErrNotLeader && attempts < 5 =>
+        case e: WireErrorException if e.code == ErrNotLeader &&
+            attempts < maxRetries =>
           attempts += 1
-          try metadataLeader(host, port, topic, partition)
+          try metadataLeader(bootHost, bootPort, topic, partition)
             .foreach { l => rh = l._1; rp = l._2 }
           catch { case _: java.io.IOException | _: WireErrorException => () }
-          System.err.println(s"[kafka-wire] $topic-$partition poll retry " +
-            s"after NOT_LEADER → leader $rh:$rp (attempt $attempts)")
-        case e: java.io.IOException if attempts < 5 =>
+          System.err.println(s"[kafka-wire] $topic-$partition retry via " +
+            s"$rh:$rp after NOT_LEADER (attempt $attempts)")
+        case e: java.io.IOException if attempts < maxRetries =>
           attempts += 1
-          System.err.println(s"[kafka-wire] $topic-$partition poll retry " +
-            s"after ${e.getClass.getSimpleName} (attempt $attempts)")
-      } finally c.close()
+          System.err.println(s"[kafka-wire] $topic-$partition retry after " +
+            s"${e.getClass.getSimpleName} (attempt $attempts)")
+      } finally if (c != null) { try c.close() catch { case _: Throwable => () } }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  def fetchCommitted(host: String, port: Int, topic: String, partition: Int,
+      from: Long): (Long, Vector[(Long, String, String)]) =
+    // the driver's per-trigger LSO poll rides this: one NOT_LEADER or
+    // torn socket must not fail the whole streaming query
+    withLeaderRetry(host, port, topic, partition,
+        s"graft-fetch-$topic-$partition") { c =>
+      val page = fetchOnce(c, topic, partition, from)
+      (page.lso, page.records)
+    }
 
   /** ListOffsets v1: the broker's EARLIEST retained offset (timestamp
     * -2) or log-end offset (timestamp -1) for one topic-partition —
@@ -637,35 +683,11 @@ object KafkaWire {
     * on a topic whose head has been deleted by retention, offset 0 no
     * longer exists and fetching it is OFFSET_OUT_OF_RANGE. */
   def listOffset(host: String, port: Int, topic: String, partition: Int,
-      earliest: Boolean): Long = {
-    // a real broker answers ListOffsets for a partition it no longer
-    // leads with NOT_LEADER — re-resolve via Metadata (the same
-    // route-table move as the fetch paths) and ask the actual leader.
-    // An election in flight (leader -1) or a metadata hiccup falls
-    // back to retry-in-place, exactly like RangePager.reroute: this
-    // rides the driver's per-trigger poll, and throwing on attempt 1
-    // would fail the whole streaming query over one-RTT weather
-    var attempts = 0
-    var (h, pt) = (host, port)
-    while (true) {
-      try return listOffsetAt(h, pt, topic, partition, earliest)
-      catch {
-        case e: WireErrorException if e.code == ErrNotLeader && attempts < 5 =>
-          attempts += 1
-          try metadataLeader(host, port, topic, partition)
-            .foreach { l => h = l._1; pt = l._2 }
-          catch { case _: java.io.IOException | _: WireErrorException => () }
-          System.err.println(s"[kafka-wire] $topic-$partition ListOffsets " +
-            s"retry via $h:$pt (attempt $attempts)")
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
-
-  private def listOffsetAt(host: String, port: Int, topic: String,
-      partition: Int, earliest: Boolean): Long = {
-    val c = new Conn(host, port, s"graft-listoff-$topic-$partition")
-    try {
+      earliest: Boolean): Long =
+    // rides the same per-trigger driver poll as fetchCommitted — the
+    // shared retry posture (NOT_LEADER re-route + IOException retry)
+    withLeaderRetry(host, port, topic, partition,
+        s"graft-listoff-$topic-$partition") { c =>
       val r = c.request(ApiListOffsets, 1) { w =>
         w.i32(-1) // replica_id (consumer)
         w.i32(1); w.str(topic); w.i32(1)
@@ -684,8 +706,7 @@ object KafkaWire {
         }
       }
       off
-    } finally c.close()
-  }
+    }
 
   /** Metadata v1: the partition→leader route a real Kafka client keeps
     * (kafka.apache.org/protocol, Metadata API key 3). Returns the
@@ -747,7 +768,10 @@ object KafkaWire {
     // NOT_LEADER — the route table a real kafka-clients consumer keeps
     private var rHost = host
     private var rPort = port
-    private var c = new Conn(rHost, rPort, s"graft-fetch-$topic-$partition")
+    // lazily connected INSIDE fetchPage's guard: a connect-time
+    // ConnectException (broker restarting) must consume retry budget,
+    // not fail construction / escape the catch (round-18 review)
+    private var c: Conn = null
     private var cur = from
     private var buf: Iterator[(Long, String, String)] = Iterator.empty
     private var done = from >= until
@@ -769,15 +793,17 @@ object KafkaWire {
     private def fetchPage(offset: Long): FetchPage = {
       var attempts = 0
       while (true) {
-        try return fetchOnce(c, topic, partition, offset)
-        catch {
+        try {
+          if (c == null) c = new Conn(rHost, rPort, s"graft-fetch-$topic-$partition")
+          return fetchOnce(c, topic, partition, offset)
+        } catch {
           case e: WireErrorException if e.code == ErrNotLeader &&
               attempts < MaxTransientRetries =>
             attempts += 1
             reroute(s"NOT_LEADER (attempt $attempts)")
           case e: java.io.IOException if attempts < MaxTransientRetries =>
             attempts += 1
-            reconnect(s"connection lost: ${e.getClass.getSimpleName} (attempt $attempts)")
+            dropConn(s"connection lost: ${e.getClass.getSimpleName} (attempt $attempts)")
         }
       }
       throw new IllegalStateException("unreachable")
@@ -792,13 +818,15 @@ object KafkaWire {
         case Some((lh, lp)) => rHost = lh; rPort = lp
         case None => ()
       } catch { case _: java.io.IOException | _: WireErrorException => () }
-      reconnect(s"$why → leader $rHost:$rPort")
+      dropConn(s"$why → leader $rHost:$rPort")
     }
 
-    private def reconnect(why: String): Unit = {
+    /** Drop the (possibly dead) connection; the NEXT fetchPage
+      * attempt reconnects INSIDE its guard, so a connect failure
+      * during recovery also consumes budget instead of escaping. */
+    private def dropConn(why: String): Unit = {
       System.err.println(s"[kafka-wire] $topic-$partition fetch retry after $why")
-      try c.close() catch { case _: Throwable => () }
-      c = new Conn(rHost, rPort, s"graft-fetch-$topic-$partition")
+      if (c != null) { try c.close() catch { case _: Throwable => () }; c = null }
     }
 
     override def hasNext: Boolean = {
@@ -818,7 +846,7 @@ object KafkaWire {
       if (!hasNext) throw new NoSuchElementException("range exhausted")
       buf.next()
     }
-    override def close(): Unit = c.close()
+    override def close(): Unit = if (c != null) c.close()
   }
 
   /** Strict form of [[RangePager]]: the whole range as a Vector (spec
@@ -1169,9 +1197,16 @@ object KafkaWire {
                   val key = (batch.producerId, topic, partition)
                   val expected = seqState.getOrElse(key, 0)
                   if (batch.baseSequence < expected) {
-                    // idempotent dedup of a retried request
+                    // idempotent dedup of a retried request — answer
+                    // the ORIGINAL append's offset, as a real broker
+                    // does (round-18 review: 0L misreported the
+                    // response-lost-after-append retry)
                     dedupedProduces += 1
-                    PartResult(topic, partition, ErrNone, 0L)
+                    val orig = logs.getOrElse((topic, partition), Vector.empty)
+                      .find(b => !b.control && b.pid == batch.producerId &&
+                        b.baseSeq == batch.baseSequence)
+                      .map(_.baseOffset).getOrElse(0L)
+                    PartResult(topic, partition, ErrNone, orig)
                   } else if (batch.baseSequence > expected) {
                     PartResult(topic, partition, ErrOutOfOrderSequence, -1L)
                   } else {
@@ -1347,13 +1382,25 @@ object KafkaWire {
             val out = Vector.newBuilder[Array[Byte]]
             var bytes = 0
             var cut: Array[Byte] = null
-            served.foreach { b =>
+            // STOP at the first batch that doesn't fit (round-18
+            // review): continuing would (a) emit a NON-CONTIGUOUS
+            // record set when a later smaller batch still fits — the
+            // client's `next` then silently skips the dropped batch's
+            // offsets (a real broker never leaves gaps) — and (b)
+            // re-encode the whole remaining log per page, making a
+            // capped paging scan O(n²)
+            var capped = false
+            val it = served.iterator
+            while (!capped && it.hasNext) {
+              val b = it.next()
               val enc = encodeBatch(b.pid, b.epoch, b.baseSeq, b.transactional,
                 b.records, b.baseOffset, b.control)
-              if (cut == null && (bytes == 0 || bytes + enc.length <= maxFetchBytes)) {
+              if (bytes == 0 || bytes + enc.length <= maxFetchBytes) {
                 out += enc; bytes += enc.length
-              } else if (cut == null && truncateTailBatch) {
-                cut = java.util.Arrays.copyOf(enc, enc.length / 2)
+              } else {
+                if (truncateTailBatch)
+                  cut = java.util.Arrays.copyOf(enc, enc.length / 2)
+                capped = true
               }
             }
             val full = out.result()
