@@ -81,7 +81,8 @@ object KafkaEosSink {
     * lets Kafka fence a zombie predecessor on `initTransactions` —
     * so it is derived from the query's checkpoint location
     * ([[transactionalId]]), never random. */
-  def producerConfigs(bootstrap: String, transactionalId: String): Map[String, String] = Map(
+  def producerConfigs(bootstrap: String, transactionalId: String,
+      txnTimeoutMs: Int = 60000): Map[String, String] = Map(
     "bootstrap.servers" -> bootstrap,
     "transactional.id" -> transactionalId,
     // implied by transactional.id, pinned explicitly: idempotent
@@ -89,8 +90,13 @@ object KafkaEosSink {
     "enable.idempotence" -> "true",
     "acks" -> "all",
     // reference: transaction.timeout.ms tuned below the broker cap
-    // (DataClean.java:104); must exceed the max micro-batch interval
-    "transaction.timeout.ms" -> "60000",
+    // (DataClean.java:104); MUST exceed the max micro-batch interval
+    // or the coordinator aborts a slow batch mid-flight and fences
+    // the producer — the 60 s reference default is a parameter
+    // because a 100 TB micro-batch (shuffle + per-partition sends)
+    // can legitimately exceed it; size it to worst-case batch wall,
+    // below the broker's transaction.max.timeout.ms
+    "transaction.timeout.ms" -> txnTimeoutMs.toString,
     "key.serializer" -> "org.apache.kafka.common.serialization.StringSerializer",
     "value.serializer" -> "org.apache.kafka.common.serialization.StringSerializer")
 
@@ -175,11 +181,17 @@ object KafkaEosSink {
     // A replayed batch id <= this is ALREADY in Kafka (its marker
     // committed atomically with its rows) — skip, don't resend.
     private var lastCommitted: Option[Long] = None
-    private def producer: TxProducer = producerOpt.getOrElse {
-      val p = newProducer()
-      p.initTransactions() // fences any zombie predecessor with this id
-      producerOpt = Some(p)
-      p
+    // synchronized: the check-then-act on producerOpt is not atomic —
+    // two concurrent first writers would each init a producer, the
+    // second's epoch bump fencing the first mid-batch and leaking it
+    // (round-18 review)
+    private def producer: TxProducer = synchronized {
+      producerOpt.getOrElse {
+        val p = newProducer()
+        p.initTransactions() // fences any zombie predecessor with this id
+        producerOpt = Some(p)
+        p
+      }
     }
 
     /** Rows must carry (key, value) string columns. */
@@ -207,6 +219,15 @@ object KafkaEosSink {
           // timeout, broker-side success) a real producer's abort
           // throws — that must not mask the original error.
           try p.abortTransaction() catch { case e2: Throwable => e.addSuppressed(e2) }
+          // EVICT the producer (round-18 review): if the abort ALSO
+          // failed, the broker-side transaction may still be open —
+          // a retry reusing this producer would append a SECOND copy
+          // of the batch into that open transaction and commit both
+          // (exactly-once violation). The retry's fresh
+          // initTransactions bumps the epoch, which aborts any
+          // dangling transaction first.
+          try p.close() catch { case e2: Throwable => e.addSuppressed(e2) }
+          synchronized { producerOpt = None }
           // ambiguous-commit resolution: re-read the marker so a
           // commit that actually LANDED broker-side advances
           // lastCommitted and the retried batch is skipped, not
@@ -306,11 +327,21 @@ object KafkaEosSink {
     def write(df: DataFrame, batchId: Long): Unit = {
       val (t, pt, ck) = (topic, progressTopic, checkpointDir)
       val (np, rlc) = (newProducer, readLastCommitted)
+      val nParts = numPartitions
       df.select(col("key").cast("string"), col("value").cast("string"))
         .repartition(numPartitions, col("key"))
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val txId = transactionalId(ck, Some(pid))
+          // fixed parallelism is this sink's SOUNDNESS condition (class
+          // doc): markers are per (key-hash partition), so changing
+          // numPartitions across a restart rehashes keys into
+          // partitions whose markers disagree — silently resending
+          // some rows and silently SKIPPING others on a half-committed
+          // replay. The layout is therefore persisted as its own
+          // compacted marker and validated before any restore
+          // (round-18 review).
+          val npKey = transactionalId(ck, None) + "#np"
           // acquire-and-VERIFY loop: a concurrent attempt that failed
           // while we waited on the monitor evicts + closes the pooled
           // writer (its error path below) — operating on that closed
@@ -319,8 +350,22 @@ object KafkaEosSink {
           // one and otherwise rebuild a fresh producer and retry
           def writeBatch(w: PooledWriter): Unit = {
           // marker restore AFTER init (the driver Sink's fencing-
-          // before-read rationale), once per pooled producer
-          if (!w.restored) { w.lastCommitted = rlc(txId); w.restored = true }
+          // before-read rationale), once per pooled producer —
+          // preceded by the layout check: an EXISTING progress log
+          // written under a different numPartitions must fail loudly,
+          // never replay under the new hashing
+          if (!w.restored) {
+            val priorNp = rlc(npKey)
+            if (priorNp >= 0 && priorNp != nParts.toLong)
+              throw new IllegalStateException(
+                s"progress topic '$pt' was written with numPartitions=" +
+                  s"$priorNp but this sink runs $nParts — replaying a " +
+                  "half-committed batch under a different key hashing " +
+                  "would duplicate some rows and lose others; restore " +
+                  s"numPartitions=$priorNp or reset the checkpoint AND " +
+                  "the progress topic together")
+            w.lastCommitted = rlc(txId); w.restored = true
+          }
           if (batchId > w.lastCommitted) {
             val p = w.p
             p.beginTransaction()
@@ -333,19 +378,24 @@ object KafkaEosSink {
               // this PARTITION's marker rides in its own transaction:
               // partition rows and partition progress are atomic;
               // batch-level visibility = all partitions' markers
-              // present (the Flink all-subtasks-committed condition)
+              // present (the Flink all-subtasks-committed condition).
+              // The layout marker rides too (idempotent: every writer
+              // sends the same value; compaction keeps one).
+              p.send(pt, npKey, nParts.toString)
               p.send(pt, txId, batchId.toString)
               p.commitTransaction()
               w.lastCommitted = batchId
             } catch {
               case e: Throwable =>
                 try p.abortTransaction() catch { case e2: Throwable => e.addSuppressed(e2) }
-                // ambiguous-commit resolution per partition (the
-                // driver Sink's convention): force a fresh marker
-                // read on the retried task; evict a possibly-fenced
-                // producer so the retry builds a clean one
-                w.restored = false
-                pool.remove(txId)
+                // evict OUR OWN pool entry only (round-18 review:
+                // an unconditional remove(txId) could delete a
+                // successor writer another task installed after a
+                // concurrent eviction, orphaning its open producer);
+                // the retried task's computeIfAbsent builds a fresh
+                // PooledWriter (restored = false), so the marker
+                // re-read is guaranteed without touching this one
+                pool.remove(txId, w)
                 try p.close() catch { case e2: Throwable => e.addSuppressed(e2) }
                 throw e
             }

@@ -52,9 +52,14 @@ class KafkaEosPartitionedSpec extends SparkSpec {
         out.size == 40, s"rows lost/duplicated: ${out.size}")
       // one marker per partition writer, all for batch 0 — the
       // all-subtasks-committed visibility condition
-      val markers = b.committed("progress")
+      // batch markers only (the sink also persists its partition
+      // LAYOUT as a '#np' marker — the restart soundness check)
+      val markers = b.committed("progress").filterNot(_._1.endsWith("#np"))
       assert(markers.size == 4 && markers.forall(_._2 == "0"),
         s"wrong per-partition markers: $markers")
+      assert(b.committed("progress").count(_._1.endsWith("#np")) == 4 &&
+        b.committed("progress").filter(_._1.endsWith("#np")).forall(_._2 == "4"),
+        "every partition's txn must carry the numPartitions layout marker")
       assert(markers.map(_._1).toSet ==
         (0 until 4).map(p => KafkaEosSink.transactionalId("/ckpt/part-1", Some(p))).toSet,
         "markers not keyed by per-partition transactional id")
@@ -73,7 +78,7 @@ class KafkaEosPartitionedSpec extends SparkSpec {
       s.write(Seq(("a", "1"), ("b", "2")).toDF("key", "value"), 0L) // 2 rows, 4 partitions: some empty
       val after = b.committed("out")
       assert(after.toSet == Set(("a", "1"), ("b", "2")))
-      assert(b.committed("progress").size == 4,
+      assert(b.committed("progress").filterNot(_._1.endsWith("#np")).size == 4,
         "empty partitions must also commit their marker (replay skip needs it)")
       s.write(Seq(("a", "1"), ("b", "2")).toDF("key", "value"), 0L) // foreachBatch replay
       assert(b.committed("out") == after, "replayed batch re-sent rows")
@@ -145,6 +150,28 @@ class KafkaEosPartitionedSpec extends SparkSpec {
       // per-partition markers for the micro-batch that carried data
       assert(b.committed("progress").count(_._2 == "0") == 2,
         s"expected one batch-0 marker per writer partition: ${b.committed("progress")}")
+    }
+  }
+
+  test("a restart with a DIFFERENT numPartitions fails loudly before any replay") {
+    withBroker { b =>
+      val s = sink(b, "/ckpt/part-np", 4)
+      s.write(rows(16), 0L)
+      val committed = b.committed("out")
+      // restart with numPartitions 4 -> 2: keys rehash, so a replay
+      // would duplicate rows whose new partition has no marker and
+      // LOSE rows whose new partition's marker says "committed" —
+      // the sink must refuse instead
+      KafkaEosSink.clearPool()
+      val s2 = sink(b, "/ckpt/part-np", 2)
+      val e = intercept[Exception] { s2.write(rows(16), 0L) }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause == null) String.valueOf(t.getMessage)
+        else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+      assert(rootMsg(e).contains("numPartitions"),
+        s"expected the layout-mismatch refusal, got: ${rootMsg(e)}")
+      assert(b.committed("out") == committed,
+        "the refused replay must not have sent anything")
     }
   }
 
