@@ -172,86 +172,23 @@ object Bench {
     val ccRoundsMain = graft.operators.Dedup.lastCcRounds.get()
 
     // ---- sf1-class scale point: deterministic 10x corpus ----
-    // 10 replicas of the sf0.1 documents/embeddings tables. Replica 0
-    // is the original; every other replica's docs get a per-replica
-    // token tag (so cross-replica docs share NO shingles) and its
-    // vectors a per-replica circular rotation (cosine between
-    // different-replica copies ~ 0) — near-dup structure replicates
-    // LINEARLY while the all-pairs space grows 100x, which is exactly
-    // the regime the LSH reduction claims must hold in. Single-shot
-    // timing (not median-of-reps): the row exists to show the
-    // candidate-reduction ratios holding at 10x, and 3x-repeating
-    // multi-second probes would triple a minutes-long section.
+    // Corpus construction lives in BenchCorpus.generate10x (round-19
+    // extraction) so the isolated fresh-JVM probe protocol
+    // (BuildProbe, bench_variance.md) measures against the IDENTICAL
+    // corpus this judged section uses. Single-shot timing (not
+    // median-of-reps): the row exists to show the candidate-reduction
+    // ratios holding at 10x, and 3x-repeating multi-second probes
+    // would triple a minutes-long section.
     val sf1Json: String =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) "null"
       else try {
-        val sf1Path = java.nio.file.Files.createTempDirectory("graft-sf1")
+        val sf1Path = BenchCorpus.generate10x(spark, sfDir)
         val sf1Dir = sf1Path.toString
         // probe tables use the shared digest naming scheme — no
         // hardcoded table literals, and build/cleanup cannot drift
         def gateTbl(kind: String): String =
           graft.streaming.DedupGate.gateTableName(kind, sf1Dir)
         try {
-        val reps10 = spark.range(10).select(col("id").as("rep"))
-        val docs = Tables.documents(spark, sfDir)
-        docs.crossJoin(reps10).select(
-          (col("doc_id") * 10 + col("rep")).as("doc_id"),
-          org.apache.spark.sql.functions.when(col("rep") === 0, col("text"))
-            .otherwise(org.apache.spark.sql.functions.regexp_replace(col("text"),
-              org.apache.spark.sql.functions.lit("(\\S+)"),
-              org.apache.spark.sql.functions.concat(
-                org.apache.spark.sql.functions.lit("r"),
-                col("rep").cast("string"),
-                org.apache.spark.sql.functions.lit("_$1")))).as("text"),
-          col("lang"), col("source"))
-          // tagged replicas are longer than their source rows, so
-          // n_chars is recomputed — copying it would leave the
-          // generated table internally inconsistent
-          .withColumn("n_chars",
-            org.apache.spark.sql.functions.length(col("text")).cast("long"))
-          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
-        // per-replica circular rotation; a zero shift for rep>0 (dim a
-        // multiple of 7) would duplicate replica 0 exactly and silently
-        // break the linear-near-dup premise — clamp to >=1 (round-8
-        // advice; dim=64 today, so this is a guard, not a change)
-        Tables.embeddings(spark, sfDir).crossJoin(reps10)
-          .withColumn("shift", org.apache.spark.sql.functions.expr(
-            "case when rep = 0 then 0 else greatest(1, cast(rep*7 % size(embedding) as int)) end"))
-          .select(
-          (col("vec_id") * 10 + col("rep")).as("vec_id"),
-          org.apache.spark.sql.functions.expr(
-            """concat(
-              |  slice(embedding, shift + 1, size(embedding) - shift),
-              |  slice(embedding, 1, shift))"""
-              .stripMargin).as("embedding"),
-          col("label"))
-          .write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
-        // 10x TPC-H star schema: entity keys re-striped by replica
-        // (k*10+rep) so every join stays within-replica — referential
-        // integrity is preserved, no cross-replica fan-in, aggregates
-        // and join cardinalities scale LINEARLY while the table sizes
-        // grow 10x. Dims (nation/region) are fixed and copied.
-        val keyCols: Seq[(String, Seq[String])] = Seq(
-          "customer" -> Seq("c_custkey"),
-          "orders" -> Seq("o_orderkey", "o_custkey"),
-          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-          "part" -> Seq("p_partkey"),
-          "supplier" -> Seq("s_suppkey"))
-        for ((t, keys) <- keyCols)
-          keys.foldLeft(Tables.load(spark, sfDir, t).crossJoin(reps10))(
-              (df, k) => df.withColumn(k, col(k) * 10 + col("rep")))
-            .drop("rep")
-            .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
-        for (t <- Seq("nation", "region"))
-          Tables.load(spark, sfDir, t)
-            .write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
-        // warm the generated tables the same way as the main SF
-        for (t <- Seq("documents", "embeddings", "customer", "orders",
-            "lineitem", "part", "supplier", "nation", "region")) {
-          val df = Tables.load(spark, sf1Dir, t)
-          df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max(col("h"))).collect()
-        }
         // FULL corpus-query suite at 10x (round-9 advice #3): every
         // documents/embeddings-dependent query runs once, EXCEPT the
         // documented non-scale-path exclusions, each with a reason:
@@ -870,29 +807,11 @@ object Bench {
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""
         s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"cc_rounds":${graft.operators.Dedup.lastCcRounds.get()},"queries":$times,"ratios":$ratiosJson,"ratios_vs_max":$ratiosVsMaxJson,"build_ratios":$buildRatiosJson,"memoized_build":$memoizedJson,"superlinear":$superJson,"superlinear_build":$superBuildJson,"superlinear_expected":$superExpectedJson,"failed":$failedJson,"text_lsh":${ratio(textAll, textCand)},"srp_strict":${ratio(srpAll, srpCand)},"srp_deep":${ratio(srpAll, deepCand)},"image_lsh":${ratio(imgAll, imgCand)},"audio_lsh":${ratio(audAll, audCand)},"video_lsh":${ratio(vidAll, vidCand)},"srp_strict_recall":{"planted":$planted,"recalled":$plantedRecalled},"srp_deep_recall":{"planted":$planted,"recalled":$deepRecalled,"floor":${jnum(RecallFloor)}},"image_recall":{"planted":$imgPlanted,"recalled":$imgRecalled,"floor":1.0},"audio_recall":{"planted":$audPlanted,"recalled":$audRecalled,"floor":1.0},"video_recall":{"planted":$vidPlanted,"recalled":$vidRecalled,"floor":1.0}}"""
-        } finally { // ~10x sf0.1 of parquet per run — don't accrete in /tmp
-          new scala.reflect.io.Directory(sf1Path.toFile).deleteRecursively()
-          // q9 derives a partsupp for the (temp-named) sf1 dir — drop
-          // files AND the JVM memo together
-          Tables.dropPartsupp(sf1Dir)
-          // the gate probes' content tables and the sf1 queries'
-          // memoized pair indexes (digest-keyed by the TEMP dir name,
-          // so a new table per run) would otherwise accrete one
-          // warehouse dir per run
-          val digest = graft.sources.Writers.tableDigest(sf1Dir)
-          for (t <- Seq(gateTbl("bench_sh"), gateTbl("bench_span"),
-              gateTbl("bench_emb"), gateTbl("bench_emb_deep"),
-              gateTbl("bench_kmv"), gateTbl("bench_cms"),
-              gateTbl("bench_psample"),
-              s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
-            try spark.sql(s"DROP TABLE IF EXISTS $t")
-            catch { case _: Throwable => () }
-          // saved ANN artifacts (IVF centroids, PQ codebooks) and the
-          // rebuild surface's serving/quantizer tables are digest-keyed
-          // by the temp dir name too
-          graft.operators.Similarity.dropArtifacts(spark, sf1Dir)
-          graft.streaming.AnnIngest.dropRebuild(spark, sf1Dir)
-        }
+        } finally // ~10x sf0.1 of parquet per run — don't accrete in
+          // /tmp; BenchCorpus.cleanup10x also drops the digest-keyed
+          // memo/pair/gate tables and saved ANN artifacts the probes
+          // created for the temp dir name
+          BenchCorpus.cleanup10x(spark, sf1Path)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
         "null"

@@ -314,7 +314,19 @@ object KafkaEosSink {
     * exactly the latest marker per writer partition, making the
     * restart-time restore scan O(writer partitions) instead of
     * O(all batches ever committed). The restore itself runs once per
-    * pooled producer (per executor per partition), not per batch. */
+    * pooled producer (per executor per partition), not per batch.
+    *
+    * Layout-marker boundary condition (round-19 advice): the '#np'
+    * validation is check-then-commit, so on a FIRST-EVER run (empty
+    * progress topic, no marker yet) two sinks started CONCURRENTLY
+    * with different `numPartitions` against the same checkpoint id
+    * both pass validation and commit conflicting markers — don't do
+    * that; one streaming query owns one (checkpoint, progress topic)
+    * pair, which Structured Streaming's own checkpoint lock already
+    * enforces for any sane deployment. A NON-empty progress topic
+    * with no marker (pre-marker data, or a compaction misconfig that
+    * dropped it) is refused loudly at restore rather than trusted —
+    * see the migration note in the restore block. */
   final class PartitionedSink(
       topic: String,
       progressTopic: String,
@@ -364,7 +376,24 @@ object KafkaEosSink {
                   "would duplicate some rows and lose others; restore " +
                   s"numPartitions=$priorNp or reset the checkpoint AND " +
                   "the progress topic together")
-            w.lastCommitted = rlc(txId); w.restored = true
+            val prior = rlc(txId)
+            // committed batch markers WITHOUT a layout marker = a
+            // progress log from before the '#np' scheme (or a marker
+            // lost to a misconfigured compaction): the key hashing it
+            // was written under is unverifiable, so resuming could be
+            // the exact silent rehash-duplication the marker exists to
+            // prevent — refuse loudly instead of skipping validation
+            // (round-19 advice; pre-marker topics must be migrated by
+            // writing the '#np' record once, or reset whole)
+            if (priorNp < 0 && prior >= 0)
+              throw new IllegalStateException(
+                s"progress topic '$pt' has committed batch markers but " +
+                  s"no '$npKey' layout marker — its original " +
+                  "numPartitions is unverifiable; after confirming the " +
+                  s"layout, write '$npKey' -> <numPartitions> to the " +
+                  "progress topic once (migration), or reset the " +
+                  "checkpoint AND the progress topic together")
+            w.lastCommitted = prior; w.restored = true
           }
           if (batchId > w.lastCommitted) {
             val p = w.p

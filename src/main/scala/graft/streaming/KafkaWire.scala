@@ -74,6 +74,7 @@ object KafkaWire {
   val ErrNone = 0: Short
   val ErrOffsetOutOfRange = 1: Short // fetch below earliest / beyond log end
   val ErrCorruptMessage = 2: Short // CRC mismatch
+  val ErrUnknownTopic = 3: Short // UNKNOWN_TOPIC_OR_PARTITION — topic never produced
   val ErrNotLeader = 6: Short // leadership moved — retriable after re-resolve
   val ErrCoordinatorNotAvailable = 15: Short // retriable (caller-visible; the sink owns this retry)
   val ErrNotCoordinator = 16: Short // coordinator moved — re-resolve via FindCoordinator
@@ -658,9 +659,20 @@ object KafkaWire {
           System.err.println(s"[kafka-wire] $topic-$partition retry via " +
             s"$rh:$rp after NOT_LEADER (attempt $attempts)")
         case e: java.io.IOException if attempts < maxRetries =>
+          // a torn socket may mean the LEADER HOST died (connect
+          // refused forever), not just a dropped packet — re-resolve
+          // via the bootstrap like the NOT_LEADER arm (real
+          // kafka-clients refresh metadata on disconnect; round-19
+          // advice), so the retry budget is spent on the new leader
+          // instead of burned against a dead address. produceRaw gets
+          // the same behavior by mapping IOException into its
+          // NOT_LEADER re-resolve arm.
           attempts += 1
-          System.err.println(s"[kafka-wire] $topic-$partition retry after " +
-            s"${e.getClass.getSimpleName} (attempt $attempts)")
+          try metadataLeader(bootHost, bootPort, topic, partition)
+            .foreach { l => rh = l._1; rp = l._2 }
+          catch { case _: java.io.IOException | _: WireErrorException => () }
+          System.err.println(s"[kafka-wire] $topic-$partition retry via " +
+            s"$rh:$rp after ${e.getClass.getSimpleName} (attempt $attempts)")
       } finally if (c != null) { try c.close() catch { case _: Throwable => () } }
     }
     throw new IllegalStateException("unreachable")
@@ -1157,7 +1169,16 @@ object KafkaWire {
       }
       val err = lock.synchronized {
         txns.get(txId) match {
-          case Some((p, e)) if p == pid && e == epoch => ErrNone
+          case Some((p, e)) if p == pid && e == epoch =>
+            // a partition registered in a transaction EXISTS from here
+            // on (the auto-create seam, like a real cluster's producer-
+            // driven topic creation): materialize its default
+            // leadership so Metadata can route a producer bootstrapped
+            // at a NON-leader to it — while topics never registered or
+            // produced still answer UNKNOWN_TOPIC (round-19 advice)
+            for ((t, parts) <- topics; p0 <- parts)
+              state.leaders.getOrElseUpdate((t, p0), state.leaderOf((t, p0)))
+            ErrNone
           case Some(_) => fencedRejections += 1; ErrInvalidProducerEpoch
           case None => ErrInvalidProducerEpoch
         }
@@ -1200,10 +1221,16 @@ object KafkaWire {
                     // idempotent dedup of a retried request — answer
                     // the ORIGINAL append's offset, as a real broker
                     // does (round-18 review: 0L misreported the
-                    // response-lost-after-append retry)
+                    // response-lost-after-append retry). Matched on
+                    // epoch too, and from the TAIL: after an epoch
+                    // bump the same (pid, baseSequence) can recur, and
+                    // the retried batch must report ITS append, not a
+                    // prior epoch's (round-19 advice).
                     dedupedProduces += 1
                     val orig = logs.getOrElse((topic, partition), Vector.empty)
+                      .reverseIterator
                       .find(b => !b.control && b.pid == batch.producerId &&
+                        b.epoch == batch.producerEpoch &&
                         b.baseSeq == batch.baseSequence)
                       .map(_.baseOffset).getOrElse(0L)
                     PartResult(topic, partition, ErrNone, orig)
@@ -1286,12 +1313,20 @@ object KafkaWire {
       val asked = if (nTopics < 0) Seq.empty else (0 until nTopics).map(_ => req.str())
       val (brokers, topicParts) = lock.synchronized {
         val known = (logs.keys ++ state.leaders.keys).toSeq
+        val knownNames = known.map(_._1).toSet
         val names =
           if (asked.nonEmpty) asked
           else known.map(_._1).distinct.sorted
+        // a topic NEITHER log nor leadership state has seen answers
+        // UNKNOWN_TOPIC_OR_PARTITION (3), per protocol — fabricating a
+        // confident partition-0 route for it would mask topic-name
+        // typos behind an empty-looking stream (round-19 advice)
         val parts = names.map { t =>
-          val ps = (known.collect { case (`t`, p) => p } :+ 0).distinct.sorted
-          t -> ps.map(p => (p, state.leaderOf((t, p))))
+          if (!knownNames.contains(t)) t -> None
+          else {
+            val ps = (known.collect { case (`t`, p) => p } :+ 0).distinct.sorted
+            t -> Some(ps.map(p => (p, state.leaderOf((t, p)))))
+          }
         }
         (state.brokers.toSeq.sortBy(_._1), parts)
       }
@@ -1301,14 +1336,18 @@ object KafkaWire {
       }
       resp.i32(brokers.map(_._1).min) // controller_id
       resp.i32(topicParts.size)
-      topicParts.foreach { case (t, ps) =>
-        resp.i16(ErrNone).str(t).bool(false) // error, name, is_internal
-        resp.i32(ps.size)
-        ps.foreach { case (p, leader) =>
-          resp.i16(ErrNone).i32(p).i32(leader)
-          resp.i32(1).i32(leader) // replicas = [leader]
-          resp.i32(1).i32(leader) // isr = [leader]
-        }
+      topicParts.foreach {
+        case (t, None) =>
+          resp.i16(ErrUnknownTopic).str(t).bool(false)
+          resp.i32(0) // no partitions for an unknown topic
+        case (t, Some(ps)) =>
+          resp.i16(ErrNone).str(t).bool(false) // error, name, is_internal
+          resp.i32(ps.size)
+          ps.foreach { case (p, leader) =>
+            resp.i16(ErrNone).i32(p).i32(leader)
+            resp.i32(1).i32(leader) // replicas = [leader]
+            resp.i32(1).i32(leader) // isr = [leader]
+          }
       }
     }
 

@@ -77,67 +77,217 @@ object ReportPipeline {
     }
   }
 
+  /** Everything [[DurableKeyedUpsertSink.commit]] needs, produced by
+    * [[DurableKeyedUpsertSink.stage]] with NO reader-visible effect —
+    * the seam DurableUpsertSpec's torn-visibility test drives
+    * directly. (Top-level so the compiler need not capture an outer
+    * sink reference in pattern tests.) */
+  private[graft] final case class StagedUpsert(
+    newGen: Long, newManifest: Map[Int, Long],
+    priorGen: Option[Long], priorManifest: Map[Int, Long],
+    affected: Set[Int])
+
   /** Durable keyed upsert (K2 production shape): MERGE each micro-batch
     * into a parquet table hash-partitioned by a stable bucket of the
     * key (wstart, type, area) — the on-disk counterpart of the
     * reference ES sink's deterministic doc id (DataReport.java:181).
     *
-    * Per batch: bucket every incoming row, read back ONLY the affected
-    * bucket partitions (static partition pruning on the collected
-    * bucket ids — a bounded, <= nBuckets-int driver value, never rows),
-    * drop existing rows whose key is being updated (last-write-wins),
-    * union the new rows, and dynamically overwrite just those
-    * partitions. Replaying a batch rewrites the same partitions with
-    * identical content, so restart/replay is idempotent end-to-end on
-    * disk (proven by DurableUpsertSpec).
+    * ==Manifest-pointer commit (round-19, VERDICT r18 #2)==
+    *
+    * The pre-r19 form dynamically overwrote `bucket=` partitions in
+    * place, which exposed a concurrent reader to TORN multi-bucket
+    * state mid-commit (some buckets new, some old — and files mid-
+    * replacement inside a bucket). The ES sink it mirrors never has
+    * this problem (per-doc upserts are atomic); the batch analog gets
+    * it back with the catalog-atomic-swap discipline of
+    * [[AnnIngest.rebuild]], generalized to per-bucket generations:
+    *
+    *   <table>/_current              one line: committed generation id
+    *   <table>/_manifests/gen-<g>    "bucket gen" line per live bucket
+    *   <table>/data/bucket=<b>/gen=<g>/   parquet rows of b as of g
+    *
+    * Per batch (generation id = the Spark batch id, so replays land on
+    * the same generation):
+    *  1. STAGE: bucket the incoming rows, read back ONLY the affected
+    *     buckets' CURRENT generation dirs (bounded: the affected list
+    *     is <= nBuckets ints), anti-join out updated keys, union the
+    *     new rows, write one partitionBy job into `_stage/`, and
+    *     rename each staged bucket dir to `data/bucket=b/gen=N`.
+    *     Readers keep resolving the OLD manifest throughout.
+    *  2. COMMIT: write manifest gen-N (atomic tmp+rename), then flip
+    *     `_current` to N (atomic tmp+rename) — a reader racing the
+    *     merge observes all-old or all-new, never a mix (proven by
+    *     DurableUpsertSpec's staged-visibility + racing-reader tests).
+    *  3. GC: drop each affected bucket's generations OLDER than the
+    *     one the prior manifest pinned (the prior generation itself is
+    *     kept for readers that resolved `_current` just before the
+    *     flip — the AnnIngest invalidation posture: readers may lag at
+    *     most one commit), and manifests older than the prior pointer.
+    *
+    * Replay idempotence: a replayed batch recomputes the identical
+    * merged content (the prior manifest already points affected
+    * buckets at gen=N after a crash-after-commit, and merging batch
+    * rows into their own committed result is a fixpoint); buckets the
+    * prior manifest ALREADY pins at gen=N are not rewritten at all, so
+    * a replay never tears the dirs a racing reader is resolving.
     *
     * At scale each batch touches at most nBuckets partitions and the
     * rewrite volume is bounded by the affected buckets' size, not the
-    * table's; a transactional table format would replace the
-    * localCheckpoint lineage cut with a real MERGE, with the same key
+    * table's; a transactional table format (Delta/Iceberg) IS this
+    * manifest dance productized — swap in a real MERGE, keep the key
     * semantics. The actual ES CLIENT path (chunked `_bulk` upserts
     * over JDK HttpClient, same deterministic ids) is
     * [[EsUpsertSink]] — swap sinks, keep the keys. */
   final class DurableKeyedUpsertSink(tablePath: String, nBuckets: Int = 16) {
-    private def hasTable: Boolean = {
-      val fs = new java.io.File(tablePath).listFiles()
-      fs != null && fs.exists(_.getName.startsWith("bucket="))
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    private def root = new Path(tablePath)
+    private def currentPtr = new Path(root, "_current")
+    private def manifestPath(g: Long) = new Path(new Path(root, "_manifests"), s"gen-$g")
+    private def bucketDir(b: Int, g: Long) =
+      new Path(new Path(new Path(root, "data"), s"bucket=$b"), s"gen=$g")
+
+    private def fsOf(s: SparkSession): FileSystem =
+      root.getFileSystem(s.sessionState.newHadoopConf())
+
+    private def readText(fs: FileSystem, p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+          Some(Iterator.continually(r.readLine()).takeWhile(_ != null).mkString("\n"))
+        } finally in.close()
+      }
+
+    /** tmp+rename(OVERWRITE) — the LateRouter persist discipline:
+      * atomic on HDFS/local; the pointer is tiny and self-contained,
+      * so object-store copy+delete degradation is still all-or-
+      * nothing per read. */
+    private def writeAtomic(s: SparkSession, fs: FileSystem, target: Path,
+        content: String): Unit = {
+      val tmp = new Path(target.getParent, target.getName + ".tmp")
+      fs.mkdirs(target.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(target.toUri, s.sessionState.newHadoopConf())
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
-    def write(batch: DataFrame, batchId: Long): Unit = {
+    private def currentGen(fs: FileSystem): Option[Long] =
+      readText(fs, currentPtr).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+
+    private def readManifest(fs: FileSystem, g: Long): Map[Int, Long] =
+      readText(fs, manifestPath(g)).map(_.split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).map { l =>
+          val Array(b, bg) = l.split(" ")
+          b.toInt -> bg.toLong
+        }.toMap).getOrElse(Map.empty)
+
+    /** Phase 1: write the merged affected-bucket generations to their
+      * final dirs. Readers still resolve the old manifest — nothing
+      * is visible until [[commit]] flips the pointer. */
+    private[graft] def stage(batch: DataFrame, batchId: Long): Option[StagedUpsert] = {
       val s = batch.sparkSession
+      val fs = fsOf(s)
       val withBucket = batch.withColumn("bucket",
         pmod(hash(col("wstart"), col("type"), col("area")), lit(nBuckets)))
-      val merged =
-        if (!hasTable) withBucket
-        else {
-          val affected = withBucket.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0)).toSeq
-          if (affected.isEmpty) return
-          s.read.parquet(tablePath)
-            .filter(col("bucket").isin(affected: _*))
+      val affected = withBucket.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) return None
+      val priorGen = currentGen(fs)
+      val priorManifest = priorGen.map(readManifest(fs, _)).getOrElse(Map.empty)
+      // replay-after-commit: buckets the prior manifest already pins
+      // at THIS generation are durably committed with identical
+      // content — rewriting them would tear dirs a racing reader is
+      // resolving, for no state change
+      val toWrite = affected.filterNot(b => priorManifest.get(b).contains(batchId))
+      if (toWrite.nonEmpty) {
+        val baseDirs = toWrite.toSeq.flatMap(b =>
+          priorManifest.get(b).map(g => bucketDir(b, g).toString))
+        val base =
+          if (baseDirs.isEmpty) None
+          else Some(s.read.parquet(baseDirs: _*)
             .join(withBucket.select(col("wstart"), col("type"), col("area")),
               Seq("wstart", "type", "area"), "left_anti")
-            .unionByName(withBucket)
+            .withColumn("bucket",
+              pmod(hash(col("wstart"), col("type"), col("area")), lit(nBuckets))))
+        val merged = base.map(_.unionByName(withBucket)).getOrElse(withBucket)
+          .filter(col("bucket").isin(toWrite.toSeq: _*))
+        // cut lineage before the write — a replayed generation's
+        // staged output may replace a dir that feeds this very plan
+        val materialized = merged.localCheckpoint(true)
+        val stageDir = new Path(new Path(root, "_stage"), s"gen-$batchId")
+        materialized.write.mode("overwrite")
+          .partitionBy("bucket").parquet(stageDir.toString)
+        for (b <- toWrite) {
+          val src = new Path(stageDir, s"bucket=$b")
+          val dst = bucketDir(b, batchId)
+          fs.delete(dst, true) // crash-stranded partial from a replay
+          fs.mkdirs(dst.getParent)
+          if (fs.exists(src)) fs.rename(src, dst)
+          else fs.mkdirs(dst) // bucket emptied entirely (all keys updated away)
         }
-      // cut lineage before the overwrite — Spark refuses to overwrite
-      // a path that still feeds the write's own plan
-      val materialized = merged.localCheckpoint(true)
-      // per-writer option, NOT the session conf: two sinks sharing one
-      // SparkSession must not race each other into a static overwrite
-      // (which would delete every untouched bucket)
-      materialized.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(tablePath)
+        fs.delete(stageDir, true)
+      }
+      Some(StagedUpsert(batchId, priorManifest ++ affected.map(_ -> batchId),
+        priorGen, priorManifest, affected))
+    }
+
+    /** Phase 2: manifest, then the atomic pointer flip, then GC of
+      * generations no committed-or-prior manifest references. */
+    private[graft] def commit(s: SparkSession, st: StagedUpsert): Unit = {
+      val fs = fsOf(s)
+      writeAtomic(s, fs, manifestPath(st.newGen),
+        st.newManifest.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"))
+      writeAtomic(s, fs, currentPtr, st.newGen.toString)
+      // GC: keep each affected bucket's new + immediately-prior
+      // generation (racing readers lag at most one commit), drop older
+      for (b <- st.affected; keep = Set(Some(st.newGen), st.priorManifest.get(b)).flatten) {
+        val parent = bucketDir(b, st.newGen).getParent
+        val gens = try fs.listStatus(parent) catch {
+          case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+        }
+        for (g <- gens; name = g.getPath.getName
+             if name.startsWith("gen=") && !keep.contains(name.stripPrefix("gen=").toLong))
+          fs.delete(g.getPath, true)
+      }
+      for (pg <- st.priorGen) {
+        val mdir = manifestPath(st.newGen).getParent
+        val ms = try fs.listStatus(mdir) catch {
+          case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+        }
+        for (m <- ms; name = m.getPath.getName
+             if name.startsWith("gen-") && !name.endsWith(".tmp") &&
+               name.stripPrefix("gen-").toLong < pg)
+          fs.delete(m.getPath, false)
+      }
+    }
+
+    def write(batch: DataFrame, batchId: Long): Unit =
+      stage(batch, batchId).foreach(commit(batch.sparkSession, _))
+
+    /** The committed table as a DataFrame — resolves `_current` and
+      * its manifest ONCE, so the read is a consistent generation even
+      * while a merge commits concurrently. */
+    def read(s: SparkSession): DataFrame = {
+      val fs = fsOf(s)
+      val dirs = currentGen(fs).map(readManifest(fs, _)).getOrElse(Map.empty)
+        .toSeq.map { case (b, g) => bucketDir(b, g).toString }
+      if (dirs.isEmpty) s.emptyDataFrame
+      else s.read.parquet(dirs: _*)
     }
 
     /** Current table state keyed like KeyedUpsertSink.snapshot. */
-    def snapshot(s: SparkSession): Map[(String, String, String), (Long, String)] =
-      if (!hasTable) Map.empty
-      else s.read.parquet(tablePath).collect().map { r =>
+    def snapshot(s: SparkSession): Map[(String, String, String), (Long, String)] = {
+      val df = read(s)
+      if (df.columns.isEmpty) Map.empty
+      else df.collect().map { r =>
         (r.getAs[String]("wstart"), r.getAs[String]("type"),
           r.getAs[String]("area")) -> (r.getAs[Long]("cnt"), r.getAs[String]("time"))
       }.toMap
+    }
   }
 
   /** Side-output router (A6): stateless pass that tracks the observed

@@ -18,13 +18,18 @@ class DurableUpsertSpec extends SparkSpec {
   private def mkBatch(rows: Seq[(String, String, String, Long, String)]) =
     rows.toDF("wstart", "type", "area", "cnt", "time")
 
+  /** Per-bucket file inventory under the manifest layout: bucket name
+    * -> every (gen-relative file path, mtime) beneath it. An untouched
+    * bucket keeps its exact generation dirs and files. */
   private def bucketFiles(table: String): Map[String, Set[(String, Long)]] = {
-    val root = new java.io.File(table)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    val data = new java.io.File(table, "data")
+    Option(data.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("bucket="))
       .map(d => d.getName ->
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getName, f.lastModified())).toSet)
+        Option(d.listFiles()).getOrElse(Array.empty).flatMap(gen =>
+          Option(gen.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (s"${gen.getName}/${f.getName}", f.lastModified()))).toSet)
       .toMap
   }
 
@@ -69,6 +74,58 @@ class DurableUpsertSpec extends SparkSpec {
     // converges to the same table state
     sink.write(batch1, 1L)
     assert(sink.snapshot(spark) == expected)
+  }
+
+  test("atomic visibility: a reader racing a merge sees all-old or all-new, never a mix") {
+    val table = tmpDir() + "/report"
+    val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+
+    // batch 0: keys spread over multiple buckets
+    val rows0 = (0 until 12).map(i =>
+      (f"2018-01-01 10:$i%02d:00", "shelf", "AREA_US", 1L, "t0"))
+    sink.write(mkBatch(rows0), 0L)
+    val s0 = sink.snapshot(spark)
+    assert(s0.size == 12)
+
+    // STAGED but not committed: batch 1 updates every key (touching
+    // every bucket batch 0 wrote) — a reader must still see pure
+    // batch-0 state, because nothing flips until the pointer commit
+    val rows1 = rows0.map { case (w, t, a, _, _) => (w, t, a, 2L, "t1") }
+    val staged = sink.stage(mkBatch(rows1), 1L)
+    assert(staged.isDefined)
+    assert(sink.snapshot(spark) == s0,
+      "staged-but-uncommitted merge leaked into a reader")
+
+    // COMMIT: one atomic pointer flip — now all-new
+    sink.commit(spark, staged.get)
+    val s1 = sink.snapshot(spark)
+    assert(s1 == rows1.map { case (w, t, a, c, tm) => (w, t, a) -> (c, tm) }.toMap)
+
+    // racing reader: snapshots taken while 6 further merges commit
+    // must each equal SOME committed generation — never a mix of two
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[
+      Map[(String, String, String), (Long, String)]]()
+    committed.add(s1)
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[
+      Map[(String, String, String), (Long, String)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => while (!stop.get) observed.add(sink.snapshot(spark)))
+    reader.start()
+    for (g <- 2 to 7) {
+      val rows = rows0.map { case (w, t, a, _, _) => (w, t, a, g.toLong, s"t$g") }
+      sink.write(mkBatch(rows), g.toLong)
+      committed.add(rows.map { case (w, t, a, c, tm) => (w, t, a) -> (c, tm) }.toMap)
+    }
+    stop.set(true)
+    reader.join(30000)
+    import scala.jdk.CollectionConverters._
+    val states = committed.asScala.toSet
+    val snaps = observed.asScala.toSet
+    snaps.foreach { snap =>
+      assert(states.contains(snap),
+        s"racing reader observed a torn state: ${snap.values.map(_._1).toSeq.distinct.sorted}")
+    }
+    assert(snaps.nonEmpty)
   }
 
   test("late-branch production form writes distributed parquet, replay-idempotent") {

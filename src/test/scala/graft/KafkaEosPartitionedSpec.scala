@@ -175,6 +175,34 @@ class KafkaEosPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("a progress topic with batch markers but NO layout marker is refused (pre-marker data)") {
+    withBroker { b =>
+      // simulate a pre-layout-marker progress log: one committed batch
+      // marker in the exact per-partition key scheme, no '#np' record
+      val ck = "/ckpt/part-premark"
+      val p = new WireProducer("127.0.0.1", b.port, "premark-feed")
+      p.initTransactions(); p.beginTransaction()
+      p.send("progress", KafkaEosSink.transactionalId(ck, Some(0)), "0")
+      p.commitTransaction(); p.close()
+      KafkaEosSink.clearPool()
+      val s = sink(b, ck, 4)
+      val e = intercept[Exception] { s.write(rows(16), 1L) }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause == null) String.valueOf(t.getMessage)
+        else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+      assert(rootMsg(e).contains("layout marker"),
+        s"expected the pre-marker refusal, got: ${rootMsg(e)}")
+      // the refusal is PER-PARTITION (it guards each writer's own
+      // restore): the partition with unverifiable prior progress sent
+      // nothing and its marker did not advance past the prior value
+      assert(b.committed("out").size < 16,
+        "the refused partition must not have sent its rows")
+      assert(KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress",
+        KafkaEosSink.transactionalId(ck, Some(0))) == 0L,
+        "the refused partition's marker must not advance")
+    }
+  }
+
   test("key routing is replay-stable: the same rows land in the same partitions") {
     withBroker { b =>
       val s = sink(b, "/ckpt/part-4", 8)

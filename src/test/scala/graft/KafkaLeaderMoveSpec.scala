@@ -51,6 +51,19 @@ class KafkaLeaderMoveSpec extends SparkSpec {
     }
   }
 
+  test("Metadata answers UNKNOWN_TOPIC_OR_PARTITION for a never-produced topic") {
+    withCluster { (state, a, b) =>
+      produce(a.port, "t", "ut-tx", "k0")
+      // a topic neither log nor leadership state has seen must NOT get
+      // a fabricated partition-0 route (that would mask topic-name
+      // typos behind an empty-looking stream) — round-19 advice
+      val e = intercept[KafkaWire.WireErrorException] {
+        KafkaWire.metadataLeader("127.0.0.1", a.port, "no_such_topic", 0)
+      }
+      assert(e.code == KafkaWire.ErrUnknownTopic)
+    }
+  }
+
   test("leadership moved before the read: bootstrap re-routes, range exact") {
     withCluster { (state, a, b) =>
       produce(a.port, "t", "mv-tx", "k0", "k1", "k2", "k3", "k4")
