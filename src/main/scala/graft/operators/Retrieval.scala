@@ -307,6 +307,40 @@ object Retrieval {
       .orderBy(col("qid"))
   }
 
+  /** [[qHybridRecall]] over every `stride`-th query id on BOTH legs —
+    * the flat-cost audit form (round-19, VERDICT r18 #3). The exact
+    * fusion leg embeds the brute-force cosine scan, O(|queries| x
+    * corpus): on a query log that grows with the corpus, auditing
+    * every query is corpus-squared, while per-query recall is an
+    * independent measurement — a fixed-size deterministic sample
+    * (every stride-th id) estimates the same floor at flat cost. The
+    * 10x bench probe records the sample size next to the measured
+    * recalls. */
+  def qHybridRecallSampled(s: SparkSession, d: String, stride: Int): DataFrame = {
+    val bm = qBm25(s, d)
+      .filter(col("qid") % stride === 0)
+      .select(col("qid"), col("doc_id").as("id"), col("rn"))
+      .localCheckpoint(false)
+    val exact = rrfFuse(bm,
+      Similarity.knnBrute(s, d, stride)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+      .select(col("qid"), col("doc_id"))
+    val approx = rrfFuse(bm,
+      Similarity.qKnnIvfPq(s, d)
+        .filter(col("qid") % stride === 0)
+        .select(col("qid"), col("cid").as("id"), col("rn")))
+      .select(col("qid").as("aqid"), col("doc_id").as("adoc"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("doc_id") === col("adoc"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("adoc").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("k"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("k")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** The fusion core over any two (qid, id, rn) ranked lists —
     * separated so the both-lists sum path is testable with planted
     * overlap (the harness corpus's lexical and embedding lists are

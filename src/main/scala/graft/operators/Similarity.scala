@@ -58,9 +58,14 @@ object Similarity {
   }
 
   /** Exact brute-force cosine top-K for the first NumQueries vectors. */
-  def qKnnBrute(s: SparkSession, d: String): DataFrame = {
+  def qKnnBrute(s: SparkSession, d: String): DataFrame = knnBrute(s, d, 1)
+
+  /** [[qKnnBrute]] over every `stride`-th query id — the sampled
+    * exact-audit leg (see [[qIvfPqRecallSampled]]'s rationale). */
+  private[graft] def knnBrute(s: SparkSession, d: String, stride: Int): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") < NumQueries)
+    val q0 = e.filter(col("vec_id") < NumQueries)
+    val q = (if (stride == 1) q0 else q0.filter(col("vec_id") % stride === 0))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn2"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
@@ -674,17 +679,28 @@ object Similarity {
 
   /** Recall of an approximate search result against the exact
     * INNER-PRODUCT top-K (what ADC approximates — cosine would change
-    * the ground truth). */
-  private def recallVsBruteDot(e: DataFrame, ann: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < NumQueries)
+    * the ground truth).
+    *
+    * `stride` > 1 SAMPLES the audited query set (every stride-th
+    * query id): the exact leg is O(|queries| x corpus) — on a
+    * production query log that grows with the corpus, auditing every
+    * query makes the audit itself corpus-squared; a fixed-size sample
+    * keeps it flat while the per-query recall estimate is unchanged
+    * (recall is measured independently per query, so dropping queries
+    * biases nothing — round-19, VERDICT r18 #3). */
+  private def recallVsBruteDot(e: DataFrame, ann: DataFrame,
+      stride: Int = 1): DataFrame = {
+    val q0 = e.filter(col("vec_id") < NumQueries)
+    val q = (if (stride == 1) q0 else q0.filter(col("vec_id") % stride === 0))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val annQ = if (stride == 1) ann else ann.filter(col("qid") % stride === 0)
     val scored = broadcast(q)
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         rawDot(col("qe"), col("ce")).cast(DoubleType).as("cosine"))
     val brute = topK(scored, K).select(col("qid"), col("cid"))
-    val approx = ann.select(col("qid").as("pqid"), col("cid").as("pcid"))
+    val approx = annQ.select(col("qid").as("pqid"), col("cid").as("pcid"))
     brute
       .join(approx, col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
       .groupBy(col("qid"))
@@ -784,6 +800,12 @@ object Similarity {
     * approximation sources are measured separately and composed. */
   def qIvfPqRecall(s: SparkSession, d: String): DataFrame =
     recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPq(s, d))
+
+  /** [[qIvfPqRecall]] over every `stride`-th query — the flat-cost
+    * audit form the 10x bench probe records (sample size rides in the
+    * emitted JSON). */
+  def qIvfPqRecallSampled(s: SparkSession, d: String, stride: Int): DataFrame =
+    recallVsBruteDot(Tables.embeddings(s, d), qKnnIvfPq(s, d), stride)
 
   // --------------------------------------- residual-encoded IVF-PQ
 
@@ -1258,6 +1280,11 @@ object Similarity {
     * [[qPqRecall]] — directly comparable row for row. */
   def qOpqRecall(s: SparkSession, d: String): DataFrame =
     recallVsBruteDot(Tables.embeddings(s, d), qKnnOpq(s, d))
+
+  /** [[qOpqRecall]]'s flat-cost sampled-audit form (see
+    * [[qIvfPqRecallSampled]]). */
+  def qOpqRecallSampled(s: SparkSession, d: String, stride: Int): DataFrame =
+    recallVsBruteDot(Tables.embeddings(s, d), qKnnOpq(s, d), stride)
 
   /** Quantized long-form input + width (1-row scalar collect, the
     * documented bounded class). */

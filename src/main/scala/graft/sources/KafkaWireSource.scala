@@ -76,7 +76,12 @@ class KafkaWireSource extends TableProvider with DataSourceRegister {
       // Spark's Kafka-source option, same default: a planned offset
       // that retention has deleted FAILS the query unless the user
       // explicitly opts into skipping to the earliest retained offset
-      Option(opts.get("failOnDataLoss")).forall(_.toBoolean))
+      Option(opts.get("failOnDataLoss")).forall(_.toBoolean),
+      // the reference passes `group.id con1` (DataClean.java:61);
+      // when set, batch completion best-effort-commits the group
+      // offsets so EXTERNAL lag monitors see the pipeline — progress
+      // itself stays in Spark checkpoints (CONNECTORS.md)
+      Option(opts.get("groupId")))
   }
 }
 
@@ -90,7 +95,7 @@ object KafkaWireSource {
 
 final class KafkaWireTable(host: String, port: Int, topic: String,
     partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean,
-    failOnDataLoss: Boolean)
+    failOnDataLoss: Boolean, groupId: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"kafka-wire:$topic@$host:$port"
   override def schema(): StructType = KafkaWireSource.Schema
@@ -102,7 +107,7 @@ final class KafkaWireTable(host: String, port: Int, topic: String,
         override def readSchema(): StructType = KafkaWireSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KafkaWireMicroBatchStream(host, port, topic, partitions,
-            maxPerTrigger, startLatest, failOnDataLoss)
+            maxPerTrigger, startLatest, failOnDataLoss, groupId)
         override def toBatch: Batch = sys.error(
           "kafka-wire is a streaming source; use readStream")
       }
@@ -130,7 +135,7 @@ object KafkaWireOffset {
 
 final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     partitions: Int, maxPerTrigger: Option[Long], startLatest: Boolean = false,
-    failOnDataLoss: Boolean = true)
+    failOnDataLoss: Boolean = true, groupId: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def parts = 0 until partitions
@@ -231,7 +236,25 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     new KafkaWireReaderFactory
 
   override def deserializeOffset(json: String): Offset = KafkaWireOffset.parse(json)
-  override def commit(end: Offset): Unit = ()
+
+  /** Batch-completion hook: when a `groupId` is configured, publish
+    * the committed end offsets via OffsetCommit so external lag
+    * monitors (group-offset pollers) observe the pipeline — the
+    * reference's `group.id con1` surface (DataClean.java:61).
+    * BEST-EFFORT by design: Spark's checkpoint offset log is the
+    * exactly-once source of truth (this stream never OffsetFetches
+    * its own position back), so a failed observability commit logs
+    * and moves on rather than failing the query. */
+  override def commit(end: Offset): Unit =
+    groupId.foreach { g =>
+      val e = end.asInstanceOf[KafkaWireOffset]
+      try KafkaWire.commitOffsets(host, port, g, topic, e.offsets)
+      catch {
+        case ex: Exception => System.err.println(
+          s"[kafka-wire] group '$g' offset commit failed " +
+            s"(observability only, progress unaffected): ${ex.getMessage}")
+      }
+    }
   override def stop(): Unit = ()
 }
 

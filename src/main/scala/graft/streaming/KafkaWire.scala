@@ -66,6 +66,8 @@ object KafkaWire {
   val ApiFetch = 1: Short
   val ApiListOffsets = 2: Short
   val ApiMetadata = 3: Short
+  val ApiOffsetCommit = 8: Short
+  val ApiOffsetFetch = 9: Short
   val ApiFindCoordinator = 10: Short
   val ApiInitProducerId = 22: Short
   val ApiAddPartitionsToTxn = 24: Short
@@ -733,6 +735,57 @@ object KafkaWire {
     * broker. Callers treat the constructor address as the BOOTSTRAP
     * (always queried for metadata) and the resolved address as the
     * current route. */
+  /** OffsetCommit v2: publish a consumer group's position so EXTERNAL
+    * lag monitors (burrow-style group-offset pollers, `kafka-consumer-
+    * groups.sh`) can watch the pipeline. The ENGINE never reads these
+    * back for progress — Spark checkpoints are the source of truth
+    * (the same posture as Spark's own Kafka source; CONNECTORS.md,
+    * consumer-group section). Rides the shared leader-retry posture:
+    * a torn socket or moved broker must not fail an observability
+    * write's caller. */
+  def commitOffsets(host: String, port: Int, group: String, topic: String,
+      offsets: Map[Int, Long]): Unit =
+    withLeaderRetry(host, port, topic, 0, s"graft-commit-$group") { c =>
+      val r = c.request(ApiOffsetCommit, 2) { w =>
+        w.str(group).i32(-1).str("").i64(-1L) // generation, member, retention
+        w.i32(1); w.str(topic); w.i32(offsets.size)
+        offsets.toSeq.sortBy(_._1).foreach { case (p, o) =>
+          w.i32(p).i64(o).nstr(null)
+        }
+      }
+      (0 until r.i32()).foreach { _ =>
+        r.str()
+        (0 until r.i32()).foreach { _ =>
+          r.i32()
+          val err = r.i16()
+          if (err != ErrNone)
+            throw new WireErrorException(err, s"OffsetCommit error $err")
+        }
+      }
+    }
+
+  /** OffsetFetch v1: a group's committed offsets per partition; -1 =
+    * no position committed yet. The read half of the lag-monitor
+    * surface (lag = ListOffsets log-end − this). */
+  def fetchGroupOffsets(host: String, port: Int, group: String,
+      topic: String, parts: Seq[Int]): Map[Int, Long] =
+    withLeaderRetry(host, port, topic, 0, s"graft-offsets-$group") { c =>
+      val r = c.request(ApiOffsetFetch, 1) { w =>
+        w.str(group); w.i32(1); w.str(topic)
+        w.i32(parts.size); parts.foreach(w.i32(_))
+      }
+      (0 until r.i32()).flatMap { _ =>
+        r.str()
+        (0 until r.i32()).map { _ =>
+          val p = r.i32(); val off = r.i64(); r.nstr()
+          val err = r.i16()
+          if (err != ErrNone)
+            throw new WireErrorException(err, s"OffsetFetch error $err")
+          p -> off
+        }
+      }.toMap
+    }
+
   def metadataLeader(bootHost: String, bootPort: Int, topic: String,
       partition: Int): Option[(String, Int)] = {
     val c = new Conn(bootHost, bootPort, s"graft-meta-$topic-$partition")
@@ -929,6 +982,14 @@ object KafkaWire {
     def moveLeader(topic: String, partition: Int, node: Int): Unit =
       lock.synchronized { leaders((topic, partition)) = node }
 
+    /** Consumer-group committed offsets: (group, topic, partition) ->
+      * (offset, metadata). Written by OffsetCommit, read by
+      * OffsetFetch — the surface external lag monitors poll. The
+      * ENGINE's progress lives in Spark checkpoints (CONNECTORS.md,
+      * consumer-group section); these commits are observability. */
+    private[KafkaWire] val groupOffsets =
+      scala.collection.mutable.Map[(String, String, Int), (Long, String)]()
+
     /** Transaction-coordinator node; -1 = lowest registered node_id.
       * On a real cluster the coordinator is the leader of the
       * __transaction_state partition the transactional.id hashes to —
@@ -1076,6 +1137,8 @@ object KafkaWire {
             case ApiEndTxn => handleEndTxn(req, resp)
             case ApiFetch => handleFetch(req, resp)
             case ApiListOffsets => handleListOffsets(req, resp)
+            case ApiOffsetCommit => handleOffsetCommit(req, resp)
+            case ApiOffsetFetch => handleOffsetFetch(req, resp)
             case ApiMetadata => handleMetadata(req, resp)
             case other => sys.error(s"unsupported api $other v$apiVersion")
           }
@@ -1301,6 +1364,55 @@ object KafkaWire {
             resp.i32(pt).i16(ErrNone).i64(-1L) // partition, error, timestamp
             resp.i64(if (ts == -2L) earliest else end)
           }
+        }
+      }
+    }
+
+    /** OffsetCommit v2: store (group, topic, partition) -> offset in
+      * the cluster's group-offset table. Generation/member/retention
+      * fields are read and ignored — this broker has no group-
+      * membership protocol (the engine's parallelism is Spark's, not
+      * a consumer group's); the commit surface exists so EXTERNAL lag
+      * monitors can watch the pipeline (CONNECTORS.md). */
+    private def handleOffsetCommit(req: Reader, resp: Writer): Unit = {
+      val group = req.str(); req.i32(); req.str(); req.i64() // generation_id, member_id, retention_time
+      val topics = (0 until req.i32()).map { _ =>
+        val t = req.str()
+        (t, (0 until req.i32()).map { _ =>
+          val p = req.i32(); val off = req.i64(); val md = req.nstr()
+          (p, off, md)
+        })
+      }
+      lock.synchronized {
+        for ((t, ps) <- topics; (p, off, md) <- ps)
+          state.groupOffsets((group, t, p)) = (off, Option(md).getOrElse(""))
+      }
+      resp.i32(topics.size)
+      topics.foreach { case (t, ps) =>
+        resp.str(t); resp.i32(ps.size)
+        ps.foreach { case (p, _, _) => resp.i32(p).i16(ErrNone) }
+      }
+    }
+
+    /** OffsetFetch v1: committed group offsets; an uncommitted
+      * (group, partition) answers offset -1 with no error, per
+      * protocol — a lag monitor reads that as "no position yet". */
+    private def handleOffsetFetch(req: Reader, resp: Writer): Unit = {
+      val group = req.str()
+      val topics = (0 until req.i32()).map { _ =>
+        val t = req.str(); (t, (0 until req.i32()).map(_ => req.i32()))
+      }
+      val snap = lock.synchronized {
+        topics.map { case (t, ps) =>
+          t -> ps.map(p => (p, state.groupOffsets.get((group, t, p))))
+        }
+      }
+      resp.i32(snap.size)
+      snap.foreach { case (t, ps) =>
+        resp.str(t); resp.i32(ps.size)
+        ps.foreach { case (p, v) =>
+          resp.i32(p).i64(v.map(_._1).getOrElse(-1L))
+            .nstr(v.map(_._2).orNull).i16(ErrNone)
         }
       }
     }

@@ -102,8 +102,8 @@ object ReportPipeline {
     * it back with the catalog-atomic-swap discipline of
     * [[AnnIngest.rebuild]], generalized to per-bucket generations:
     *
-    *   <table>/_current              one line: committed generation id
     *   <table>/_manifests/gen-<g>    "bucket gen" line per live bucket
+    *                                 (WRITE-ONCE; newest = current)
     *   <table>/data/bucket=<b>/gen=<g>/   parquet rows of b as of g
     *
     * Per batch (generation id = the Spark batch id, so replays land on
@@ -114,15 +114,16 @@ object ReportPipeline {
     *     new rows, write one partitionBy job into `_stage/`, and
     *     rename each staged bucket dir to `data/bucket=b/gen=N`.
     *     Readers keep resolving the OLD manifest throughout.
-    *  2. COMMIT: write manifest gen-N (atomic tmp+rename), then flip
-    *     `_current` to N (atomic tmp+rename) — a reader racing the
-    *     merge observes all-old or all-new, never a mix (proven by
+    *  2. COMMIT: write manifest gen-N once (tmp + rename to a NEW
+    *     name — an atomic create). Readers resolve "current" as the
+    *     highest committed manifest, so a reader racing the merge
+    *     observes all-old or all-new, never a mix (proven by
     *     DurableUpsertSpec's staged-visibility + racing-reader tests).
     *  3. GC: drop each affected bucket's generations OLDER than the
     *     one the prior manifest pinned (the prior generation itself is
-    *     kept for readers that resolved `_current` just before the
-    *     flip — the AnnIngest invalidation posture: readers may lag at
-    *     most one commit), and manifests older than the prior pointer.
+    *     kept for readers that resolved the manifest list just before
+    *     the commit — the AnnIngest invalidation posture: readers may
+    *     lag at most one commit), and manifests older than the prior.
     *
     * Replay idempotence: a replayed batch recomputes the identical
     * merged content (the prior manifest already points affected
@@ -142,8 +143,8 @@ object ReportPipeline {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
     private def root = new Path(tablePath)
-    private def currentPtr = new Path(root, "_current")
-    private def manifestPath(g: Long) = new Path(new Path(root, "_manifests"), s"gen-$g")
+    private def manifestDir = new Path(root, "_manifests")
+    private def manifestPath(g: Long) = new Path(manifestDir, s"gen-$g")
     private def bucketDir(b: Int, g: Long) =
       new Path(new Path(new Path(root, "data"), s"bucket=$b"), s"gen=$g")
 
@@ -160,23 +161,34 @@ object ReportPipeline {
         } finally in.close()
       }
 
-    /** tmp+rename(OVERWRITE) — the LateRouter persist discipline:
-      * atomic on HDFS/local; the pointer is tiny and self-contained,
-      * so object-store copy+delete degradation is still all-or-
-      * nothing per read. */
-    private def writeAtomic(s: SparkSession, fs: FileSystem, target: Path,
-        content: String): Unit = {
+    /** tmp + rename into a NEW name — manifests are WRITE-ONCE, so
+      * the rename is a plain atomic create (no overwrite): readers
+      * listing the manifest dir see a generation either absent or
+      * complete, never half-written. (A pointer file updated by
+      * overwrite-rename was the first design; local-FS OVERWRITE
+      * renames have a delete+recreate window the racing-reader spec
+      * actually caught — write-once names have no such window.) */
+    private def writeOnce(fs: FileSystem, target: Path, content: String): Unit = {
       val tmp = new Path(target.getParent, target.getName + ".tmp")
       fs.mkdirs(target.getParent)
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(target.toUri, s.sessionState.newHadoopConf())
-        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fs.rename(tmp, target)
     }
 
-    private def currentGen(fs: FileSystem): Option[Long] =
-      readText(fs, currentPtr).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    /** The current generation = the HIGHEST committed manifest name.
+      * One dir listing; manifest files appear atomically (write-once
+      * rename), so the max is always a complete, committed state. */
+    private def currentGen(fs: FileSystem): Option[Long] = {
+      val ms = try fs.listStatus(manifestDir) catch {
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+      val gens = ms.iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("gen-") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("gen-").toLong)
+      if (gens.isEmpty) None else Some(gens.max)
+    }
 
     private def readManifest(fs: FileSystem, g: Long): Map[Int, Long] =
       readText(fs, manifestPath(g)).map(_.split("\n").iterator
@@ -235,13 +247,17 @@ object ReportPipeline {
         priorGen, priorManifest, affected))
     }
 
-    /** Phase 2: manifest, then the atomic pointer flip, then GC of
-      * generations no committed-or-prior manifest references. */
+    /** Phase 2: the atomic commit — ONE write-once manifest file
+      * whose appearance flips readers to the new generation — then GC
+      * of generations no committed-or-prior manifest references. A
+      * replayed commit finds its manifest already present and writes
+      * nothing (write-once), so replays never disturb the file a
+      * racing reader is resolving. */
     private[graft] def commit(s: SparkSession, st: StagedUpsert): Unit = {
       val fs = fsOf(s)
-      writeAtomic(s, fs, manifestPath(st.newGen),
-        st.newManifest.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"))
-      writeAtomic(s, fs, currentPtr, st.newGen.toString)
+      if (!fs.exists(manifestPath(st.newGen)))
+        writeOnce(fs, manifestPath(st.newGen),
+          st.newManifest.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"))
       // GC: keep each affected bucket's new + immediately-prior
       // generation (racing readers lag at most one commit), drop older
       for (b <- st.affected; keep = Set(Some(st.newGen), st.priorManifest.get(b)).flatten) {
@@ -254,8 +270,7 @@ object ReportPipeline {
           fs.delete(g.getPath, true)
       }
       for (pg <- st.priorGen) {
-        val mdir = manifestPath(st.newGen).getParent
-        val ms = try fs.listStatus(mdir) catch {
+        val ms = try fs.listStatus(manifestDir) catch {
           case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
         }
         for (m <- ms; name = m.getPath.getName
@@ -268,9 +283,9 @@ object ReportPipeline {
     def write(batch: DataFrame, batchId: Long): Unit =
       stage(batch, batchId).foreach(commit(batch.sparkSession, _))
 
-    /** The committed table as a DataFrame — resolves `_current` and
-      * its manifest ONCE, so the read is a consistent generation even
-      * while a merge commits concurrently. */
+    /** The committed table as a DataFrame — resolves the newest
+      * committed manifest ONCE, so the read is a consistent
+      * generation even while a merge commits concurrently. */
     def read(s: SparkSession): DataFrame = {
       val fs = fsOf(s)
       val dirs = currentGen(fs).map(readManifest(fs, _)).getOrElse(Map.empty)

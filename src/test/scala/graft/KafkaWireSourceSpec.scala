@@ -82,6 +82,51 @@ class KafkaWireSourceSpec extends SparkSpec {
     }
   }
 
+  test("groupId publishes committed offsets: an external lag monitor reads zero lag") {
+    withBroker { b =>
+      produce(b, "in", "grp-tx", "a", "b", "c")
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", "127.0.0.1").option("port", b.port.toString)
+        .option("topic", "in").option("groupId", "con1")
+        .load()
+        .writeStream.format("memory").queryName("kw_grp")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kw-grp").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // the external monitor's read: OffsetFetch for the group vs
+        // ListOffsets log-end. Spark's MicroBatchExecution commits a
+        // batch's source offsets when the NEXT batch is constructed,
+        // so drive a second batch and expect the monitor to converge
+        // to zero lag (poll briefly — the commit callback trails the
+        // batch by one commit-log write).
+        def committed(): Long = KafkaWire.fetchGroupOffsets(
+          "127.0.0.1", b.port, "con1", "in", Seq(0)).getOrElse(0, -1L)
+        // batch 1 read [0, 4) (a,b,c + the commit marker the LSO sits
+        // past); once batch 2 runs, the monitor must see batch 1's end
+        // committed — group lag is bounded by the ONE in-flight batch,
+        // exactly the semantics of a consumer committing after
+        // processing (poll briefly: the callback trails the batch by
+        // one commit-log write)
+        val batch1End = KafkaWire.listOffset("127.0.0.1", b.port, "in", 0, earliest = false)
+        produce(b, "in", "grp-tx-2", "d")
+        q.processAllAvailable()
+        var waited = 0
+        while (committed() != batch1End && waited < 100) { Thread.sleep(50); waited += 1 }
+        assert(committed() == batch1End,
+          s"lag monitor: committed=${committed()} batch1End=$batch1End")
+        // a group that never committed answers -1 (no position), per
+        // protocol -- the monitor's "unknown group" case
+        assert(KafkaWire.fetchGroupOffsets(
+          "127.0.0.1", b.port, "nope", "in", Seq(0)) == Map(0 -> -1L))
+      } finally q.stop()
+      // progress is CHECKPOINT-owned: wiping the group's commits and
+      // restarting from the same checkpoint must not replay anything
+      // (the source never OffsetFetches its own position back)
+    }
+  }
+
   test("multi-partition topics fan out one input partition each") {
     withBroker { b =>
       val p = new WireProducer("127.0.0.1", b.port, "mp-tx")
