@@ -262,6 +262,29 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("OffsetCommit/OffsetFetch round-trip: last commit wins, unknown answers -1") {
+    withBroker { b =>
+      // the group-offset surface is independent of the log — commit
+      // positions for a topic that exists (produce first so Metadata
+      // routes) across two partitions
+      val p = new WireProducer("127.0.0.1", b.port, "go-tx")
+      p.initTransactions(); p.beginTransaction()
+      p.send("t", "k", "v"); p.commitTransaction(); p.close()
+      KafkaWire.commitOffsets("127.0.0.1", b.port, "g1", "t", Map(0 -> 3L, 1 -> 7L))
+      assert(KafkaWire.fetchGroupOffsets("127.0.0.1", b.port, "g1", "t", Seq(0, 1))
+        == Map(0 -> 3L, 1 -> 7L))
+      // re-commit overwrites (last write wins, like __consumer_offsets
+      // compaction); partitions not re-committed keep their position
+      KafkaWire.commitOffsets("127.0.0.1", b.port, "g1", "t", Map(0 -> 9L))
+      assert(KafkaWire.fetchGroupOffsets("127.0.0.1", b.port, "g1", "t", Seq(0, 1))
+        == Map(0 -> 9L, 1 -> 7L))
+      // a group that never committed answers -1 per partition (no
+      // position), NOT an error — the monitor's unknown-group read
+      assert(KafkaWire.fetchGroupOffsets("127.0.0.1", b.port, "g2", "t", Seq(0))
+        == Map(0 -> -1L))
+    }
+  }
+
   test("broker dedups a retried produce request by sequence (idempotence)") {
     withBroker { b =>
       val txId = "wire-tx-5"
