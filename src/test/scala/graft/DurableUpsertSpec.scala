@@ -76,6 +76,25 @@ class DurableUpsertSpec extends SparkSpec {
     assert(sink.snapshot(spark) == expected)
   }
 
+  test("a FRESH sink instance resumes the table from disk alone (stateless restart)") {
+    val table = tmpDir() + "/report"
+    val sink1 = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    sink1.write(mkBatch(Seq(
+      ("2018-01-01 10:00:00", "shelf", "AREA_US", 2L, "t1"),
+      ("2018-01-01 10:00:30", "black", "AREA_US", 1L, "t2"))), 0L)
+    val s1 = sink1.snapshot(spark)
+
+    // a brand-new instance over the same path (a restarted driver):
+    // reads the committed state, and its next merge carries it forward
+    val sink2 = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    assert(sink2.snapshot(spark) == s1)
+    sink2.write(mkBatch(Seq(
+      ("2018-01-01 10:00:00", "shelf", "AREA_US", 5L, "t3"))), 1L)
+    assert(sink2.snapshot(spark) == Map(
+      ("2018-01-01 10:00:00", "shelf", "AREA_US") -> (5L, "t3"),
+      ("2018-01-01 10:00:30", "black", "AREA_US") -> (1L, "t2")))
+  }
+
   test("atomic visibility: a reader racing a merge sees all-old or all-new, never a mix") {
     val table = tmpDir() + "/report"
     val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)

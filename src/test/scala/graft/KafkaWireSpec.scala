@@ -285,6 +285,22 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("LagMonitor reads per-partition lag from the group-offset surface") {
+    withBroker { b =>
+      val p = new WireProducer("127.0.0.1", b.port, "lag-tx")
+      p.initTransactions(); p.beginTransaction()
+      Seq("a", "b", "c").foreach(v => p.send("t", v, v))
+      p.commitTransaction(); p.close()
+      val end = KafkaWire.listOffset("127.0.0.1", b.port, "t", 0, earliest = false)
+      KafkaWire.commitOffsets("127.0.0.1", b.port, "g", "t", Map(0 -> (end - 2)))
+      assert(graft.LagMonitor.lagRows("127.0.0.1", b.port, "g", "t", 1)
+        == Seq((0, end, end - 2, 2L)))
+      // no position yet -> committed/lag are -1 (the monitor's dash)
+      assert(graft.LagMonitor.lagRows("127.0.0.1", b.port, "fresh", "t", 1)
+        == Seq((0, end, -1L, -1L)))
+    }
+  }
+
   test("broker dedups a retried produce request by sequence (idempotence)") {
     withBroker { b =>
       val txId = "wire-tx-5"
