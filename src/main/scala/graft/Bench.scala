@@ -221,6 +221,7 @@ object Bench {
           // srp_strict reduction + recall probes below, and the
           // PRODUCTION path at scale is q_embed_neardup_auto, whose
           // density probe switches to the deep index here.
+          "q_corpus_report",
           "q_doc_chunks", "q_embed_classify", "q_embed_neardup_deep",
           "q_embed_neardup_auto",
           "q_embed_quantize", "q_filter_funnel", "q_curation_e2e",

@@ -148,6 +148,7 @@ object SparkEntry {
     "q_source_quota" -> (TextAnalysis.qSourceQuota _),
     "q_token_budget" -> (TextAnalysis.qTokenBudgetSample _),
     "q_filter_funnel" -> (TextAnalysis.qFilterFunnel _),
+    "q_corpus_report" -> (TextAnalysis.qCorpusReport _),
     "q_curation_e2e" -> (Curation.qCurationE2e _),
     "q_embed_quantize" -> (Similarity.qEmbedQuantize _),
     // --- dedup ---
@@ -3582,6 +3583,32 @@ object SparkEntry {
          |  UNION ALL SELECT 4, 'lex_diversity', total - d1 - d2 - d3, d4,
          |    total - d1 - d2 - d3 - d4 FROM a) t
          |ORDER BY stage""".stripMargin,
+    // Per-source data-card row: same funnel CTE shape as
+    // q_filter_funnel, plus the md5 dup headroom and the truncating
+    // per-mille (both engines' integer division agrees on
+    // non-negatives)
+    "q_corpus_report" ->
+      s"""WITH m AS (SELECT source, lang, n_chars, md5(text) AS h,
+         |    CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_len,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+         |  FROM (SELECT source, lang, n_chars, text, $tokSql AS toks FROM documents)),
+         |s AS (SELECT source, lang, n_chars, h, n_tok,
+         |    CASE WHEN NOT (n_chars BETWEEN 100 AND 100000) THEN 1
+         |      WHEN NOT (tok_len BETWEEN 4*n_tok AND 10*n_tok) THEN 2
+         |      WHEN NOT (20*n_stop >= n_tok) THEN 3
+         |      WHEN NOT (10*n_dist >= 3*n_tok) THEN 4 ELSE 5 END AS stage FROM m)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+         |  CAST(sum(CASE WHEN stage = 5 THEN 1 ELSE 0 END) AS BIGINT) AS funnel_pass,
+         |  CAST(sum(CASE WHEN stage = 5 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS pass_permille
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mirror of Curation.qCurationE2e — the composed curation chain,
     // recomputed stage by stage from first principles: the funnel
     // verdicts, the exact-Jaccard pair closure RESTRICTED to funnel

@@ -738,6 +738,42 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** Per-source corpus REPORT CARD (round-19) — the datasheet row a
+    * training-data pipeline publishes per source ("Datasheets for
+    * Datasets", Gebru et al. 2021; every major corpus release ships
+    * one): document/char/token mass, language spread, exact-duplicate
+    * mass (distinct-md5 vs rows — the dedup headroom number), and the
+    * Gopher-funnel pass rate ([[withFunnelStage]] — the SAME rule set
+    * the curation pipeline enforces, so the report describes exactly
+    * what the pipeline does). All counters integer-exact; the
+    * pass-rate is truncating per-mille (the repo's non-negative
+    * div == // convention).
+    *
+    * Scale shape: one codegen'd map-side pass computes the funnel
+    * metrics and the 16-byte text hash, then ONE groupBy(source)
+    * aggregate; the two DISTINCT aggregates (lang, text-hash) expand
+    * rows 3x but the expanded shuffle carries only (source, lang) /
+    * (source, hash) tuples with map-side partial collapse — hashes
+    * move, never documents. Output is |sources| rows. */
+  def qCorpusReport(s: SparkSession, d: String): DataFrame =
+    withFunnelStage(Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"), col("text")))
+      .select(col("source"), col("lang"), col("n_chars"), col("n_tok"),
+        md5(col("text")).as("h"), col("fstage"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(when(col("fstage") === 5L, 1L).otherwise(0L)).as("funnel_pass"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_langs"), col("n_distinct_texts"),
+        (col("n_docs") - col("n_distinct_texts")).as("exact_dup_docs"),
+        col("funnel_pass"),
+        expr("funnel_pass * 1000 div n_docs").as("pass_permille"))
+      .orderBy(col("source"))
+
   /** Per-document funnel verdict: adds the four metric columns and
     * `fstage` (1-4 = first failing rule per [[qFilterFunnel]]'s charge
     * order, 5 = pass) to a frame carrying `text` and `n_chars`. ONE

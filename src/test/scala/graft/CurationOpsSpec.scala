@@ -123,6 +123,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(TextAnalysis.budgetPrefixLen(256L * 101, target = 100) == 3)
   }
 
+  test("corpus report card: counters re-derivable per source, arithmetic consistent") {
+    val rows = TextAnalysis.qCorpusReport(spark, d).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val docs = Tables.documents(spark, d)
+    // one row per source, sources exhaustive
+    assert(rows.map(_._1).toSeq ==
+      docs.select(col("source")).distinct().orderBy(col("source"))
+        .collect().map(_.getString(0)).toSeq)
+    // mass columns re-derivable independently
+    for ((src, nDocs, nChars, _, nLangs, nDistinct, dupDocs, pass, permille) <- rows) {
+      val sd = docs.filter(col("source") === src)
+      assert(nDocs == sd.count())
+      assert(nChars == sd.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+      assert(nLangs == sd.select(col("lang")).distinct().count())
+      assert(nDistinct == sd.select(md5(col("text"))).distinct().count())
+      assert(dupDocs == nDocs - nDistinct, "dup headroom must be rows - distinct")
+      assert(pass >= 0 && pass <= nDocs)
+      assert(permille == pass * 1000 / nDocs, "truncating per-mille")
+    }
+    // non-vacuous on this corpus: some pass, some fail (exact-dup
+    // headroom is legitimately 0 at sf0.001 — the planted dups are
+    // NEAR-dups; the dup counter's arithmetic is pinned above)
+    assert(rows.exists(_._8 > 0), "no source passes anything — vacuous")
+    assert(rows.exists(r => r._8 < r._2), "everything passes — vacuous")
+  }
+
   test("filter funnel: verdicts re-derivable per doc, arithmetic consistent") {
     val rows = TextAnalysis.qFilterFunnel(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
