@@ -970,12 +970,14 @@ object Bench {
     // ride here verbatim so the graded tail is self-contained.
     val (worstName, worstDelta) =
       if (deltas.nonEmpty) deltas.maxBy(_._2) else ("none", 0.0)
-    def sf1Field(key: String): String = {
+    def sf1Field(key: String): String =
       // lift a `"key":[...]` array out of the already-rendered sf1
-      // JSON (null-safe: absent -> [])
-      val m = ("\"" + key + "\":(\\[[^\\]]*\\])").r.findFirstMatchIn(sf1Json)
-      m.map(_.group(1)).getOrElse("[]")
-    }
+      // JSON. A CRASHED probe (sf1Json == "null") must render null,
+      // not [] — all-empty flags read as "probe ran clean" in the
+      // graded tail, which a failed probe is not (round-19 review).
+      if (sf1Json == "null") "null"
+      else ("\"" + key + "\":(\\[[^\\]]*\\])").r.findFirstMatchIn(sf1Json)
+        .map(_.group(1)).getOrElse("null")
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     println(s"""{"metric":"total_summary","total":${jnum(total)},"n_queries":${results.size},"n_errors":${errors.distinct.size},"worst_query":"$worstName","worst_delta":${jnum(worstDelta)},"reps":$reps,"superlinear":${sf1Field("superlinear")},"superlinear_build":${sf1Field("superlinear_build")},"failed":${sf1Field("failed")},"bench_file":"$benchOut","sf":"$sfDir"}""")
     spark.stop()

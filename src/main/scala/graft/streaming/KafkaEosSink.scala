@@ -376,16 +376,26 @@ object KafkaEosSink {
                   "would duplicate some rows and lose others; restore " +
                   s"numPartitions=$priorNp or reset the checkpoint AND " +
                   "the progress topic together")
-            val prior = rlc(txId)
             // committed batch markers WITHOUT a layout marker = a
             // progress log from before the '#np' scheme (or a marker
             // lost to a misconfigured compaction): the key hashing it
             // was written under is unverifiable, so resuming could be
             // the exact silent rehash-duplication the marker exists to
             // prevent — refuse loudly instead of skipping validation
-            // (round-19 advice; pre-marker topics must be migrated by
-            // writing the '#np' record once, or reset whole)
-            if (priorNp < 0 && prior >= 0)
+            // (round-19 advice). The probe scans ALL nParts writer
+            // keys, not just this partition's own: when numPartitions
+            // GREW, the new partitions have no own marker and would
+            // otherwise pass, commit rows under the new hashing AND
+            // plant '#np' = nParts — unblocking the retried
+            // unverifiable partitions (round-19 review). A pre-marker
+            // layout that was LARGER than nParts is caught by
+            // whichever of its markers falls in [0, nParts) — and all
+            // of 0..oldNp-1 carry markers for any batch that had data
+            // everywhere. A genuinely empty topic probes all -1 and
+            // passes (first-ever run). Cost: nParts reads, once per
+            // pooled producer, only on a marker-less topic.
+            if (priorNp < 0 &&
+                (0 until nParts).exists(i => rlc(transactionalId(ck, Some(i))) >= 0))
               throw new IllegalStateException(
                 s"progress topic '$pt' has committed batch markers but " +
                   s"no '$npKey' layout marker — its original " +
@@ -393,7 +403,7 @@ object KafkaEosSink {
                   s"layout, write '$npKey' -> <numPartitions> to the " +
                   "progress topic once (migration), or reset the " +
                   "checkpoint AND the progress topic together")
-            w.lastCommitted = prior; w.restored = true
+            w.lastCommitted = rlc(txId); w.restored = true
           }
           if (batchId > w.lastCommitted) {
             val p = w.p

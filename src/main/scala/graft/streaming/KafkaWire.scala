@@ -466,9 +466,8 @@ object KafkaWire {
           case Right(off) => return off
           case Left(err) if err == ErrNotLeader && attempts < 5 =>
             attempts += 1
-            try metadataLeader(host, port, topic, partition)
+            resolveLeader(host, port, topic, partition)
               .foreach(routes(tp) = _)
-            catch { case _: java.io.IOException | _: WireErrorException => () }
             System.err.println(s"[kafka-wire] $topic-$partition produce " +
               s"retry via ${routes.getOrElse(tp, (host, port))} " +
               s"(attempt $attempts)")
@@ -655,9 +654,8 @@ object KafkaWire {
         case e: WireErrorException if e.code == ErrNotLeader &&
             attempts < maxRetries =>
           attempts += 1
-          try metadataLeader(bootHost, bootPort, topic, partition)
+          resolveLeader(bootHost, bootPort, topic, partition)
             .foreach { l => rh = l._1; rp = l._2 }
-          catch { case _: java.io.IOException | _: WireErrorException => () }
           System.err.println(s"[kafka-wire] $topic-$partition retry via " +
             s"$rh:$rp after NOT_LEADER (attempt $attempts)")
         case e: java.io.IOException if attempts < maxRetries =>
@@ -670,9 +668,8 @@ object KafkaWire {
           // the same behavior by mapping IOException into its
           // NOT_LEADER re-resolve arm.
           attempts += 1
-          try metadataLeader(bootHost, bootPort, topic, partition)
+          resolveLeader(bootHost, bootPort, topic, partition)
             .foreach { l => rh = l._1; rp = l._2 }
-          catch { case _: java.io.IOException | _: WireErrorException => () }
           System.err.println(s"[kafka-wire] $topic-$partition retry via " +
             s"$rh:$rp after ${e.getClass.getSimpleName} (attempt $attempts)")
       } finally if (c != null) { try c.close() catch { case _: Throwable => () } }
@@ -735,17 +732,65 @@ object KafkaWire {
     * broker. Callers treat the constructor address as the BOOTSTRAP
     * (always queried for metadata) and the resolved address as the
     * current route. */
+  /** The GROUP coordinator's address (FindCoordinator v1, key type 0
+    * — the group id, per protocol; the embedded cluster places the
+    * group coordinator with the txn coordinator, which moveCoordinator
+    * moves for both). */
+  private def findGroupCoordinator(bootHost: String, bootPort: Int,
+      group: String): (String, Int) = {
+    val c = new Conn(bootHost, bootPort, s"graft-findcoord-$group")
+    try {
+      val fc = c.request(ApiFindCoordinator, 1) { w => w.str(group); w.i8(0) }
+      fc.i32() // throttle
+      val err = fc.i16()
+      if (err != ErrNone) throw new WireErrorException(err, s"FindCoordinator error $err")
+      fc.nstr() // error_message
+      fc.i32() // node_id
+      val h = fc.str(); val p = fc.i32()
+      (h, p)
+    } finally c.close()
+  }
+
+  /** Run a group-offset request against the group COORDINATOR — the
+    * protocol's routing (a partition leader is the WRONG node for
+    * these; round-19 review): resolve via FindCoordinator, on
+    * NOT_COORDINATOR or a torn socket re-resolve and retry bounded. */
+  private def onGroupCoordinator[T](bootHost: String, bootPort: Int,
+      group: String, what: String)(body: Conn => (Short, T)): T = {
+    var addr: Option[(String, Int)] = None
+    var attempts = 0
+    while (attempts <= 3) {
+      val a = addr.getOrElse {
+        val x = findGroupCoordinator(bootHost, bootPort, group)
+        addr = Some(x); x
+      }
+      var c: Conn = null
+      try {
+        c = new Conn(a._1, a._2, s"graft-group-$group")
+        val (err, v) = body(c)
+        if (err == ErrNone) return v
+        if (err != ErrNotCoordinator || attempts >= 3)
+          throw new WireErrorException(err, s"$what error $err")
+        addr = None // coordinator moved — re-resolve
+      } catch {
+        case _: java.io.IOException if attempts < 3 => addr = None
+      } finally if (c != null) { try c.close() catch { case _: Throwable => () } }
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** OffsetCommit v2: publish a consumer group's position so EXTERNAL
     * lag monitors (burrow-style group-offset pollers, `kafka-consumer-
     * groups.sh`) can watch the pipeline. The ENGINE never reads these
     * back for progress — Spark checkpoints are the source of truth
     * (the same posture as Spark's own Kafka source; CONNECTORS.md,
-    * consumer-group section). Rides the shared leader-retry posture:
-    * a torn socket or moved broker must not fail an observability
-    * write's caller. */
+    * consumer-group section). Coordinator-routed with bounded
+    * re-resolve, so a moved coordinator or torn socket does not fail
+    * an observability write's caller spuriously. */
   def commitOffsets(host: String, port: Int, group: String, topic: String,
       offsets: Map[Int, Long]): Unit =
-    withLeaderRetry(host, port, topic, 0, s"graft-commit-$group") { c =>
+    onGroupCoordinator(host, port, group, "OffsetCommit") { c =>
       val r = c.request(ApiOffsetCommit, 2) { w =>
         w.str(group).i32(-1).str("").i64(-1L) // generation, member, retention
         w.i32(1); w.str(topic); w.i32(offsets.size)
@@ -753,15 +798,16 @@ object KafkaWire {
           w.i32(p).i64(o).nstr(null)
         }
       }
+      var err: Short = ErrNone
       (0 until r.i32()).foreach { _ =>
         r.str()
         (0 until r.i32()).foreach { _ =>
           r.i32()
-          val err = r.i16()
-          if (err != ErrNone)
-            throw new WireErrorException(err, s"OffsetCommit error $err")
+          val e = r.i16()
+          if (e != ErrNone) err = e
         }
       }
+      (err, ())
     }
 
   /** OffsetFetch v1: a group's committed offsets per partition; -1 =
@@ -769,21 +815,69 @@ object KafkaWire {
     * surface (lag = ListOffsets log-end − this). */
   def fetchGroupOffsets(host: String, port: Int, group: String,
       topic: String, parts: Seq[Int]): Map[Int, Long] =
-    withLeaderRetry(host, port, topic, 0, s"graft-offsets-$group") { c =>
+    onGroupCoordinator(host, port, group, "OffsetFetch") { c =>
       val r = c.request(ApiOffsetFetch, 1) { w =>
         w.str(group); w.i32(1); w.str(topic)
         w.i32(parts.size); parts.foreach(w.i32(_))
       }
-      (0 until r.i32()).flatMap { _ =>
+      var err: Short = ErrNone
+      val out = (0 until r.i32()).flatMap { _ =>
         r.str()
         (0 until r.i32()).map { _ =>
           val p = r.i32(); val off = r.i64(); r.nstr()
-          val err = r.i16()
-          if (err != ErrNone)
-            throw new WireErrorException(err, s"OffsetFetch error $err")
+          val e = r.i16()
+          if (e != ErrNone) err = e
           p -> off
         }
       }.toMap
+      (err, out)
+    }
+
+  /** Broker registry via Metadata with an EMPTY topics array (brokers
+    * only — asking for a topic that does not exist yet would answer
+    * UNKNOWN_TOPIC). Used by [[defaultLeaderRoute]]. */
+  private def metadataBrokers(bootHost: String, bootPort: Int): Map[Int, (String, Int)] = {
+    val c = new Conn(bootHost, bootPort, "graft-meta-brokers")
+    try {
+      val r = c.request(ApiMetadata, 1) { w => w.i32(0) }
+      val brokers = (0 until r.i32()).map { _ =>
+        val id = r.i32(); val h = r.str(); val p = r.i32(); r.nstr()
+        id -> ((h, p))
+      }.toMap
+      // drain the rest of the response (controller + topics)
+      r.i32()
+      (0 until r.i32()).foreach { _ =>
+        r.i16(); r.str(); r.bool()
+        (0 until r.i32()).foreach { _ =>
+          r.i16(); r.i32(); r.i32()
+          (0 until r.i32()).foreach(_ => r.i32())
+          (0 until r.i32()).foreach(_ => r.i32())
+        }
+      }
+      brokers
+    } finally c.close()
+  }
+
+  /** The cluster's DEFAULT-leader route (lowest node id) — where a
+    * topic that does not exist YET will be led once its first produce
+    * creates it. The consumer-side compensation for Metadata's honest
+    * UNKNOWN_TOPIC answer (round-19 review): a reader polling a
+    * not-yet-produced topic from a non-leader bootstrap must route to
+    * the node that will lead it, not burn its retry budget in place. */
+  private def defaultLeaderRoute(bootHost: String, bootPort: Int): Option[(String, Int)] =
+    metadataBrokers(bootHost, bootPort).minByOption(_._1).map(_._2)
+
+  /** [[metadataLeader]] with the UNKNOWN_TOPIC → default-leader
+    * fallback; None on any resolution failure (the caller keeps its
+    * current route). The shared re-resolve arm for every retry path. */
+  private def resolveLeader(bootHost: String, bootPort: Int, topic: String,
+      partition: Int): Option[(String, Int)] =
+    try metadataLeader(bootHost, bootPort, topic, partition)
+    catch {
+      case e: WireErrorException if e.code == ErrUnknownTopic =>
+        try defaultLeaderRoute(bootHost, bootPort)
+        catch { case _: java.io.IOException | _: WireErrorException => None }
+      case _: java.io.IOException | _: WireErrorException => None
     }
 
   def metadataLeader(bootHost: String, bootPort: Int, topic: String,
@@ -879,10 +973,10 @@ object KafkaWire {
       * election (leader -1) falls back to reconnect-in-place — the
       * next attempt re-resolves. */
     private def reroute(why: String): Unit = {
-      try metadataLeader(host, port, topic, partition) match {
+      resolveLeader(host, port, topic, partition) match {
         case Some((lh, lp)) => rHost = lh; rPort = lp
         case None => ()
-      } catch { case _: java.io.IOException | _: WireErrorException => () }
+      }
       dropConn(s"$why → leader $rHost:$rPort")
     }
 
@@ -1383,6 +1477,18 @@ object KafkaWire {
           (p, off, md)
         })
       }
+      // group APIs are COORDINATOR-owned, like the txn APIs (a real
+      // broker stores them in __consumer_offsets, whose leader IS the
+      // group coordinator) — a non-coordinator answers 16 and the
+      // client re-resolves via FindCoordinator (round-19 review)
+      if (!isCoordinator) {
+        resp.i32(topics.size)
+        topics.foreach { case (t, ps) =>
+          resp.str(t); resp.i32(ps.size)
+          ps.foreach { case (pt, _, _) => resp.i32(pt).i16(ErrNotCoordinator) }
+        }
+        return
+      }
       lock.synchronized {
         for ((t, ps) <- topics; (p, off, md) <- ps)
           state.groupOffsets((group, t, p)) = (off, Option(md).getOrElse(""))
@@ -1401,6 +1507,14 @@ object KafkaWire {
       val group = req.str()
       val topics = (0 until req.i32()).map { _ =>
         val t = req.str(); (t, (0 until req.i32()).map(_ => req.i32()))
+      }
+      if (!isCoordinator) { // see handleOffsetCommit
+        resp.i32(topics.size)
+        topics.foreach { case (t, ps) =>
+          resp.str(t); resp.i32(ps.size)
+          ps.foreach(p => resp.i32(p).i64(-1L).nstr(null).i16(ErrNotCoordinator))
+        }
+        return
       }
       val snap = lock.synchronized {
         topics.map { case (t, ps) =>

@@ -173,7 +173,8 @@ object ReportPipeline {
       fs.mkdirs(target.getParent)
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, target)
+      if (!fs.rename(tmp, target)) throw new java.io.IOException(
+        s"rename $tmp -> $target failed; the generation was NOT committed")
     }
 
     /** The current generation = the HIGHEST committed manifest name.
@@ -209,6 +210,19 @@ object ReportPipeline {
         .collect().map(_.getInt(0)).toSet
       if (affected.isEmpty) return None
       val priorGen = currentGen(fs)
+      // generation ids are Spark batch ids and "current" = max
+      // manifest, so a batch id BELOW the committed maximum means the
+      // checkpoint was reset over a kept table: its commits would be
+      // invisible (never the max) and the next commit's GC would
+      // discard them as stale — acknowledged data silently lost.
+      // Refuse loudly instead (the EOS sink's layout-refusal posture);
+      // a healthy lifecycle only ever replays batchId == currentGen.
+      for (pg <- priorGen if batchId < pg)
+        throw new IllegalStateException(
+          s"table '$tablePath' is at generation $pg but this write is " +
+            s"batch $batchId — the streaming checkpoint was reset over " +
+            "a kept table; reset BOTH (new table path or wipe the " +
+            "table) or restore the original checkpoint")
       val priorManifest = priorGen.map(readManifest(fs, _)).getOrElse(Map.empty)
       // replay-after-commit: buckets the prior manifest already pins
       // at THIS generation are durably committed with identical
@@ -238,8 +252,13 @@ object ReportPipeline {
           val dst = bucketDir(b, batchId)
           fs.delete(dst, true) // crash-stranded partial from a replay
           fs.mkdirs(dst.getParent)
-          if (fs.exists(src)) fs.rename(src, dst)
-          else fs.mkdirs(dst) // bucket emptied entirely (all keys updated away)
+          // Hadoop rename reports failure by RETURNING false — an
+          // unchecked false here would let commit pin a manifest at a
+          // bucket generation that does not exist on disk
+          if (fs.exists(src)) {
+            if (!fs.rename(src, dst)) throw new java.io.IOException(
+              s"rename $src -> $dst failed; refusing to commit a manifest over a missing generation")
+          } else fs.mkdirs(dst) // bucket emptied entirely (all keys updated away)
         }
         fs.delete(stageDir, true)
       }
@@ -255,9 +274,17 @@ object ReportPipeline {
       * racing reader is resolving. */
     private[graft] def commit(s: SparkSession, st: StagedUpsert): Unit = {
       val fs = fsOf(s)
-      if (!fs.exists(manifestPath(st.newGen)))
-        writeOnce(fs, manifestPath(st.newGen),
-          st.newManifest.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"))
+      // replay-after-commit: the manifest already exists, meaning the
+      // ORIGINAL commit ran to completion including its GC (which kept
+      // the then-prior generation for lagging readers). A replay sees
+      // priorGen == newGen, so re-running GC here would compute an
+      // EMPTY keep-set beyond newGen and delete the generation the
+      // original commit deliberately retained — full no-op instead.
+      // (Crash between writeOnce and GC: the replay skips GC and one
+      // extra generation accretes, bounded, reclaimed next commit.)
+      if (fs.exists(manifestPath(st.newGen))) return
+      writeOnce(fs, manifestPath(st.newGen),
+        st.newManifest.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"))
       // GC: keep each affected bucket's new + immediately-prior
       // generation (racing readers lag at most one commit), drop older
       for (b <- st.affected; keep = Set(Some(st.newGen), st.priorManifest.get(b)).flatten) {
@@ -285,7 +312,11 @@ object ReportPipeline {
 
     /** The committed table as a DataFrame — resolves the newest
       * committed manifest ONCE, so the read is a consistent
-      * generation even while a merge commits concurrently. */
+      * generation even while a merge commits concurrently. BEFORE the
+      * first commit the table has no schema (it is whatever the first
+      * batch carries), so this returns a ZERO-COLUMN empty frame —
+      * callers that reference columns must gate on `columns.isEmpty`
+      * first, as [[snapshot]] does. */
     def read(s: SparkSession): DataFrame = {
       val fs = fsOf(s)
       val dirs = currentGen(fs).map(readManifest(fs, _)).getOrElse(Map.empty)

@@ -95,6 +95,52 @@ class DurableUpsertSpec extends SparkSpec {
       ("2018-01-01 10:00:30", "black", "AREA_US") -> (1L, "t2")))
   }
 
+  test("a checkpoint reset over a kept table is refused (batchId below the committed generation)") {
+    val table = tmpDir() + "/report"
+    val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    sink.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 1L, "t0"))), 0L)
+    sink.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 2L, "t1"))), 1L)
+    val committed = sink.snapshot(spark)
+    // a RESET checkpoint restarts at batch 0 — its commits could never
+    // become the max generation, so they would be invisible and then
+    // GC'd: the sink must refuse instead of acknowledging a write it
+    // will silently discard
+    val e = intercept[IllegalStateException] {
+      sink.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 9L, "t9"))), 0L)
+    }
+    assert(e.getMessage.contains("checkpoint was reset"))
+    assert(sink.snapshot(spark) == committed, "the refused write must not change state")
+  }
+
+  test("replaying a committed batch keeps the prior generation for lagging readers") {
+    val table = tmpDir() + "/report"
+    val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    sink.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 1L, "t0"))), 0L)
+    val batch1 = mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 2L, "t1")))
+    sink.write(batch1, 1L)
+    // after the clean commit of gen 1, gen 0 (manifest + bucket dirs)
+    // is deliberately retained for readers that resolved it just
+    // before the flip
+    def gen0Manifest = new java.io.File(s"$table/_manifests/gen-0")
+    def gen0Dirs = {
+      val data = new java.io.File(table, "data")
+      Option(data.listFiles()).getOrElse(Array.empty)
+        .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+        .count(_.getName == "gen=0")
+    }
+    assert(gen0Manifest.exists, "prior manifest must survive the clean commit")
+    val dirs0 = gen0Dirs
+    assert(dirs0 > 0, "prior bucket generation must survive the clean commit")
+    // REPLAY of batch 1 (crash-after-commit): the original commit's GC
+    // already ran — the replay must be a full no-op, NOT a second GC
+    // with priorGen == newGen that deletes the retained generation
+    sink.write(batch1, 1L)
+    assert(gen0Manifest.exists, "replay GC'd the prior manifest lagging readers resolve")
+    assert(gen0Dirs == dirs0, "replay GC'd prior bucket generations")
+    assert(sink.snapshot(spark) ==
+      Map(("2018-01-01 10:00:00", "shelf", "AREA_US") -> (2L, "t1")))
+  }
+
   test("atomic visibility: a reader racing a merge sees all-old or all-new, never a mix") {
     val table = tmpDir() + "/report"
     val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)

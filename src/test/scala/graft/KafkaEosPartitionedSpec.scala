@@ -192,14 +192,23 @@ class KafkaEosPartitionedSpec extends SparkSpec {
         else rootMsg(t.getCause) + String.valueOf(t.getMessage)
       assert(rootMsg(e).contains("layout marker"),
         s"expected the pre-marker refusal, got: ${rootMsg(e)}")
-      // the refusal is PER-PARTITION (it guards each writer's own
-      // restore): the partition with unverifiable prior progress sent
-      // nothing and its marker did not advance past the prior value
-      assert(b.committed("out").size < 16,
-        "the refused partition must not have sent its rows")
+      // the refusal probes ALL writer keys (round-19 review): even the
+      // partitions with no own marker must refuse — previously they
+      // committed rows under the new hashing AND planted the '#np'
+      // marker, unblocking the unverifiable partitions on retry
+      assert(b.committed("out").isEmpty,
+        "no partition may send rows against an unverifiable layout")
       assert(KafkaWire.readLastCommitted("127.0.0.1", b.port, "progress",
         KafkaEosSink.transactionalId(ck, Some(0))) == 0L,
         "the refused partition's marker must not advance")
+      // the grown-numPartitions shape specifically: a restart at
+      // nParts=8 over 4-partition-era markers must refuse the same way
+      KafkaEosSink.clearPool()
+      val s8 = sink(b, ck, 8)
+      val e8 = intercept[Exception] { s8.write(rows(16), 2L) }
+      assert(rootMsg(e8).contains("layout marker"),
+        s"grown-layout restore must refuse too, got: ${rootMsg(e8)}")
+      assert(b.committed("out").isEmpty)
     }
   }
 
