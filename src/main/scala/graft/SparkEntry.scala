@@ -201,6 +201,7 @@ object SparkEntry {
     "q_embed_prune_stats" -> (Similarity.qEmbedPruneStats _),
     // --- similarity search ---
     "q_knn_brute" -> (Similarity.qKnnBrute _),
+    "q_ann_params" -> (Similarity.qAnnParams _),
     "q_kmeans_centroids" -> (Similarity.qKmeansCentroids _),
     "q_pca_power" -> (Similarity.qPcaPower _),
     "q_pca_basis" -> (Similarity.qPcaBasis _),
@@ -1114,9 +1115,34 @@ object SparkEntry {
     s"""WITH RECURSIVE ${ccCtes(pairsSql, outId)}
        |SELECT $outId, cluster_id FROM cc ORDER BY $outId""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Corpus-derived ANN parameterization as SQL scalar subqueries — the
+  // mirrors of Similarity.numQueriesFor / cellsFor / nprobeFor /
+  // shortlistFor (round-20, VERDICT r19 #1/#2). Each derives from
+  // count(*) over the SAME universe the Spark side counts; the
+  // rebuild/drift oracles textually re-root `FROM embeddings` at their
+  // drift CTE, which re-roots these derivations identically (the Spark
+  // side derives from the drifted frame's count there). floor(sqrt())
+  // of a correctly-rounded IEEE sqrt is engine-identical, and // is
+  // the same floor division as Scala Long `/` on non-negatives.
+  // ------------------------------------------------------------------
+  private val nqSql =
+    s"(SELECT greatest(${Similarity.MinQueries}, count(*) // ${Similarity.QueryDiv}) FROM embeddings)"
+  private val cellsExprSql =
+    s"greatest(${Similarity.MinCells}, least(${Similarity.MaxCells}, " +
+      "CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))"
+  private val seedStrideSql =
+    s"(SELECT greatest(1, count(*) // $cellsExprSql) FROM embeddings)"
+  /** Probe width from the TRAINED quantizer cardinality (cells can die
+    * in Lloyd rounds) — a scalar over the final centroid CTE. */
+  private def nprobeSql =
+    s"(SELECT greatest(2, count(DISTINCT cent_id) // 2) FROM c${KmIters + 1})"
+  private val shortlistSql =
+    s"(SELECT greatest(${Similarity.K * Similarity.PqRerankFactor}, (count(*) * 2) // 5) FROM embeddings)"
+
   private val knnBruteSql =
     s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM n WHERE vec_id < $nqSql),
          |p AS (SELECT qid, vec_id AS cid, qn2, n2 AS cn2, unnest(list_zip(qe, embedding)) AS z
          |      FROM q JOIN n ON qid <> vec_id),
          |dots AS (SELECT qid, cid, any_value(qn2) AS qn2, any_value(cn2) AS cn2,
@@ -1134,11 +1160,10 @@ object SparkEntry {
   private val KmIters = 3
   private def kmeansChainSql: String = {
     val sb = new StringBuilder(
-      // fixed-cardinality seed mirror (Similarity.seedStride): stride
-      // = greatest(1, n // TargetCells) — DuckDB's // is the same
-      // floor division as Scala Long `/` on non-negatives
+      // derived-cardinality seed mirror (Similarity.seedStride):
+      // stride = greatest(1, n // cellsFor(n))
       s"c1 AS (SELECT vec_id AS cent_id, pos, x FROM ve WHERE vec_id % " +
-        s"(SELECT greatest(1, count(*) // ${Similarity.TargetCells}) FROM embeddings) = 0)")
+        s"$seedStrideSql = 0)")
     for (i <- 1 to KmIters) sb ++= s""",
          |cn$i AS (SELECT cent_id,
          |    CAST(sum(CAST(floor(x*x*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS n2
@@ -1222,7 +1247,7 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     val lut = (0 until Similarity.PqM)
       .map(m => s"SELECT vec_id AS qid, CAST($m AS BIGINT) AS m, cent_id AS code, dfx " +
-        s"FROM pd${m}_$f WHERE vec_id < ${Similarity.NumQueries}")
+        s"FROM pd${m}_$f WHERE vec_id < $nqSql")
       .mkString(" UNION ALL ")
     s"""${(0 until Similarity.PqM).map(pqChainCtes).mkString(",\n")},
        |pqcodes AS ($codes),
@@ -1251,7 +1276,7 @@ object SparkEntry {
     s"""WITH $pqCtes,
        |$pqAdcCtes,
        |short AS (SELECT qid, cid FROM prk
-       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |  WHERE rn <= $shortlistSql),
        |rer AS (SELECT s.qid, s.cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM short s JOIN ve a ON s.qid = a.vec_id
@@ -1267,7 +1292,7 @@ object SparkEntry {
     s"""WITH $pqCtes,
        |$pqAdcCtes,
        |short AS (SELECT qid, cid FROM prk
-       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |  WHERE rn <= $shortlistSql),
        |rer AS (SELECT s.qid, s.cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM short s JOIN ve a ON s.qid = a.vec_id
@@ -1280,7 +1305,7 @@ object SparkEntry {
        |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM ve a JOIN ve b ON a.pos = b.pos
-       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nqSql AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |brk AS (SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
@@ -1304,7 +1329,7 @@ object SparkEntry {
        |probes AS (SELECT qid, cell FROM (
        |    SELECT vec_id AS qid, cent_id AS cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-       |    FROM adots WHERE vec_id < ${Similarity.NumQueries}) t WHERE rn <= ${Similarity.NProbe}),
+       |    FROM adots WHERE vec_id < $nqSql) t WHERE rn <= $nprobeSql),
        |$pqChainsCtes,
        |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
        |         WHERE a.vec_id <> p.qid),
@@ -1316,7 +1341,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
        |  FROM adc),
        |short AS (SELECT qid, cid FROM prk
-       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |  WHERE rn <= $shortlistSql),
        |rer AS (SELECT s.qid, s.cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM short s JOIN ve a ON s.qid = a.vec_id
@@ -1390,7 +1415,7 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     val lut = (0 until Similarity.PqM)
       .map(m => s"SELECT vec_id AS qid, CAST($m AS BIGINT) AS m, cent_id AS code, dfx " +
-        s"FROM opd${m}_$f WHERE vec_id < ${Similarity.NumQueries}")
+        s"FROM opd${m}_$f WHERE vec_id < $nqSql")
       .mkString(" UNION ALL ")
     s"""$opqHouseholderCtes,
        |ove AS MATERIALIZED (SELECT vec_id, pos,
@@ -1406,7 +1431,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
        |  FROM oadc),
        |oshort AS (SELECT qid, cid FROM oprk
-       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |  WHERE rn <= $shortlistSql),
        |orer AS (SELECT s.qid, s.cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM oshort s JOIN ve a ON s.qid = a.vec_id
@@ -1428,7 +1453,7 @@ object SparkEntry {
        |obd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM ve a JOIN ve b ON a.pos = b.pos
-       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nqSql AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |obrk AS (SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
@@ -1461,7 +1486,7 @@ object SparkEntry {
       s"""SELECT v.vec_id AS qid, CAST($m AS BIGINT) AS m, c.cent_id AS code,
          |    CAST(sum(CAST(floor((v.x)*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
          |  FROM (SELECT vec_id, pos - $lo AS pos, x FROM ve
-         |        WHERE vec_id < ${Similarity.NumQueries} AND pos >= $lo AND pos < $hi) v
+         |        WHERE vec_id < $nqSql AND pos >= $lo AND pos < $hi) v
          |  JOIN rpc${m}_$f c ON v.pos = c.pos GROUP BY 1, 3""".stripMargin
     }.mkString(" UNION ALL ")
     s"""n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
@@ -1471,7 +1496,7 @@ object SparkEntry {
        |probes AS (SELECT qid, cell FROM (
        |    SELECT vec_id AS qid, cent_id AS cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-       |    FROM adots WHERE vec_id < ${Similarity.NumQueries}) t WHERE rn <= ${Similarity.NProbe}),
+       |    FROM adots WHERE vec_id < $nqSql) t WHERE rn <= $nprobeSql),
        |rve AS MATERIALIZED (SELECT ve.vec_id, ve.pos, CAST(CAST(ve.x - c.x AS REAL) AS DOUBLE) AS x
        |  FROM ve JOIN assign a ON ve.vec_id = a.vec_id
        |  JOIN c$f c ON a.cell = c.cent_id AND ve.pos = c.pos),
@@ -1481,7 +1506,7 @@ object SparkEntry {
        |qcfx AS (SELECT ve.vec_id AS qid, c.cent_id AS cell,
        |    CAST(sum(CAST(floor(ve.x*c.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS base_fx
        |  FROM ve JOIN c$f c ON ve.pos = c.pos
-       |  WHERE ve.vec_id < ${Similarity.NumQueries} GROUP BY 1, 2),
+       |  WHERE ve.vec_id < $nqSql GROUP BY 1, 2),
        |cand AS (SELECT p.qid, a.vec_id AS cid, a.cell FROM probes p JOIN assign a ON p.cell = a.cell
        |         WHERE a.vec_id <> p.qid),
        |adc AS (SELECT x.qid, x.cid, qc.base_fx + CAST(sum(l.dfx) AS BIGINT) AS adc_fx
@@ -1493,7 +1518,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx DESC, cid) AS rn
        |  FROM adc),
        |short AS (SELECT qid, cid FROM prk
-       |  WHERE rn <= ${Similarity.K * Similarity.PqRerankFactor}),
+       |  WHERE rn <= $shortlistSql),
        |rer AS (SELECT s.qid, s.cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM short s JOIN ve a ON s.qid = a.vec_id
@@ -1515,7 +1540,7 @@ object SparkEntry {
        |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM ve a JOIN ve b ON a.pos = b.pos
-       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nqSql AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |brk AS (SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
@@ -1533,7 +1558,7 @@ object SparkEntry {
        |bd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
        |    CAST(sum(CAST(floor(a.x*b.x*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dfx
        |  FROM ve a JOIN ve b ON a.pos = b.pos
-       |  WHERE a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nqSql AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |brk AS (SELECT qid, cid,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfx DESC, cid) AS rn
@@ -1591,7 +1616,7 @@ object SparkEntry {
          |probes AS (SELECT qid, cell FROM (
          |    SELECT vec_id AS qid, cent_id AS cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
+         |    FROM adots WHERE vec_id < $nqSql) t WHERE rn <= $nprobeSql),
          |cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assign a ON p.cell = a.cell
          |         WHERE a.vec_id <> p.qid),
          |cz AS (SELECT c.qid, c.cid, qn.n2 AS qn2, cn.n2 AS cn2,
@@ -1645,7 +1670,7 @@ object SparkEntry {
          |probes AS (SELECT qid, cell FROM (
          |    SELECT vec_id AS qid, cent_id AS cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(n2)*sqrt(cn2)) DESC, cent_id) AS rn
-         |    FROM adots WHERE vec_id < 5) t WHERE rn <= 2),
+         |    FROM adots WHERE vec_id < $nqSql) t WHERE rn <= $nprobeSql),
          |q8 AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
          |      (CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS qe
@@ -3024,6 +3049,20 @@ object SparkEntry {
          |FROM afit a CROSS JOIN fcut c
          |GROUP BY 1 ORDER BY a.cell""".stripMargin,
     "q_knn_brute" -> knnBruteSql,
+    // the derived-parameterization surface: the oracle RE-DERIVES every
+    // serving knob from count(*) + the trained chain — a drift between
+    // the two engines' derivation arithmetic fails here first
+    "q_ann_params" ->
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding, ${n2Sql("embedding")} AS n2 FROM embeddings),
+         |$veSql,
+         |$kmeansChainSql
+         |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+         |  CAST($nqSql AS BIGINT) AS n_queries,
+         |  CAST((SELECT $cellsExprSql FROM embeddings) AS BIGINT) AS cells_target,
+         |  CAST($seedStrideSql AS BIGINT) AS seed_stride,
+         |  CAST((SELECT count(DISTINCT cent_id) FROM c${KmIters + 1}) AS BIGINT) AS n_cells_trained,
+         |  CAST($nprobeSql AS BIGINT) AS nprobe,
+         |  CAST($shortlistSql AS BIGINT) AS shortlist""".stripMargin,
     "q_kmeans_centroids" -> kmeansSql,
     "q_pca_power" -> {
       val r = graft.operators.Similarity.PcaRounds

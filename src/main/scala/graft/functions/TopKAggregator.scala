@@ -16,30 +16,31 @@ class TopKAggregator(k: Int)
 
   override def zero: List[(Double, Long)] = Nil
 
-  // buffer invariant: sorted by (-score, id), length <= k
+  // trim invariant: sorted by (-score, id), length <= k. The BUFFER
+  // only promises "superset of the running top-k, length < 2k": new
+  // elements are PREPENDED and the sort is paid once per k inserts
+  // (the 2k high-water trim below) — amortized O(log k) per row
+  // instead of a full re-sort per row, which matters now that the
+  // derived ADC shortlist makes k a corpus fraction (round-20;
+  // per-insert sorting was O(rows x k log k) per group). Dropping
+  // below-top-k elements at any point never changes the final top-k,
+  // and trim's (-score, id) key is a TOTAL order (sortBy on the
+  // tuple, where -0.0 < 0.0 consistently), so the result is
+  // partition-split-independent.
   private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
     xs.sortBy { case (score, id) => (-score, id) }.take(k)
 
   override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
-    // short-circuit the common case: buffer full and the incoming
-    // element can't displace the current minimum — O(1) per row
-    // instead of a full re-sort (the hot path for large groups)
-    if (buf.lengthCompare(k) >= 0) {
-      val last = buf.last
-      // total ordering via Double.compare, NOT primitive </== — the
-      // primitives treat -0.0 == 0.0 while trim()'s sortBy orders
-      // -0.0 < 0.0, and any disagreement between the two paths makes
-      // the aggregator's result depend on the partition split
-      val c = java.lang.Double.compare(in._1, last._1)
-      if (c < 0 || (c == 0 && in._2 >= last._2)) return buf
-    }
-    trim(in :: buf)
+    val nb = in :: buf
+    if (nb.lengthCompare(2 * k) >= 0) trim(nb) else nb
   }
 
+  // merge/finish re-establish the canonical sorted-top-k form — the
+  // shuffled partial state is at most 2k-1 pairs per group either way
   override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
     trim(a ++ b)
 
-  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = trim(buf)
 
   override def bufferEncoder: Encoder[List[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()

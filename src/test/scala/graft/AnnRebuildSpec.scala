@@ -51,7 +51,7 @@ class AnnRebuildSpec extends SparkSpec {
     * wide enough that members straddle cells), noise drawn from the
     * real corpus vectors so nothing here is random across runs.
     * Cluster members take the low ids (knnIvfWith queries are
-    * vec_id < NumQueries, so the five queries are one member of each
+    * vec_id < numQueriesFor(n), so the five queries are one member of each
     * cluster); the base corpus rides along at ids >= 1000. Returns
     * (base id->vec, cluster members id->vec). */
   private def clusteredDrift(): (Array[(Long, Array[Float])], Seq[(Long, Array[Float])]) = {
@@ -62,7 +62,12 @@ class AnnRebuildSpec extends SparkSpec {
       math.sqrt(v._2.map(x => x.toDouble * x).sum)).sum / base.length
     val members = for (k <- 0 until 5; j <- 0 until 40) yield {
       val v = base((k * 40 + j) % base.length)._2.clone()
-      v(8 * k) = (v(8 * k) + meanNorm).toFloat // anchor mass at dim 8k
+      // anchor mass at dim 8k — 2x the mean norm so the planted
+      // clusters are unambiguously out-of-distribution against the
+      // derived sqrt(n)-cell quantizer (round-20: fewer, coarser cells
+      // lower the in-distribution baseline fit, so a 1x anchor left
+      // the drifted/baseline ratio hovering at the 0.8 trip line)
+      v(8 * k) = (v(8 * k) + 2 * meanNorm).toFloat
       ((j * 5 + k).toLong, v)
     }
     (base, members)
@@ -86,7 +91,7 @@ class AnnRebuildSpec extends SparkSpec {
       dot / math.sqrt(na * nb)
     }
     val truth: Map[Long, Set[Long]] =
-      (0L until Similarity.NumQueries).map { qid =>
+      (0L until Similarity.numQueriesFor(all.length)).map { qid =>
         val qv = all.find(_._1 == qid).get._2
         qid -> all.filter(_._1 != qid)
           .map { case (id, v) => (id, cos(qv, v)) }
@@ -120,7 +125,9 @@ class AnnRebuildSpec extends SparkSpec {
     AnnIngest.dropRebuild(spark, d)
     val res = AnnIngest.qAnnSearchRebuilt(spark, d)
     val rows = res.collect()
-    assert(rows.length == Similarity.NumQueries * Similarity.K)
+    assert(rows.length ==
+      Similarity.numQueriesFor(2 * Tables.embeddings(spark, d).count()).toInt
+        * Similarity.K)
     // the index read engages bucket pruning (the IN-filter over probed
     // cells reaches the bucketed scan)
     val plan = res.queryExecution.executedPlan.toString

@@ -13,10 +13,14 @@ class IvfPqSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  // derived serving knobs for this corpus (round-20 parameterization)
+  private def nq = Similarity.numQueriesFor(
+    Tables.embeddings(spark, d).count()).toInt
+
   test("shape: K ranked rows per query, ranks contiguous") {
     val rows = Similarity.qKnnIvfPq(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-    assert(rows.length == Similarity.NumQueries * Similarity.K)
+    assert(rows.length == nq * Similarity.K)
     rows.groupBy(_._1).foreach { case (qid, rs) =>
       assert(rs.map(_._4).sorted.toSeq == (1L to Similarity.K), s"ranks for $qid")
       val dots = rs.sortBy(_._4).map(_._3)
@@ -65,7 +69,7 @@ class IvfPqSpec extends SparkSpec {
         .map { case (cellId, ce, cn2) =>
           (cellId, (rawDot(qe, ce) / 1e12) / (math.sqrt(qn2) * math.sqrt(cn2))) }
         .sortBy { case (id, c) => (-c, id) }
-        .take(Similarity.NProbe).map(_._1).toSet
+        .take(Similarity.nprobeFor(centRows.length).toInt).map(_._1).toSet
     }.toMap
     got.foreach { case (qid, cid, _) =>
       assert(probeList(qid).contains(assign(cid)),
@@ -82,7 +86,7 @@ class IvfPqSpec extends SparkSpec {
         math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong }.sum
     val got = Similarity.qKnnIvfPqR(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-    assert(got.length == Similarity.NumQueries * Similarity.K)
+    assert(got.length == nq * Similarity.K)
     got.foreach { case (qid, cid, dot, _) =>
       assert(math.abs(dot - rawDot(emb(qid), emb(cid)) / 1e12) < 1e-12,
         s"($qid,$cid) residual-path dot is not the exact rerank value")
@@ -101,7 +105,7 @@ class IvfPqSpec extends SparkSpec {
   test("recall surface is well-formed and matches a driver-side recount") {
     val rec = Similarity.qIvfPqRecall(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rec.map(_._1).toSeq == (0L until Similarity.NumQueries).toSeq)
+    assert(rec.map(_._1).toSeq == (0L until nq).toSeq)
     rec.foreach { case (qid, k, hit, r) =>
       assert(k == Similarity.K && hit >= 0 && hit <= k)
       assert(math.abs(r - hit.toDouble / k) < 1e-15, s"recall arithmetic $qid")

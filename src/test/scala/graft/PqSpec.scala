@@ -13,6 +13,10 @@ class PqSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  // derived serving knobs for this corpus (round-20 parameterization)
+  private def nq = Similarity.numQueriesFor(
+    Tables.embeddings(spark, d).count())
+
   private def fxDot(a: Seq[Float], b: Seq[Float]): Long =
     a.zip(b).map { case (x, y) =>
       Math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong
@@ -50,14 +54,14 @@ class PqSpec extends SparkSpec {
     // against the candidate's ASSIGNED centroids), then exact-dot
     // rerank of the survivors — both stages recomputed from scratch
     val byId = e.toMap
-    val want = e.filter(_._1 < Similarity.NumQueries).flatMap { case (qid, qv) =>
+    val want = e.filter(_._1 < nq).flatMap { case (qid, qv) =>
       val short = e.filter(_._1 != qid).map { case (cid, _) =>
         val adc = (0 until Similarity.PqM).map { m =>
           fxDot(sub(qv, m), codebooks(m)(codes((cid, m))).toSeq)
         }.sum
         (cid, adc)
       }.sortBy { case (cid, adc) => (-adc, cid) }
-        .take(Similarity.K * Similarity.PqRerankFactor).map(_._1)
+        .take(Similarity.shortlistFor(e.length).toInt).map(_._1)
       short.map(cid => (cid, fxDot(qv.toSeq, byId(cid).toSeq)))
         .sortBy { case (cid, dfx) => (-dfx, cid) }
         .take(Similarity.K).zipWithIndex
@@ -71,7 +75,7 @@ class PqSpec extends SparkSpec {
   test("recall eval: populated, bounded, and not degenerate") {
     val rows = Similarity.qPqRecall(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.length == Similarity.NumQueries)
+    assert(rows.length == nq)
     assert(rows.forall { case (_, k, h, rec) =>
       k == Similarity.K && h >= 0 && h <= k && rec == h.toDouble / k })
     // PQ at 64x compression should still beat random top-10 easily

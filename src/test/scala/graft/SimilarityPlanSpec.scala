@@ -19,22 +19,25 @@ class SimilarityPlanSpec extends SparkSpec {
     (e, Similarity.seedCentroids(e))
   }
 
-  test("centroid cardinality is O(TargetCells), independent of corpus size") {
+  test("centroid cardinality is O(cellsFor(n)) = O(sqrt n), capped") {
     val (e, _) = parts(spark)
     val n = e.count()
     // a 10x corpus with the same id density (shifted blocks) must NOT
-    // get 10x the centroids: the stride scales with n so the seed set
-    // stays ~TargetCells — the property that keeps the driver cache
-    // and per-task broadcast O(k*dim) at any corpus size
+    // get 10x the centroids: the stride scales so the seed set tracks
+    // cellsFor(n) ~ sqrt(n) (capped at MaxCells) — the property that
+    // keeps the driver cache and per-task broadcast bounded at any
+    // corpus size (10x data -> ~3.2x cells, never 10x)
     val e10 = (0 until 10).map(i =>
       e.select((col("vec_id") + lit(i * n)).as("vec_id"), col("embedding"), col("n2")))
       .reduce(_ unionAll _)
     val kSmall = Similarity.seedCentroids(e).count()
     val kBig = Similarity.seedCentroids(e10).count()
-    val cap = 2 * Similarity.TargetCells
-    assert(kSmall <= cap && kBig <= cap,
-      s"seed centroid count grew with the corpus: $kSmall -> $kBig (cap $cap)")
-    assert(kBig <= kSmall * 2,
+    val capSmall = 2 * Similarity.cellsFor(n)
+    val capBig = 2 * Similarity.cellsFor(10 * n)
+    assert(kSmall <= capSmall && kBig <= capBig,
+      s"seed centroid count outgrew its derivation: $kSmall (cap $capSmall)" +
+        s" -> $kBig (cap $capBig)")
+    assert(kBig <= kSmall * 4, // sqrt(10) ~ 3.2, never linear growth
       s"10x corpus must not multiply centroids: $kSmall -> $kBig")
     // and the trained set can only shrink (cells may die), so the
     // memoized driver cache is bounded by the same k
