@@ -244,18 +244,43 @@ final class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     * BEST-EFFORT by design: Spark's checkpoint offset log is the
     * exactly-once source of truth (this stream never OffsetFetches
     * its own position back), so a failed observability commit logs
-    * and moves on rather than failing the query. */
+    * and moves on rather than failing the query.
+    *
+    * ASYNC, latest-wins (round-20 / ADVICE r19 #4): the commit runs
+    * on a single daemon thread, never on the micro-batch driver loop
+    * — with the coordinator down, the synchronous path paid up to 4
+    * retries x (connect + read timeouts) x 2 RPCs ≈ a minute of
+    * added latency PER BATCH for an observability-only write. If a
+    * prior publish is still in flight, this batch's is skipped
+    * entirely (no queue growth); the next idle batch publishes
+    * strictly newer offsets, which is all a lag monitor needs. */
+  private lazy val commitExec = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "kafka-wire-group-commit")
+      t.setDaemon(true); t
+    })
+    ex
+  }
+  private val commitBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   override def commit(end: Offset): Unit =
     groupId.foreach { g =>
       val e = end.asInstanceOf[KafkaWireOffset]
-      try KafkaWire.commitOffsets(host, port, g, topic, e.offsets)
-      catch {
-        case ex: Exception => System.err.println(
-          s"[kafka-wire] group '$g' offset commit failed " +
-            s"(observability only, progress unaffected): ${ex.getMessage}")
-      }
+      if (commitBusy.compareAndSet(false, true))
+        commitExec.execute(() =>
+          try KafkaWire.commitOffsets(host, port, g, topic, e.offsets)
+          catch {
+            case ex: Exception => System.err.println(
+              s"[kafka-wire] group '$g' offset commit failed " +
+                s"(observability only, progress unaffected): ${ex.getMessage}")
+          } finally commitBusy.set(false))
+      else System.err.println(
+        s"[kafka-wire] group '$g' offset publish skipped for this batch " +
+          "(previous publish still in flight — coordinator degraded?); " +
+          "a later batch will publish newer offsets")
     }
-  override def stop(): Unit = ()
+  override def stop(): Unit =
+    if (groupId.nonEmpty) commitExec.shutdown()
 }
 
 final class KafkaWireReaderFactory extends PartitionReaderFactory {

@@ -193,6 +193,99 @@ object AnnIngest {
     }
   }
 
+  // -------------------------------------- recall-based rebuild advice
+
+  /** Sample stride for [[sampledServingRecall]]'s exact audit leg —
+    * the Bench recall-audit convention (flat cost: the exact leg is
+    * O(|sampled queries| x corpus)). */
+  val RecallAuditStride = 1
+
+  /** Patience for [[RecallMonitor]] (the [[DriftPatience]] posture:
+    * one bad audit is a blip, consecutive bad audits are drift). */
+  val RecallPatience = 2
+
+  /** Fraction of the build-time baseline recall below which the
+    * monitor warms ([[DriftFraction]]'s convention applied to the
+    * PRODUCT metric). */
+  val RecallFraction = 0.8
+
+  /** SAMPLED SERVING RECALL of a mounted (quantizer, index) pair:
+    * mean recall@[[Similarity.K]] of the indexed IVF read path
+    * ([[Similarity.knnIvfIndexed]]) against the exact cosine top-K
+    * over the same corpus, for every `stride`-th query of the derived
+    * query set. This is the PRODUCT metric the quantization-fit
+    * monitor proxies (round-20, VERDICT r19 #6): fit can drift
+    * without recall moving (and recall can collapse while mean fit
+    * looks survivable), so the rebuild recommendation reads both.
+    * Cost: the exact leg is |sampled queries| x corpus dots — the
+    * flat-cost sampled-audit shape, run on the audit cadence, never
+    * per trigger. */
+  def sampledServingRecall(vecs: DataFrame, cent: DataFrame,
+      index: DataFrame, stride: Int = RecallAuditStride): Double = {
+    import graft.functions.VectorFunctions._
+    val en = Similarity.withNorm(vecs).localCheckpoint(false)
+    val nq = Similarity.numQueriesFor(en.count())
+    val q = en.filter(col("vec_id") < nq && col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val scored = broadcast(q).join(
+      en.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn2")), col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        cosineFromParts(dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+      .select(col("qid"), col("cid"), col("cosine"))
+    val brute = Similarity.topK(scored, Similarity.K)
+      .select(col("qid"), col("cid"))
+    val served = Similarity.knnIvfIndexed(en, cent, index)
+      .filter(col("qid") % stride === 0)
+      .select(col("qid").as("sqid"), col("cid").as("scid"))
+    val r = brute
+      .join(served, col("qid") === col("sqid") && col("cid") === col("scid"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("scid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .agg(avg(col("n_hit").cast("double") / col("k"))).collect()(0)
+    val out = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    DedupGate.unpersistCheckpoints(en)
+    out
+  }
+
+  /** The recall channel of the rebuild recommendation — the
+    * [[DriftMonitor]] pattern on the product metric: trips (a
+    * standing recommendation) when the sampled serving recall stays
+    * below `fraction x baseline` for `patience` consecutive audits.
+    * An operator runs BOTH monitors; either tripping schedules
+    * [[rebuild]] — fit catches geometric drift cheaply per batch,
+    * this catches the quality regressions fit only proxies
+    * ([[AnnRecallLifecycleSpec]] plants a drift that collapses recall
+    * and proves the wire trips, and that the post-rebuild audit
+    * recovers above the trip line). */
+  final class RecallMonitor(baselineRecall: Double,
+      fraction: Double = RecallFraction, patience: Int = RecallPatience) {
+    private var hot = 0
+    @volatile private var tripped = false
+
+    /** Standing recommendation: true once the wire has tripped. */
+    def advice: Boolean = tripped
+
+    /** Record one sampled-recall audit; returns true exactly when
+      * this observation trips the wire. */
+    def observe(sampledRecall: Double): Boolean = {
+      hot = if (sampledRecall < fraction * baselineRecall) hot + 1 else 0
+      if (hot >= patience && !tripped) {
+        tripped = true
+        System.err.println(
+          f"[graft.ann] recall: sampled serving recall $sampledRecall%.4f" +
+            f" < $fraction%.2f x baseline $baselineRecall%.4f for $hot " +
+            "consecutive audits - the serving index no longer answers " +
+            "the stream's queries; schedule AnnIngest.rebuild on the " +
+            "grown corpus")
+        true
+      } else false
+    }
+  }
+
   // --------------------------------------- offline re-center REBUILD
 
   /** Id offset and rotation shift for the oracle-checkable drift
@@ -216,9 +309,13 @@ object AnnIngest {
   }
 
   /** Serving-index table name for the rebuild surface of corpus `d`
-    * (digest-keyed like every saved artifact). */
+    * (digest-keyed like every saved artifact; carries the shared
+    * [[Similarity.ArtifactRev]] so a generation built under an older
+    * training parameterization can never serve the new chains — the
+    * fingerprint only invalidates on data change, not code change). */
   def rebuildTableName(d: String): String =
-    "graft_ann_rebuild_" + graft.sources.Writers.tableDigest(d)
+    s"graft_ann_rebuild_${Similarity.ArtifactRev}_" +
+      graft.sources.Writers.tableDigest(d)
 
   /** The quantizer table paired with a serving index — rebuilt and
     * swapped TOGETHER, so a search session always mounts the geometry

@@ -114,6 +114,15 @@ object KafkaEosSink {
     s"graft-eos-$md5" + partition.map(p => s"-p$p").getOrElse("")
   }
 
+  /** Floor of the marker-less-topic layout probe's scan width
+    * ([0, max(nParts, this))): catches a pre-'#np' progress log
+    * written under a WIDER layout whose only committed markers sit at
+    * indices >= the current nParts (the half-committed-first-batch
+    * corner, ADVICE r19 #2). Raise before migrating a pre-marker
+    * topic whose original layout was wider than this
+    * (docs/CONNECTORS.md). */
+  val LayoutProbeCeiling = 64
+
   /** Production [[TxProducer]]: reflectively bound KafkaProducer so
     * this repo compiles with zero Kafka dependency. Every call maps
     * 1:1 onto the real producer API; `send` builds a
@@ -382,20 +391,29 @@ object KafkaEosSink {
             // was written under is unverifiable, so resuming could be
             // the exact silent rehash-duplication the marker exists to
             // prevent — refuse loudly instead of skipping validation
-            // (round-19 advice). The probe scans ALL nParts writer
-            // keys, not just this partition's own: when numPartitions
-            // GREW, the new partitions have no own marker and would
-            // otherwise pass, commit rows under the new hashing AND
-            // plant '#np' = nParts — unblocking the retried
-            // unverifiable partitions (round-19 review). A pre-marker
-            // layout that was LARGER than nParts is caught by
-            // whichever of its markers falls in [0, nParts) — and all
-            // of 0..oldNp-1 carry markers for any batch that had data
-            // everywhere. A genuinely empty topic probes all -1 and
-            // passes (first-ever run). Cost: nParts reads, once per
-            // pooled producer, only on a marker-less topic.
+            // (round-19 advice). The probe scans a fixed SUPERSET of
+            // writer keys, [0, max(nParts, ProbeCeiling)), not just
+            // this partition's own: when numPartitions GREW, the new
+            // partitions have no own marker and would otherwise pass,
+            // commit rows under the new hashing AND plant '#np' =
+            // nParts — unblocking the retried unverifiable partitions
+            // (round-19 review). And a pre-marker layout LARGER than
+            // nParts whose only committed markers sit at indices >=
+            // nParts (a half-committed first batch that only got
+            // through its high partitions before the crash — the
+            // EOS-critical corner, round-20 / ADVICE r19 #2) is caught
+            // by the ceiling: any marker below max(nParts, 64) trips
+            // the refusal. The residual corner — an old layout wider
+            // than the ceiling with ALL its committed markers above it
+            // — is documented as an operational caveat in
+            // docs/CONNECTORS.md (raise ProbeCeiling to that layout's
+            // width before migrating such a topic). A genuinely empty
+            // topic probes all -1 and passes (first-ever run). Cost:
+            // max(nParts, 64) reads, once per pooled producer, only on
+            // a marker-less topic.
             if (priorNp < 0 &&
-                (0 until nParts).exists(i => rlc(transactionalId(ck, Some(i))) >= 0))
+                (0 until math.max(nParts, LayoutProbeCeiling))
+                  .exists(i => rlc(transactionalId(ck, Some(i))) >= 0))
               throw new IllegalStateException(
                 s"progress topic '$pt' has committed batch markers but " +
                   s"no '$npKey' layout marker — its original " +

@@ -145,8 +145,37 @@ object ReportPipeline {
     private def root = new Path(tablePath)
     private def manifestDir = new Path(root, "_manifests")
     private def manifestPath(g: Long) = new Path(manifestDir, s"gen-$g")
+    private def layoutPath = new Path(root, "_layout")
     private def bucketDir(b: Int, g: Long) =
       new Path(new Path(new Path(root, "data"), s"bucket=$b"), s"gen=$g")
+
+    /** nBuckets is part of the table's PHYSICAL layout: a restart with
+      * a different value rehashes keys across buckets while old-bucket
+      * generations stay pinned in the manifest — an old row whose key
+      * now hashes elsewhere is never anti-joined out, silently
+      * duplicating it (round-20 / ADVICE r19 #3). The value is
+      * recorded once in a write-once `_layout` file and every writer
+      * validates it — the batchId-regression guard's refusal posture
+      * applied to the layout parameter (mirroring the EOS sink's
+      * '#np' marker). */
+    private def checkLayout(fs: FileSystem): Unit =
+      readText(fs, layoutPath) match {
+        case Some(t) =>
+          val prior = t.trim.toInt
+          if (prior != nBuckets) throw new IllegalStateException(
+            s"table '$tablePath' was created with nBuckets=$prior but " +
+              s"this sink runs nBuckets=$nBuckets — rehashing keys " +
+              "across buckets over pinned generations would duplicate " +
+              s"rows; restore nBuckets=$prior or start a new table path")
+        case None =>
+          try writeOnce(fs, layoutPath, nBuckets.toString)
+          catch { case e: java.io.IOException =>
+            // lost a concurrent first-writer race: valid only if the
+            // winner recorded the same layout
+            if (!readText(fs, layoutPath).map(_.trim).contains(nBuckets.toString))
+              throw e
+          }
+      }
 
     private def fsOf(s: SparkSession): FileSystem =
       root.getFileSystem(s.sessionState.newHadoopConf())
@@ -204,6 +233,7 @@ object ReportPipeline {
     private[graft] def stage(batch: DataFrame, batchId: Long): Option[StagedUpsert] = {
       val s = batch.sparkSession
       val fs = fsOf(s)
+      checkLayout(fs)
       val withBucket = batch.withColumn("bucket",
         pmod(hash(col("wstart"), col("type"), col("area")), lit(nBuckets)))
       val affected = withBucket.select(col("bucket")).distinct()
