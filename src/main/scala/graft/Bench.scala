@@ -46,6 +46,14 @@ object Bench {
     "q_embed_clusters", "q9_product_profit", "q_pagerank", "q_bm25",
     "q_pca_basis", // trained PCA basis (Similarity.trainedPcaBasis)
     "q_knn_opq", // OPQ codebooks (Similarity.opqCodebook)
+    "q_knn_pq", // plain PQ codebooks (Similarity.pqCodebook — first
+    // sf1-suite consumer; at the main SF the recall rows' medians
+    // already dropped the build, the warmup just pays it up front)
+    "q_knn_ivfpq_res", // RESIDUAL PQ codebooks (Similarity.pqrCodebook)
+    // — its 10x single shot paid 4 subspace trainings over the
+    // residual frame and sat at 13.6x vs-max, 1.4x under the
+    // superlinear flag line on a quiet machine (round-20): the build
+    // belongs in build_ratios, not the raw ratio
     "q_dsir_weights", // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
     "q_quality_clf", // trained classifier weights (QualityClf.weightsMemo, "pool")
     "q_quality_clf_drift") // %4-split classifier weights (QualityClf.gateWeightsMemo, "m4")
@@ -715,13 +723,9 @@ object Bench {
         // an even stride sampled only even-replica rotations, biasing
         // the estimate toward half the rotation shifts) — no power of
         // 2 or 5 divides it, so every replica residue is represented.
-        val nqAudit = graft.operators.Similarity.numQueriesFor(
-          graft.operators.Similarity.corpusCount(spark, sf1Dir))
-        val recallStride = {
-          var s0 = math.max(1L, nqAudit / 24).toInt
-          while (s0 % 2 == 0 || s0 % 5 == 0) s0 += 1
-          s0
-        }
+        val recallStride = graft.operators.Similarity.auditStrideFor(
+          graft.operators.Similarity.numQueriesFor(
+            graft.operators.Similarity.corpusCount(spark, sf1Dir)))
         def recallRow(name: String)(df: => org.apache.spark.sql.DataFrame)
             : (Long, Double) =
           try {

@@ -30,11 +30,7 @@ object RecallProbe {
     def audit(tag: String, dir: String): Unit = {
       val nq = operators.Similarity.numQueriesFor(
         operators.Similarity.corpusCount(spark, dir))
-      val stride = {
-        var s0 = math.max(1L, nq / 24).toInt
-        while (s0 % 2 == 0 || s0 % 5 == 0) s0 += 1
-        s0
-      }
+      val stride = operators.Similarity.auditStrideFor(nq)
       def row(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
         val r = df.agg(count(lit(1)).as("n"), avg(col("recall")).as("r"))

@@ -113,6 +113,24 @@ object Similarity {
   val OpqRecallFloor = 0.70
   val HybridRecallFloor = 0.80
 
+  /** Target audited-query count for the flat-cost sampled recall
+    * audit: the stride grows with the query set so the exact audit
+    * leg stays ~this many queries x corpus at any scale. */
+  val AuditTargetQueries = 24L
+
+  /** Flat-cost audit stride for an nq-query set: the smallest stride
+    * sampling ≤ [[AuditTargetQueries]]-ish queries that shares NO
+    * factor with 10 — the bench's 10x corpus stripes replica ids as
+    * orig*10+rep, so a stride divisible by 2 or 5 samples only a
+    * subset of the replica rotations and biases the recall estimate
+    * (round-20, ADVICE r19 #1; the old stride=2 sampled ONLY
+    * even-numbered replicas). */
+  def auditStrideFor(nq: Long): Int = {
+    var s = math.max(1L, nq / AuditTargetQueries).toInt
+    while (s % 2 == 0 || s % 5 == 0) s += 1
+    s
+  }
+
   private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"), norm2Exact(col("embedding")).as("n2"))
 
