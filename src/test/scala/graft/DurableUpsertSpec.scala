@@ -112,6 +112,28 @@ class DurableUpsertSpec extends SparkSpec {
     assert(sink.snapshot(spark) == committed, "the refused write must not change state")
   }
 
+  test("a restart with a different nBuckets is refused (layout recorded write-once)") {
+    val table = tmpDir() + "/report"
+    val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    sink.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 1L, "t0"))), 0L)
+    val committed = sink.snapshot(spark)
+    // a restarted sink with a DIFFERENT bucket count rehashes keys
+    // across buckets while old-bucket generations stay pinned in the
+    // manifest — an old row whose key now hashes elsewhere is never
+    // anti-joined out (silent duplication). Refuse loudly instead
+    // (ADVICE r19 #3), mirroring the batchId-regression guard.
+    val wrong = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 8)
+    val e = intercept[IllegalStateException] {
+      wrong.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 9L, "t9"))), 1L)
+    }
+    assert(e.getMessage.contains("nBuckets=16") && e.getMessage.contains("nBuckets=8"))
+    assert(wrong.snapshot(spark) == committed, "the refused write must not change state")
+    // the MATCHING layout keeps working after the refusal
+    val same = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)
+    same.write(mkBatch(Seq(("2018-01-01 10:00:00", "shelf", "AREA_US", 2L, "t1"))), 1L)
+    assert(same.snapshot(spark)(("2018-01-01 10:00:00", "shelf", "AREA_US")) == (2L, "t1"))
+  }
+
   test("replaying a committed batch keeps the prior generation for lagging readers") {
     val table = tmpDir() + "/report"
     val sink = new ReportPipeline.DurableKeyedUpsertSink(table, nBuckets = 16)

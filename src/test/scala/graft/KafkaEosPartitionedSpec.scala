@@ -209,6 +209,26 @@ class KafkaEosPartitionedSpec extends SparkSpec {
       assert(rootMsg(e8).contains("layout marker"),
         s"grown-layout restore must refuse too, got: ${rootMsg(e8)}")
       assert(b.committed("out").isEmpty)
+
+      // the SHRUNK-layout half-committed corner (round-20, ADVICE r19
+      // #2): a pre-marker log whose ONLY committed marker sits at a
+      // writer index >= the new nParts — a wider-era first batch that
+      // only got through its high partitions before the crash. The
+      // [0, nParts) probe saw all -1 and passed as a first-ever run;
+      // the superset probe ([0, max(nParts, LayoutProbeCeiling)))
+      // must refuse it.
+      val ck2 = "/ckpt/part-premark-wide"
+      val p2 = new WireProducer("127.0.0.1", b.port, "premark-wide-feed")
+      p2.initTransactions(); p2.beginTransaction()
+      p2.send("progress", KafkaEosSink.transactionalId(ck2, Some(12)), "0")
+      p2.commitTransaction(); p2.close()
+      KafkaEosSink.clearPool()
+      val s4 = sink(b, ck2, 4)
+      val e4 = intercept[Exception] { s4.write(rows(16), 1L) }
+      assert(rootMsg(e4).contains("layout marker"),
+        s"shrunk-layout half-committed log must refuse, got: ${rootMsg(e4)}")
+      assert(b.committed("out").isEmpty,
+        "no rows may commit against a wider-era unverifiable layout")
     }
   }
 
