@@ -54,6 +54,10 @@ object Bench {
     // residual frame and sat at 13.6x vs-max, 1.4x under the
     // superlinear flag line on a quiet machine (round-20): the build
     // belongs in build_ratios, not the raw ratio
+    "q_dedup_clusters", // lexical cluster-label index (Dedup.lshClusters
+    // — CC over the pair index, materialized once per snapshot; the
+    // round-20 optimization's build-once label table. q_embed_clusters
+    // above pays the semantic twin (srpPairs + Dedup.srpClusters).
     "q_dsir_weights", // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
     "q_quality_clf", // trained classifier weights (QualityClf.weightsMemo, "pool")
     "q_quality_clf_drift") // %4-split classifier weights (QualityClf.gateWeightsMemo, "m4")

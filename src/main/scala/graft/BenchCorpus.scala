@@ -101,7 +101,8 @@ object BenchCorpus {
         gateTbl("bench_emb"), gateTbl("bench_emb_deep"),
         gateTbl("bench_kmv"), gateTbl("bench_cms"),
         gateTbl("bench_psample"),
-        s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest"))
+        s"graft_pairs_lsh_$digest", s"graft_pairs_srp_$digest",
+        s"graft_cc_lsh_$digest", s"graft_cc_srp_$digest"))
       try spark.sql(s"DROP TABLE IF EXISTS $t")
       catch { case _: Throwable => () }
     graft.operators.Similarity.dropArtifacts(spark, sf1Dir)

@@ -216,6 +216,51 @@ object Dedup {
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     pairIndex(s, d, "lsh")(qMinhashLsh(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** Build-once CLUSTER-LABEL index over a memoized pair index — the
+    * pipeline step AFTER the pair build: connected components over a
+    * corpus snapshot's pair graph are deterministic, so the
+    * (doc_id, cluster_id) labels are materialized once per snapshot
+    * (the [[pairIndex]] convention, bucketed by doc_id) and every
+    * label consumer — cluster report, keep-best resolution, leak-free
+    * split, leakage audit, dedup stats — reads the table instead of
+    * re-running the O(log diameter) propagation loop per query
+    * (round-20 optimization pass: the loop is ~5 rounds x 3 shuffles +
+    * a convergence-test job per round, re-paid by FIVE queries before
+    * this index). q_dedup_clusters / q_embed_clusters are the measured
+    * builders (bench memoized_build attribution, like q_minhash_lsh
+    * for the pair index); restricted/derived graphs (curation's
+    * survivor-restricted pairs, SemDeDup's cell-blocked pairs, the
+    * streaming gates' own tables) still run [[connectedComponents]]
+    * directly — their graphs are not the snapshot's. Same
+    * no-driver-rows contract as [[pairIndex]]. */
+  private val clusterIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusterIndex(
+      s: SparkSession, d: String, kind: String)(build: => DataFrame): DataFrame = {
+    val table = clusterIndexCache.computeIfAbsent(s"$kind|$d", _ => {
+      val name = s"graft_cc_${kind}_${graft.sources.Writers.tableDigest(d)}"
+      graft.sources.Writers.replaceBucketed(s, build, "doc_id", PairIndexBuckets, name)
+      name
+    })
+    // same fresh-session self-heal as pairIndex: a table name memoized
+    // by a stopped session's catalog must rebuild, not be trusted
+    if (!s.catalog.tableExists(table)) {
+      clusterIndexCache.remove(s"$kind|$d")
+      clusterIndex(s, d, kind)(build)
+    } else s.table(table)
+  }
+
+  /** Lexical near-dup cluster labels (CC over [[lshPairs]]),
+    * build-once per corpus snapshot. */
+  private[graft] def lshClusters(s: SparkSession, d: String): DataFrame =
+    clusterIndex(s, d, "lsh")(connectedComponents(lshPairs(s, d)))
+
+  /** Semantic near-dup cluster labels (CC over [[srpPairs]]),
+    * build-once per corpus snapshot. */
+  private[graft] def srpClusters(s: SparkSession, d: String): DataFrame =
+    clusterIndex(s, d, "srp")(connectedComponents(srpPairs(s, d)))
+
   /** Index MAINTENANCE: append verified pairs to an existing bucketed
     * pair table — the step after an ingestion gate admits new
     * documents, so cluster and corpus-clean queries reflect the
@@ -262,7 +307,7 @@ object Dedup {
     * reachability closure over the exact-Jaccard pair set (LSH ≡ exact
     * at these parameters). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(lshPairs(s, d))
+    lshClusters(s, d)
       .orderBy(col("doc_id"))
 
   /** Quality-aware duplicate resolution: per near-dup cluster, keep
@@ -281,7 +326,7 @@ object Dedup {
   def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     val m = docs
-      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .join(lshClusters(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("n_chars"))
@@ -315,7 +360,7 @@ object Dedup {
     * sort, no driver rows. */
   def qSplitLeakfree(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"))
-      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .join(lshClusters(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("split", splitFromBucket(md5Bucket16(col("cluster_id"))))
@@ -337,7 +382,7 @@ object Dedup {
     * single 1-row aggregate, unpivoted to one row per scheme. */
   def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
     val asg = Tables.documents(s, d).select(col("doc_id"))
-      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .join(lshClusters(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         splitFromBucket(md5Bucket16(col("doc_id"))).as("naive_split"),
         splitFromBucket(md5Bucket16(
@@ -399,7 +444,7 @@ object Dedup {
     * largest cluster size, not the corpus. */
   def qDedupStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"))
-      .join(connectedComponents(lshPairs(s, d)), Seq("doc_id"), "left")
+      .join(lshClusters(s, d), Seq("doc_id"), "left")
       .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
@@ -417,7 +462,7 @@ object Dedup {
     * oracle's exact-pair closure still matches), mirroring how
     * qDedupClusters consumes [[lshPairs]]. */
   def qEmbedClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(srpPairs(s, d))
+    srpClusters(s, d)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 

@@ -147,16 +147,27 @@ object Graph {
     val n = ed.agg(count_distinct(col("src")).as("n_nodes"))
     val init = ed.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(n))
-      .select(col("node"), col("n_nodes"),
-        expr(s"${PrMassMicro}L div n_nodes").as("pr"))
+      .select(col("node"), expr(s"${PrMassMicro}L div n_nodes").as("pr"))
     val last = (1 to PrIterations).foldLeft(init) { (ranks, i) =>
-      val contrib = ed.join(ranks, col("src") === col("node"))
+      // ONE equi-join + ONE dst-keyed aggregation per round (round-20
+      // optimization pass). The edge set is SYMMETRIC (class doc), so
+      // every node has at least one in-edge and the contribution
+      // aggregate already emits a row for EVERY node — the previous
+      // shape's ranks-side LeftOuter join-back (one extra exchange +
+      // sort-merge join per round, 2 of the round's 4 exchanges) only
+      // re-attached a coalesce(contrib, 0) that can never fire on a
+      // symmetric graph, plus the n_nodes column the broadcast scalar
+      // supplies directly. The integer arithmetic is unchanged bit for
+      // bit (GraphSpec's independent reference pins it). Next round's
+      // edge join consumes this round's agg output keyed by the same
+      // attribute, so the rank side needs no fresh exchange either.
+      val next = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("contrib"))
-      val next = ranks.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), col("n_nodes"),
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
           (expr(s"(${PrMassMicro}L * 15 div 100) div n_nodes") +
-            expr("85 * coalesce(contrib, 0L) div 100")).as("pr"))
+            expr("85 * contrib div 100")).as("pr"))
       // each round's plan embeds the previous one — cut the lineage
       // every CheckpointEvery rounds (the gate-state collapse cadence)
       // so plan size stays linear in rounds at ANY iteration count;
