@@ -49,6 +49,9 @@ object Bench {
     "q_knn_pq", // plain PQ codebooks (Similarity.pqCodebook — first
     // sf1-suite consumer; at the main SF the recall rows' medians
     // already dropped the build, the warmup just pays it up front)
+    "q_knn_ivfpq", // the (vec_id, cell) serving table (Similarity.
+    // cellsTable — round-20 encode-once artifact; q_knn_pq above pays
+    // the plain-code table, q_knn_opq the rotated-code table)
     "q_knn_ivfpq_res", // RESIDUAL PQ codebooks (Similarity.pqrCodebook)
     // — its 10x single shot paid 4 subspace trainings over the
     // residual frame and sat at 13.6x vs-max, 1.4x under the

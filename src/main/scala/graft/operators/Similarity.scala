@@ -419,10 +419,68 @@ object Similarity {
     * hygiene — a temp-named sf1 dir would otherwise accrete one
     * warehouse dir per run). */
   private[graft] def dropArtifacts(s: SparkSession, d: String): Unit =
-    for (k <- Seq(s"ivf$KMeansIters", "pca") ++
+    for (k <- Seq(s"ivf$KMeansIters", "pca",
+        "srv_cells", "srv_pqcodes", "srv_pqrcodes", "srv_opqcodes") ++
         (0 until PqM).flatMap(m => Seq(s"pq$m", s"pqr$m", s"opq$m")))
       try s.sql(s"DROP TABLE IF EXISTS ${annTableName(k, d)}")
       catch { case _: Throwable => () }
+
+  // ------------------------------------------------------------------
+  // Serving-index ENCODE tables (round-20 optimization pass): the
+  // vec_id-keyed artifacts a deployed index STORES — the coarse-cell
+  // assignment and the PQ/residual/OPQ code tables (what FAISS IVFPQ
+  // keeps on disk). The encode passes are corpus-deterministic given
+  // the trained artifacts, so each is materialized ONCE per (corpus,
+  // fingerprint) as a saved table (the Dedup.pairIndex convention —
+  // no driver rows, consumers read a distributed scan) instead of
+  // re-running the broadcast-argmax map pass over the full corpus in
+  // EVERY search/recall/hybrid query (measured: the encode passes were
+  // ~half of each PQ-family query's steady cost at sf0.1). Bench
+  // attribution: q_knn_pq pays the plain-code build, q_knn_ivfpq the
+  // cell table, q_knn_ivfpq_res / q_knn_opq their own code tables
+  // (memoized_build/build_cost). Per-JVM rebuild (not cross-session
+  // mount): the encode is one map pass — cheap next to the trained
+  // codebooks, which DO persist — and skipping O(n)-row fingerprint
+  // validation keeps the read path a plain scan; production publishes
+  // the code table with the corpus snapshot (the gate-corpus pattern).
+  // ------------------------------------------------------------------
+  private val servingCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), String]()
+
+  private def servingTable(s: SparkSession, d: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val key = (d, kind, embFingerprint(d))
+    val table = servingCache.computeIfAbsent(key, _ => {
+      val name = annTableName(s"srv_$kind", d)
+      graft.sources.Writers.replaceTable(s, build, name)
+      name
+    })
+    // fresh-session self-heal (the pairIndex discipline): a table name
+    // memoized by a stopped session's catalog must rebuild
+    if (!s.catalog.tableExists(table)) {
+      servingCache.remove(key)
+      servingTable(s, d, kind)(build)
+    } else s.table(table)
+  }
+
+  /** (vec_id, cell): the coarse-quantizer assignment of every corpus
+    * vector — the IVF posting-list side of the index. */
+  private[graft] def cellsTable(s: SparkSession, d: String): DataFrame =
+    servingTable(s, d, "cells") {
+      assignCells(withNorm(Tables.embeddings(s, d)),
+        centroidArray(trainedCentroids(s, d)))
+        .select(col("vec_id"), col("cell"))
+    }
+
+  /** (vec_id, m, code): plain PQ codes over the raw corpus. */
+  private[graft] def pqCodesTable(s: SparkSession, d: String): DataFrame =
+    servingTable(s, d, "pqcodes") {
+      val e = Tables.embeddings(s, d)
+      (0 until PqM).map(m =>
+        pqAssign(pqSub(e, m), pqCentArr(pqCodebook(s, d, m)))
+          .select(col("vec_id"), lit(m.toLong).as("m"), col("code")))
+        .reduce(_ unionAll _)
+    }
 
   /** The derived ANN serving parameterization as a 1-row oracle
     * surface (round-20): every knob the index family runs with —
@@ -750,13 +808,8 @@ object Similarity {
   /** PQ encode — the oracle-checkable code surface: (vec_id, m, code).
     * Assignment is the zero-shuffle broadcast-codebook argmax; at
     * 100 TB this is one map pass emitting 4 small ints per vector. */
-  def qPqCodes(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    (0 until PqM).map { m =>
-      pqAssign(pqSub(e, m), pqCentArr(pqCodebook(s, d, m)))
-        .select(col("vec_id"), lit(m.toLong).as("m"), col("code"))
-    }.reduce(_ unionAll _).orderBy(col("vec_id"), col("m"))
-  }
+  def qPqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesTable(s, d).orderBy(col("vec_id"), col("m"))
 
   /** PQ-ADC search: per query, a 4x16 look-up table of raw-integer
     * subspace dots against the codebooks; a candidate's approximate
@@ -780,18 +833,16 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val n = corpusCount(s, d)
     val nq = numQueriesFor(n)
-    val parts = (0 until PqM).map { m =>
-      val cb = pqCodebook(s, d, m)
-      val codes = pqAssign(pqSub(e, m), pqCentArr(cb))
-        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
-      val lut = pqSub(e.filter(col("vec_id") < nq), m)
-        .crossJoin(broadcast(cb))
+    // codes from the encode-once serving table; only the |queries|-row
+    // LUTs are computed per call
+    val codes = pqCodesTable(s, d)
+      .select(col("vec_id").as("cid"), col("m"), col("code"))
+    val lut = (0 until PqM).map { m =>
+      pqSub(e.filter(col("vec_id") < nq), m)
+        .crossJoin(broadcast(pqCodebook(s, d, m)))
         .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
           col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionAll _)
-    val lut = parts.map(_._2).reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
@@ -886,7 +937,6 @@ object Similarity {
     val n = corpusCount(s, d)
     val nq = numQueriesFor(n)
     val nprobe = nprobeFor(cent.count()).toInt
-    val assign = assignCells(en, centroidArray(cent))
 
     // coarse probe list: derived-width nearest cells per query (cosine
     // — the same criterion the IVF-flat path uses, so the pruned
@@ -897,25 +947,23 @@ object Similarity {
       .withColumn("cosine",
         cosineFromParts(dotExact(col("qe"), col("cent_e")), col("qn2"), col("cent_n2")))
       .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
-    val cand = assign.join(broadcast(topK(probeScored, nprobe)
+    // candidates from the STORED (vec_id, cell) table — the encode
+    // pass runs once per corpus (cellsTable), not once per query
+    val cand = cellsTable(s, d).join(broadcast(topK(probeScored, nprobe)
         .select(col("qid"), col("cid").as("cell"))), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"))
 
-    // PQ codes + per-query LUTs from the trained codebooks
+    // stored PQ codes + per-query LUTs from the trained codebooks
     val e = Tables.embeddings(s, d)
-    val parts = (0 until PqM).map { m =>
-      val cb = pqCodebook(s, d, m)
-      val codes = pqAssign(pqSub(e, m), pqCentArr(cb))
-        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
-      val lut = pqSub(e.filter(col("vec_id") < nq), m)
-        .crossJoin(broadcast(cb))
+    val codes = pqCodesTable(s, d)
+      .select(col("vec_id").as("cid"), col("m"), col("code"))
+    val lut = (0 until PqM).map { m =>
+      pqSub(e.filter(col("vec_id") < nq), m)
+        .crossJoin(broadcast(pqCodebook(s, d, m)))
         .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
           col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionAll _)
-    val lut = parts.map(_._2).reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
 
     // ADC over the PRUNED candidates only: integer LUT-entry sums
     val scored = codes.join(broadcast(cand), Seq("cid"))
@@ -997,6 +1045,19 @@ object Similarity {
     * whole approximate score stays an exact integer. Same plan shape
     * as [[qKnnIvfPq]] (map-only assign/encode, bounded candidate
     * broadcast onto the code table, shortlist-only rerank). */
+  /** (vec_id, m, code): residual PQ codes — encode-once like
+    * [[pqCodesTable]]; the residual frame is computed inside the
+    * one-time build only. */
+  private[graft] def pqrCodesTable(s: SparkSession, d: String): DataFrame =
+    servingTable(s, d, "pqrcodes") {
+      val en = withNorm(Tables.embeddings(s, d))
+      val res = residualFrame(en, trainedCentroids(s, d)).localCheckpoint(false)
+      (0 until PqM).map(m =>
+        pqAssign(pqSub(res, m), pqCentArr(pqrCodebook(s, d, m)))
+          .select(col("vec_id"), lit(m.toLong).as("m"), col("code")))
+        .reduce(_ unionAll _)
+    }
+
   def qKnnIvfPqR(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val en = withNorm(e)
@@ -1004,8 +1065,6 @@ object Similarity {
     val n = corpusCount(s, d)
     val nq = numQueriesFor(n)
     val nprobe = nprobeFor(cent.count()).toInt
-    val assign = assignCells(en, centroidArray(cent))
-    val res = residualFrame(en, cent).localCheckpoint(false)
 
     // probe list: identical coarse stage to qKnnIvfPq
     val q = en.filter(col("vec_id") < nq)
@@ -1016,7 +1075,8 @@ object Similarity {
       .select(col("qid"), col("cent_id").as("cid"), col("cosine"))
     val probes = topK(probeScored, nprobe)
       .select(col("qid"), col("cid").as("cell"))
-    val cand = assign.join(broadcast(probes), "cell")
+    // candidates from the stored cell table (encode-once, like qKnnIvfPq)
+    val cand = cellsTable(s, d).join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), col("cell"))
 
@@ -1026,19 +1086,16 @@ object Similarity {
       .join(broadcast(cent.select(col("cent_id").as("cell"), col("cent_e"))), Seq("cell"))
       .select(col("qid"), col("cell"), rawDot(col("qe"), col("cent_e")).as("base_fx"))
 
-    // residual codes + RAW-query LUTs against the residual codebooks
-    val parts = (0 until PqM).map { m =>
-      val cb = pqrCodebook(s, d, m)
-      val codes = pqAssign(pqSub(res, m), pqCentArr(cb))
-        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
-      val lut = pqSub(e.filter(col("vec_id") < nq), m)
-        .crossJoin(broadcast(cb))
+    // stored residual codes + RAW-query LUTs against the residual
+    // codebooks (per-call work is |queries|-bounded)
+    val codes = pqrCodesTable(s, d)
+      .select(col("vec_id").as("cid"), col("m"), col("code"))
+    val lut = (0 until PqM).map { m =>
+      pqSub(e.filter(col("vec_id") < nq), m)
+        .crossJoin(broadcast(pqrCodebook(s, d, m)))
         .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
           col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionAll _)
-    val lut = parts.map(_._2).reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
 
     val scored = codes.join(broadcast(cand), Seq("cid"))
       .join(broadcast(lut), Seq("qid", "m", "code"))
@@ -1299,7 +1356,17 @@ object Similarity {
   }
 
   /** Rotated corpus in exact integer millis: (vec_id, pos, xr). */
-  private[graft] def opqRotatedMillis(s: SparkSession, d: String): DataFrame = {
+  private[graft] def opqRotatedMillis(s: SparkSession, d: String): DataFrame =
+    opqRotatedMillisOf(s, d, Tables.embeddings(s, d))
+
+  /** [[opqRotatedMillis]] over an explicit (vec_id, embedding) frame —
+    * the rotation is per-vector independent, so rotating a SUBSET
+    * (e.g. just the query vectors) commutes with filtering; the
+    * serving path uses this so per-call rotation work is
+    * |queries|-bounded (the corpus side lives in [[opqCodesTable]]'s
+    * one-time build). */
+  private[graft] def opqRotatedMillisOf(s: SparkSession, d: String,
+      base: DataFrame): DataFrame = {
     val (u1, q1, u2, q2) = opqHouseholders(s, d)
     import s.implicits._
     val dec = DecimalType(38, 0)
@@ -1307,7 +1374,7 @@ object Similarity {
       .map { case (u, j) => (j.toLong, u) }.toDF("pos", "u"))
     val u2f = broadcast(u2.toSeq.zipWithIndex
       .map { case (u, j) => (j.toLong, u) }.toDF("pos", "u"))
-    val xq = Tables.embeddings(s, d)
+    val xq = base
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
         floor(col("col").cast(DoubleType) * PcaQuant + 0.5)
@@ -1349,12 +1416,31 @@ object Similarity {
   /** Rotated corpus as an embeddings-shaped frame (float arrays) so
     * the whole PQ train/encode/ADC machinery applies unchanged. */
   private def opqEmbeddings(s: SparkSession, d: String): DataFrame =
-    opqRotatedMillis(s, d)
+    opqEmbeddingsOf(s, d, Tables.embeddings(s, d))
+
+  private def opqEmbeddingsOf(s: SparkSession, d: String,
+      base: DataFrame): DataFrame =
+    opqRotatedMillisOf(s, d, base)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("xr")))),
         e => (e.getField("xr").cast(DoubleType) / lit(1000.0))
           .cast(FloatType)).as("embedding"))
+
+  /** (vec_id, m, code): OPQ codes over the ROTATED corpus —
+    * encode-once like [[pqCodesTable]]; the full-corpus rotation
+    * (posexplode + two windowed Householder reflections + re-pack,
+    * the heaviest encode in the family) runs inside the one-time
+    * build only, shared by the 4 subspace codebook builds exactly as
+    * before. */
+  private[graft] def opqCodesTable(s: SparkSession, d: String): DataFrame =
+    servingTable(s, d, "opqcodes") {
+      val rot = opqEmbeddings(s, d).localCheckpoint(false)
+      (0 until PqM).map(m =>
+        pqAssign(pqSub(rot, m), pqCentArr(opqCodebook(s, d, m, rot)))
+          .select(col("vec_id"), lit(m.toLong).as("m"), col("code")))
+        .reduce(_ unionAll _)
+    }
 
   /** Per-subspace codebooks over the ROTATED corpus — the OPQ
     * codebooks, behind their own digest-keyed saved tables. `rot` is
@@ -1391,21 +1477,24 @@ object Similarity {
     * stages and widths to [[qKnnPq]], so any recall difference
     * isolates the rotation ([[qOpqRecall]] vs [[qPqRecall]]). */
   def qKnnOpq(s: SparkSession, d: String): DataFrame = {
-    val rot = opqEmbeddings(s, d).localCheckpoint(false)
     val n = corpusCount(s, d)
     val nq = numQueriesFor(n)
-    val parts = (0 until PqM).map { m =>
-      val cb = opqCodebook(s, d, m, rot)
-      val codes = pqAssign(pqSub(rot, m), pqCentArr(cb))
-        .select(col("vec_id").as("cid"), lit(m.toLong).as("m"), col("code"))
-      val lut = pqSub(rot.filter(col("vec_id") < nq), m)
-        .crossJoin(broadcast(cb))
+    // stored codes FIRST: on a cold corpus this materializes the
+    // rotation + codebooks, so the LUT's opqCodebook calls below are
+    // guaranteed memo hits and never trigger a second rotation
+    val codes = opqCodesTable(s, d)
+      .select(col("vec_id").as("cid"), col("m"), col("code"))
+    // per-call rotation work is the |queries|-row slice only
+    val rotQ = opqEmbeddingsOf(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < nq))
+      .localCheckpoint(false) // feeds all 4 subspace LUTs
+    val lut = (0 until PqM).map { m =>
+      pqSub(rotQ, m)
+        .crossJoin(broadcast(opqCodebook(s, d, m,
+          opqEmbeddings(s, d).localCheckpoint(false))))
         .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
           col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionAll _)
-    val lut = parts.map(_._2).reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
