@@ -62,6 +62,9 @@ object Bench {
     // round-20 optimization's build-once label table. q_embed_clusters
     // above pays the semantic twin (srpPairs + Dedup.srpClusters).
     "q_dsir_weights", // whole-pool DSIR weight frame (TextAnalysis.dsirWeightsMemo)
+    "q_perplexity", // capped bigram LM (TextAnalysis.bigramLm — round-20
+    // train-once memo; q_ppl_buckets/q_ppl_cutoffs mount it)
+    "q_perplexity3", // capped trigram backoff stack (TextAnalysis.trigramLm)
     "q_quality_clf", // trained classifier weights (QualityClf.weightsMemo, "pool")
     "q_quality_clf_drift") // %4-split classifier weights (QualityClf.gateWeightsMemo, "m4")
 

@@ -28,12 +28,18 @@ object TextFunctions {
     * groups by shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ' ', ")
+    // per-id distinctness is ROW-LOCAL (round-20 optimization pass):
+    // array_distinct before the explode replaces the old frame-level
+    // .distinct(), which paid a full exchange of the shingle fan-out —
+    // the single heaviest shuffle in every shingle consumer. Every
+    // caller either keys by a row-unique id (doc_id — identical result
+    // set by construction) or re-deduplicates downstream on its own
+    // coarser key (kmvHashesOf's (source, h) distinct).
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol),
-        explode(expr(
-          s"transform(sequence(0, size(toks)-$n), i -> concat($parts))")).as("shingle"))
-      .distinct()
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(toks)-$n), i -> concat($parts))"))).as("shingle"))
   }
 
   /** Ordered-bigram fan-out: one (idCol, prev, w) row per adjacent

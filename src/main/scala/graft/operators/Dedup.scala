@@ -671,10 +671,13 @@ object Dedup {
 
   private def simhashMd5Signatures(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
+    // distinct tokens per doc are ROW-LOCAL (doc_id is row-unique):
+    // array_distinct replaces the old frame-level .distinct() and its
+    // full exchange of the token fan-out (round-20 optimization pass)
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
-      .distinct()
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType).as("h"))
     val weights = (0 until 32).map(j =>

@@ -124,10 +124,12 @@ object Retrieval {
   /** The query-term frame: the first [[QueryLen]] tokens of the first
     * [[NumTextQueries]] documents, distinct per query. */
   private def queryTerms(docs: DataFrame): DataFrame =
+    // distinct per query is row-local (qid = doc_id, row-unique):
+    // array_distinct instead of a frame-level .distinct() exchange
     docs.filter(col("doc_id") < NumTextQueries)
       .select(col("doc_id").as("qid"),
-        explode(slice(tokens(col("text")), 1, QueryLen)).as("term"))
-      .distinct()
+        explode(array_distinct(slice(tokens(col("text")), 1, QueryLen)))
+          .as("term"))
 
   /** Per-(qid, doc, term) BM25 contributions for any query-term frame
     * `q(qid, term, ...)` — ONE scoring definition behind both the

