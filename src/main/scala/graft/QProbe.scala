@@ -32,6 +32,43 @@ object QProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("OFF")
+    // --- pre-localCheckpoint SEGMENT plans (round-21, VERDICT r20
+    // #2/#6): the shingle fan-out is checkpointed at its consumers'
+    // seam (qMinhashLsh, the gates, contamination, curation), so the
+    // per-query dumps start at an ExistingRDD and cannot show what the
+    // round-20 §4 change removed. Dump the segment's OWN plan — the
+    // current row-local array_distinct shape, and a reconstruction of
+    // the pre-round-20 frame-level .distinct() shape (clearly labeled
+    // `framedistinct_r20before`) — so the plan evidence for the
+    // removed HashAggregate/Exchange/HashAggregate block exists as
+    // committed text. Plan-only (never executed); runs once per
+    // invocation when a plan dir is set.
+    planDir.foreach { pd =>
+      import org.apache.spark.sql.functions.{col, explode, expr, size, trim, lower, split}
+      def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        try {
+          val p = java.nio.file.Paths.get(pd, s"$name.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, df.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+            .getBytes("UTF-8"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[qprobe] segment $name dump failed: ${e.getMessage}")
+        }
+      val docs = Tables.documents(spark, sfDir)
+      dump("seg_shingles_rowlocal_current",
+        graft.functions.TextFunctions.shingles(docs, "doc_id", "text"))
+      // the pre-round-20 shape: explode first, then a frame-level
+      // distinct — the removed exchange block is visible here
+      val parts = (0 until 3).map(j => s"toks[i+$j]").mkString(", ' ', ")
+      dump("seg_shingles_framedistinct_r20before",
+        docs.select(col("doc_id"),
+            split(trim(lower(col("text"))), "\\s+").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(toks)-3), i -> concat($parts))")).as("shingle"))
+          .distinct())
+    }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val out = new StringBuilder("{")
     var first = true

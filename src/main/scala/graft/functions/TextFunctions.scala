@@ -25,7 +25,17 @@ object TextFunctions {
     * columnar: sequence + transform + explode, no UDTF.
     * At scale this is the fan-out stage of MinHash/Jaccard dedup; it
     * pipelines inside the scan stage (no shuffle until the consumer
-    * groups by shingle). */
+    * groups by shingle).
+    *
+    * PRECONDITION (round-21, ADVICE r20): `idCol` must be ROW-UNIQUE
+    * in `df` — per-id distinctness is row-local (array_distinct), so
+    * two rows sharing an id would double-count their shared shingles
+    * (`count == set size` consumers like DedupGate's verify break).
+    * Every corpus caller keys by the row-unique doc_id; the streaming
+    * gate dedupes its batch ids at the batch boundary
+    * ([[graft.streaming.DedupGate.TextGateState.process]]) before
+    * shingling, and the one non-row-unique caller (kmvHashesOf)
+    * re-dedupes downstream on its own (source, h) key. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ' ', ")
     // per-id distinctness is ROW-LOCAL (round-20 optimization pass):

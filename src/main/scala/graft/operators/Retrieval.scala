@@ -79,44 +79,83 @@ object Retrieval {
   private[graft] final case class Bm25Index(tf: DataFrame, dl: DataFrame,
     df: DataFrame, nt: DataFrame)
 
+  /** Bucket count for the saved tf/dl tables — harness-sized like
+    * [[graft.operators.Dedup.PairIndexBuckets]]; at 100 TB raise with
+    * the corpus so one bucket stays executor-sized. */
+  val Bm25Buckets = 8
+
   /** Build-once memo for the inverted index, keyed by corpus dir —
     * the [[graft.operators.Dedup]] pair-index convention: a search
     * deployment builds its inverted index once and serves every query
     * against it, so the three hybrid consumers (and repeat qBm25
-    * calls) reuse one checkpointed build; q_bm25's FIRST call is the
-    * measured builder (bench memoized_build/build_cost attribution).
-    * Fingerprint + session guards and deferred reclamation follow
-    * [[graft.operators.Graph]]'s edge memo. At 100 TB the index
-    * belongs in bucketed tables (the gate-corpus pattern), not
-    * checkpoint blocks — the memo shape is the local-mode analog. */
+    * calls) reuse one build; q_bm25's FIRST call is the measured
+    * builder (bench memoized_build/build_cost attribution).
+    *
+    * Round-21 (VERDICT r20 #2, guide §2.4/§6): the index is now SAVED
+    * BUCKETED TABLES (the gate-corpus pattern), not per-JVM
+    * localCheckpoint blocks. tf and dl are bucketed AND in-bucket
+    * sorted by doc_id with tasks aligned 1:1 to buckets (one file per
+    * bucket, so the sorted-bucket metadata survives and the
+    * sort-merge join plans with neither an exchange NOR a sort on
+    * either corpus-sized side): [[scoreTerms]]' per-query plan is
+    * scan(tf) -> broadcast-join(q) [partitioning preserved] ->
+    * zero-exchange join with dl -> zero-exchange (qid, doc_id) agg —
+    * no corpus-sized shuffle per query at any scale. df is only ever
+    * read through the bounded query-term restriction and broadcast;
+    * nt is one row — both plain saved tables. */
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Bm25Index)]()
+    String, (String, (String, String, String, String))]()
 
   /** Filesystem fingerprint of the documents table (driver metadata
     * only — the [[graft.operators.Similarity.embFingerprint]]
     * convention): a regenerated corpus forces an index rebuild. */
   private def bm25Index(s: SparkSession, d: String): Bm25Index = {
     val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
-    indexMemo.compute(d, (_, cur) =>
-      if (cur != null && cur._1 == fp && (cur._2.tf.sparkSession eq s)) cur
-      else {
-        // stale entry reclaimed DEFERRED (ContextCleaner on GC), never
-        // eagerly — the Graph edge-memo race rationale
-        val docTok = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-          .localCheckpoint(false)
-        val tf = docTok.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf")).localCheckpoint(false)
-        val dl = docTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-          .localCheckpoint(false)
-        val df = docTok.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(false)
-        // N docs and T total tokens as a 1-row broadcast scalar
-        val nt = docTok.agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("t_toks")).localCheckpoint(false)
-        (fp, Bm25Index(tf, dl, df, nt))
-      })._2
+    val dig = graft.sources.Writers.tableDigest(d)
+    def build(): (String, String, String, String) = {
+      val names = (s"graft_bm25_tf_$dig", s"graft_bm25_dl_$dig",
+        s"graft_bm25_df_$dig", s"graft_bm25_nt_$dig")
+      // the token fan-out feeds all four builds — one checkpoint,
+      // reclaimed DEFERRED (ContextCleaner on GC), never eagerly —
+      // the Graph edge-memo race rationale
+      val docTok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(false)
+      // repartition to the bucket key/count BEFORE the aggs: the
+      // (doc_id[, term]) groupings reuse the doc_id partitioning (one
+      // exchange for agg AND write), and repartition shares
+      // murmur3-pmod with the bucket writer, so tasks align 1:1 with
+      // buckets and each bucket gets ONE file — the layout under
+      // which Spark trusts the in-bucket sort order and plans
+      // bucketed joins with no sort (Writers.compactBucketed's
+      // rationale, applied at first write)
+      val byDoc = docTok.repartition(Bm25Buckets, col("doc_id"))
+      graft.sources.Writers.replaceBucketed(s,
+        byDoc.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")),
+        "doc_id", Bm25Buckets, names._1)
+      graft.sources.Writers.replaceBucketed(s,
+        byDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+        "doc_id", Bm25Buckets, names._2)
+      graft.sources.Writers.replaceTable(s,
+        docTok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df")), names._3)
+      // N docs and T total tokens as a 1-row broadcast scalar
+      graft.sources.Writers.replaceTable(s,
+        docTok.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("t_toks")), names._4)
+      names
+    }
+    val (_, names) = indexMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, build()))
+    // fresh-session self-heal (the pairIndex discipline): table names
+    // memoized against a stopped session's catalog must rebuild
+    if (!Seq(names._1, names._2, names._3, names._4)
+        .forall(s.catalog.tableExists)) {
+      indexMemo.remove(d)
+      bm25Index(s, d)
+    } else Bm25Index(s.table(names._1), s.table(names._2),
+      s.table(names._3), s.table(names._4))
   }
 
   /** BM25 top-[[TopK]] per text query. Output:
@@ -157,10 +196,16 @@ object Retrieval {
     val dfq = idx.df.join(broadcast(q.select(col("term")).distinct()), "term")
     val idf = lnX1e6(lit(2L) * col("n_docs") + lit(2L)) -
       lnX1e6(lit(2L) * col("df") + lit(1L))
-    idx.tf.join(broadcast(q), "term")
+    // ONE query-side broadcast (round-21): q, its df restriction, and
+    // the 1-row (N, T) scalar fold into a single bounded frame before
+    // the postings join — the same rows and columns the old
+    // three-broadcast chain (q, dfq, nt) delivered, minus two
+    // BroadcastExchange stages per scoring pass on the critical path.
+    // Still bounded at any corpus size: |q terms| x (df ints + 2
+    // scalars).
+    val qfull = q.join(dfq, "term").crossJoin(idx.nt)
+    idx.tf.join(broadcast(qfull), "term")
       .join(idx.dl, "doc_id")
-      .join(broadcast(dfq), "term")
-      .crossJoin(broadcast(idx.nt))
       .withColumn("idf_x1e6", idf)
       .withColumn("score_t", expr(
         "(cast(idf_x1e6 as decimal(38,0)) * 22 * tf * t_toks) div " +
@@ -192,10 +237,21 @@ object Retrieval {
     * deterministic top-[[RmExpandTerms]] (weight desc, term asc).
     * Everything after the first pass is bounded: the feedback-doc
     * list is |q|·F rows, its term pool |q|·F·doclen. */
-  private def rm3Expansion(idx: Bm25Index, q: DataFrame): DataFrame = {
-    val scored1 = scoreTerms(idx, q)
+  private def rm3Expansion(idx: Bm25Index, q: DataFrame): DataFrame =
+    rm3ExpansionFrom(idx, q, firstPassScores(idx, q))
+
+  /** Per-(qid, doc) first-pass BM25 sums — the frame [[qBm25Rm3]]
+    * shares between feedback selection and final interpolation
+    * (round-21, VERDICT r20 #3, guide §2.4: the corpus postings were
+    * scored TWICE for the original terms, once inside the expansion's
+    * first pass and again inside the q∪expansion rescoring pass). */
+  private def firstPassScores(idx: Bm25Index, q: DataFrame): DataFrame =
+    scoreTerms(idx, q)
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("score_t")).as("s1"))
+
+  private def rm3ExpansionFrom(idx: Bm25Index, q: DataFrame,
+      scored1: DataFrame): DataFrame = {
     val topF = topK(scored1, RmFeedbackDocs, "doc_id", "s1")
       .select(col("qid"), col("doc_id"), col("s1"))
       .localCheckpoint(false) // feeds the dl restriction AND the weights
@@ -234,12 +290,25 @@ object Retrieval {
     val docs = Tables.documents(s, d)
     val idx = bm25Index(s, d)
     val q = queryTerms(docs)
-    val q2 = q.withColumn("wq", lit(RmOrigWeight))
-      .unionByName(rm3Expansion(idx, q)
-        .select(col("qid"), col("term"), lit(RmExpWeight).as("wq")))
-    val scored = scoreTerms(idx, q2)
+    // ONE first pass (round-21, VERDICT r20 #3): the per-(qid, doc)
+    // original-term sums feed BOTH the feedback-doc selection and the
+    // final interpolation — the old q∪expansion rescoring pass
+    // re-scored every original term's postings a second time. The
+    // expansion terms (disjoint from q by the left_anti above) are
+    // scored alone, and the 7:3 interpolation is algebraically
+    // identical: sum(wq·score_t) div 10 = (7·Σ_orig + 3·Σ_exp) div 10
+    // with a full-outer join covering docs matched by only one side.
+    val scored1 = firstPassScores(idx, q).localCheckpoint(false)
+    val expTerms = rm3ExpansionFrom(idx, q, scored1)
+      .select(col("qid"), col("term"))
+    val scoredExp = scoreTerms(idx, expTerms)
       .groupBy(col("qid"), col("doc_id"))
-      .agg(expr("sum(wq * score_t) div 10").as("score_x1e6"))
+      .agg(sum(col("score_t")).as("s_exp"))
+    val scored = scored1
+      .join(scoredExp, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), expr(
+        s"($RmOrigWeight * coalesce(s1, 0L) + $RmExpWeight * coalesce(s_exp, 0L)) div 10")
+        .as("score_x1e6"))
     topK(scored, TopK, "doc_id", "score_x1e6")
   }
 

@@ -1488,10 +1488,18 @@ object Similarity {
     val rotQ = opqEmbeddingsOf(s, d,
         Tables.embeddings(s, d).filter(col("vec_id") < nq))
       .localCheckpoint(false) // feeds all 4 subspace LUTs
+    // ONE shared rotated-corpus thunk for all 4 codebook calls
+    // (round-21, ADVICE r20): the codes-table call above makes these
+    // memo hits in the normal flow, but on any cold/healed path
+    // (raced dropArtifacts, torn-artifact remount) a per-m fresh
+    // `opqEmbeddings(...).localCheckpoint` would retrain each
+    // subspace from its OWN full-corpus rotation pass — 4 rotations
+    // where one checkpointed frame suffices. lazy: never evaluated
+    // on the memo-hit path.
+    lazy val rotCorpus = opqEmbeddings(s, d).localCheckpoint(false)
     val lut = (0 until PqM).map { m =>
       pqSub(rotQ, m)
-        .crossJoin(broadcast(opqCodebook(s, d, m,
-          opqEmbeddings(s, d).localCheckpoint(false))))
+        .crossJoin(broadcast(opqCodebook(s, d, m, rotCorpus)))
         .select(col("vec_id").as("qid"), lit(m.toLong).as("m"),
           col("cent_id").as("code"), rawDot(col("sub"), col("cent_e")).as("dfx"))
     }.reduce(_ unionAll _)

@@ -850,12 +850,18 @@ object TextAnalysis {
     * + top-K per call. Keyed by the documents fingerprint; V (the
     * train-split vocabulary size, a bounded scalar) rides the memo.
     * q_perplexity is the bench's measured builder (memoized_build). */
+  // keyed by DIR with the fingerprint INSIDE the value (round-21,
+  // ADVICE r20 — the Graph.edgeMemo pattern): a regenerated corpus
+  // REPLACES its entry instead of accreting one ≤3x65536-row
+  // driver-resident model per superseded fingerprint in a long-lived
+  // JVM. At most one model per corpus dir is retained.
   private val bigramLmMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (Array[org.apache.spark.sql.Row], Long)]()
+    String, (String, (Array[org.apache.spark.sql.Row], Long))]()
 
   private def bigramLm(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
-    val (rows, v) = bigramLmMemo.computeIfAbsent((d, fp), _ => {
+    val (rows, v) = bigramLmMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, {
       val docs = Tables.documents(s, d)
       val bg = bigramRows(docs, "doc_id", "text")
         .withColumn("split", splitFromBucket(md5Bucket16(col("doc_id"))))
@@ -868,7 +874,7 @@ object TextAnalysis {
         .agg(countDistinct(col("tok")).as("v"))
         .head.getLong(0)
       (bgc.collect(), vScalar)
-    })
+    }))._2
     import org.apache.spark.sql.types._
     val bgc = s.createDataFrame(java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("prev", StringType),
@@ -939,16 +945,19 @@ object TextAnalysis {
     * the trained stack instead of re-training per call. (The quality3
     * GATE keeps its own [[graft.streaming.QualityGate.trainLm3]] —
     * its train cost is the gate-start price that query measures.) */
+  // dir-keyed with in-value fingerprint, like bigramLmMemo above —
+  // superseded corpus generations are REPLACED, never accreted
   private val trigramLmMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (Array[org.apache.spark.sql.Row],
+    String, (String, (Array[org.apache.spark.sql.Row],
       Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row],
-      Long, Long)]()
+      Long, Long))]()
 
   private def trigramLm(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val fp = graft.sources.Writers.fileFingerprint(d, "documents.parquet")
     val (tgcR, bgcR, uniR, nToks, v) =
-      trigramLmMemo.computeIfAbsent((d, fp), _ => {
+      trigramLmMemo.compute(d, (_, cur) =>
+        if (cur != null && cur._1 == fp) cur else (fp, {
         val docs = Tables.documents(s, d)
         val tgTrain = graft.functions.TextFunctions
           .trigramRows(docs, "doc_id", "text")
@@ -970,7 +979,7 @@ object TextAnalysis {
           countDistinct(col("tok")).as("v")).head
         (tgc.collect(), bgc.collect(), uni.collect(),
           nvRow.getLong(0), nvRow.getLong(1))
-      })
+      }))._2
     import org.apache.spark.sql.types._
     def local(rows: Array[org.apache.spark.sql.Row], schema: StructType) =
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)

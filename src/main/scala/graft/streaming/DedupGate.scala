@@ -416,7 +416,13 @@ object DedupGate {
       * reading to after process() returns would find the lineage-free
       * checkpoint blocks already dropped. */
     def process(df: DataFrame, id: Long, sink: (DataFrame, Long) => Unit): Unit = {
-      val batch = df.localCheckpoint(true)
+      // batch ids deduped at the boundary (round-21, ADVICE r20): an
+      // at-least-once source can re-deliver a doc WITHIN one batch
+      // frame, and shingles()' per-id distinctness is row-local — a
+      // duplicate id row would double-count shared shingles and skew
+      // the verified Jaccard. One tiny batch-sized exchange; unique-id
+      // batches (the normal case) are row-identical after it.
+      val batch = df.dropDuplicates("doc_id").localCheckpoint(true)
       val (dupsRaw, scratch) = duplicatesWithScratch(batch, corpus)
       val dups = dupsRaw.localCheckpoint(true)
       // the eager checkpoint above materialized the result — the
