@@ -688,7 +688,7 @@ object Dedup {
     * At scale this is the standard move: identical signatures ARE the
     * exact-dup clusters, and banding their representatives decouples
     * the candidate scan from duplicate mass. */
-  private def simhashNearDupFromSigs(sig0: DataFrame, sigCol: String,
+  private[graft] def simhashNearDupFromSigs(sig0: DataFrame, sigCol: String,
       bandBits: Int): DataFrame = {
     // feeds the distinct-sig banding, the within-group arm (x2) and
     // the doc expansion (x2) — one signature computation

@@ -111,4 +111,35 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(got == want)
   }
+
+  test("sig-level banding matches brute force on skewed/identical signatures") {
+    // round-21 internals pin: simhashNearDupFromSigs bands DISTINCT
+    // signatures and expands back to doc pairs — exercise exactly the
+    // shapes the restructure introduced: an identical-signature group
+    // (within-group arm, hamming 0, all C(n,2) pairs), near pairs
+    // across DIFFERENT signatures (cross arm incl. least/greatest
+    // orientation), far pairs (dropped), and a hot shared band value
+    // (ids deliberately unordered so orientation is actually tested)
+    import spark.implicits._
+    val sigRows = Seq(
+      7L -> 0x00000000000000F0L, // identical trio: 7,3,9
+      3L -> 0x00000000000000F0L,
+      9L -> 0x00000000000000F0L,
+      5L -> 0x00000000000000F1L, // hamming 1 from the trio
+      1L -> 0x00000000000000FFL, // hamming 4 from trio (dropped), 3 from 5
+      8L -> 0x7FFFFFFFFFFFFFFFL) // far from everything
+    val sig = sigRows.toDF("doc_id", "simhash")
+    val got = graft.operators.Dedup
+      .simhashNearDupFromSigs(sig, "simhash", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, sa) <- sigRows; (b, sb) <- sigRows if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    // the identical trio came through the within-group arm: 3 pairs at 0
+    assert(got.count(_._3 == 0L) == 3)
+    // orientation: every pair is (low, high)
+    assert(got.forall { case (a, b, _) => a < b })
+  }
 }

@@ -153,6 +153,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("BM25 postings side plans bucketed scan with no pre-aggregation shuffle") {
+    // round-21 pin (VERDICT r20 #2): tf/dl live in doc_id-bucketed
+    // saved tables, so the scoring pass must read the postings with a
+    // BUCKETED scan and reach the (qid, doc_id) aggregation without
+    // any shuffle on the postings path — every ShuffleExchange whose
+    // subtree holds the tf scan must sit ABOVE an aggregate (the
+    // query-sized topK/orderBy exchanges). A regression that loses
+    // the bucket partitioning re-inserts an exchange BELOW the first
+    // aggregate and fails here.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Retrieval.qBm25(spark, d).queryExecution.executedPlan
+      val tfScans = plan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_bm25_tf")) => f
+      }
+      assert(tfScans.nonEmpty, "tf is not read from the saved table")
+      assert(tfScans.forall(_.bucketedScan), "tf scan lost its bucketed status")
+      def hasTf(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_bm25_tf")) => f
+        }.nonEmpty
+      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case a: HashAggregateExec => a
+                    case o: ObjectHashAggregateExec => o }.nonEmpty
+      val preAggShuffles = plan.collect {
+        case e: ShuffleExchangeExec if hasTf(e.child) && !hasAgg(e.child) => e
+      }
+      assert(preAggShuffles.isEmpty,
+        s"postings shuffled before aggregation:\n${preAggShuffles.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("RRF fusion sums both lists on overlap, integer-exact") {
     import spark.implicits._
     val bm = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
